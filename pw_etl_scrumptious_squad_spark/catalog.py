@@ -1,0 +1,659 @@
+"""Query catalog: every implemented operator as a named query over the
+driver testdata (TESTDATA.md), with a DuckDB oracle for hash-parity.
+
+Each entry maps one operator family from SURVEY.md §2 (r01..r13 mirror the
+reference's operator inventory; q_* are the relational capabilities that
+come free from Spark SQL and are absent from the reference §2.4; t_*/d_*/s_*
+are the training-data-pipeline extensions).
+
+Determinism rules for cross-engine hash parity:
+- every aggregate/computed column is explicitly aliased the same on both
+  sides;
+- integer-typed computed columns are cast to the same width (Spark INT <->
+  oracle CAST(.. AS INTEGER); counts/sums to BIGINT; DuckDB's HUGEINT sums
+  are always cast down);
+- money/quantity aggregates run in DECIMAL (exact, engine-independent), cast
+  to an explicit final precision;
+- ratio columns are exact-integer divisions in IEEE double rounded to 9
+  places (no double is an exact decimal midpoint at that scale for the
+  denominators involved, so HALF_UP vs HALF_EVEN cannot diverge);
+- all hashes derive from md5 (identical in both engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from pw_etl_scrumptious_squad_spark.operators import dedup, dims, similarity, text
+from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class CatalogEntry:
+    name: str
+    build: QueryFn
+    oracle: str | None  # None -> driver runs the weaker rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, CatalogEntry] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def wrap(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = CatalogEntry(name, fn, oracle, doc)
+        return fn
+
+    return wrap
+
+
+def catalog() -> dict[str, CatalogEntry]:
+    return dict(_REGISTRY)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Core relational operators (reference inventory SURVEY.md §2.1-2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r01_projection_rename",
+    "SELECT o_orderkey AS id, o_totalprice FROM orders ORDER BY id",
+    "R1: projection + rename (reference create_dim_location, src/transform.py:64-77)",
+)
+def r01(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "orders")
+        .select(F.col("o_orderkey").alias("id"), "o_totalprice")
+        .orderBy("id")
+    )
+
+
+@register(
+    "r02_equi_join_dim",
+    "SELECT c.c_custkey, n.n_name FROM customer c JOIN nation n"
+    " ON c.c_nationkey = n.n_nationkey ORDER BY c.c_custkey",
+    "R2: equi inner join fact-side x broadcast dim (reference create_dim_counterparty,"
+    " src/transform.py:108-123, with intended join semantics)",
+)
+def r02(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        c.join(broadcast(n), c["c_nationkey"] == n["n_nationkey"], "inner")
+        .select("c_custkey", "n_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "r03_equi_join_shared_key",
+    "SELECT s.s_suppkey, s.s_name, n.n_name FROM supplier s JOIN nation n"
+    " ON s.s_nationkey = n.n_nationkey ORDER BY s.s_suppkey",
+    "R3: equi join on shared key (reference create_dim_staff, src/transform.py:126-139)",
+)
+def r03(spark: SparkSession, sf: str) -> DataFrame:
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    return (
+        s.join(broadcast(n), s["s_nationkey"] == n["n_nationkey"], "inner")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "r04_sort",
+    "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_name, s_suppkey",
+    "R4: stable sort (reference dim_staff sort_values, src/transform.py:138)",
+)
+def r04(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+@register(
+    "r05_watermark_max",
+    "SELECT CAST(max(o_orderdate) AS DATE) AS max_created,"
+    " CAST(count(*) AS BIGINT) AS n_rows FROM orders",
+    "R5: max-agg watermark (reference get_most_recent_time, src/extract.py:176-199,"
+    " re-expressed as a single distributed agg instead of a sort)",
+)
+def r05(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "orders").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("max_created"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "r06_cdc_filter",
+    "SELECT o_orderkey FROM orders WHERE o_orderdate > TIMESTAMP '1999-01-01 00:00:00'"
+    " OR o_totalprice > 400000 ORDER BY o_orderkey",
+    "R6: disjunctive CDC range filter, pushed to the scan (reference"
+    " src/extract.py:110-112; PushedFilters visible in .explain)",
+)
+def r06(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") > F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+            | (F.col("o_totalprice") > 400000)
+        )
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "r07_case_mapping",
+    "SELECT n_name, CASE WHEN n_name = 'FRANCE' THEN 'fr' WHEN n_name = 'GERMANY'"
+    " THEN 'de' WHEN n_name = 'UNITED KINGDOM' THEN 'uk' ELSE '0' END AS code"
+    " FROM nation ORDER BY n_name",
+    "R7: CASE-WHEN conditional mapping with '0' default (reference"
+    " create_dim_currency np.select, src/transform.py:92-105)",
+)
+def r07(spark: SparkSession, sf: str) -> DataFrame:
+    n = _t(spark, sf, "nation")
+    code = (
+        F.when(F.col("n_name") == "FRANCE", F.lit("fr"))
+        .when(F.col("n_name") == "GERMANY", F.lit("de"))
+        .when(F.col("n_name") == "UNITED KINGDOM", F.lit("uk"))
+        .otherwise(F.lit("0"))
+    )
+    return n.select("n_name", code.alias("code")).orderBy("n_name")
+
+
+@register(
+    "r08_ts_split",
+    "SELECT event_id, CAST(ts AS DATE) AS created_date,"
+    " strftime(ts, '%H:%M:%S') AS created_time FROM events ORDER BY event_id",
+    "R8: timestamp -> (date, 'HH:mm:ss' string) split (reference per-row .apply,"
+    " src/transform.py:171-176, as vectorized built-ins)",
+)
+def r08(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.to_date("ts").alias("created_date"),
+        F.date_format("ts", "HH:mm:ss").alias("created_time"),
+    ).orderBy("event_id")
+
+
+@register(
+    "r09_dim_date",
+    "SELECT d AS date_id, CAST(year(d) AS INTEGER) AS year,"
+    " CAST(month(d) AS INTEGER) AS month, CAST(day(d) AS INTEGER) AS day,"
+    " CAST(isodow(d) AS INTEGER) AS day_of_week, dayname(d) AS day_name,"
+    " monthname(d) AS month_name, CAST(quarter(d) AS INTEGER) AS quarter"
+    " FROM (SELECT unnest(generate_series(DATE '2022-01-01', DATE '2024-01-01',"
+    " INTERVAL 1 DAY))::DATE AS d) ORDER BY date_id",
+    "R9+R10: date-range generation + date-part extraction incl. ISO weekday"
+    " (reference create_dim_date, src/transform.py:46-61)",
+)
+def r09(spark: SparkSession, sf: str) -> DataFrame:
+    return dims.create_dim_date(spark).orderBy("date_id")
+
+
+@register(
+    "r11_fact_build",
+    'SELECT o_orderkey AS sales_order_id, CAST(o_orderdate AS DATE) AS created_date,'
+    " strftime(o_orderdate, '%H:%M:%S') AS created_time,"
+    ' o_custkey AS sales_staff_id, CAST(o_totalprice AS DECIMAL(18,2)) AS "unit price",'
+    " o_orderpriority AS priority FROM orders ORDER BY sales_order_id",
+    "R11: fact projection+rename incl. the literal-space column name"
+    " (reference create_fact_sales_order, src/transform.py:164-186;"
+    ' "unit price" contract setup_test_warehouse.sql:74)',
+)
+def r11(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("sales_order_id"),
+        F.to_date("o_orderdate").alias("created_date"),
+        F.date_format("o_orderdate", "HH:mm:ss").alias("created_time"),
+        F.col("o_custkey").alias("sales_staff_id"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("unit price"),
+        F.col("o_orderpriority").alias("priority"),
+    ).orderBy("sales_order_id")
+
+
+@register(
+    "r12_surrogate_key",
+    "SELECT CAST(row_number() OVER (ORDER BY s_suppkey) AS INTEGER) AS record_id,"
+    " s_suppkey, s_name FROM supplier ORDER BY record_id",
+    "R12: deterministic surrogate key via row_number over the natural key"
+    " (reference leaves it to SERIAL, setup_test_warehouse.sql:65)",
+)
+def r12(spark: SparkSession, sf: str) -> DataFrame:
+    s = _t(spark, sf, "supplier")
+    w = Window.orderBy("s_suppkey")
+    return s.select(
+        F.row_number().over(w).alias("record_id"), "s_suppkey", "s_name"
+    ).orderBy("record_id")
+
+
+@register(
+    "r13_keep_newest",
+    "SELECT user_id, event_id, ts FROM (SELECT user_id, event_id, ts,"
+    " row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn"
+    " FROM events) WHERE rn = 1 ORDER BY user_id",
+    "R13/CDC improvement: newest-row-per-key dedup (the '>= + key-dedup' fix for"
+    " the reference's strict-> watermark loss, SURVEY.md §2.3)",
+)
+def r13(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational capabilities beyond the reference (§2.4 declared absences —
+# free from Spark SQL; declared here so the oracle pins their semantics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    "SELECT l_returnflag, l_linestatus,"
+    " CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,"
+    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,"
+    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,"
+    " CAST(count(*) AS BIGINT) AS count_order"
+    " FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'"
+    " GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "TPC-H Q1-style grouped aggregation in exact DECIMAL",
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q02_topk_join",
+    "SELECT o.o_orderkey, c.c_name, o.o_totalprice FROM orders o JOIN customer c"
+    " ON o.o_custkey = c.c_custkey ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 10",
+    "top-k over a join (broadcast dim), deterministic tie-break",
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q03_window_topn_per_group",
+    "SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM ("
+    " SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,"
+    " row_number() OVER (PARTITION BY c.c_mktsegment"
+    " ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn"
+    " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)"
+    " WHERE rn <= 3 ORDER BY c_mktsegment, rn",
+    "ranking window function: top-3 orders per market segment",
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    joined = o.join(broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@register(
+    "q04_rollup",
+    "SELECT r.r_name, n.n_name, CAST(count(*) AS BIGINT) AS n_customers"
+    " FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey"
+    " JOIN region r ON n.n_regionkey = r.r_regionkey"
+    " GROUP BY ROLLUP(r.r_name, n.n_name) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST",
+    "ROLLUP grouping sets over a two-dim hierarchy",
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    joined = c.join(broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
+        broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@register(
+    "q05_semi_join",
+    "SELECT c_custkey, c_name FROM customer c WHERE EXISTS"
+    " (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey",
+    "left-semi join (customers with at least one order)",
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "leftsemi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q06_anti_join",
+    "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS"
+    " (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey",
+    "left-anti join (customers with no orders)",
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "leftanti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q07_set_ops",
+    "SELECT c_custkey FROM customer WHERE c_acctbal > 0"
+    " INTERSECT SELECT o_custkey AS c_custkey FROM orders ORDER BY c_custkey",
+    "set operation (INTERSECT, distinct semantics)",
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 0).select("c_custkey")
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o).orderBy("c_custkey")
+
+
+@register(
+    "q08_distinct_agg",
+    "SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,"
+    " CAST(count(*) AS BIGINT) AS n_orders FROM orders"
+    " GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "distinct aggregation",
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q09_events_hourly",
+    "SELECT date_trunc('hour', ts) AS hour_start, event_type,"
+    " CAST(count(*) AS BIGINT) AS n_events,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value"
+    " FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type",
+    "tumbling-window aggregation (batch form of the streaming hourly rollup)",
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@register(
+    "q10_sessionize",
+    "WITH flagged AS (SELECT user_id, event_id, ts, CASE WHEN"
+    " epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    " > 1800000000 THEN 1 ELSE 0 END AS new_s FROM events),"
+    " sessions AS (SELECT user_id, event_id, ts,"
+    " CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+    " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM flagged)"
+    " SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,"
+    " min(ts) AS session_start, max(ts) AS session_end FROM sessions"
+    " GROUP BY user_id, session_idx ORDER BY user_id, session_idx",
+    "session windows in batch (30-min gap), lag + running sum — the batch twin"
+    " of the streaming session-window operator",
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_s",
+        F.when(F.col("us") - F.lag("us").over(w) > 1800000000, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.withColumn(
+        "session_idx", F.sum("new_s").over(running).cast("bigint")
+    )
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline extensions: text analysis
+# ---------------------------------------------------------------------------
+
+
+def _stop_list_sql() -> str:
+    return ", ".join(f"'{w}'" for w in text.ENGLISH_STOPWORDS)
+
+
+@register(
+    "t01_token_stats",
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,"
+    " CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,"
+    " CAST(length(text) AS INTEGER) AS n_chars_calc FROM documents ORDER BY doc_id",
+    "token counting (whitespace tokenization, oracle-identical semantics)",
+)
+def t01(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.distinct_token_count("text").alias("n_distinct"),
+        F.length("text").alias("n_chars_calc"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "t02_quality",
+    "SELECT doc_id,"
+    " ROUND(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 9) AS distinct_ratio,"
+    " ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text), 9) AS alpha_ratio,"
+    f" ROUND(len(list_filter(string_split(text, ' '), t -> t IN ({_stop_list_sql()}))) / len(string_split(text, ' ')), 9) AS stopword_ratio"
+    " FROM documents ORDER BY doc_id",
+    "quality-scoring ratios (length/alpha/stopword/distinct)",
+)
+def t02(spark: SparkSession, sf: str) -> DataFrame:
+    d = text.quality_columns(_t(spark, sf, "documents"))
+    return d.select(
+        "doc_id", "distinct_ratio", "alpha_ratio", "stopword_ratio"
+    ).orderBy("doc_id")
+
+
+@register(
+    "t03_fingerprint",
+    "SELECT doc_id, md5(text) AS content_md5,"
+    " coalesce(list_aggregate(list_transform("
+    "  range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),"
+    "  i -> md5(array_to_string(string_split(text, ' ')[i:i+4], ' '))), 'min'),"
+    "  md5(text)) AS shingle_fingerprint"
+    " FROM documents ORDER BY doc_id",
+    "document fingerprinting: content md5 + min shingle-md5 (5-token shingles)",
+)
+def t03(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        text.fingerprint(_t(spark, sf, "documents"), "text", 5)
+        .select("doc_id", "content_md5", "shingle_fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "t04_lang_id",
+    None,  # oracle added below via generated SQL
+    "marker-word language identification",
+)
+def t04(spark: SparkSession, sf: str) -> DataFrame:
+    d = text.lang_id(_t(spark, sf, "documents"))
+    return d.select(
+        "doc_id", *[f"score_{lang}" for lang in text.LANG_PRIORITY], "lang_pred"
+    ).orderBy("doc_id")
+
+
+def _lang_id_oracle() -> str:
+    score_exprs = []
+    for lang in text.LANG_PRIORITY:
+        quoted = ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang])
+        score_exprs.append(
+            f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({quoted}))) AS INTEGER) AS score_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in text.LANG_PRIORITY) + ")"
+    pred = "CASE WHEN " + best + " = 0 THEN 'und'"
+    for lang in text.LANG_PRIORITY:
+        pred += f" WHEN score_{lang} = {best} THEN '{lang}'"
+    pred += " END AS lang_pred"
+    return (
+        "SELECT doc_id, "
+        + ", ".join(f"score_{lang}" for lang in text.LANG_PRIORITY)
+        + ", "
+        + pred
+        + " FROM (SELECT doc_id, text, "
+        + ", ".join(score_exprs)
+        + " FROM documents) ORDER BY doc_id"
+    )
+
+
+_REGISTRY["t04_lang_id"] = CatalogEntry(
+    "t04_lang_id", t04, _lang_id_oracle(), _REGISTRY["t04_lang_id"].doc
+)
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline extensions: deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d01_exact_dedup",
+    "SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,"
+    " CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text ORDER BY keep_id",
+    "exact deduplication via hash aggregation on content",
+)
+def d01(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        dedup.dedup_exact(_t(spark, sf, "documents"), ["text"], "doc_id")
+        .orderBy("keep_id")
+    )
+
+
+@register(
+    "d02_ngram_jaccard",
+    "WITH tk AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tk"
+    " FROM documents)"
+    " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+    " ROUND(len(list_intersect(a.tk, b.tk)) /"
+    " (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 9) AS jaccard"
+    " FROM tk a JOIN tk b ON a.lang = b.lang AND a.doc_id < b.doc_id"
+    " WHERE ROUND(len(list_intersect(a.tk, b.tk)) /"
+    " (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 9) >= 0.9"
+    " ORDER BY doc_a, doc_b",
+    "n-gram (token-set) Jaccard near-dup pairs with language blocking",
+)
+def d02(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", "lang", 0.9
+    ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline extensions: similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s01_cosine_topk",
+    "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),"
+    " scored AS (SELECT q.query_id, e.vec_id AS match_id,"
+    " ROUND(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS cosine_sim"
+    " FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),"
+    " ranked AS (SELECT query_id, match_id, cosine_sim,"
+    " CAST(row_number() OVER (PARTITION BY query_id"
+    " ORDER BY cosine_sim DESC, match_id) AS INTEGER) AS rank FROM scored)"
+    " SELECT query_id, match_id, cosine_sim, rank FROM ranked WHERE rank <= 5"
+    " ORDER BY query_id, rank",
+    "brute-force cosine top-k similarity search (exact ANN baseline)",
+)
+def s01(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk_bruteforce(
+        emb, queries, k=5, round_digits=6
+    ).orderBy("query_id", "rank")

@@ -1,0 +1,233 @@
+"""Deduplication operators for training-data pipelines (north-star
+extensions — no reference counterpart, SURVEY.md §2.4).
+
+Scale design:
+- **Exact dedup** is a hash aggregation on the content key (or its md5 for
+  wide text) — one shuffle, map-side partial aggregation for free.
+- **Near-dup (MinHash + LSH)** avoids the O(n^2) pair space: shingle ->
+  K minhashes -> B bands; only documents sharing a band bucket are paired,
+  then verified with exact Jaccard. Every step is built-in higher-order
+  SQL functions (split/transform/aggregate/md5/conv) — JVM-side, no UDFs.
+- **SimHash** uses explode + a generated per-bit aggregation (still
+  built-ins); Hamming-near pairs come from banding the simhash bits.
+- All hash functions derive from md5, so results are deterministic and
+  engine-independent (reproducible in the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pw_etl_scrumptious_squad_spark.operators.text import shingle_md5s
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct key, with the
+    duplicate count. Equivalent to ``dropDuplicates`` but deterministic about
+    WHICH row survives (dropDuplicates keeps an arbitrary first)."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def _minhash_expr(text_col: str, perm: int, shingle_size: int) -> str:
+    """Minimum over shingles of a 60-bit integer hash for permutation
+    ``perm``. Hash = first 15 hex digits of md5('<perm>|<shingle md5>'),
+    via conv(hex, 16, 10). Deterministic, engine-independent."""
+    k = shingle_size
+    shingles = (
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 0)),"
+        f" i -> md5(concat_ws(' ', slice(split({text_col}, ' '), i, {k}))))"
+    )
+    return (
+        f"array_min(transform({shingles},"
+        f" s -> cast(conv(substring(md5(concat('{perm}|', s)), 1, 15), 16, 10) as bigint)))"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_perm: int = 16,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """MinHash signature per document: ``minhash`` array<bigint> of length
+    ``num_perm``. One narrow projection — no shuffle."""
+    sig = F.array(
+        *[F.expr(_minhash_expr(text_col, p, shingle_size)) for p in range(num_perm)]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` equal bands, bucket
+    on (band index, band content), self-join buckets -> distinct candidate
+    pairs (a < b).
+
+    The self-join shuffles on the bucket key only; bucket sizes are the skew
+    risk — callers at extreme scale should salt giant buckets or cap them
+    (a bucket with millions of identical signatures is itself the answer).
+    """
+    # rows per band derived from the signature length (tiny driver-side peek)
+    sig_len = signatures.selectExpr("size(minhash) AS n").first()["n"]
+    rows_per_band = sig_len // bands
+    band_rows = []
+    for b in range(bands):
+        start = b * rows_per_band + 1
+        band_rows.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    f"concat_ws(',', transform(slice(minhash, {start}, {rows_per_band}),"
+                    f" x -> cast(x as string)))"
+                ).alias("sig"),
+            )
+        )
+    buckets = signatures.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_size: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-set Jaccard over candidate pairs; keeps pairs at or
+    above ``threshold``. The shingle arrays are recomputed per side — a
+    projection, not a shuffle; the joins shuffle on doc ids only."""
+    shingled = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingle_md5s(text_col, shingle_size)).alias("sh"),
+    )
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    return (
+        pairs.join(a, pairs["doc_a"] == F.col("a.doc_id"))
+        .join(b, pairs["doc_b"] == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh")),
+                9,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_size: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: returns verified near-duplicate pairs
+    (doc_a < doc_b, exact-Jaccard >= threshold) found via MinHash LSH."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_size)
+    pairs = lsh_candidate_pairs(sigs, bands)
+    return jaccard_verify(pairs, df, id_col, text_col, shingle_size, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_col: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Token-set Jaccard over blocked pairs (exact, no LSH): pairs share the
+    ``block_col`` value (cheap blocking key — language, length bucket). The
+    O(block^2) pair space makes this the small/medium-scale or
+    verification-path tool; MinHash-LSH is the 100 TB path.
+
+    The block count is usually tiny (5 languages), which would starve a
+    shuffle join down to that many tasks; broadcasting one side keeps
+    parallelism at the left side's partition count. |union| is computed as
+    |a|+|b|-|intersect| so only the intersection is materialized per pair.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("tk"),
+    ).withColumn("n", F.size("tk"))
+    # A small corpus arrives as one parquet file = one partition, and AQE
+    # would coalesce a keyless repartition of 5k rows right back — the
+    # expensive part is the post-join pair blow-up, which AQE can't see.
+    # An explicit partition count is respected and spreads the quadratic
+    # work across every core.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    a = toks.repartition(n_parts, "doc_id").alias("a")
+    b = F.broadcast(toks.alias("b"))
+    inter = F.size(F.array_intersect("a.tk", "b.tk"))
+    jac = F.round(inter / (F.col("a.n") + F.col("b.n") - inter), 9)
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """SimHash over tokens: per-token 60-bit md5-derived hash, majority vote
+    per bit position, packed into a ``bits``-wide bigint.
+
+    explode + single hash-agg (sum of +-1 per bit) — one shuffle on the doc
+    id; the bit loop is plan-time code generation of ``bits`` aggregate
+    expressions, all JVM-side."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("t"),
+    ).withColumn(
+        "h",
+        F.expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h >> {i}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    packed = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, i)
+        packed = term if packed is None else packed + term
+    return agg.select("doc_id", packed.alias("simhash"))

@@ -1,0 +1,175 @@
+"""Embedding similarity search (north-star extension — SURVEY.md §2.4).
+
+Embeddings are ``array<float>`` columns. Dot products / norms are
+``aggregate``/``zip_with`` higher-order functions — JVM-side, vectorized,
+no Python in the hot path.
+
+Scale design:
+- **Brute-force top-k** is a broadcast of the (small) query set against the
+  (huge) corpus: no shuffle of the corpus, one window per query for top-k.
+  Exact; the baseline.
+- **IVF (inverted-file) ANN** partitions the corpus by nearest centroid at
+  write time; a query probes only its nearest cell(s) — the classic
+  recall/throughput trade. Centroid assignment and probing are the same
+  cosine expression; at 100 TB the corpus is *bucketed by cell id* on disk
+  so a probe is a partition-pruned scan, not a full pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine for every query vector.
+
+    ``queries`` (small) is broadcast; the corpus is scanned once with a
+    per-row expression — no corpus shuffle. Scores are rounded before the
+    ranking tie-break (then by corpus id) so results are deterministic.
+    Returns (query_id, match_id, cosine_sim, rank).
+    """
+    # float32 storage, double math: cast up front so Spark's fold matches the
+    # double-precision oracle (float32 products drift by whole ulps at 6 dp).
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(
+                dot("qv", "cv") / (norm("qv") * norm("cv")), round_digits
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def assign_ivf_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Assign each corpus vector to its nearest centroid (max cosine).
+
+    Centroids (small) broadcast; one pass over the corpus. At scale, write
+    the result bucketed/partitioned by ``cell`` so probes prune partitions.
+    """
+    cent = centroids.select(
+        F.col(centroid_id).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("centv"),
+    )
+    scored = corpus.crossJoin(broadcast(cent)).select(
+        id_col,
+        vec_col,
+        "cell",
+        cosine(F.col(vec_col).cast("array<double>"), F.col("centv")).alias("cscore"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cscore").desc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+
+
+def ivf_topk(
+    corpus_with_cells: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """ANN top-k: route each query to its ``n_probe`` nearest cells, search
+    only those cells. Approximate (recall < 1 when the true neighbor lives
+    in an unprobed cell); the brute-force path is the exactness oracle."""
+    cent = centroids.select(
+        F.col(centroid_id).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("centv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    q_cells = q.crossJoin(broadcast(cent)).select(
+        "query_id", "qv", "cell", cosine("qv", "centv").alias("cscore")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("cell").asc()
+    )
+    probes = (
+        q_cells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    c = corpus_with_cells.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        "cell",
+    )
+    scored = (
+        c.join(broadcast(probes), on="cell")  # partition-pruned scan at scale
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(dot("qv", "cv") / (norm("qv") * norm("cv")), 5).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis operators for training-data pipelines (north-star
+extensions, no reference counterpart — SURVEY.md §2.4).
+
+Everything here is built-in/higher-order SQL functions (split, filter,
+transform, aggregate, md5) — no Python UDFs — so the hot path stays in the
+JVM and scales linearly with executors. Tokenization is a plain
+single-space split to keep the semantics exactly reproducible in the DuckDB
+oracle (``string_split(text, ' ')``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker (function) words per language for the n-gram/stopword language-ID
+# heuristic. Ties and zero scores resolve deterministically (priority order
+# below, 'und' for no evidence).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "a"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "los", "y", "es", "una"],
+    "fr": ["le", "les", "et", "est", "une"],
+    "zh": ["de", "shi", "zai", "le", "he"],
+}
+LANG_PRIORITY = ["en", "de", "es", "fr", "zh"]
+
+ENGLISH_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for", "is", "it",
+]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (single-space split; empty tokens preserved to
+    match ``string_split`` semantics in the oracle)."""
+    return F.split(col, " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+# Column name of the pre-computed token array that lang_id/quality_columns
+# build their higher-order expressions over (computed once, pruned on output).
+_SQL_TOKS = "__toks"
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn(_SQL_TOKS, tokens(text_col))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: score = #tokens in each language's marker
+    set; prediction = highest score, ties broken by LANG_PRIORITY order,
+    'und' when every score is zero."""
+    out = with_tokens(df, text_col)
+    score_cols = {}
+    for lang in LANG_PRIORITY:
+        quoted = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        score_cols[lang] = F.expr(f"size(filter({_SQL_TOKS}, t -> t IN ({quoted})))")
+        out = out.withColumn(f"score_{lang}", score_cols[lang])
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_PRIORITY])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_PRIORITY:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return out.withColumn("lang_pred", pred).drop(_SQL_TOKS)
+
+
+def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: token counts, distinct-token ratio,
+    alphabetic-character ratio, stopword ratio, and a combined score.
+
+    All ratios are exact-integer divisions evaluated in IEEE double (both
+    engines agree bit-for-bit) and rounded to 9 places for stable hashing.
+    """
+    out = with_tokens(df, text_col)
+    n_chars = F.length(text_col)
+    n_tokens = F.expr(f"size({_SQL_TOKS})")
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    quoted = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    n_stop = F.expr(f"size(filter({_SQL_TOKS}, t -> t IN ({quoted})))")
+    n_distinct = F.expr(f"size(array_distinct({_SQL_TOKS}))")
+    distinct_ratio = F.round(n_distinct / n_tokens, 9)
+    alpha_ratio = F.round(n_alpha / n_chars, 9)
+    stop_ratio = F.round(n_stop / n_tokens, 9)
+    return (
+        out.withColumn("n_tokens", n_tokens)
+        .withColumn("n_alpha", n_alpha)
+        .withColumn("n_stopwords", n_stop)
+        .withColumn("distinct_ratio", distinct_ratio)
+        .withColumn("alpha_ratio", alpha_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn(
+            "quality_score",
+            F.round(
+                0.4 * alpha_ratio + 0.3 * stop_ratio + 0.3 * distinct_ratio, 9
+            ),
+        )
+        .drop(_SQL_TOKS)
+    )
+
+
+def shingle_md5s(text_col: str, shingle_size: int = 5) -> Column:
+    """md5 of every ``shingle_size``-token shingle, as an array column.
+
+    The md5 hex string is the cross-engine-stable hash (identical in Spark
+    and DuckDB), the basis for fingerprinting and MinHash.
+    """
+    k = shingle_size
+    return F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 0)),"
+        f" i -> md5(concat_ws(' ', slice(split({text_col}, ' '), i, {k}))))"
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", shingle_size: int = 5) -> DataFrame:
+    """Document fingerprint: full-text md5 plus the minimum shingle-md5
+    (a 1-permutation MinHash — stable under small edits far from the
+    minimizing shingle). Docs shorter than one shingle fall back to the
+    full-text hash."""
+    shingles = shingle_md5s(text_col, shingle_size)
+    return df.withColumn("content_md5", F.md5(F.col(text_col))).withColumn(
+        "shingle_fingerprint",
+        F.coalesce(F.array_min(shingles), F.md5(F.col(text_col))),
+    )

@@ -1,0 +1,148 @@
+"""JDBC source/sink (reference operators S1/S2/S3/S6).
+
+The reference talks to Postgres through pg8000 cursors row-at-a-time
+(``src/extract.py:92-119``) and loads through SQLAlchemy ``to_sql`` in
+1000-row chunks (``src/load.py:97-110``). Spark's JDBC data source replaces
+both: reads are partitioned range scans with predicate pushdown, writes are
+batched prepared-statement inserts from every executor in parallel.
+
+No database (or JDBC driver jar) ships in the test container, so these
+helpers build fully-configured readers/writers and pure SQL strings; the
+query-construction logic is unit-tested, the actual round-trip is exercised
+only when a real warehouse URL is supplied.
+
+Scale notes:
+- Reads accept ``partition_column/num_partitions`` so a big source table
+  becomes N parallel range scans instead of one executor pulling 100 TB
+  through a single cursor.
+- The CDC predicate is baked into the pushed-down ``dbtable`` subquery, so
+  the source database does the delta filtering exactly like the reference's
+  ``WHERE created_at > .. OR last_updated > ..`` (``src/extract.py:110-112``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+DISCOVER_TABLES_SQL = (
+    "SELECT table_name FROM information_schema.tables "
+    "WHERE table_schema = '{schema}' AND table_type = 'BASE TABLE'"
+)
+
+
+@dataclass(frozen=True)
+class JdbcConfig:
+    """Connection config (reference pulls this from SecretsManager or .env —
+    ``src/extract.py:23-74``; here it's explicit and injectable)."""
+
+    url: str  # jdbc:postgresql://host:port/db
+    user: str
+    password: str
+    driver: str = "org.postgresql.Driver"
+    schema: str = "public"
+
+    def apply(self, reader: DataFrameReader) -> DataFrameReader:
+        return (
+            reader.format("jdbc")
+            .option("url", self.url)
+            .option("user", self.user)
+            .option("password", self.password)
+            .option("driver", self.driver)
+        )
+
+
+def cdc_subquery(
+    table: str, created_after: datetime | str, updated_after: datetime | str
+) -> str:
+    """The incremental-extract subquery (reference ``get_recents_table``,
+    ``src/extract.py:106-119``): strict ``>`` on either audit timestamp.
+
+    Kept strict-`>` for parity; the batch CDC plan layers a natural-key dedup
+    on top so re-extraction can safely switch to ``>=`` (SURVEY.md §2.3).
+    """
+    return (
+        f"(SELECT * FROM {table} "
+        f"WHERE created_at > '{created_after}' "
+        f"OR last_updated > '{updated_after}') AS cdc_src"
+    )
+
+
+def discover_tables_subquery(schema: str = "public") -> str:
+    """Catalog discovery (reference ``get_titles``, ``src/extract.py:77-89``)."""
+    return f"({DISCOVER_TABLES_SQL.format(schema=schema)}) AS t"
+
+
+def read_table(
+    spark: SparkSession,
+    cfg: JdbcConfig,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """Full-table scan (reference ``get_whole_table``, ``src/extract.py:92-103``),
+    parallelized into range partitions when a numeric key is given."""
+    reader = cfg.apply(spark.read).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
+def read_incremental(
+    spark: SparkSession,
+    cfg: JdbcConfig,
+    table: str,
+    created_after: datetime | str,
+    updated_after: datetime | str,
+) -> DataFrame:
+    """Predicated (incremental) scan, predicate pushed into the source DB
+    (reference ``get_recents_table``, ``src/extract.py:106-119``)."""
+    reader = cfg.apply(spark.read).option(
+        "dbtable", cdc_subquery(table, created_after, updated_after)
+    )
+    return reader.load()
+
+
+def discover_tables(spark: SparkSession, cfg: JdbcConfig) -> list[str]:
+    """List base tables in the configured schema (reference ``get_titles``)."""
+    df = cfg.apply(spark.read).option(
+        "dbtable", discover_tables_subquery(cfg.schema)
+    ).load()
+    return [row[0] for row in df.collect()]
+
+
+def append_table(
+    df: DataFrame,
+    cfg: JdbcConfig,
+    table: str,
+    batch_size: int = 1000,
+    num_partitions: int | None = None,
+) -> None:
+    """Warehouse append sink (reference ``to_sql(..., if_exists='append',
+    chunksize=1000, method='multi')`` — ``src/load.py:97-110``).
+
+    ``batchsize`` mirrors the 1000-row chunking; ``num_partitions`` bounds
+    concurrent connections against the warehouse.
+    """
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    (
+        df.write.format("jdbc")
+        .option("url", cfg.url)
+        .option("user", cfg.user)
+        .option("password", cfg.password)
+        .option("driver", cfg.driver)
+        .option("dbtable", f"{cfg.schema}.{table}")
+        .option("batchsize", str(batch_size))
+        .mode("append")
+        .save()
+    )

@@ -1,0 +1,113 @@
+"""Parquet lake reads/writes (reference operators S4/S5/S7).
+
+The reference downloads whole S3 objects into memory and decodes them with
+pandas/pyarrow one file at a time (``src/extract.py:159-173``,
+``src/transform.py:25-43``, ``src/load.py:51-74``); writes serialize to
+``/tmp`` and upload with overwrite (``src/extract.py:241-256``). Here the
+lake is just a path prefix (``file://``, ``s3a://``, ``hdfs://`` — same
+code), Spark's vectorized parquet reader does the scan, and Catalyst prunes
+columns/pushes filters into it.
+
+Scale notes:
+- ``spark.read.parquet`` parallelizes over row groups / files; a 100 TB table
+  is just more tasks, bounded by ``spark.sql.files.maxPartitionBytes``.
+- Writers take ``partition_by`` so facts can be laid out by date for
+  partition pruning (the reference writes one flat file per table).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pw_etl_scrumptious_squad_spark.schemas import TESTDATA_SCHEMAS
+
+
+def table_path(base_dir: str, name: str) -> str:
+    return os.path.join(base_dir, f"{name}.parquet")
+
+
+def read_table(
+    spark: SparkSession,
+    base_dir: str,
+    name: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Read ``<base_dir>/<name>.parquet``, normalizing to the declared schema
+    (TESTDATA_SCHEMAS or the caller's) where physical types need it.
+
+    Schema resolution is footer-only (no data sampling). Parity with
+    reference ``get_parquet`` (``src/extract.py:159-173``) minus the
+    in-memory download; missing files raise AnalysisException rather than
+    returning False — callers that need an existence probe use
+    :func:`table_exists`.
+    """
+    if schema is None:
+        schema = TESTDATA_SCHEMAS.get(name)
+    path = table_path(base_dir, name)
+    if schema is None:
+        return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    # Parquet TIMESTAMP(NANOS) columns arrive as LongType (nanosAsLong);
+    # convert to the declared TIMESTAMP_NTZ (floor-division to micros —
+    # identical to DuckDB's ns->us truncation for post-epoch data).
+    actual = dict(df.dtypes)
+    for field in schema.fields:
+        if (
+            isinstance(field.dataType, T.TimestampNTZType)
+            and actual.get(field.name) == "bigint"
+        ):
+            df = df.withColumn(
+                field.name,
+                F.expr(
+                    f"CAST(timestamp_micros({field.name} div 1000) AS TIMESTAMP_NTZ)"
+                ),
+            )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, base_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load a dict of named DataFrames (reference keeps dict-of-frames IR,
+    ``src/extract.py:214`` / ``src/load.py:65-74``)."""
+    if names is None:
+        names = sorted(
+            f[: -len(".parquet")]
+            for f in os.listdir(base_dir)
+            if f.endswith(".parquet")
+        )
+    return {name: read_table(spark, base_dir, name) for name in names}
+
+
+def table_exists(base_dir: str, name: str) -> bool:
+    """Existence probe (reference ``check_table_in_bucket``,
+    ``src/extract.py:148-156``). Local-path fast check; for object stores the
+    caller should catch AnalysisException from read instead of listing."""
+    path = table_path(base_dir, name)
+    local = path.removeprefix("file://")
+    if "://" not in local:
+        return os.path.exists(local)
+    raise NotImplementedError("object-store existence probe: use read+catch")
+
+
+def write_table(
+    df: DataFrame,
+    base_dir: str,
+    name: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+) -> None:
+    """Write ``<base_dir>/<name>.parquet`` (reference ``push_to_cloud``,
+    ``src/extract.py:241-256``; gzip intent at ``src/transform.py:249-251``).
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.parquet(table_path(base_dir, name))

@@ -1,0 +1,129 @@
+"""Shared fixtures: one SparkSession per test run, totesys-shaped seed data
+(FIXTURES.md — the reference's test seed, setup_test_db.sql:127-227)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import SparkSession
+
+from pw_etl_scrumptious_squad_spark.schemas import OLTP_SCHEMAS
+from pw_etl_scrumptious_squad_spark.session import get_spark
+
+SEED_TS = datetime(2023, 1, 1, 10, 0, 0)
+# CDC tests insert later rows with these (test/test_extract.py:407-422)
+LATER_CREATED = datetime(2023, 2, 2, 11, 30, 0)
+LATER_UPDATED = datetime(2023, 3, 3, 8, 45, 0)
+
+
+@pytest.fixture(scope="session")
+def spark() -> SparkSession:
+    s = get_spark(app_name="pytest", shuffle_partitions=4)
+    yield s
+
+
+def _rows(spark, name, rows):
+    return spark.createDataFrame(rows, OLTP_SCHEMAS[name])
+
+
+@pytest.fixture(scope="session")
+def totesys(spark) -> dict:
+    """Small seed in the shape of the reference's 11-table test database."""
+    a = SEED_TS
+    t = {}
+    t["address"] = _rows(
+        spark,
+        "address",
+        [
+            (i, f"{i} High St", None, f"District {i}", f"City {i}", f"PC{i}", "UK", f"0000{i}", a, a)
+            for i in range(1, 6)
+        ],
+    )
+    t["counterparty"] = _rows(
+        spark,
+        "counterparty",
+        [
+            (1, "Alpha Ltd", 1, "cc1", "dc1", a, a),
+            (2, "Beta plc", 2, "cc2", "dc2", a, a),
+            (3, "Gamma GmbH", 3, "cc3", "dc3", a, a),
+            (4, "Delta SA", 3, "cc4", "dc4", a, a),  # shares address 3
+        ],
+    )
+    t["currency"] = _rows(
+        spark, "currency", [(1, "AAA", a, a), (2, "BBB", a, a), (3, "GBP", a, a)]
+    )
+    t["department"] = _rows(
+        spark,
+        "department",
+        [
+            (1, "Sales", "Leeds", "M1", a, a),
+            (2, "Ops", "Manchester", "M2", a, a),
+            (3, "HR", "Leeds", "M3", a, a),
+        ],
+    )
+    t["design"] = _rows(
+        spark,
+        "design",
+        [(i, f"Design {i}", f"/loc/{i}", f"f{i}.json", a, a) for i in range(1, 7)],
+    )
+    t["payment_type"] = _rows(
+        spark,
+        "payment_type",
+        [
+            (1, "SALES_RECEIPT", a, a),
+            (2, "SALES_REFUND", a, a),
+            (3, "PURCHASE_PAYMENT", a, a),
+            (4, "PURCHASE_REFUND", a, a),
+        ],
+    )
+    t["payment"] = _rows(
+        spark,
+        "payment",
+        [
+            (i, i, (i % 4) + 1, Decimal(f"{100 + i}.50"), (i % 3) + 1, (i % 4) + 1,
+             i % 2 == 0, "2023-01-15", 11111, 22222, a, a)
+            for i in range(1, 7)
+        ],
+    )
+    t["purchase_order"] = _rows(
+        spark,
+        "purchase_order",
+        [
+            (i, (i % 3) + 1, (i % 4) + 1, f"ITEM{i}", i * 10, Decimal(f"{i}.25"),
+             (i % 3) + 1, "2023-02-01", "2023-02-10", (i % 5) + 1, a, a)
+            for i in range(1, 7)
+        ],
+    )
+    t["sales_order"] = _rows(
+        spark,
+        "sales_order",
+        [
+            (i, (i % 6) + 1, (i % 3) + 1, (i % 4) + 1, i * 5, Decimal(f"{2 * i}.99"),
+             (i % 3) + 1, "2023-03-01", "2023-03-05", (i % 5) + 1, a, a)
+            for i in range(1, 7)
+        ],
+    )
+    t["staff"] = _rows(
+        spark,
+        "staff",
+        [
+            (2, "Bea", "B", 2, "bea@x.com", a, a),
+            (1, "Al", "A", 1, "al@x.com", a, a),  # out of order: dim must sort
+            (3, "Cy", "C", 1, "cy@x.com", a, a),
+        ],
+    )
+    t["transaction"] = _rows(
+        spark,
+        "transaction",
+        [
+            (1, "SALE", 1, None, a, a),
+            (2, "PURCHASE", None, 1, a, a),
+            (3, "SALE", 2, None, a, a),
+            (4, "PURCHASE", None, 2, a, a),
+            (5, "SALE", 3, None, a, a),
+            (6, "PURCHASE", None, 3, a, a),
+        ],
+    )
+    return t

@@ -1,0 +1,90 @@
+"""Tests for the training-data-pipeline extension operators: fuzzy dedup
+(MinHash-LSH, SimHash), and IVF approximate similarity search (quality
+measured against the exact brute-force baseline)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pw_etl_scrumptious_squad_spark.operators import dedup, similarity
+from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_near_dups(spark):
+    """sf0.001 documents plus planted near-duplicates: copies of doc 0 and
+    doc 1 with one token changed (high Jaccard), ids 9000/9001."""
+    docs = read_table(spark, SF, "documents").select("doc_id", "text", "lang")
+    base = {r["doc_id"]: r for r in docs.filter(F.col("doc_id") < 2).collect()}
+    planted = spark.createDataFrame(
+        [
+            (9000, base[0]["text"] + " extra", base[0]["lang"]),
+            (9001, base[1]["text"].replace(" ", " ", 1) + " tail word", base[1]["lang"]),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    return docs.unionByName(planted)
+
+
+def test_minhash_lsh_finds_planted_dups(docs_with_near_dups):
+    pairs = dedup.minhash_lsh_dedup(
+        docs_with_near_dups, "doc_id", "text",
+        num_perm=16, bands=8, threshold=0.5,
+    )
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, 9000) in found
+    assert (1, 9001) in found
+    for a, b in found:
+        assert a < b  # canonical pair order
+
+
+def test_lsh_candidates_superset_of_high_jaccard(docs_with_near_dups):
+    """Banding with 8 bands of 2 rows catches >=0.9-Jaccard pairs reliably."""
+    sigs = dedup.minhash_signatures(docs_with_near_dups, "doc_id", num_perm=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=8)
+    cand_set = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    exact = dedup.jaccard_verify(
+        cands, docs_with_near_dups, "doc_id", threshold=0.9
+    )
+    for r in exact.collect():
+        assert (r["doc_a"], r["doc_b"]) in cand_set
+
+
+def test_simhash_deterministic_and_near_for_dups(docs_with_near_dups):
+    sh = dedup.simhash(docs_with_near_dups, "doc_id", bits=32)
+    vals = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    again = {r["doc_id"]: r["simhash"] for r in dedup.simhash(
+        docs_with_near_dups, "doc_id", bits=32).collect()}
+    assert vals == again  # deterministic
+    # planted near-dup has small Hamming distance to its source
+    ham = bin(vals[0] ^ vals[9000]).count("1")
+    assert ham <= 6
+
+
+def test_ivf_recall_against_bruteforce(spark):
+    emb = read_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = similarity.assign_ivf_cells(emb, centroids)
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    approx = similarity.ivf_topk(assigned, centroids, queries, k=5, n_probe=3)
+    exact_set = {(r["query_id"], r["match_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["match_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5  # probing 3/10 cells recovers most true neighbors
+    # every approx hit must be a genuine corpus vector with a sane score
+    for r in approx.collect():
+        assert -1.0 <= r["cosine_sim"] <= 1.0
+
+
+def test_assign_ivf_cells_exhaustive(spark):
+    emb = read_table(spark, SF, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = similarity.assign_ivf_cells(emb, centroids)
+    assert assigned.count() == emb.count()  # every vector lands in one cell
+    assert assigned.select("cell").distinct().count() <= centroids.count()
