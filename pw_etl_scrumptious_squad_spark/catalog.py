@@ -657,3 +657,8 @@ def s01(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk_bruteforce(
         emb, queries, k=5, round_digits=6
     ).orderBy("query_id", "rank")
+
+
+# Extension entries (registered on import; placed last so the registry and
+# the `register` decorator exist when the module loads).
+from pw_etl_scrumptious_squad_spark import catalog_ext  # noqa: E402,F401

@@ -1,0 +1,190 @@
+"""Multimodal (image/audio/video) column plumbing (north-star extension).
+
+Media assets are opaque ``binary`` columns + typed metadata structs; all
+Spark-side machinery — schemas, partition-aware batch processing, Arrow
+transfer shapes, UDF signatures — is real and tested. The actual codec work
+(JPEG decode, audio resample, video frame extraction) needs native
+libraries that are NOT in this environment, so each codec call sits behind
+``_decode_media_stub``: a clearly-marked deterministic fake that derives
+"pixels"/"samples" from the md5 of the payload. Swapping the stub for
+Pillow/ffmpeg is a one-function change; nothing in the plan shape moves.
+
+Scale design:
+- payloads never pass through Python row-at-a-time: ``mapInPandas``
+  processes Arrow batches, so a 100 TB media corpus streams through
+  executors in columnar chunks;
+- feature extraction emits fixed-width vectors (``array<float>``), which
+  feed the similarity/dedup operators directly;
+- media tables should be written partitioned by ``media_type`` (partition
+  pruning) and bucketed by ``asset_id`` for join co-location.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload_md5", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _decode_media_stub(payload: bytes, media_type: str) -> list[float]:
+    """STUB — deterministic fake decode.
+
+    Real implementation requires Pillow (image), soundfile/librosa (audio),
+    or pyav/ffmpeg (video), none of which ship in this container. The fake
+    derives a FEATURE_DIM-vector from the payload md5 so downstream plumbing
+    (similarity joins, dedup) is exercised with stable values.
+    """
+    digest = hashlib.md5(media_type.encode() + b"|" + payload).digest()
+    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def decode_unavailable(payload: bytes, media_type: str):
+    """The real-codec entry point, kept as an explicit NotImplementedError so
+    callers choosing ``stub=False`` fail loudly rather than silently faking."""
+    raise NotImplementedError(
+        f"real {media_type} decode needs native codec libraries "
+        "(Pillow/ffmpeg) not present in this environment; use stub=True"
+    )
+
+
+def extract_features(media: DataFrame, stub: bool = True) -> DataFrame:
+    """Decode + featurize media payloads via ``mapInPandas`` (Arrow batches,
+    never per-row Python). Output feeds similarity.cosine_topk_bruteforce /
+    dedup on the ``features`` column."""
+
+    decode = _decode_media_stub if stub else decode_unavailable
+
+    def batches(parts: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in parts:
+            out = pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "payload_md5": [
+                        hashlib.md5(p).hexdigest() for p in pdf["payload"]
+                    ],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "features": [
+                        decode(p, m)
+                        for p, m in zip(pdf["payload"], pdf["media_type"])
+                    ],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(batches, FEATURES_SCHEMA)
+
+
+def sample_video_frames(
+    media: DataFrame, every_ms: int = 1000, stub: bool = True
+) -> DataFrame:
+    """Frame sampling: one output row per sampled frame (explode pattern).
+    Frame count derives from metadata duration; frame 'content' is the stub
+    feature vector seeded by (payload, frame index)."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_ms", T.IntegerType()),
+            T.StructField("frame_features", T.ArrayType(T.FloatType())),
+        ]
+    )
+    decode = _decode_media_stub if stub else decode_unavailable
+
+    def batches(parts: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in parts:
+            rows = []
+            for _, r in pdf.iterrows():
+                duration = (r["meta"]["duration_ms"] or 0) if r["meta"] is not None else 0
+                for i in range(max(duration // every_ms, 0)):
+                    rows.append(
+                        {
+                            "asset_id": r["asset_id"],
+                            "frame_idx": i,
+                            "frame_ms": i * every_ms,
+                            "frame_features": decode(
+                                r["payload"] + str(i).encode(), "video-frame"
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "frame_ms", "frame_features"]
+            )
+
+    video = media.filter(F.col("media_type") == "video")
+    return video.mapInPandas(batches, out_schema)
+
+
+def resize_images(media: DataFrame, width: int, height: int, stub: bool = True) -> DataFrame:
+    """Image resize plumbing: passes payloads through an Arrow-batched
+    transform and rewrites metadata to the target dimensions. The stub keeps
+    payload bytes unchanged (a real impl re-encodes via Pillow)."""
+    if not stub:
+        decode_unavailable(b"", "image")
+    images = media.filter(F.col("media_type") == "image")
+    return images.withColumn(
+        "meta",
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+            F.col("meta.codec").alias("codec"),
+        ),
+    )
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table for tests/demos (no testdata
+    counterpart exists for binary payloads)."""
+    rows = []
+    for i in range(n):
+        mt = ["image", "audio", "video"][i % 3]
+        payload = hashlib.sha256(f"asset-{i}".encode()).digest() * 8
+        meta = (
+            (64, 48, None, "fakejpeg")
+            if mt == "image"
+            else (None, None, 5000 + 1000 * (i % 3), "fakecodec")
+            if mt == "video"
+            else (None, None, 2000, "fakepcm")
+        )
+        rows.append((i, mt, bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

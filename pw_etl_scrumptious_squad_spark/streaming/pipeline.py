@@ -1,0 +1,145 @@
+"""Structured Streaming pipelines (SURVEY.md §2.3).
+
+The reference's architecture — EventBridge cron triggers, watermark recovery
+from the last-written file, delta-only handoff through a bucket — is a
+hand-rolled micro-batch streaming pipeline. Structured Streaming gives the
+same semantics natively:
+
+| Reference (SURVEY.md §2.3)           | Here                               |
+|--------------------------------------|------------------------------------|
+| EventBridge rate(N minutes)          | trigger(processingTime=...) /      |
+|                                      | Trigger.AvailableNow               |
+| watermark = max ts of last delta     | checkpointLocation (exactly-once   |
+| file (src/extract.py:176-199)        | progress tracking)                 |
+| strict-> delta predicate             | file-source discovers only new     |
+|                                      | files; withWatermark bounds late   |
+|                                      | data instead of silently dropping  |
+| overwrite bucket with delta          | append-mode micro-batches          |
+| load lists whole bucket every 3 min  | foreachBatch sink (idempotent by   |
+| and re-appends (duplicates)          | batchId)                           |
+
+At scale: the state store holds one entry per (window, key) — bounded by
+watermark eviction; file-source listing is incremental; every transform
+below is the same JVM-side DataFrame code as the batch path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+# Streaming-friendly events schema: parquet TIMESTAMP(NANOS) must be read
+# as BIGINT (see sources/parquet.py) and converted after.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over an events directory: each new parquet file is
+    a micro-batch (the streaming twin of the reference's 'new delta file in
+    the bucket' handoff)."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    return raw.withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window aggregation with late-data bound — the streaming twin
+    of catalog q09_events_hourly. Late rows inside the watermark update
+    their window; beyond it they are dropped *visibly* (the reference's
+    strict-> predicate drops ties silently, src/extract.py:110-112)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_rollup(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (gap-based), the streaming twin of catalog
+    q10_sessionize's lag+running-sum batch formulation."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(
+    df: DataFrame,
+    checkpoint_dir: str,
+    sink_table: str,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Drain everything currently available, then stop — the batch-like
+    trigger that replaces 'run the Lambda now' (Trigger.AvailableNow).
+
+    Note: in ``append`` mode a windowed aggregation only emits windows the
+    final watermark has closed — windows at the tail of a drained stream are
+    withheld until more data advances the watermark. Use ``complete`` for
+    drain-everything snapshots, ``append`` for incremental sinks."""
+    return (
+        df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .format("memory")
+        .queryName(sink_table)
+        .start()
+    )
+
+
+def run_foreach_batch(
+    df: DataFrame,
+    checkpoint_dir: str,
+    batch_fn: Callable[[DataFrame, int], None],
+    output_mode: str = "append",
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Micro-batch sink hook: ``batch_fn(batch_df, batch_id)`` is the place
+    for JDBC warehouse appends (sources/jdbc.append_table) — the streaming
+    replacement for the reference's 3-minute re-list-and-append load loop
+    (src/load.py:63-110), with batchId making idempotence possible."""
+    writer = (
+        df.writeStream.option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .foreachBatch(batch_fn)
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,85 @@
+"""Structured Streaming tests: the streaming pipelines must agree with
+their batch twins on the same data (AvailableNow drain to a memory sink)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pw_etl_scrumptious_squad_spark.streaming import pipeline as sp
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _drain(spark, stream_df, name, mode="complete"):
+    # memory sinks don't support checkpoint recovery — always start fresh
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt-{name}-")
+    q = sp.run_available_now(stream_df, ckpt, name, mode)
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_hourly_rollup_matches_batch(spark, events_dir):
+    stream = sp.read_event_stream(spark, events_dir)
+    got = _drain(spark, sp.hourly_rollup(stream), "hourly_sink")
+
+    from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+    batch = (
+        read_table(spark, SF, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_value"),
+        )
+    )
+    got_rows = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in got.collect()
+    }
+    batch_rows = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    # memory-sink timestamps come back tz-aware or naive depending on type;
+    # compare by naive value
+    got_rows = {(k[0].replace(tzinfo=None), k[1]): v for k, v in got_rows.items()}
+    batch_rows = {(k[0].replace(tzinfo=None), k[1]): v for k, v in batch_rows.items()}
+    assert got_rows == batch_rows
+
+
+def test_session_rollup_total_events_preserved(spark, events_dir):
+    stream = sp.read_event_stream(spark, events_dir)
+    got = _drain(spark, sp.session_rollup(stream), "session_sink")
+    total = got.agg(F.sum("n_events")).first()[0]
+    assert total == 1000  # every event lands in exactly one session
+    # session windows respect the gap: no two sessions of one user overlap
+    rows = got.orderBy("user_id", "session_start").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user_rows in by_user.values():
+        for prev, nxt in zip(user_rows, user_rows[1:]):
+            assert prev["session_end"] <= nxt["session_start"]
+
+
+def test_foreach_batch_sink_receives_all_rows(spark, events_dir, tmp_path):
+    stream = sp.read_event_stream(spark, events_dir)
+    seen = []
+
+    def batch_fn(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    q = sp.run_foreach_batch(stream, str(tmp_path / "ckpt"), batch_fn)
+    q.awaitTermination(120)
+    assert sum(n for _, n in seen) == 1000
