@@ -12,7 +12,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from pw_etl_scrumptious_squad_spark.catalog import _t, register
-from pw_etl_scrumptious_squad_spark.operators import dedup, similarity
+from pw_etl_scrumptious_squad_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
 
 # ---------------------------------------------------------------------------
 # Relational depth
@@ -355,3 +359,256 @@ def s02(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivf_topk(
         assigned, centroids, queries, k=5, n_probe=3
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Relational depth II: window lead/lag, percentiles, pivot, cube, range join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_lead_lag",
+    "SELECT event_id, user_id, event_type,"
+    " lag(event_type) OVER w AS prev_type,"
+    " lead(event_type) OVER w AS next_type,"
+    " CAST(row_number() OVER w AS INTEGER) AS seq"
+    " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    " ORDER BY event_id",
+    "lead/lag/sequence window functions over per-user event streams",
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.row_number().over(w).cast("int").alias("seq"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q19_percentiles",
+    "SELECT o_orderpriority,"
+    " list_transform(quantile_cont(CAST(o_totalprice AS DOUBLE),"
+    " [0.25, 0.5, 0.75]), q -> ROUND(q, 4)) AS price_quartiles,"
+    " CAST(count(*) AS BIGINT) AS n"
+    " FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "exact interpolated percentiles (quartiles) per group",
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    quarts = F.expr(
+        "percentile(CAST(o_totalprice AS DOUBLE), array(0.25D, 0.5D, 0.75D))"
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.transform(quarts, lambda q: F.round(q, 4)).alias(
+                "price_quartiles"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q20_pivot",
+    "SELECT o_orderpriority,"
+    " CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS sum_f,"
+    " CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS sum_o,"
+    " CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS sum_p"
+    " FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "pivot (status columns out of rows) with explicit value list — explicit"
+    " values keep the plan a single pass (no distinct-scan to discover them)",
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), zero).cast("decimal(18,2)").alias("sum_f"),
+        F.coalesce(F.col("O"), zero).cast("decimal(18,2)").alias("sum_o"),
+        F.coalesce(F.col("P"), zero).cast("decimal(18,2)").alias("sum_p"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "q21_cube",
+    "SELECT o_orderpriority, o_orderstatus,"
+    " CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,"
+    " CAST(count(*) AS BIGINT) AS n"
+    " FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)"
+    " ORDER BY gid, o_orderpriority, o_orderstatus",
+    "CUBE grouping sets with grouping_id disambiguation of rolled-up NULLs",
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "gid", "n")
+        .orderBy("gid", "o_orderpriority", "o_orderstatus")
+    )
+
+
+_BANDS = [(i, 100_000 * i, 100_000 * (i + 1)) for i in range(4)] + [
+    (4, 400_000, 10_000_000)
+]
+
+
+@register(
+    "r16_range_join",
+    "SELECT band_id, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total"
+    " FROM orders JOIN (VALUES "
+    + ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)
+    + ") AS bands(band_id, lo, hi)"
+    " ON o_totalprice >= lo AND o_totalprice < hi"
+    " GROUP BY band_id ORDER BY band_id",
+    "non-equi range (band) join: broadcast nested-loop against a tiny"
+    " banding dim, then aggregate per band",
+)
+def r16(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    bands = o.sparkSession.createDataFrame(
+        _BANDS, "band_id INT, lo LONG, hi LONG"
+    )
+    return (
+        o.join(
+            broadcast(bands),
+            (o["o_totalprice"] >= bands["lo"])
+            & (o["o_totalprice"] < bands["hi"]),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+        .orderBy("band_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data extensions II: BPE-ish tokens, embedding near-dup, multimodal
+# ---------------------------------------------------------------------------
+
+_BPE_PAT = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@register(
+    "t05_bpe_tokens",
+    "SELECT doc_id,"
+    f" CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS INTEGER) AS n_bpe,"
+    f" CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_PAT}'))) AS INTEGER) AS n_distinct_bpe"
+    " FROM documents ORDER BY doc_id",
+    "BPE-style regex token counting (letter runs / digit runs / punctuation"
+    " runs, optional leading space — GPT-2-pretokenizer-shaped)",
+)
+def t05(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    toks = F.expr(f"regexp_extract_all(text, '{_BPE_PAT}', 0)")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "d06_embedding_neardup",
+    "WITH u AS (SELECT vec_id, label,"
+    " list_transform(CAST(embedding AS DOUBLE[]), x -> x /"
+    " sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), v -> v*v), 'sum'))) AS uv"
+    " FROM embeddings)"
+    " SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,"
+    " ROUND(list_dot_product(a.uv, b.uv), 6) AS cosine_sim"
+    " FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id"
+    " WHERE ROUND(list_dot_product(a.uv, b.uv), 6) >= 0.3"
+    " ORDER BY doc_a, doc_b",
+    "embedding-cosine near-duplicate pairs, label-blocked; vectors"
+    " L2-normalized once per row so the quadratic stage is dot-only",
+)
+def d06(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.embedding_neardup_pairs(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding", "label", 0.3
+    ).orderBy("doc_a", "doc_b")
+
+
+def _md5_features_sql(seed_expr: str) -> str:
+    """DuckDB twin of multimodal._decode_media_stub: byte i of
+    md5(<seed>) / 255, computed in float32 then rounded at 6 dp."""
+    return (
+        "list_transform(range(1, 17), i -> ROUND(CAST(CAST("
+        f"CAST(concat('0x', substr(md5({seed_expr}), 2*i - 1, 2)) AS INTEGER)"
+        " / 255.0 AS FLOAT) AS DOUBLE), 6))"
+    )
+
+
+@register(
+    "m01_media_features",
+    "SELECT doc_id AS asset_id,"
+    " CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"
+    " ELSE 'video' END AS media_type,"
+    " md5(text) AS payload_md5,"
+    " CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,"
+    + _md5_features_sql(
+        "concat(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'"
+        " WHEN 1 THEN 'audio' ELSE 'video' END, '|', text)"
+    )
+    + " AS features FROM documents ORDER BY asset_id",
+    "multimodal binary-column feature extraction: payload bytes through an"
+    " Arrow-batched mapInPandas decode (deterministic stub codec), checked"
+    " value-exact against the oracle's reimplementation of the stub",
+)
+def m01(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.media_from_documents(_t(spark, sf, "documents"))
+    feats = multimodal.extract_features(media, stub=True)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "payload_md5",
+        "n_bytes",
+        F.transform(
+            F.col("features").cast("array<double>"), lambda x: F.round(x, 6)
+        ).alias("features"),
+    ).orderBy("asset_id")
+
+
+@register(
+    "m02_video_frames",
+    "WITH v AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 3 = 2),"
+    " fr AS (SELECT doc_id, text,"
+    " unnest(range(0, greatest((n_chars * 10) // 1000, 0))) AS fi FROM v)"
+    " SELECT doc_id AS asset_id, CAST(fi AS INTEGER) AS frame_idx,"
+    " CAST(fi * 1000 AS INTEGER) AS frame_ms,"
+    + _md5_features_sql("concat('video-frame|', text, CAST(fi AS VARCHAR))")
+    + " AS frame_features FROM fr ORDER BY asset_id, frame_idx",
+    "multimodal video frame sampling (1 frame/sec from duration metadata)"
+    " via mapInPandas explode; stub frame decode, oracle-exact",
+)
+def m02(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.media_from_documents(_t(spark, sf, "documents"))
+    frames = multimodal.sample_video_frames(media, every_ms=1000, stub=True)
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        "frame_ms",
+        F.transform(
+            F.col("frame_features").cast("array<double>"),
+            lambda x: F.round(x, 6),
+        ).alias("frame_features"),
+    ).orderBy("asset_id", "frame_idx")

@@ -236,6 +236,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a < b, round(cosine, 6) >=
+    threshold), optionally blocked on ``block_col`` (cluster/label id).
+
+    Each vector is L2-normalized ONCE per row before the pair join, so the
+    per-pair work is a single dot product (no norms in the quadratic stage).
+    The blocked pair join is the exact/verification path; at 100 TB the
+    block key should come from LSH (random-hyperplane buckets) or IVF cell
+    assignment (similarity.assign_ivf_cells) so block sizes stay bounded —
+    the pair stage itself is identical either way.
+    """
+    # hoist the norm into its own column — computing it inside the
+    # transform() lambda would redo the O(dim) sum for every element
+    unit = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+            F.col(vec_col).cast("array<double>").alias("dv"),
+        )
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("dv", lambda v: v * v),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            "blk",
+            F.transform("dv", lambda x: x / F.col("nrm")).alias("uv"),
+        )
+    )
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    a = unit.repartition(n_parts, "doc_id").alias("a")
+    b = F.broadcast(unit.alias("b"))
+    cos = F.round(
+        F.aggregate(
+            F.zip_with("a.uv", "b.uv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            cos.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32
 ) -> DataFrame:

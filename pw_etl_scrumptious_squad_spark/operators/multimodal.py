@@ -172,6 +172,33 @@ def resize_images(media: DataFrame, width: int, height: int, stub: bool = True) 
     )
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from the ``documents`` testdata
+    table: payload = utf-8 bytes of the text, media_type round-robins by
+    doc_id, duration scales with n_chars. Pure column expressions — the
+    point is to exercise the binary-column plumbing against a table the
+    DuckDB oracle can also see (payload bytes == text bytes)."""
+    mt = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    is_img = F.col("doc_id") % 3 == 0
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        mt.alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.when(is_img, F.lit(64)).cast("int").alias("width"),
+            F.when(is_img, F.lit(48)).cast("int").alias("height"),
+            F.when(~is_img, F.col("n_chars") * 10).cast("int").alias(
+                "duration_ms"
+            ),
+            F.lit("stubcodec").alias("codec"),
+        ).alias("meta"),
+    )
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for tests/demos (no testdata
     counterpart exists for binary payloads)."""

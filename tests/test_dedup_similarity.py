@@ -88,3 +88,37 @@ def test_assign_ivf_cells_exhaustive(spark):
     assigned = similarity.assign_ivf_cells(emb, centroids)
     assert assigned.count() == emb.count()  # every vector lands in one cell
     assert assigned.select("cell").distinct().count() <= centroids.count()
+
+
+def test_embedding_neardup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [2.0, 0.0, 0.0], 0),   # same direction as 1 -> cosine 1.0
+        (3, [0.0, 1.0, 0.0], 0),   # orthogonal to 1/2
+        (4, [1.0, 0.0, 0.0], 1),   # same direction but different block
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    pairs = dedup.embedding_neardup_pairs(
+        df, "vec_id", "embedding", "label", threshold=0.9
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"], r["cosine_sim"]) for r in pairs] == [
+        (1, 2, 1.0)
+    ]
+
+
+def test_ngram_jaccard_large_vocab_fallback(spark):
+    # >62 distinct tokens forces the array_intersect path; results must
+    # agree with the bitmask fast path's semantics on a shared-vocab pair
+    docs = [(1, "a b c d", "x"), (2, "a b c e", "x"), (3, "z9 z8", "x")] + [
+        (10 + i, f"w{i}", "y") for i in range(70)
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING, lang STRING")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", "lang", 0.5
+        ).collect()
+    }
+    assert got == {(1, 2): 0.6}  # |{a,b,c}| / |{a,b,c,d,e}|

@@ -69,3 +69,24 @@ def test_real_decode_raises_not_implemented(media):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     ) or "decode" in str(exc_info.value)
+
+
+def test_media_from_documents_payload_roundtrip(spark):
+    from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    media = mm.media_from_documents(docs)
+    joined = (
+        media.join(docs, media["asset_id"] == docs["doc_id"])
+        .select("asset_id", "media_type", "payload", "text", "meta")
+        .collect()
+    )
+    assert joined
+    for r in joined:
+        assert bytes(r["payload"]) == r["text"].encode("utf-8")
+        expected = ["image", "audio", "video"][r["asset_id"] % 3]
+        assert r["media_type"] == expected
+        if expected == "image":
+            assert (r["meta"]["width"], r["meta"]["height"]) == (64, 48)
+        else:
+            assert r["meta"]["duration_ms"] is not None
