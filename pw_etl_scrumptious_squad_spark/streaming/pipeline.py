@@ -46,13 +46,15 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     """File-source stream over an events directory: each new parquet file is
     a micro-batch (the streaming twin of the reference's 'new delta file in
     the bucket' handoff)."""
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
     return raw.withColumn(
@@ -96,6 +98,57 @@ def session_rollup(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             F.col("win.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+RUNNING_STATS_SCHEMA = (
+    "user_id LONG, n_events LONG, n_purchases LONG, last_event_type STRING"
+)
+RUNNING_STATS_STATE_SCHEMA = "n LONG, np LONG, last STRING"
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a per-user
+    profile accumulator (event count, purchase count, last event type)
+    carried across micro-batches in the state store.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregations can't express (cross-batch counters, custom eviction,
+    model-ish state). State is one tiny tuple per user — bounded, and
+    partitioned by the grouping key so a 1000-executor cluster shards it
+    naturally. Arrow batches in and out; no row-at-a-time Python.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, n_purchases, last = (
+            state.get if state.exists else (0, 0, None)
+        )
+        for pdf in pdfs:
+            # files can arrive out of ts order within a batch; take the
+            # max-ts row of this batch as 'last'
+            if len(pdf):
+                n += len(pdf)
+                n_purchases += int((pdf["event_type"] == "purchase").sum())
+                last = pdf.loc[pdf["ts"].idxmax(), "event_type"]
+        state.update((n, n_purchases, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_purchases": [n_purchases],
+                "last_event_type": [last],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        RUNNING_STATS_SCHEMA,
+        RUNNING_STATS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )
 
 

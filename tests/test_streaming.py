@@ -83,3 +83,57 @@ def test_foreach_batch_sink_receives_all_rows(spark, events_dir, tmp_path):
     q = sp.run_foreach_batch(stream, str(tmp_path / "ckpt"), batch_fn)
     q.awaitTermination(120)
     assert sum(n for _, n in seen) == 1000
+
+
+def test_running_user_stats_stateful_across_batches(spark, tmp_path):
+    # split events into 2 files and force 1 file per micro-batch so the
+    # state store must carry counts across batches
+    from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+    events = read_table(spark, SF, "events")
+    d = tmp_path / "ev2"
+    d.mkdir()
+    # plain parquet FILES (df.write.parquet makes a directory, which the
+    # file stream source does not recurse into)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/events.parquet")
+    ids = t.column("event_id").to_numpy()
+    pq.write_table(t.filter(pa.array(ids % 2 == 0)), str(d / "a.parquet"))
+    pq.write_table(t.filter(pa.array(ids % 2 == 1)), str(d / "b.parquet"))
+
+    stream = sp.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    stats = sp.running_user_stats(stream)
+    ckpt = tempfile.mkdtemp(prefix="ckpt-stateful-")
+    q = sp.run_available_now(stats, ckpt, "user_stats_sink", "update")
+    q.awaitTermination(120)
+
+    # update-mode memory sink appends one row per user per batch that saw
+    # the user; the running counter's MAX per user is the final state
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n_events FROM user_stats_sink"
+            " GROUP BY user_id"
+        ).collect()
+    }
+    expected = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expected
+    purchases = {
+        r["user_id"]: r["np"]
+        for r in spark.sql(
+            "SELECT user_id, max(n_purchases) AS np FROM user_stats_sink"
+            " GROUP BY user_id"
+        ).collect()
+    }
+    expected_p = {
+        r["user_id"]: r["np"]
+        for r in events.groupBy("user_id")
+        .agg(F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("np"))
+        .collect()
+    }
+    assert purchases == expected_p
