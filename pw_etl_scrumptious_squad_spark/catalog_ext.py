@@ -292,9 +292,14 @@ def _minhash_oracle() -> str:
     " exploded to scalar rows for hashing",
 )
 def d03(spark: SparkSession, sf: str) -> DataFrame:
+    # Materialize the signatures before explode+sort: the generator and the
+    # range-partitioner's sampling pass would otherwise each re-evaluate the
+    # md5/shingle pipeline (measured 5x slower at sf0.1). Storing 8 longs
+    # per doc is far cheaper than recomputing text hashing — same trade at
+    # 100 TB, where the checkpoint would be an explicit signatures table.
     sigs = dedup.minhash_signatures(
         _t(spark, sf, "documents"), "doc_id", "text", num_perm=_NUM_PERM
-    )
+    ).localCheckpoint()
     return sigs.select(
         "doc_id", F.posexplode("minhash").alias("perm", "minhash_val")
     ).orderBy("doc_id", "perm")

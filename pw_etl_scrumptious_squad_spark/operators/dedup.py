@@ -152,8 +152,16 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
 ) -> DataFrame:
     """End-to-end fuzzy dedup: returns verified near-duplicate pairs
-    (doc_a < doc_b, exact-Jaccard >= threshold) found via MinHash LSH."""
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_size)
+    (doc_a < doc_b, exact-Jaccard >= threshold) found via MinHash LSH.
+
+    Signatures are materialized (localCheckpoint) before banding: the
+    bucket self-join scans them twice and the band explode is a generator,
+    so an unmaterialized plan re-runs the shingle/md5 pipeline ~2x bands
+    times. At cluster scale this checkpoint is the signatures table you
+    would persist anyway (8-16 longs per doc vs re-hashing the corpus)."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_perm, shingle_size
+    ).localCheckpoint()
     pairs = lsh_candidate_pairs(sigs, bands)
     return jaccard_verify(pairs, df, id_col, text_col, shingle_size, threshold)
 
