@@ -617,3 +617,37 @@ def m02(spark: SparkSession, sf: str) -> DataFrame:
             lambda x: F.round(x, 6),
         ).alias("frame_features"),
     ).orderBy("asset_id", "frame_idx")
+
+
+@register(
+    "p01_grouped_zscore_pandas",
+    "SELECT event_id, user_id,"
+    " ROUND((value - avg(value) OVER w) / NULLIF(stddev_samp(value) OVER w, 0), 4) AS z"
+    " FROM events WINDOW w AS (PARTITION BY user_id)"
+    " ORDER BY event_id",
+    "per-group z-score normalization via applyInPandas (grouped Arrow"
+    " batches) — the grouped custom-operator escape hatch, oracle-checked"
+    " against the pure-SQL window formulation",
+)
+def p01(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+
+    def norm(pdf):
+        import pandas as pd
+
+        v = pdf["value"]
+        m = v.mean()
+        s = v.std(ddof=1)
+        if s != s or s == 0:  # single-row group (NaN) or constant group
+            z = pd.Series([None] * len(pdf), dtype="float64")
+        else:
+            z = ((v - m) / s).round(4)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z}
+        )
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(norm, "event_id long, user_id long, z double")
+        .orderBy("event_id")
+    )

@@ -1,0 +1,69 @@
+"""Physical-plan assertions: the optimizations the engine is designed
+around must actually appear in the executed plans — filter pushdown into
+the parquet scan, column pruning, broadcast joins for dims, whole-stage
+codegen, and no accidental cartesian products. These tests freeze the
+plan *shape*, complementing the DuckDB oracle which freezes the values."""
+
+import contextlib
+import io
+
+import pytest
+
+from pw_etl_scrumptious_squad_spark import catalog as catmod
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def cat():
+    return catmod.catalog()
+
+
+def plan_of(spark, cat, name, mode="formatted"):
+    df = cat[name].build(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_cdc_filter_pushed_to_scan(spark, cat):
+    plan = plan_of(spark, cat, "r06_cdc_filter")
+    assert "PushedFilters:" in plan
+    # the disjunctive CDC predicate is an Or over the two audit columns —
+    # it must reach the parquet reader, not run post-scan only
+    assert "Or(GreaterThan(o_orderdate" in plan.replace("\n", " ")
+
+
+def test_pricing_summary_prunes_columns(spark, cat):
+    plan = plan_of(spark, cat, "q01_pricing_summary")
+    # lineitem has 11 columns; the scan must read only the 6 used
+    assert "l_partkey" not in plan
+    assert "l_linenumber" not in plan
+    assert "l_tax" not in plan
+    # whole-stage codegen must cover the scan->agg pipeline (AQE hides the
+    # *(n) markers pre-execution, so ask for the codegen subtrees directly)
+    codegen = plan_of(spark, cat, "q01_pricing_summary", "codegen")
+    assert "WholeStageCodegen subtree" in codegen
+
+
+def test_dim_joins_are_broadcast(spark, cat):
+    for name in ["q02_topk_join", "q16_local_supplier_volume"]:
+        plan = plan_of(spark, cat, name, "simple")
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_no_cartesian_in_pair_joins(spark, cat):
+    # the blocked pair joins are range/equi conditions — a missing block
+    # key would silently degrade to a cartesian product
+    for name in ["d02_ngram_jaccard", "d06_embedding_neardup"]:
+        plan = plan_of(spark, cat, name, "simple")
+        assert "CartesianProduct" not in plan, name
+
+
+def test_fact_build_single_stage(spark, cat):
+    # pure projection queries must not shuffle (exchange only for the
+    # final order-by)
+    plan = plan_of(spark, cat, "r11_fact_build", "simple")
+    assert plan.count("Exchange") <= 1
