@@ -651,3 +651,62 @@ def p01(spark: SparkSession, sf: str) -> DataFrame:
         .applyInPandas(norm, "event_id long, user_id long, z double")
         .orderBy("event_id")
     )
+
+
+@register(
+    "q22_big_orders",
+    "WITH big AS (SELECT l_orderkey,"
+    " CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty"
+    " FROM lineitem GROUP BY l_orderkey"
+    " HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 55)"
+    " SELECT c.c_custkey, c.c_name, o.o_orderkey, big.total_qty"
+    " FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey"
+    " JOIN customer c ON o.o_custkey = c.c_custkey"
+    " ORDER BY o.o_orderkey",
+    "TPC-H Q18-style: HAVING-filtered aggregate joined back to its"
+    " dimensions (large-quantity orders per customer)",
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 55)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "total_qty")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q23_part_type_revenue",
+    "SELECT p.p_type,"
+    " CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,"
+    " CAST(count(*) AS BIGINT) AS n_lines"
+    " FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
+    " GROUP BY p.p_type ORDER BY p.p_type",
+    "TPC-H Q14-flavored: fact-to-part broadcast join, revenue by part type",
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_type")
+        .agg(
+            F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_type")
+    )
