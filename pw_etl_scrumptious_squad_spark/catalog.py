@@ -542,7 +542,7 @@ def t02(spark: SparkSession, sf: str) -> DataFrame:
     "t03_fingerprint",
     "SELECT doc_id, md5(text) AS content_md5,"
     " coalesce(list_aggregate(list_transform("
-    "  range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),"
+    "  range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),"
     "  i -> md5(array_to_string(string_split(text, ' ')[i:i+4], ' '))), 'min'),"
     "  md5(text)) AS shingle_fingerprint"
     " FROM documents ORDER BY doc_id",

@@ -278,7 +278,7 @@ def _minhash_oracle() -> str:
         )
     return (
         "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-        "sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 4, 0) + 1), "
+        "sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 4, 1) + 1), "
         "i -> md5(array_to_string(toks[i:i+4], ' '))) AS shingles FROM tk) "
         + " UNION ALL ".join(blocks)
         + " ORDER BY doc_id, perm"

@@ -122,11 +122,20 @@ def with_shingles(
     and DuckDB), the basis for fingerprinting and MinHash. Both temp columns
     are narrow projections — no shuffle; callers drop them on output."""
     k = shingle_size
+    # Docs shorter than one shingle get ONE whole-text shingle. Two reasons:
+    # (a) sequence(1, 0) in Spark yields a DESCENDING [1, 0], not an empty
+    # array, so the unguarded expression errors on short docs; (b) an empty
+    # shingle set makes downstream Jaccard 0/0 — the whole-text fallback
+    # keeps "identical docs hash identically, distinct docs differ" and
+    # equals md5(text) exactly (rejoining all tokens with ' ' restores the
+    # text), matching fingerprint()'s documented short-doc fallback.
     return df.withColumn(_SQL_TOKS, tokens(text_col)).withColumn(
         _SQL_SHINGLES,
         F.expr(
-            f"transform(sequence(1, greatest(size({_SQL_TOKS}) - {k - 1}, 0)),"
+            f"CASE WHEN size({_SQL_TOKS}) >= {k} THEN"
+            f" transform(sequence(1, size({_SQL_TOKS}) - {k - 1}),"
             f" i -> md5(concat_ws(' ', slice({_SQL_TOKS}, i, {k}))))"
+            f" ELSE array(md5(concat_ws(' ', {_SQL_TOKS}))) END"
         ),
     )
 

@@ -111,3 +111,60 @@ def write_table(
     if compression:
         writer = writer.option("compression", compression)
     writer.parquet(table_path(base_dir, name))
+
+
+def upsert_table(
+    spark: SparkSession,
+    delta: DataFrame,
+    base_dir: str,
+    name: str,
+    key_cols: list[str],
+    order_col: str | None = None,
+) -> None:
+    """Idempotent MERGE-by-natural-key into a parquet table — the fix for
+    the reference's duplicate-accumulating 3-minute append loop
+    (``src/load.py:63-110``: it re-lists the whole bucket and re-appends
+    everything every cycle).
+
+    Semantics: delta rows replace existing rows sharing ``key_cols``; when
+    ``order_col`` is given the row with the greatest value wins (so
+    re-delivering an OLD delta cannot regress the table — the watermark
+    update-wins rule). Re-running the same upsert is a no-op.
+
+    Implementation is read-merge-overwrite on parquet (an atomic MERGE
+    needs a table format with a transaction log — Delta/Iceberg — where
+    this function body becomes ``MERGE INTO``; the keyed keep-newest
+    semantics here are exactly what that MERGE would declare). The merge
+    is one shuffle on the key; at scale, partition the table so only
+    affected partitions rewrite.
+    """
+    if not table_exists(base_dir, name):
+        write_table(delta, base_dir, name, mode="overwrite")
+        return
+    from pyspark.sql import Window
+
+    current = read_table(spark, base_dir, name)
+    if order_col is not None:
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(order_col).desc(), *[F.col(k) for k in key_cols]
+        )
+        deduped = (
+            current.unionByName(delta)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        # no ordering: delta wins over current on key collision
+        marked = current.withColumn("__src", F.lit(0)).unionByName(
+            delta.withColumn("__src", F.lit(1))
+        )
+        w = Window.partitionBy(*key_cols).orderBy(F.col("__src").desc())
+        deduped = (
+            marked.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+    # materialize before overwriting the files being read
+    deduped = deduped.localCheckpoint()
+    write_table(deduped, base_dir, name, mode="overwrite")

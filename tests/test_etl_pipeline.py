@@ -32,3 +32,63 @@ def test_run_batch_etl(spark, totesys, tmp_path):
     # still rebuild dims (the reference re-pushes full dims each run)
     deltas = etl.extract(spark, source, staging, state)
     assert deltas == {}
+
+
+def test_upsert_table_idempotent_and_update_wins(spark, tmp_path):
+    from pw_etl_scrumptious_squad_spark.sources.parquet import (
+        read_table,
+        upsert_table,
+    )
+
+    lake = str(tmp_path / "wh")
+    import os
+
+    os.makedirs(lake, exist_ok=True)
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "id LONG, val STRING, ver INT"
+    )
+    upsert_table(spark, v1, lake, "t", ["id"], order_col="ver")
+    # re-delivering the same batch is a no-op
+    upsert_table(spark, v1, lake, "t", ["id"], order_col="ver")
+    assert read_table(spark, lake, "t").count() == 2
+
+    # newer version replaces, older version is ignored
+    v2 = spark.createDataFrame(
+        [(1, "a2", 20), (3, "c", 20)], "id LONG, val STRING, ver INT"
+    )
+    upsert_table(spark, v2, lake, "t", ["id"], order_col="ver")
+    stale = spark.createDataFrame([(1, "aOLD", 5)], "id LONG, val STRING, ver INT")
+    upsert_table(spark, stale, lake, "t", ["id"], order_col="ver")
+    rows = {
+        r["id"]: (r["val"], r["ver"])
+        for r in read_table(spark, lake, "t").collect()
+    }
+    assert rows == {1: ("a2", 20), 2: ("b", 10), 3: ("c", 20)}
+
+
+def test_upsert_table_delta_wins_without_order(spark, tmp_path):
+    from pw_etl_scrumptious_squad_spark.sources.parquet import (
+        read_table,
+        upsert_table,
+    )
+
+    lake = str(tmp_path / "wh2")
+    import os
+
+    os.makedirs(lake, exist_ok=True)
+    upsert_table(
+        spark,
+        spark.createDataFrame([(1, "old")], "id LONG, val STRING"),
+        lake,
+        "t",
+        ["id"],
+    )
+    upsert_table(
+        spark,
+        spark.createDataFrame([(1, "new"), (2, "x")], "id LONG, val STRING"),
+        lake,
+        "t",
+        ["id"],
+    )
+    rows = {r["id"]: r["val"] for r in read_table(spark, lake, "t").collect()}
+    assert rows == {1: "new", 2: "x"}

@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis): operator results must match
+Python-computed ground truth on randomized small corpora — catches
+edge cases the fixed testdata can't (empty docs, single tokens,
+duplicate texts, hot keys)."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pw_etl_scrumptious_squad_spark.functions.columns import iso_day_of_week
+from pw_etl_scrumptious_squad_spark.operators import dedup
+
+VOCAB = [f"w{i}" for i in range(8)]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _ground_truth_pairs(texts, threshold):
+    out = {}
+    for i, a in enumerate(texts):
+        for j in range(i + 1, len(texts)):
+            sa, sb = set(a.split(" ")), set(texts[j].split(" "))
+            jac = len(sa & sb) / len(sa | sb)
+            if round(jac, 9) >= threshold:
+                out[(i, j)] = round(jac, 9)
+    return out
+
+
+@given(texts=docs_strategy, threshold=st.sampled_from([0.3, 0.5, 0.9]))
+@SLOW
+def test_ngram_jaccard_matches_ground_truth(spark, texts, threshold):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", None, threshold
+        ).collect()
+    }
+    assert got == _ground_truth_pairs(texts, threshold)
+
+
+@given(texts=docs_strategy)
+@SLOW
+def test_identical_docs_always_lsh_candidates(spark, texts):
+    # identical text => identical signature => collides in every band =>
+    # must appear as a verified pair at any threshold
+    doubled = list(texts) + list(texts)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(doubled)], "doc_id LONG, text STRING"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_dedup(
+            df, "doc_id", "text", num_perm=8, bands=4, shingle_size=2,
+            threshold=1.0,
+        ).collect()
+    }
+    n = len(texts)
+    for i in range(n):
+        assert (i, i + n) in pairs
+
+
+@given(
+    d=st.dates(
+        min_value=__import__("datetime").date(1990, 1, 1),
+        max_value=__import__("datetime").date(2100, 12, 31),
+    )
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_iso_day_of_week_matches_python(spark, d):
+    # the reference pins ISO weekday Mon=1..Sun=7 (SURVEY.md §2.2 R10);
+    # python's date.isoweekday is the same contract
+    got = (
+        spark.createDataFrame([(d,)], "d DATE")
+        .select(iso_day_of_week(F.col("d")).alias("dow"))
+        .first()["dow"]
+    )
+    assert got == d.isoweekday()
