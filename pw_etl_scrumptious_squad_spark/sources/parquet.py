@@ -113,6 +113,57 @@ def write_table(
     writer.parquet(table_path(base_dir, name))
 
 
+def read_table_fmt(
+    spark: SparkSession,
+    base_dir: str,
+    name: str,
+    fmt: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Read ``<base_dir>/<name>.<fmt>`` for fmt in {parquet, csv, json}.
+
+    CSV/JSON always take an explicit schema (inference is a full extra
+    scan at 100 TB and non-deterministic about types); parquet carries its
+    own. The reference only speaks parquet+JDBC — these formats are the
+    interchange surface a pipeline user expects from the Spark engine.
+    """
+    if fmt == "parquet":
+        return read_table(spark, base_dir, name, schema)
+    if schema is None:
+        schema = TESTDATA_SCHEMAS.get(name)
+    if schema is None:
+        raise ValueError(f"{fmt} reads need an explicit schema for {name}")
+    path = os.path.join(base_dir, f"{name}.{fmt}")
+    if fmt == "csv":
+        return (
+            spark.read.schema(schema)
+            .option("header", "true")
+            .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+            .csv(path)
+        )
+    if fmt == "json":
+        return spark.read.schema(schema).json(path)
+    raise ValueError(f"unsupported format: {fmt}")
+
+
+def write_table_fmt(
+    df: DataFrame, base_dir: str, name: str, fmt: str, mode: str = "overwrite"
+) -> None:
+    """Write ``<base_dir>/<name>.<fmt>`` for fmt in {parquet, csv, json}."""
+    path = os.path.join(base_dir, f"{name}.{fmt}")
+    writer = df.write.mode(mode)
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "csv":
+        writer.option("header", "true").option(
+            "timestampNTZFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]"
+        ).csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+
+
 def upsert_table(
     spark: SparkSession,
     delta: DataFrame,

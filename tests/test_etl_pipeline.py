@@ -92,3 +92,21 @@ def test_upsert_table_delta_wins_without_order(spark, tmp_path):
     )
     rows = {r["id"]: r["val"] for r in read_table(spark, lake, "t").collect()}
     assert rows == {1: "new", 2: "x"}
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    from pw_etl_scrumptious_squad_spark.sources.parquet import (
+        read_table,
+        read_table_fmt,
+        write_table_fmt,
+    )
+
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders")
+    base = str(tmp_path)
+    for fmt in ["csv", "json"]:
+        write_table_fmt(orders, base, "orders", fmt)
+        back = read_table_fmt(spark, base, "orders", fmt)
+        assert back.schema == orders.schema
+        a = sorted(map(tuple, orders.collect()))
+        b = sorted(map(tuple, back.collect()))
+        assert a == b, fmt

@@ -67,3 +67,36 @@ def test_fact_build_single_stage(spark, cat):
     # final order-by)
     plan = plan_of(spark, cat, "r11_fact_build", "simple")
     assert plan.count("Exchange") <= 1
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing both join sides on the key pre-partitions data at rest:
+    the join plan must contain NO Exchange (the shuffle happened once at
+    write time, amortized over every future join) — the at-rest layout
+    strategy for repeated 100 TB fact-fact joins."""
+    from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = read_table(spark, sf, "orders")
+    lineitem = read_table(spark, sf, "lineitem")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/bkt'")
+    try:
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("bkt.orders_b")
+        lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("bkt.lineitem_b")
+        # hint sort-merge: at sf0.001 the tables are broadcast-size, which
+        # would bypass the bucketed layout this test is about
+        li_b = spark.table("bkt.lineitem_b").hint("merge")
+        joined = li_b.join(
+            spark.table("bkt.orders_b"),
+            li_b["l_orderkey"] == spark.table("bkt.orders_b")["o_orderkey"],
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # no shuffle
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
