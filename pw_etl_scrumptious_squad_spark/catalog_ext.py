@@ -710,3 +710,53 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+@register(
+    "t06_tfidf_topk",
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),"
+    " tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY doc_id, term),"
+    " dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),"
+    " dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS d FROM tok GROUP BY term),"
+    " nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),"
+    " scored AS (SELECT tf.doc_id, tf.term,"
+    " ROUND((tf.c / CAST(dl.n AS DOUBLE)) * ln(CAST(nd.nd AS DOUBLE) / dfreq.d), 6) AS tfidf"
+    " FROM tf JOIN dl ON tf.doc_id = dl.doc_id"
+    " JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd),"
+    " ranked AS (SELECT doc_id, term, tfidf,"
+    " CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rk"
+    " FROM scored)"
+    " SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 5"
+    " ORDER BY doc_id, rk",
+    "TF-IDF top-5 terms per document (broadcast df/N back onto one corpus"
+    " scan; identical IEEE expression order on both engines)",
+)
+def t06(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    return textops.tfidf_top_terms(
+        _t(spark, sf, "documents"), "doc_id", "text", k=5
+    ).orderBy("doc_id", "rk")
+
+
+@register(
+    "q24_moving_avg",
+    "SELECT event_id, user_id,"
+    " ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+    " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mav3,"
+    " ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total"
+    " FROM events ORDER BY event_id",
+    "window frames: 3-row moving average and running total per user",
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("mav3"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6
+        ).alias("running_total"),
+    ).orderBy("event_id")

@@ -10,7 +10,7 @@ oracle (``string_split(text, ' ')``).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Marker (function) words per language for the n-gram/stopword language-ID
@@ -101,6 +101,48 @@ def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
         .drop(_SQL_TOKS)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF.
+
+    tf = term count / doc length; idf = ln(N / df). One explode + two
+    hash aggregations; the document-frequency table and the corpus size
+    are broadcast back (both tiny: |vocab| and 1 row), so the corpus
+    itself is scanned once and shuffled once (on doc_id for the rank
+    window). Ties break by term for determinism.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("d"))
+    nd = df.agg(F.count(F.lit(1)).alias("nd"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("c") / F.col("n").cast("double"))
+                * F.log(F.col("nd").cast("double") / F.col("d")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
     )
 
 
