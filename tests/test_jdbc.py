@@ -1,0 +1,39 @@
+"""JDBC helper unit tests — no database ships in this container, so these
+pin the pushed-down SQL strings and reader configuration (the part of
+S1/S2/S3/S6 that is this repo's logic rather than Spark's)."""
+
+from datetime import datetime
+
+from pw_etl_scrumptious_squad_spark.sources import jdbc
+
+
+def test_cdc_subquery_matches_reference_predicate():
+    q = jdbc.cdc_subquery(
+        "sales_order",
+        datetime(2023, 1, 1, 10, 0, 0),
+        datetime(2023, 2, 2, 11, 30, 0),
+    )
+    assert q == (
+        "(SELECT * FROM sales_order "
+        "WHERE created_at > '2023-01-01 10:00:00' "
+        "OR last_updated > '2023-02-02 11:30:00') AS cdc_src"
+    )
+
+
+def test_cdc_subquery_accepts_preformatted_strings():
+    q = jdbc.cdc_subquery("t", "2024-05-05 00:00:00", "2024-05-06 00:00:00")
+    assert "created_at > '2024-05-05 00:00:00'" in q
+    assert "last_updated > '2024-05-06 00:00:00'" in q
+
+
+def test_discover_tables_subquery_scopes_schema_and_base_tables():
+    q = jdbc.discover_tables_subquery("warehouse")
+    assert "table_schema = 'warehouse'" in q
+    assert "table_type = 'BASE TABLE'" in q
+    assert q.startswith("(SELECT table_name FROM information_schema.tables")
+
+
+def test_config_defaults():
+    cfg = jdbc.JdbcConfig(url="jdbc:postgresql://h/db", user="u", password="p")
+    assert cfg.driver == "org.postgresql.Driver"
+    assert cfg.schema == "public"
