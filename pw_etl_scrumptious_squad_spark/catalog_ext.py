@@ -760,3 +760,26 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6
         ).alias("running_total"),
     ).orderBy("event_id")
+
+
+@register(
+    "q25_unpivot",
+    "SELECT o_orderkey, metric, val FROM ("
+    " SELECT o_orderkey, 'totalprice' AS metric, CAST(o_totalprice AS DOUBLE) AS val FROM orders"
+    " UNION ALL"
+    " SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS val FROM orders)"
+    " ORDER BY o_orderkey, metric",
+    "unpivot (wide->long) via stack — the inverse of q20's pivot",
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.expr(
+                "stack(2, 'totalprice', CAST(o_totalprice AS DOUBLE),"
+                " 'custkey', CAST(o_custkey AS DOUBLE)) AS (metric, val)"
+            ),
+        )
+        .orderBy("o_orderkey", "metric")
+    )
