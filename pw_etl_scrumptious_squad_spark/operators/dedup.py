@@ -25,6 +25,20 @@ from pw_etl_scrumptious_squad_spark.operators.text import (
 )
 
 
+# Bitmask fast-path vocabulary cap: ceil(1024/64) = 16 mask words keeps the
+# per-pair expression small while covering dictionary-sized vocabularies.
+_BITMASK_VOCAB_CAP = 1024
+
+
+def _bit_literal(bit: int) -> str:
+    """Spark SQL long literal for 1<<bit; bit 63 must be written as the
+    negative two's-complement value (9223372036854775808L overflows)."""
+    v = 1 << bit
+    if bit == 63:
+        v -= 1 << 64
+    return f"{v}L"
+
+
 def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: one representative (min id) per distinct key, with the
     duplicate count. Equivalent to ``dropDuplicates`` but deterministic about
@@ -183,14 +197,16 @@ def ngram_jaccard_pairs(
     parallelism at the left side's partition count. |union| is computed as
     |a|+|b|-|intersect| so only the intersection is materialized per pair.
 
-    Adaptive small-vocabulary fast path: when the corpus has at most 62
-    distinct tokens, each token SET is dictionary-encoded into one 64-bit
-    mask and the per-pair Jaccard collapses to two bitwise ops + popcounts
-    (bit_count(a&b) / (|a|+|b|-bit_count(a&b))) — measured 5x faster than
-    array_intersect on ~30-element arrays. The vocabulary probe is a single
-    distinct-scan capped with LIMIT 63 (never collects more than 63 rows to
-    the driver), a negligible pre-pass next to the O(block^2) pair stage;
-    corpora with larger vocabularies fall back to the array path.
+    Adaptive small-vocabulary fast path: when the corpus has at most
+    ``_BITMASK_VOCAB_CAP`` distinct tokens, each token SET is
+    dictionary-encoded into ceil(V/64) 64-bit mask words and the per-pair
+    Jaccard collapses to bitwise ANDs + popcounts
+    (sum_w bit_count(a[w]&b[w]) / (|a|+|b|-inter)) — measured 5x faster
+    than array_intersect on ~30-element arrays at V=31. The vocabulary
+    probe is a single distinct-scan capped with LIMIT cap+1 (never
+    collects more than cap+1 rows to the driver), a negligible pre-pass
+    next to the O(block^2) pair stage; larger vocabularies fall back to
+    the array path.
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -199,24 +215,38 @@ def ngram_jaccard_pairs(
     ).withColumn("n", F.size("tk"))
     vocab = sorted(
         r[0]
-        for r in toks.select(F.explode("tk").alias("t")).distinct().limit(63).collect()
+        for r in toks.select(F.explode("tk").alias("t"))
+        .distinct()
+        .limit(_BITMASK_VOCAB_CAP + 1)
+        .collect()
     )
     # tokens with quotes can't be embedded in the CASE literal — fall back
-    if len(vocab) <= 62 and all("'" not in w for w in vocab):
-        case = (
-            "CASE t "
-            + " ".join(f"WHEN '{w}' THEN {1 << i}L" for i, w in enumerate(vocab))
-            + " ELSE 0L END"
+    if len(vocab) <= _BITMASK_VOCAB_CAP and all("'" not in w for w in vocab):
+        n_words = (len(vocab) + 63) // 64
+        masks = []
+        for w in range(n_words):
+            sub = [
+                (i % 64, t)
+                for i, t in enumerate(vocab)
+                if i // 64 == w
+            ]
+            branches = " ".join(
+                f"WHEN '{t}' THEN {_bit_literal(b)}" for b, t in sub
+            )
+            masks.append(
+                F.expr(
+                    f"aggregate(transform(tk, t -> CASE t {branches}"
+                    " ELSE 0L END), 0L, (a, x) -> a | x)"
+                ).alias(f"m{w}")
+            )
+        side = toks.select("doc_id", "blk", "n", *masks)
+        inter = F.bit_count(
+            F.col("a.m0").bitwiseAND(F.col("b.m0"))
         )
-        side = toks.select(
-            "doc_id",
-            "blk",
-            "n",
-            F.expr(f"aggregate(transform(tk, t -> {case}), 0L, (a, x) -> a | x)").alias(
-                "m"
-            ),
-        )
-        inter = F.bit_count(F.col("a.m").bitwiseAND(F.col("b.m")))
+        for w in range(1, n_words):
+            inter = inter + F.bit_count(
+                F.col(f"a.m{w}").bitwiseAND(F.col(f"b.m{w}"))
+            )
     else:
         side = toks
         inter = F.size(F.array_intersect("a.tk", "b.tk"))

@@ -108,9 +108,9 @@ def test_embedding_neardup_pairs(spark):
     ]
 
 
-def test_ngram_jaccard_large_vocab_fallback(spark):
-    # >62 distinct tokens forces the array_intersect path; results must
-    # agree with the bitmask fast path's semantics on a shared-vocab pair
+def test_ngram_jaccard_multiword_bitmask(spark):
+    # 70+ distinct tokens spans two 64-bit mask words; word boundaries
+    # (bits 62, 63, 64) must not corrupt the per-pair popcount sums
     docs = [(1, "a b c d", "x"), (2, "a b c e", "x"), (3, "z9 z8", "x")] + [
         (10 + i, f"w{i}", "y") for i in range(70)
     ]
@@ -122,3 +122,19 @@ def test_ngram_jaccard_large_vocab_fallback(spark):
         ).collect()
     }
     assert got == {(1, 2): 0.6}  # |{a,b,c}| / |{a,b,c,d,e}|
+
+
+def test_ngram_jaccard_huge_vocab_fallback(spark):
+    # >1024 distinct tokens exceeds the bitmask cap and must fall back to
+    # the array_intersect path with identical results
+    docs = [(1, "a b c d", "x"), (2, "a b c e", "x")] + [
+        (10 + i, f"u{i} u{i + 1}", "y") for i in range(0, 2200, 2)
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING, lang STRING")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", "lang", 0.5
+        ).collect()
+    }
+    assert got == {(1, 2): 0.6}
