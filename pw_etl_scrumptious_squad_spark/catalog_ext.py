@@ -783,3 +783,23 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderkey", "metric")
     )
+
+
+@register(
+    "q26_scalar_subquery_sql",
+    "SELECT c.c_custkey, c.c_name,"
+    " (SELECT CAST(MAX(o.o_totalprice) AS DOUBLE) FROM orders o"
+    "  WHERE o.o_custkey = c.c_custkey) AS max_order"
+    " FROM customer c ORDER BY c.c_custkey",
+    "correlated scalar subquery through the spark.sql front-end (the SQL"
+    " surface the reference lacks; Catalyst decorrelates it into a join)",
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    _t(spark, sf, "customer").createOrReplaceTempView("customer_v")
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        "SELECT c.c_custkey, c.c_name,"
+        " (SELECT CAST(MAX(o.o_totalprice) AS DOUBLE) FROM orders_v o"
+        "  WHERE o.o_custkey = c.c_custkey) AS max_order"
+        " FROM customer_v c ORDER BY c.c_custkey"
+    )

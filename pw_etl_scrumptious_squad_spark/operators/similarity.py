@@ -87,6 +87,43 @@ def cosine_topk_bruteforce(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Learn IVF centroids with Spark ML k-means (k-means|| init).
+
+    Returns (centroid_id, embedding) in the same shape the probe/assign
+    functions take, so ``assign_ivf_cells(corpus, train_ivf_centroids(...))``
+    upgrades the IVF index from sampled-row centroids to learned ones.
+    Deterministic for a fixed seed + input. At 100 TB you train on a
+    sample (k-means cost is per-row x k) and assign the full corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    centers = model.clusterCenters()
+    sc = corpus.sparkSession
+    cent = sc.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "centroid_id INT, embedding ARRAY<DOUBLE>",
+    )
+    # cast to float to match the corpus embedding column type
+    return cent.select(
+        "centroid_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
 def assign_ivf_cells(
     corpus: DataFrame,
     centroids: DataFrame,

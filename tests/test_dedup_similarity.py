@@ -138,3 +138,21 @@ def test_ngram_jaccard_huge_vocab_fallback(spark):
         ).collect()
     }
     assert got == {(1, 2): 0.6}
+
+
+def test_kmeans_ivf_beats_or_matches_sampled_centroids(spark):
+    emb = read_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    trained = similarity.train_ivf_centroids(emb, k=10)
+    assert trained.count() == 10
+    assigned = similarity.assign_ivf_cells(emb, trained)
+    assert assigned.count() == emb.count()
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    approx = similarity.ivf_topk(
+        assigned, trained, queries, k=5, n_probe=3,
+        centroid_id="centroid_id",
+    )
+    exact_set = {(r["query_id"], r["match_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["match_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5
