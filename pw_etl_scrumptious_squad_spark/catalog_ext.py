@@ -803,3 +803,74 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
         "  WHERE o.o_custkey = c.c_custkey) AS max_order"
         " FROM customer_v c ORDER BY c.c_custkey"
     )
+
+
+def _curation_oracle() -> str:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    en = ", ".join(f"'{w}'" for w in textops.LANG_MARKERS["en"])
+    langs = {
+        lang: ", ".join(f"'{w}'" for w in textops.LANG_MARKERS[lang])
+        for lang in textops.LANG_PRIORITY
+    }
+    scores = ", ".join(
+        f"len(list_filter(toks, t -> t IN ({q}))) AS score_{lang}"
+        for lang, q in langs.items()
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    stop = ", ".join(f"'{w}'" for w in textops.ENGLISH_STOPWORDS)
+    return (
+        "WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS toks"
+        " FROM documents),"
+        f" scored AS (SELECT doc_id, text, toks, {scores} FROM base),"
+        " q AS (SELECT doc_id, text, toks,"
+        f" (score_en = {best} AND {best} > 0) AS is_en,"
+        # the filter compares the UNROUNDED weighted sum: its inputs are
+        # 9-dp-rounded ratios (identical doubles on both engines), so the
+        # IEEE sum is bit-identical; a final ROUND at 9 dp would sit on the
+        # half-boundary grid and flip by rounding mode between engines
+        " 0.4 * ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text), 9)"
+        f" + 0.3 * ROUND(len(list_filter(toks, t -> t IN ({stop}))) / len(toks), 9)"
+        " + 0.3 * ROUND(len(list_distinct(toks)) / len(toks), 9) AS qscore"
+        " FROM scored),"
+        " fp AS (SELECT doc_id,"
+        " coalesce(list_aggregate(list_transform("
+        " range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),"
+        " i -> md5(array_to_string(string_split(text, ' ')[i:i+4], ' '))), 'min'),"
+        " md5(text)) AS fingerprint"
+        " FROM q WHERE is_en AND qscore >= 0.45)"
+        " SELECT doc_id, fingerprint FROM fp"
+        " QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1"
+        " ORDER BY doc_id"
+    )
+
+
+@register(
+    "x01_curation_pipeline",
+    _curation_oracle(),
+    "end-to-end training-data curation: language-ID filter (en) -> quality"
+    " threshold -> near-dup prune by min-shingle fingerprint (keep lowest"
+    " doc_id). One corpus scan + one narrow shuffle on the fingerprint.",
+)
+def x01(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    d = _t(spark, sf, "documents")
+    scored = textops.quality_columns(textops.lang_id(d))
+    qscore = (
+        0.4 * F.col("alpha_ratio")
+        + 0.3 * F.col("stopword_ratio")
+        + 0.3 * F.col("distinct_ratio")
+    )
+    eng = scored.filter((F.col("lang_pred") == "en") & (qscore >= 0.45))
+    fp = textops.fingerprint(eng, "text", 5).select(
+        "doc_id",
+        F.col("shingle_fingerprint").alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy("doc_id")
+    )
