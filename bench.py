@@ -47,6 +47,8 @@ HEADLINE = [
     "d06_embedding_neardup",
     "s01_cosine_topk",
     "m01_media_features",
+    "t06_tfidf_topk",
+    "x01_curation_pipeline",
 ]
 
 

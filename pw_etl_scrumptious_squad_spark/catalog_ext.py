@@ -874,3 +874,68 @@ def x01(spark: SparkSession, sf: str) -> DataFrame:
         .drop("__rn")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q27_datetime_funcs",
+    "SELECT o_orderkey,"
+    " CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,"
+    " CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,"
+    " CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_y2k,"
+    " CAST(year(o_orderdate) AS INTEGER) AS yr,"
+    " CAST(month(o_orderdate) AS INTEGER) AS mo,"
+    " CAST(dayofmonth(CAST(o_orderdate AS DATE)) AS INTEGER) AS dom,"
+    " CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end"
+    " FROM orders ORDER BY o_orderkey",
+    "datetime scalar functions: trunc, interval arithmetic, datediff,"
+    " parts, last_day",
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d)
+        .cast("int")
+        .alias("days_to_y2k"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth(d).cast("int").alias("dom"),
+        F.last_day(d).alias("month_end"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q28_array_funcs",
+    "SELECT vec_id,"
+    " CAST(len(embedding) AS INTEGER) AS dim,"
+    " ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_v,"
+    " ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_v,"
+    " ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS min_v,"
+    " list_transform(embedding[1:3], x -> ROUND(CAST(x AS DOUBLE), 6)) AS head3,"
+    " ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 6) AS sum_v"
+    " FROM embeddings ORDER BY vec_id",
+    "array scalar functions: size, indexing, min/max, slice, sum fold",
+)
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("first_v"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_v"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_v"),
+        F.transform(
+            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 6)
+        ).alias("head3"),
+        F.round(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("sum_v"),
+    ).orderBy("vec_id")
