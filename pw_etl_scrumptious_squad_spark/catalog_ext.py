@@ -939,3 +939,24 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("sum_v"),
     ).orderBy("vec_id")
+
+
+@register(
+    "q29_map_funcs",
+    "SELECT event_id,"
+    " list_sort(json_keys(props)) AS prop_keys,"
+    " CAST(len(json_keys(props)) AS INTEGER) AS n_keys,"
+    " CAST(json_extract(props, '$.k') AS INTEGER) AS k_int"
+    " FROM events ORDER BY event_id",
+    "map/JSON-object functions: parse props to a map, sorted keys, size,"
+    " typed value extraction",
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    m = F.from_json("props", "map<string,string>")
+    return e.select(
+        "event_id",
+        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+    ).orderBy("event_id")

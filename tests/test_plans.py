@@ -100,3 +100,23 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         assert joined.count() == lineitem.count()
     finally:
         spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+
+
+def test_partitioned_fact_write_prunes_on_read(spark, tmp_path, totesys):
+    """plans/etl.load writes facts partitioned by created_date; a dated
+    read must show PartitionFilters in the scan (partition pruning), so a
+    day query over a 100 TB history touches one partition, not the table."""
+    from pw_etl_scrumptious_squad_spark.operators import facts
+    from pw_etl_scrumptious_squad_spark.sources.parquet import write_table
+
+    fact = facts.create_fact_sales_order(totesys["sales_order"])
+    write_table(fact, str(tmp_path), "fact_sales_order", partition_by=["created_date"])
+    back = spark.read.parquet(str(tmp_path / "fact_sales_order.parquet"))
+    day = back.filter(back["created_date"] == "2023-01-01")
+    plan = day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(created_date" in plan.replace("#", "(").replace(
+        "created_date(", "created_date"
+    ) or "PartitionFilters" in plan
+    # the filter must appear as a partition filter, not only a data filter
+    seg = plan[plan.index("PartitionFilters") :]
+    assert "created_date" in seg[: seg.index("]")]
