@@ -120,7 +120,7 @@ def read_table_fmt(
     fmt: str,
     schema: T.StructType | None = None,
 ) -> DataFrame:
-    """Read ``<base_dir>/<name>.<fmt>`` for fmt in {parquet, csv, json}.
+    """Read ``<base_dir>/<name>.<fmt>`` for fmt in {parquet, csv, json, orc}.
 
     CSV/JSON always take an explicit schema (inference is a full extra
     scan at 100 TB and non-deterministic about types); parquet carries its
@@ -143,13 +143,15 @@ def read_table_fmt(
         )
     if fmt == "json":
         return spark.read.schema(schema).json(path)
+    if fmt == "orc":
+        return spark.read.schema(schema).orc(path)
     raise ValueError(f"unsupported format: {fmt}")
 
 
 def write_table_fmt(
     df: DataFrame, base_dir: str, name: str, fmt: str, mode: str = "overwrite"
 ) -> None:
-    """Write ``<base_dir>/<name>.<fmt>`` for fmt in {parquet, csv, json}."""
+    """Write ``<base_dir>/<name>.<fmt>`` for fmt in {parquet, csv, json, orc}."""
     path = os.path.join(base_dir, f"{name}.{fmt}")
     writer = df.write.mode(mode)
     if fmt == "parquet":
@@ -160,6 +162,8 @@ def write_table_fmt(
         ).csv(path)
     elif fmt == "json":
         writer.json(path)
+    elif fmt == "orc":
+        writer.orc(path)
     else:
         raise ValueError(f"unsupported format: {fmt}")
 

@@ -101,6 +101,18 @@ def session_rollup(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id: re-delivered events (at-least-once
+    sources, replayed files) are dropped while their key is inside the
+    watermark window — the streaming twin of d01/dedup_exact. State is one
+    entry per key per watermark window, evicted automatically; the batch
+    reference's duplicate-append flaw (src/load.py:63-110) has no streaming
+    equivalent here by construction."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 RUNNING_STATS_SCHEMA = (
     "user_id LONG, n_events LONG, n_purchases LONG, last_event_type STRING"
 )

@@ -103,7 +103,7 @@ def test_csv_json_roundtrip(spark, tmp_path):
 
     orders = read_table(spark, "/root/testdata/sf0.001", "orders")
     base = str(tmp_path)
-    for fmt in ["csv", "json"]:
+    for fmt in ["csv", "json", "orc"]:
         write_table_fmt(orders, base, "orders", fmt)
         back = read_table_fmt(spark, base, "orders", fmt)
         assert back.schema == orders.schema

@@ -137,3 +137,29 @@ def test_running_user_stats_stateful_across_batches(spark, tmp_path):
         .collect()
     }
     assert purchases == expected_p
+
+
+def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
+    # file a and file b share 500 events (simulated at-least-once
+    # redelivery across micro-batches); the deduped stream must emit each
+    # event_id exactly once
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "ev3"
+    d.mkdir()
+    t = pq.read_table(f"{SF}/events.parquet")
+    ids = t.column("event_id").to_numpy()
+    pq.write_table(t.filter(pa.array(ids < 750)), str(d / "a.parquet"))
+    pq.write_table(t.filter(pa.array(ids >= 250)), str(d / "b.parquet"))
+
+    stream = sp.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    deduped = sp.dedup_stream(stream)
+    ckpt = tempfile.mkdtemp(prefix="ckpt-dedup-")
+    q = sp.run_available_now(deduped, ckpt, "dedup_sink", "append")
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS nd FROM dedup_sink"
+    ).first()
+    assert got["n"] == 1000
+    assert got["nd"] == 1000
