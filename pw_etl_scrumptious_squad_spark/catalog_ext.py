@@ -960,3 +960,45 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.map_keys(m)).alias("n_keys"),
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
     ).orderBy("event_id")
+
+
+@register(
+    "d07_simhash_neardup",
+    "WITH sh_all AS (" + _simhash_oracle().rsplit(" ORDER BY doc_id", 1)[0] + ")"
+    " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+    " CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming"
+    " FROM sh_all a JOIN sh_all b ON a.doc_id < b.doc_id"
+    " WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+    " ORDER BY doc_a, doc_b",
+    "SimHash near-dup pairs by bit-banding — EXACT: hamming<=3 over 8"
+    " bands guarantees a shared band (pigeonhole), so the banded"
+    " candidate join provably finds every pair the brute-force oracle does",
+)
+def d07(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash_near_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        bits=_SIMHASH_BITS, bands=8, max_hamming=3,
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "m03_resize_images",
+    "SELECT doc_id AS asset_id, 'image' AS media_type,"
+    " CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,"
+    " 'stubcodec' AS codec,"
+    " CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes"
+    " FROM documents WHERE doc_id % 3 = 0 ORDER BY asset_id",
+    "image resize plumbing: metadata rewrite over the binary column"
+    " (payload untouched by the stub codec)",
+)
+def m03(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.media_from_documents(_t(spark, sf, "documents"))
+    resized = multimodal.resize_images(media, 32, 24)
+    return resized.select(
+        "asset_id",
+        "media_type",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.codec").alias("codec"),
+        F.length("payload").cast("int").alias("n_bytes"),
+    ).orderBy("asset_id")

@@ -274,6 +274,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: (a < b, hamming(simhash_a, simhash_b)
+    <= max_hamming), found by banding the simhash bits.
+
+    EXACT, not approximate: with ``bands`` bands, two hashes differing in
+    fewer than ``bands`` bits must agree on at least one whole band
+    (pigeonhole), so requiring ``max_hamming < bands`` guarantees every
+    qualifying pair shares a bucket. The bucket self-join is the only
+    shuffle; the verify step is two bitwise ops per candidate.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            "exactness needs max_hamming < bands (pigeonhole guarantee)"
+        )
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = simhash(df, id_col, text_col, bits).localCheckpoint()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"(simhash >> {b * width}) & {mask}L").alias("val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sh.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
+    )
+    cands = (
+        buckets.alias("l")
+        .join(
+            buckets.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -156,3 +156,21 @@ def test_kmeans_ivf_beats_or_matches_sampled_centroids(spark):
     approx_set = {(r["query_id"], r["match_id"]) for r in approx.collect()}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5
+
+
+def test_simhash_near_pairs_finds_planted_dups(docs_with_near_dups):
+    pairs = dedup.simhash_near_pairs(
+        docs_with_near_dups, "doc_id", "text", bits=32, bands=8, max_hamming=6
+    )
+    found = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    assert (0, 9000) in found  # planted near-dup is hamming-near
+    assert all(h <= 6 for h in found.values())
+
+
+def test_simhash_near_pairs_guards(docs_with_near_dups):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.simhash_near_pairs(docs_with_near_dups, "doc_id", max_hamming=8, bands=8)
+    with _pytest.raises(ValueError):
+        dedup.simhash_near_pairs(docs_with_near_dups, "doc_id", bits=32, bands=7)
