@@ -1002,3 +1002,49 @@ def m03(spark: SparkSession, sf: str) -> DataFrame:
         F.col("meta.codec").alias("codec"),
         F.length("payload").cast("int").alias("n_bytes"),
     ).orderBy("asset_id")
+
+
+@register(
+    "q30_null_funcs",
+    "SELECT event_id,"
+    " coalesce(json_extract_string(props, '$.missing'), 'none') AS missing_or_none,"
+    " nullif(event_type, 'view') AS type_unless_view,"
+    " CAST(json_extract_string(props, '$.missing') IS NULL AS BOOLEAN) AS is_missing,"
+    " CASE WHEN json_extract_string(props, '$.missing') IS NULL"
+    " THEN 'absent' ELSE 'present' END AS presence"
+    " FROM events ORDER BY event_id",
+    "NULL-handling scalars: coalesce, nullif, IS NULL, CASE over a"
+    " genuinely-NULL JSON extraction",
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    missing = F.get_json_object("props", "$.missing")
+    return e.select(
+        "event_id",
+        F.coalesce(missing, F.lit("none")).alias("missing_or_none"),
+        F.nullif("event_type", F.lit("view")).alias("type_unless_view"),
+        missing.isNull().alias("is_missing"),
+        F.when(missing.isNull(), F.lit("absent"))
+        .otherwise(F.lit("present"))
+        .alias("presence"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q31_regexp_funcs",
+    "SELECT c_custkey,"
+    " regexp_extract(c_name, '([0-9]+)', 1) AS digits,"
+    " CAST(regexp_matches(c_name, '[0-9]{3}') AS BOOLEAN) AS has_3digits,"
+    " regexp_replace(c_name, '[0-9]', '#', 'g') AS masked"
+    " FROM customer ORDER BY c_custkey",
+    "regular-expression scalars: group extraction, match predicate,"
+    " global replace (patterns restricted to the RE2/Java common subset)",
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.col("c_name").rlike("[0-9]{3}").alias("has_3digits"),
+        F.regexp_replace(F.col("c_name"), "[0-9]", "#").alias("masked"),
+    ).orderBy("c_custkey")
