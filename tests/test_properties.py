@@ -92,3 +92,56 @@ def test_iso_day_of_week_matches_python(spark, d):
         .first()["dow"]
     )
     assert got == d.isoweekday()
+
+
+@given(
+    batch1=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda r: r[0],
+    ),
+    batch2=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda r: r[0],
+    ),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_upsert_idempotent_and_commutative_on_version(spark, tmp_path_factory, batch1, batch2):
+    """Applying (b1, b2) must equal (b1, b2, b2) — redelivery is a no-op —
+    and with a version column the final state is the per-key max version
+    regardless of arrival order."""
+    from pw_etl_scrumptious_squad_spark.sources.parquet import (
+        read_table,
+        upsert_table,
+    )
+
+    def run(batches):
+        lake = str(tmp_path_factory.mktemp("ups"))
+        for b in batches:
+            df = spark.createDataFrame(
+                [(k, f"v{k}-{ver}", ver) for k, ver in b],
+                "id LONG, val STRING, ver INT",
+            )
+            upsert_table(spark, df, lake, "t", ["id"], order_col="ver")
+        return {
+            r["id"]: (r["val"], r["ver"])
+            for r in read_table(spark, lake, "t").collect()
+        }
+
+    once = run([batch1, batch2])
+    redelivered = run([batch1, batch2, batch2])
+    assert once == redelivered
+    # ground truth: per-key max version wins (ties keep either — the same
+    # row, since val is derived from (k, ver))
+    truth = {}
+    for k, ver in batch1 + batch2:
+        if k not in truth or ver >= truth[k]:
+            truth[k] = ver
+    assert {k: v[1] for k, v in once.items()} == truth
