@@ -1048,3 +1048,50 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_name").rlike("[0-9]{3}").alias("has_3digits"),
         F.regexp_replace(F.col("c_name"), "[0-9]", "#").alias("masked"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "q32_pagination",
+    "SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price"
+    " FROM orders ORDER BY o_totalprice DESC, o_orderkey"
+    " LIMIT 20 OFFSET 10",
+    "deterministic pagination: total order + LIMIT/OFFSET (page 2 of the"
+    " top orders)",
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", F.col("o_totalprice").cast("double").alias("price"))
+        .orderBy(F.col("price").desc(), "o_orderkey")
+        .offset(10)
+        .limit(20)
+    )
+
+
+@register(
+    "q33_ranking_funcs",
+    "SELECT o_orderkey, o_orderpriority,"
+    " CAST(rank() OVER w AS BIGINT) AS rnk,"
+    " CAST(dense_rank() OVER w AS BIGINT) AS drnk,"
+    " CAST(ntile(4) OVER w AS INTEGER) AS quartile,"
+    " ROUND(percent_rank() OVER w, 9) AS prank,"
+    " ROUND(cume_dist() OVER w, 9) AS cdist"
+    " FROM orders WINDOW w AS (PARTITION BY o_orderpriority"
+    " ORDER BY o_totalprice DESC, o_orderkey) ORDER BY o_orderkey",
+    "ranking window functions: rank, dense_rank, ntile, percent_rank,"
+    " cume_dist over a deterministic total order",
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("prank"),
+        F.round(F.cume_dist().over(w), 9).alias("cdist"),
+    ).orderBy("o_orderkey")
