@@ -1095,3 +1095,35 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("prank"),
         F.round(F.cume_dist().over(w), 9).alias("cdist"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q34_except_union",
+    "SELECT k, tag FROM ("
+    " SELECT c_custkey AS k, 'never_ordered' AS tag FROM customer"
+    " EXCEPT SELECT o_custkey AS k, 'never_ordered' AS tag FROM orders"
+    " UNION"
+    " SELECT o_custkey AS k, 'big_spender' AS tag FROM orders"
+    " WHERE o_totalprice > 400000)"
+    " ORDER BY k, tag",
+    "set operations: EXCEPT (customers who never ordered) plus UNION"
+    " with distinct semantics — completes q07/r14's set-op family",
+)
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"), F.lit("never_ordered").alias("tag")
+    )
+    o = _t(spark, sf, "orders")
+    o_keys = o.select(
+        F.col("o_custkey").alias("k"), F.lit("never_ordered").alias("tag")
+    )
+    big = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("k"), F.lit("big_spender").alias("tag")
+    )
+    return (
+        c.exceptAll(o_keys)
+        .distinct()
+        .unionByName(big)
+        .distinct()
+        .orderBy("k", "tag")
+    )
