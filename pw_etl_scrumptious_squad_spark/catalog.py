@@ -213,11 +213,13 @@ def r09(spark: SparkSession, sf: str) -> DataFrame:
     "r11_fact_build",
     'SELECT o_orderkey AS sales_order_id, CAST(o_orderdate AS DATE) AS created_date,'
     " strftime(o_orderdate, '%H:%M:%S') AS created_time,"
-    ' o_custkey AS sales_staff_id, CAST(o_totalprice AS DECIMAL(18,2)) AS "unit price",'
+    ' o_custkey AS sales_staff_id, ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS "unit price",'
     " o_orderpriority AS priority FROM orders ORDER BY sales_order_id",
     "R11: fact projection+rename incl. the literal-space column name"
     " (reference create_fact_sales_order, src/transform.py:164-186;"
-    ' "unit price" contract setup_test_warehouse.sql:74)',
+    ' "unit price" contract setup_test_warehouse.sql:74). The warehouse ETL'
+    " path (operators/facts.py) keeps NUMERIC parity; the catalog entry emits"
+    " DOUBLE per the no-DECIMAL gate contract",
 )
 def r11(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
@@ -226,7 +228,9 @@ def r11(spark: SparkSession, sf: str) -> DataFrame:
         F.to_date("o_orderdate").alias("created_date"),
         F.date_format("o_orderdate", "HH:mm:ss").alias("created_time"),
         F.col("o_custkey").alias("sales_staff_id"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("unit price"),
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double"), 2
+        ).alias("unit price"),
         F.col("o_orderpriority").alias("priority"),
     ).orderBy("sales_order_id")
 
@@ -276,13 +280,15 @@ def r13(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q01_pricing_summary",
     "SELECT l_returnflag, l_linestatus,"
-    " CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,"
-    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,"
-    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,"
+    " ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,"
+    " ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,"
+    " ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_disc_price,"
     " CAST(count(*) AS BIGINT) AS count_order"
     " FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'"
     " GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
-    "TPC-H Q1-style grouped aggregation in exact DECIMAL",
+    "TPC-H Q1-style grouped aggregation in exact DECIMAL; final projection"
+    " casts to DOUBLE (gate contract: no DECIMAL in outputs — canonicalizers"
+    " disagree on Decimal-vs-float repr even when values are equal)",
 )
 def q01(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem")
@@ -293,9 +299,11 @@ def q01(spark: SparkSession, sf: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-01 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(price * (F.lit(1) - disc)).cast("double"), 4
+            ).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -434,9 +442,10 @@ def q08(spark: SparkSession, sf: str) -> DataFrame:
     "q09_events_hourly",
     "SELECT date_trunc('hour', ts) AS hour_start, event_type,"
     " CAST(count(*) AS BIGINT) AS n_events,"
-    " CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value"
+    " ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value"
     " FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type",
-    "tumbling-window aggregation (batch form of the streaming hourly rollup)",
+    "tumbling-window aggregation (batch form of the streaming hourly rollup);"
+    " DOUBLE output per the no-DECIMAL gate contract",
 )
 def q09(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
@@ -446,9 +455,9 @@ def q09(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("total_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
         )
         .orderBy("hour_start", "event_type")
     )

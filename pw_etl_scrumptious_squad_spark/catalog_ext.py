@@ -26,10 +26,11 @@ from pw_etl_scrumptious_squad_spark.operators import (
 @register(
     "q11_outer_join_agg",
     "SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,"
-    " CAST(coalesce(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS total_spend"
+    " ROUND(CAST(coalesce(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE), 2) AS total_spend"
     " FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey"
     " GROUP BY c.c_custkey ORDER BY c.c_custkey",
-    "left outer join + aggregation with null-preserving counts",
+    "left outer join + aggregation with null-preserving counts; DOUBLE"
+    " output per the no-DECIMAL gate contract",
 )
 def q11(spark: SparkSession, sf: str) -> DataFrame:
     c = _t(spark, sf, "customer")
@@ -39,11 +40,13 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
-            )
-            .cast("decimal(18,2)")
-            .alias("total_spend"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                    F.lit(0),
+                ).cast("double"),
+                2,
+            ).alias("total_spend"),
         )
         .orderBy("c_custkey")
     )
@@ -112,7 +115,7 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q15_shipping_priority",
     "SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_date,"
-    " CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue"
+    " ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue"
     " FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey"
     " JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
     " WHERE c.c_mktsegment = 'BUILDING'"
@@ -137,7 +140,11 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
         .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("o_orderkey", F.to_date("o_orderdate").alias("o_date"))
         .agg(
-            F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("revenue")
+            # exact DECIMAL sum (deterministic top-10 ordering cross-engine),
+            # DOUBLE in the projection per the gate contract
+            F.round(
+                F.sum(price * (F.lit(1) - disc)).cast("double"), 4
+            ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
@@ -146,7 +153,7 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q16_local_supplier_volume",
-    "SELECT n.n_name, CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue"
+    "SELECT n.n_name, ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue"
     " FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey"
     " JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
     " JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey"
@@ -176,7 +183,9 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
         .join(broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
         .agg(
-            F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("revenue")
+            F.round(
+                F.sum(price * (F.lit(1) - disc)).cast("double"), 4
+            ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
@@ -397,11 +406,12 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q19_percentiles",
     "SELECT o_orderpriority,"
-    " list_transform(quantile_cont(CAST(o_totalprice AS DOUBLE),"
-    " [0.25, 0.5, 0.75]), q -> ROUND(q, 4)) AS price_quartiles,"
+    " array_to_string(list_transform(quantile_cont(CAST(o_totalprice AS DOUBLE),"
+    " [0.25, 0.5, 0.75]), q -> printf('%.4f', ROUND(q, 4))), ',') AS price_quartiles,"
     " CAST(count(*) AS BIGINT) AS n"
     " FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
-    "exact interpolated percentiles (quartiles) per group",
+    "exact interpolated percentiles (quartiles) per group; serialized to a"
+    " CSV string (gate contract: no array columns in final projections)",
 )
 def q19(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
@@ -411,9 +421,13 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
     return (
         o.groupBy("o_orderpriority")
         .agg(
-            F.transform(quarts, lambda q: F.round(q, 4)).alias(
-                "price_quartiles"
-            ),
+            F.array_join(
+                F.transform(
+                    quarts,
+                    lambda q: F.format_string("%.4f", F.round(q, 4)),
+                ),
+                ",",
+            ).alias("price_quartiles"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("o_orderpriority")
@@ -423,12 +437,13 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q20_pivot",
     "SELECT o_orderpriority,"
-    " CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS sum_f,"
-    " CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS sum_o,"
-    " CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS sum_p"
+    " ROUND(CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE), 2) AS sum_f,"
+    " ROUND(CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE), 2) AS sum_o,"
+    " ROUND(CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE), 2) AS sum_p"
     " FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "pivot (status columns out of rows) with explicit value list — explicit"
-    " values keep the plan a single pass (no distinct-scan to discover them)",
+    " values keep the plan a single pass (no distinct-scan to discover them);"
+    " DOUBLE outputs per the no-DECIMAL gate contract",
 )
 def q20(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
@@ -438,11 +453,14 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
     )
     zero = F.lit(0).cast("decimal(18,2)")
+
+    def out(src, name):
+        return F.round(
+            F.coalesce(F.col(src), zero).cast("double"), 2
+        ).alias(name)
+
     return piv.select(
-        "o_orderpriority",
-        F.coalesce(F.col("F"), zero).cast("decimal(18,2)").alias("sum_f"),
-        F.coalesce(F.col("O"), zero).cast("decimal(18,2)").alias("sum_o"),
-        F.coalesce(F.col("P"), zero).cast("decimal(18,2)").alias("sum_p"),
+        "o_orderpriority", out("F", "sum_f"), out("O", "sum_o"), out("P", "sum_p")
     ).orderBy("o_orderpriority")
 
 
@@ -476,7 +494,7 @@ _BANDS = [(i, 100_000 * i, 100_000 * (i + 1)) for i in range(4)] + [
 @register(
     "r16_range_join",
     "SELECT band_id, CAST(count(*) AS BIGINT) AS n,"
-    " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total"
+    " ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total"
     " FROM orders JOIN (VALUES "
     + ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)
     + ") AS bands(band_id, lo, hi)"
@@ -499,9 +517,12 @@ def r16(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("band_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("total"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total"),
         )
         .orderBy("band_id")
     )
@@ -555,11 +576,26 @@ def d06(spark: SparkSession, sf: str) -> DataFrame:
 
 def _md5_features_sql(seed_expr: str) -> str:
     """DuckDB twin of multimodal._decode_media_stub: byte i of
-    md5(<seed>) / 255, computed in float32 then rounded at 6 dp."""
+    md5(<seed>) / 255, computed in float32 then rounded at 6 dp and
+    serialized to a CSV string (gate contract: no array output columns)."""
     return (
-        "list_transform(range(1, 17), i -> ROUND(CAST(CAST("
+        "array_to_string(list_transform(range(1, 17), i -> printf('%.6f',"
+        " ROUND(CAST(CAST("
         f"CAST(concat('0x', substr(md5({seed_expr}), 2*i - 1, 2)) AS INTEGER)"
-        " / 255.0 AS FLOAT) AS DOUBLE), 6))"
+        " / 255.0 AS FLOAT) AS DOUBLE), 6))), ',')"
+    )
+
+
+def _fmt_double_array(col, digits: int = 6):
+    """Spark-side twin of the CSV serialization in :func:`_md5_features_sql`:
+    round each element, fixed-point format, join with commas."""
+    fmt = f"%.{digits}f"
+    return F.array_join(
+        F.transform(
+            col.cast("array<double>"),
+            lambda x: F.format_string(fmt, F.round(x, digits)),
+        ),
+        ",",
     )
 
 
@@ -587,9 +623,7 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
         "media_type",
         "payload_md5",
         "n_bytes",
-        F.transform(
-            F.col("features").cast("array<double>"), lambda x: F.round(x, 6)
-        ).alias("features"),
+        _fmt_double_array(F.col("features")).alias("features"),
     ).orderBy("asset_id")
 
 
@@ -612,10 +646,7 @@ def m02(spark: SparkSession, sf: str) -> DataFrame:
         "asset_id",
         "frame_idx",
         "frame_ms",
-        F.transform(
-            F.col("frame_features").cast("array<double>"),
-            lambda x: F.round(x, 6),
-        ).alias("frame_features"),
+        _fmt_double_array(F.col("frame_features")).alias("frame_features"),
     ).orderBy("asset_id", "frame_idx")
 
 
@@ -656,7 +687,7 @@ def p01(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q22_big_orders",
     "WITH big AS (SELECT l_orderkey,"
-    " CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty"
+    " ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_qty"
     " FROM lineitem GROUP BY l_orderkey"
     " HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 55)"
     " SELECT c.c_custkey, c.c_name, o.o_orderkey, big.total_qty"
@@ -673,11 +704,13 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
     big = (
         li.groupBy("l_orderkey")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("total_qty")
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__qty")
         )
-        .filter(F.col("total_qty") > 55)
+        .filter(F.col("__qty") > 55)
+        .select(
+            "l_orderkey",
+            F.round(F.col("__qty").cast("double"), 2).alias("total_qty"),
+        )
     )
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
@@ -690,7 +723,7 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q23_part_type_revenue",
     "SELECT p.p_type,"
-    " CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,"
+    " ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue,"
     " CAST(count(*) AS BIGINT) AS n_lines"
     " FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
     " GROUP BY p.p_type ORDER BY p.p_type",
@@ -705,7 +738,9 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
         li.join(broadcast(p), li["l_partkey"] == p["p_partkey"])
         .groupBy("p_type")
         .agg(
-            F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("revenue"),
+            F.round(
+                F.sum(price * (F.lit(1) - disc)).cast("double"), 4
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
         .orderBy("p_type")
@@ -914,10 +949,11 @@ def q27(spark: SparkSession, sf: str) -> DataFrame:
     " ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_v,"
     " ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_v,"
     " ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS min_v,"
-    " list_transform(embedding[1:3], x -> ROUND(CAST(x AS DOUBLE), 6)) AS head3,"
+    " array_to_string(list_transform(embedding[1:3], x -> printf('%.6f', ROUND(CAST(x AS DOUBLE), 6))), ',') AS head3,"
     " ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 6) AS sum_v"
     " FROM embeddings ORDER BY vec_id",
-    "array scalar functions: size, indexing, min/max, slice, sum fold",
+    "array scalar functions: size, indexing, min/max, slice, sum fold;"
+    " the slice serializes to a CSV string per the no-array gate contract",
 )
 def q28(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings")
@@ -927,9 +963,7 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("embedding")[0].cast("double"), 6).alias("first_v"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("max_v"),
         F.round(F.array_min("embedding").cast("double"), 6).alias("min_v"),
-        F.transform(
-            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 6)
-        ).alias("head3"),
+        _fmt_double_array(F.slice("embedding", 1, 3)).alias("head3"),
         F.round(
             F.aggregate(
                 F.col("embedding").cast("array<double>"),
@@ -944,19 +978,19 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q29_map_funcs",
     "SELECT event_id,"
-    " list_sort(json_keys(props)) AS prop_keys,"
+    " array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,"
     " CAST(len(json_keys(props)) AS INTEGER) AS n_keys,"
     " CAST(json_extract(props, '$.k') AS INTEGER) AS k_int"
     " FROM events ORDER BY event_id",
-    "map/JSON-object functions: parse props to a map, sorted keys, size,"
-    " typed value extraction",
+    "map/JSON-object functions: parse props to a map, sorted keys (CSV"
+    " string per the no-array gate contract), size, typed value extraction",
 )
 def q29(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
     m = F.from_json("props", "map<string,string>")
     return e.select(
         "event_id",
-        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
         F.size(F.map_keys(m)).alias("n_keys"),
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
     ).orderBy("event_id")

@@ -48,6 +48,10 @@ def read_table(
     if schema is None:
         schema = TESTDATA_SCHEMAS.get(name)
     path = table_path(base_dir, name)
+    # Runtime SQL conf, set here (not only at session build) so reads work
+    # under ANY SparkSession, including ones this engine didn't construct.
+    # Without it, parquet TIMESTAMP(NANOS) columns throw PARQUET_TYPE_ILLEGAL.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if schema is None:
         return spark.read.parquet(path)
     df = spark.read.parquet(path)

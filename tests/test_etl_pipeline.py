@@ -110,3 +110,17 @@ def test_csv_json_roundtrip(spark, tmp_path):
         a = sorted(map(tuple, orders.collect()))
         b = sorted(map(tuple, back.collect()))
         assert a == b, fmt
+
+
+def test_read_events_without_session_conf(spark):
+    """events.parquet (TIMESTAMP NANOS) must read under a session that did
+    NOT pre-set nanosAsLong — read_table sets the runtime conf itself."""
+    from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = read_table(spark, "/root/testdata/sf0.001", "events")
+        assert df.count() == 1000
+        assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
