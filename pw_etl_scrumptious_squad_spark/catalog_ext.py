@@ -418,15 +418,15 @@ def d05(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "s02_ivf_topk",
     None,  # approximate by design; exactness oracle is s01 (brute force)
-    "IVF approximate nearest neighbors (centroid routing, n_probe=3);"
-    " recall vs the exact s01 baseline is asserted in tests",
+    "IVF approximate nearest neighbors with k-means-trained centroids"
+    " (k-means|| init, fixed seed; centroid routing, n_probe=3); recall vs"
+    " the exact s01 baseline — and vs the sampled-centroid baseline — is"
+    " asserted in tests",
 )
 def s02(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
+    centroids = similarity.train_ivf_centroids(emb, k=10)
     assigned = similarity.assign_ivf_cells(emb, centroids)
     return similarity.ivf_topk(
         assigned, centroids, queries, k=5, n_probe=3

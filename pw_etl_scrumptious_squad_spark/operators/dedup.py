@@ -16,7 +16,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pw_etl_scrumptious_squad_spark.operators.text import (
@@ -78,16 +78,28 @@ def minhash_signatures(
     )
 
 
+# A bucket holding B docs contributes B^2/2 candidate pairs from ONE task —
+# one viral/boilerplate document cluster can wedge the whole stage. Above
+# the cap, a bucket is not self-joined all-pairs; its members are instead
+# paired star-wise with the bucket's minimum doc id (the representative),
+# which preserves duplicate-cluster connectivity (every member still reaches
+# the representative) while bounding work per bucket to O(B).
+_LSH_BUCKET_CAP = 1_000
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4
+    signatures: DataFrame, bands: int = 4, bucket_cap: int = _LSH_BUCKET_CAP
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` equal bands, bucket
     on (band index, band content), self-join buckets -> distinct candidate
     pairs (a < b).
 
-    The self-join shuffles on the bucket key only; bucket sizes are the skew
-    risk — callers at extreme scale should salt giant buckets or cap them
-    (a bucket with millions of identical signatures is itself the answer).
+    The self-join shuffles on the bucket key only; bucket sizes are the
+    skew risk. Buckets larger than ``bucket_cap`` (a cluster of
+    near-identical signatures IS the dup cluster) emit star pairs to the
+    bucket representative instead of all pairs: O(B) instead of O(B^2),
+    and a downstream connected-components/grouping step recovers the full
+    cluster through the shared representative.
     """
     # rows per band derived from the signature length (tiny driver-side peek)
     sig_len = signatures.selectExpr("size(minhash) AS n").first()["n"]
@@ -104,12 +116,30 @@ def lsh_candidate_pairs(
                 ).alias("sig"),
             )
         )
-    buckets = signatures.select(
-        "doc_id", F.explode(F.array(*band_rows)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    return (
+    buckets = (
+        signatures.select(
+            "doc_id", F.explode(F.array(*band_rows)).alias("bb")
+        )
+        .select(
+            "doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.sig").alias("sig"),
+        )
+        .withColumn(
+            "b_size",
+            F.count(F.lit(1)).over(Window.partitionBy("band", "sig")),
+        )
+        .withColumn(
+            "b_rep",
+            F.min("doc_id").over(Window.partitionBy("band", "sig")),
+        )
+    )
+    small = buckets.filter(F.col("b_size") <= bucket_cap).select(
+        "doc_id", "band", "sig"
+    )
+    left = small.alias("l")
+    right = small.alias("r")
+    all_pairs = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -119,8 +149,17 @@ def lsh_candidate_pairs(
         .select(
             F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
         )
-        .distinct()
     )
+    star_pairs = (
+        buckets.filter(
+            (F.col("b_size") > bucket_cap)
+            & (F.col("doc_id") != F.col("b_rep"))
+        )
+        .select(
+            F.col("b_rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+    )
+    return all_pairs.unionByName(star_pairs).distinct()
 
 
 def jaccard_verify(
@@ -180,17 +219,90 @@ def minhash_lsh_dedup(
     return jaccard_verify(pairs, df, id_col, text_col, shingle_size, threshold)
 
 
+# Above this row count the exact O(n^2)-per-block pair join (which
+# broadcasts one full side) is refused and the LSH-banded path is taken
+# instead: a full-corpus broadcast OOMs every executor at scale, and the
+# quadratic pair space dwarfs any per-pair savings.
+_MAX_EXACT_PAIR_ROWS = 100_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     block_col: str | None = None,
     threshold: float = 0.5,
+    max_exact_rows: int = _MAX_EXACT_PAIR_ROWS,
+    num_perm: int = 16,
+    bands: int = 8,
 ) -> DataFrame:
-    """Token-set Jaccard over blocked pairs (exact, no LSH): pairs share the
-    ``block_col`` value (cheap blocking key — language, length bucket). The
-    O(block^2) pair space makes this the small/medium-scale or
-    verification-path tool; MinHash-LSH is the 100 TB path.
+    """Token-set Jaccard near-duplicate pairs with an enforced scale guard.
+
+    At or below ``max_exact_rows`` input rows this is the exact blocked
+    pair join (pairs share ``block_col``; O(block^2) pair space; one side
+    broadcast to keep parallelism when the block count is tiny). Above the
+    cap it automatically routes through token-set MinHash LSH banding:
+    signatures -> band buckets -> bucket self-join -> exact-Jaccard verify
+    of candidates only — no full-side broadcast, no quadratic pair space.
+    The banded path is the 100 TB shape; its recall for a pair at Jaccard
+    ``t`` is 1-(1-t^(num_perm/bands))^bands (>=0.9999 at t=0.9 with the
+    defaults), and the verify stage keeps emitted pairs value-exact.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("tk"),
+    ).withColumn("n", F.size("tk"))
+    if df.count() > max_exact_rows:
+        return _ngram_jaccard_lsh(toks, threshold, num_perm, bands)
+    return _ngram_jaccard_exact(df, toks, threshold)
+
+
+def _ngram_jaccard_lsh(
+    toks: DataFrame, threshold: float, num_perm: int, bands: int
+) -> DataFrame:
+    """Scale path: MinHash-LSH candidates over token sets, then exact
+    verify. Only bucket-mates are paired; the bucket self-join shuffles on
+    the (band, signature) key — nothing is broadcast."""
+    sig = F.array(
+        *[
+            F.expr(
+                f"array_min(transform(tk, t -> cast(conv("
+                f"substring(md5(concat('{p}|', t)), 1, 15), 16, 10) as bigint)))"
+            )
+            for p in range(num_perm)
+        ]
+    )
+    sigs = toks.select("doc_id", sig.alias("minhash")).localCheckpoint()
+    cands = lsh_candidate_pairs(sigs, bands)
+    a = toks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("blk").alias("blk_a"),
+        F.col("tk").alias("tk_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("tk").alias("tk_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("tk_a", "tk_b"))
+    jac = F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 9)
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("blk_a") == F.col("blk_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _ngram_jaccard_exact(
+    df: DataFrame, toks: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact blocked pair join (verification tier, guarded by
+    ``max_exact_rows``).
 
     The block count is usually tiny (5 languages), which would starve a
     shuffle join down to that many tasks; broadcasting one side keeps
@@ -208,11 +320,6 @@ def ngram_jaccard_pairs(
     next to the O(block^2) pair stage; larger vocabularies fall back to
     the array path.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
-        F.array_distinct(F.split(F.col(text_col), " ")).alias("tk"),
-    ).withColumn("n", F.size("tk"))
     vocab = sorted(
         r[0]
         for r in toks.select(F.explode("tk").alias("t"))
@@ -220,8 +327,12 @@ def ngram_jaccard_pairs(
         .limit(_BITMASK_VOCAB_CAP + 1)
         .collect()
     )
-    # tokens with quotes can't be embedded in the CASE literal — fall back
-    if len(vocab) <= _BITMASK_VOCAB_CAP and all("'" not in w for w in vocab):
+    # tokens with quotes can't be embedded in the CASE literal, and Spark
+    # string literals treat backslashes as escapes (a token containing one
+    # would be silently mis-encoded, undercounting intersections) — fall back
+    if len(vocab) <= _BITMASK_VOCAB_CAP and all(
+        "'" not in w and "\\" not in w for w in vocab
+    ):
         n_words = (len(vocab) + 63) // 64
         masks = []
         for w in range(n_words):
@@ -349,16 +460,23 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     threshold: float = 0.3,
+    max_exact_rows: int = _MAX_EXACT_PAIR_ROWS,
+    n_cells: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a < b, round(cosine, 6) >=
-    threshold), optionally blocked on ``block_col`` (cluster/label id).
+    threshold), optionally blocked on ``block_col`` (cluster/label id) —
+    with an enforced scale guard.
 
     Each vector is L2-normalized ONCE per row before the pair join, so the
     per-pair work is a single dot product (no norms in the quadratic stage).
-    The blocked pair join is the exact/verification path; at 100 TB the
-    block key should come from LSH (random-hyperplane buckets) or IVF cell
-    assignment (similarity.assign_ivf_cells) so block sizes stay bounded —
-    the pair stage itself is identical either way.
+    At or below ``max_exact_rows`` the pair join broadcasts one side (block
+    counts are usually tiny, which would starve a shuffle join). Above the
+    cap the corpus is first routed through IVF cell assignment
+    (deterministically sampled centroids; ``n_cells`` defaults to
+    rows/10k) and the pair join shuffles on (block, cell) — block sizes
+    stay bounded and nothing is broadcast except the tiny centroid set.
+    The cell path is approximate (cross-cell pairs are not compared), the
+    standard IVF trade; emitted pairs remain value-exact.
     """
     # hoist the norm into its own column — computing it inside the
     # transform() lambda would redo the O(dim) sum for every element
@@ -384,9 +502,43 @@ def embedding_neardup_pairs(
             F.transform("dv", lambda x: x / F.col("nrm")).alias("uv"),
         )
     )
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    a = unit.repartition(n_parts, "doc_id").alias("a")
-    b = F.broadcast(unit.alias("b"))
+    n_rows = df.count()
+    if n_rows > max_exact_rows:
+        from pw_etl_scrumptious_squad_spark.operators import similarity
+
+        k = n_cells or max(16, n_rows // 10_000)
+        # deterministic pseudo-random centroid sample: order by md5 of the
+        # id so the choice is stable across runs and engines
+        cents = (
+            df.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(k)
+            .select(
+                F.row_number()
+                .over(Window.orderBy(id_col))
+                .cast("int")
+                .alias("centroid_id"),
+                F.col(vec_col),
+            )
+        )
+        assigned = similarity.assign_ivf_cells(
+            df.select(id_col, vec_col), cents, id_col, vec_col
+        ).select(F.col(id_col).alias("doc_id"), "cell")
+        side = unit.join(assigned, "doc_id")
+        a = side.alias("a")
+        b = side.alias("b")  # NOT broadcast: shuffle join on (blk, cell)
+        cond = (
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+    else:
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+        a = unit.repartition(n_parts, "doc_id").alias("a")
+        b = F.broadcast(unit.alias("b"))
+        cond = (F.col("a.blk") == F.col("b.blk")) & (
+            F.col("a.doc_id") < F.col("b.doc_id")
+        )
     cos = F.round(
         F.aggregate(
             F.zip_with("a.uv", "b.uv", lambda x, y: x * y),
@@ -396,11 +548,7 @@ def embedding_neardup_pairs(
         6,
     )
     return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

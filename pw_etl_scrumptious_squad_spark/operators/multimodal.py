@@ -114,9 +114,14 @@ def extract_features(media: DataFrame, stub: bool = True) -> DataFrame:
 def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, stub: bool = True
 ) -> DataFrame:
-    """Frame sampling: one output row per sampled frame (explode pattern).
-    Frame count derives from metadata duration; frame 'content' is the stub
-    feature vector seeded by (payload, frame index)."""
+    """Frame sampling: one output row per sampled frame.
+
+    The frame-count arithmetic and the explode to per-frame rows are pure
+    Spark column expressions (JVM-side, codegen) — Python sees data only in
+    the decode stage, an Arrow-batched ``mapInPandas`` whose single list
+    comprehension is the per-frame codec call itself (the irreducible
+    Python work when a real ffmpeg-style decoder is plugged in). No
+    ``iterrows``: columns are zipped directly."""
 
     out_schema = T.StructType(
         [
@@ -128,30 +133,52 @@ def sample_video_frames(
     )
     decode = _decode_media_stub if stub else decode_unavailable
 
+    # sequence(0, n-1) with n<=0 would generate a DESCENDING sequence in
+    # Spark, so gate the explode on a positive frame count (empty array
+    # drops the row, matching "no frames for zero-duration media")
+    n_frames = F.greatest(
+        (F.coalesce(F.col("meta.duration_ms"), F.lit(0)) / every_ms).cast(
+            "int"
+        ),
+        F.lit(0),
+    )
+    frames = (
+        media.filter(F.col("media_type") == "video")
+        .withColumn("__nf", n_frames)
+        .withColumn(
+            "frame_idx",
+            F.explode(
+                F.when(
+                    F.col("__nf") > 0,
+                    F.sequence(F.lit(0), F.col("__nf") - 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .select(
+            "asset_id",
+            "frame_idx",
+            (F.col("frame_idx") * every_ms).cast("int").alias("frame_ms"),
+            "payload",
+        )
+    )
+
     def batches(parts: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in parts:
-            rows = []
-            for _, r in pdf.iterrows():
-                duration = (r["meta"]["duration_ms"] or 0) if r["meta"] is not None else 0
-                for i in range(max(duration // every_ms, 0)):
-                    rows.append(
-                        {
-                            "asset_id": r["asset_id"],
-                            "frame_idx": i,
-                            "frame_ms": i * every_ms,
-                            "frame_features": decode(
-                                r["payload"] + str(i).encode(), "video-frame"
-                            ),
-                        }
-                    )
             yield pd.DataFrame(
-                rows, columns=["asset_id", "frame_idx", "frame_ms", "frame_features"]
+                {
+                    "asset_id": pdf["asset_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_ms": pdf["frame_ms"],
+                    "frame_features": [
+                        decode(p + str(int(i)).encode(), "video-frame")
+                        for p, i in zip(pdf["payload"], pdf["frame_idx"])
+                    ],
+                }
             )
 
-    video = media.filter(F.col("media_type") == "video")
-    return video.mapInPandas(batches, out_schema)
+    return frames.mapInPandas(batches, out_schema)
 
 
 def resize_images(media: DataFrame, width: int, height: int, stub: bool = True) -> DataFrame:

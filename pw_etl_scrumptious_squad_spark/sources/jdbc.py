@@ -22,6 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from datetime import datetime
 
@@ -31,6 +32,34 @@ DISCOVER_TABLES_SQL = (
     "SELECT table_name FROM information_schema.tables "
     "WHERE table_schema = '{schema}' AND table_type = 'BASE TABLE'"
 )
+
+# SQL built for the JDBC dbtable option is string-assembled (the JDBC
+# source takes no bound parameters there), so identifiers and timestamp
+# literals are allowlist-validated before interpolation — the reference's
+# raw f-string SQL (src/extract.py:106-119) is injection-shaped.
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*$")
+_TS_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}(\.\d{1,9})?)?$"
+)
+
+
+def _check_ident(name: str, what: str = "identifier") -> str:
+    """Validate a (possibly schema-qualified) SQL identifier. Raises on
+    anything that could break out of identifier position."""
+    for part in name.split("."):
+        if not _IDENT_RE.match(part):
+            raise ValueError(f"unsafe SQL {what}: {name!r}")
+    return name
+
+
+def _ts_literal(value: datetime | str) -> str:
+    """Render a timestamp as a quoted SQL literal; strings must already
+    look like ISO timestamps (no quotes/escapes can reach the SQL)."""
+    if isinstance(value, datetime):
+        return value.isoformat(sep=" ")
+    if not _TS_RE.match(value):
+        raise ValueError(f"unsafe timestamp literal: {value!r}")
+    return value
 
 
 @dataclass(frozen=True)
@@ -62,17 +91,18 @@ def cdc_subquery(
 
     Kept strict-`>` for parity; the batch CDC plan layers a natural-key dedup
     on top so re-extraction can safely switch to ``>=`` (SURVEY.md §2.3).
+    Identifiers and timestamps are allowlist-validated (see module note).
     """
     return (
-        f"(SELECT * FROM {table} "
-        f"WHERE created_at > '{created_after}' "
-        f"OR last_updated > '{updated_after}') AS cdc_src"
+        f"(SELECT * FROM {_check_ident(table, 'table')} "
+        f"WHERE created_at > '{_ts_literal(created_after)}' "
+        f"OR last_updated > '{_ts_literal(updated_after)}') AS cdc_src"
     )
 
 
 def discover_tables_subquery(schema: str = "public") -> str:
     """Catalog discovery (reference ``get_titles``, ``src/extract.py:77-89``)."""
-    return f"({DISCOVER_TABLES_SQL.format(schema=schema)}) AS t"
+    return f"({DISCOVER_TABLES_SQL.format(schema=_check_ident(schema, 'schema'))}) AS t"
 
 
 def read_table(
@@ -86,7 +116,7 @@ def read_table(
 ) -> DataFrame:
     """Full-table scan (reference ``get_whole_table``, ``src/extract.py:92-103``),
     parallelized into range partitions when a numeric key is given."""
-    reader = cfg.apply(spark.read).option("dbtable", table)
+    reader = cfg.apply(spark.read).option("dbtable", _check_ident(table, "table"))
     if partition_column is not None:
         reader = (
             reader.option("partitionColumn", partition_column)
@@ -141,7 +171,10 @@ def append_table(
         .option("user", cfg.user)
         .option("password", cfg.password)
         .option("driver", cfg.driver)
-        .option("dbtable", f"{cfg.schema}.{table}")
+        .option(
+            "dbtable",
+            f"{_check_ident(cfg.schema, 'schema')}.{_check_ident(table, 'table')}",
+        )
         .option("batchsize", str(batch_size))
         .mode("append")
         .save()

@@ -141,21 +141,33 @@ def test_ngram_jaccard_huge_vocab_fallback(spark):
 
 
 def test_kmeans_ivf_beats_or_matches_sampled_centroids(spark):
+    """Trained (k-means) centroids must not lose recall vs the naive
+    sampled-row centroids at the same k / n_probe — the s02 catalog entry
+    uses the trained path on the strength of this property."""
     emb = read_table(spark, SF, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    exact_set = {(r["query_id"], r["match_id"]) for r in exact.collect()}
+
+    def recall_of(centroids):
+        assigned = similarity.assign_ivf_cells(emb, centroids)
+        assert assigned.count() == emb.count()
+        approx = similarity.ivf_topk(
+            assigned, centroids, queries, k=5, n_probe=3,
+            centroid_id="centroid_id",
+        )
+        hits = {(r["query_id"], r["match_id"]) for r in approx.collect()}
+        return len(exact_set & hits) / len(exact_set)
+
     trained = similarity.train_ivf_centroids(emb, k=10)
     assert trained.count() == 10
-    assigned = similarity.assign_ivf_cells(emb, trained)
-    assert assigned.count() == emb.count()
-    exact = similarity.cosine_topk_bruteforce(emb, queries, k=5)
-    approx = similarity.ivf_topk(
-        assigned, trained, queries, k=5, n_probe=3,
-        centroid_id="centroid_id",
+    sampled = emb.filter(F.col("vec_id") % 50 == 0).limit(10).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    exact_set = {(r["query_id"], r["match_id"]) for r in exact.collect()}
-    approx_set = {(r["query_id"], r["match_id"]) for r in approx.collect()}
-    recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.5
+    r_trained = recall_of(trained)
+    r_sampled = recall_of(sampled)
+    assert r_trained >= 0.5
+    assert r_trained >= r_sampled
 
 
 def test_simhash_near_pairs_finds_planted_dups(docs_with_near_dups):
@@ -174,3 +186,85 @@ def test_simhash_near_pairs_guards(docs_with_near_dups):
         dedup.simhash_near_pairs(docs_with_near_dups, "doc_id", max_hamming=8, bands=8)
     with _pytest.raises(ValueError):
         dedup.simhash_near_pairs(docs_with_near_dups, "doc_id", bits=32, bands=7)
+
+
+def _plan_str(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ngram_guard_routes_to_lsh_no_broadcast(spark):
+    """Above max_exact_rows the pair stage must take the banded path:
+    no full-side broadcast anywhere in the plan, and high-Jaccard pairs
+    are still found (the banded path's verify keeps them value-exact)."""
+    docs = [(i, f"tok{i} tok{i+1} tok{i+2} filler{i%7}", "x") for i in range(200)]
+    docs += [(900, "a b c d e f g h", "x"), (901, "a b c d e f g i", "x")]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING, lang STRING")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        guarded = dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", "lang", 0.7, max_exact_rows=100
+        )
+        rows = guarded.collect()
+        plan = _plan_str(guarded)
+        assert "Broadcast" not in plan  # nothing broadcast in the scale path
+        assert "SortMergeJoin" in plan  # bucket/verify joins shuffle on keys
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    found = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert found[(900, 901)] == pytest.approx(7 / 9, abs=1e-9)
+    # exact path (cap not hit) agrees on the high-jaccard pair set
+    exact = dedup.ngram_jaccard_pairs(df, "doc_id", "text", "lang", 0.7)
+    exact_found = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in exact.collect()
+    }
+    assert found == exact_found
+
+
+def test_embedding_guard_routes_to_cells_no_full_broadcast(spark):
+    """Above max_exact_rows the cosine pair join must shuffle on
+    (block, cell) — only the tiny centroid set may broadcast."""
+    import math
+
+    rows = [
+        (i, [math.cos(i / 40.0), math.sin(i / 40.0), 0.0], 0)
+        for i in range(300)
+    ]
+    rows += [(900, [1.0, 0.0, 0.0], 0), (901, [2.0, 0.0, 0.0], 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    guarded = dedup.embedding_neardup_pairs(
+        df, "vec_id", "embedding", "label",
+        threshold=0.9999, max_exact_rows=100, n_cells=4,
+    )
+    rows_out = guarded.collect()
+    plan = _plan_str(guarded)
+    # the corpus-pair join must be a shuffle join; broadcasts in the plan
+    # may only come from the centroid assignment (tiny side)
+    assert "SortMergeJoin" in plan
+    found = {(r["doc_a"], r["doc_b"]) for r in rows_out}
+    assert (900, 901) in found  # same-direction vectors share a cell
+    for a, b in found:
+        assert a < b
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """1k identical docs collapse into one bucket per band; the capped
+    path must emit star pairs (O(B)) instead of all pairs (O(B^2)),
+    keeping every member connected to the representative."""
+    docs = [(i, "same exact text repeated many times over", "x") for i in range(1000)]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING, lang STRING")
+    sigs = dedup.minhash_signatures(df, "doc_id", num_perm=16)
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=8, bucket_cap=100)
+    got = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    # star: exactly n-1 pairs, all anchored at the representative (min id)
+    assert len(got) == 999
+    assert all(a == 0 for a, _ in got)
+    assert {b for _, b in got} == set(range(1, 1000))
+    # under the cap, the same corpus yields all pairs as before
+    small = spark.createDataFrame(docs[:20], "doc_id LONG, text STRING, lang STRING")
+    sp = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(small, "doc_id", num_perm=16), bands=8
+    )
+    assert sp.count() == 20 * 19 // 2

@@ -37,3 +37,28 @@ def test_config_defaults():
     cfg = jdbc.JdbcConfig(url="jdbc:postgresql://h/db", user="u", password="p")
     assert cfg.driver == "org.postgresql.Driver"
     assert cfg.schema == "public"
+
+
+def test_sql_builders_reject_injection_shapes():
+    import pytest
+    from datetime import datetime
+
+    from pw_etl_scrumptious_squad_spark.sources import jdbc
+
+    # identifiers: quotes, spaces, semicolons, parens all refused
+    for bad in ["t; DROP TABLE x", "t'--", "t t", "t(", "schema'; --"]:
+        with pytest.raises(ValueError):
+            jdbc.cdc_subquery(bad, "2023-01-01", "2023-01-01")
+        with pytest.raises(ValueError):
+            jdbc.discover_tables_subquery(bad)
+    # timestamps: only ISO shapes pass; quote-breaking strings refused
+    with pytest.raises(ValueError):
+        jdbc.cdc_subquery("t", "2023-01-01' OR '1'='1", "2023-01-01")
+    ok = jdbc.cdc_subquery(
+        "sales_order", datetime(2023, 1, 1, 10, 30), "2023-02-02 11:30:00"
+    )
+    assert "sales_order" in ok and "2023-01-01 10:30:00" in ok
+    # schema-qualified tables still pass
+    assert "oltp.sales_order" in jdbc.cdc_subquery(
+        "oltp.sales_order", "2023-01-01", "2023-01-01"
+    )

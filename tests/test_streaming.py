@@ -163,3 +163,76 @@ def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
     ).first()
     assert got["n"] == 1000
     assert got["nd"] == 1000
+
+
+def test_processing_time_soak_and_checkpoint_resume(spark, tmp_path):
+    """Timed-trigger soak: a processingTime query must process >=2 separate
+    micro-batches as files arrive (the reference's EventBridge cadence),
+    and a restart on the same checkpoint must resume — only files that
+    arrived while the query was down get processed, nothing re-emitted."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "soak"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt-soak")
+    t = pq.read_table(f"{SF}/events.parquet")
+    ids = t.column("event_id").to_numpy()
+
+    def drop_file(name, mask):
+        tmp = tmp_path / (name + ".tmp")
+        pq.write_table(t.filter(pa.array(mask)), str(tmp))
+        tmp.rename(d / name)  # atomic move so the source never sees partials
+
+    drop_file("a.parquet", ids < 500)
+
+    seen: list[tuple[int, int]] = []
+
+    def batch_fn(batch_df, batch_id):
+        n = batch_df.count()
+        if n:
+            seen.append((batch_id, n))
+
+    stream = sp.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    q = sp.run_foreach_batch(
+        stream, ckpt, batch_fn, processing_time="1 seconds"
+    )
+    try:
+        deadline = time.time() + 60
+        while not seen and time.time() < deadline:
+            time.sleep(0.5)
+        assert seen, "first timed micro-batch never fired"
+        drop_file("b.parquet", ids >= 500)
+        while len(seen) < 2 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert len(seen) >= 2  # two separate timed micro-batches
+    assert sum(n for _, n in seen) == 1000
+    assert len({b for b, _ in seen}) == len(seen)  # distinct batch ids
+
+    # restart on the same checkpoint with a new file present: only the new
+    # file is processed (offsets recovered), nothing from a/b re-emitted
+    shifted = t.set_column(
+        t.schema.get_field_index("event_id"),
+        "event_id",
+        pa.array(ids + 10_000),
+    )
+    tmp = tmp_path / "c.tmp"
+    pq.write_table(shifted.filter(pa.array(ids < 100)), str(tmp))
+    tmp.rename(d / "c.parquet")
+
+    resumed: list[tuple[int, int]] = []
+
+    def batch_fn2(batch_df, batch_id):
+        n = batch_df.count()
+        if n:
+            resumed.append((batch_id, n))
+
+    stream2 = sp.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    q2 = sp.run_foreach_batch(stream2, ckpt, batch_fn2)  # AvailableNow drain
+    q2.awaitTermination(120)
+    assert sum(n for _, n in resumed) == 100
