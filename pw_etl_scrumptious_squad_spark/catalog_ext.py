@@ -334,19 +334,24 @@ _SIMHASH_BITS = 32
 
 
 def _minhash_oracle() -> str:
+    # Carter-Wegman double hashing, mirroring dedup.minhash_signatures:
+    # h1 = first 15 hex chars (60 bits), h2 = chars 17-30 (56 bits) of the
+    # shingle md5; permutation p's hash is h1 + p*h2 (< 2^63, no overflow)
     blocks = []
     for p in range(_NUM_PERM):
         blocks.append(
             "SELECT doc_id, "
             f"CAST({p} AS INTEGER) AS perm, "
-            "list_aggregate(list_transform(shingles, "
-            f"s -> CAST(concat('0x', substr(md5(concat('{p}|', s)), 1, 15)) AS BIGINT)"
-            "), 'min') AS minhash_val FROM sh"
+            "list_aggregate(list_transform(hp, "
+            f"x -> x.h1 + {p} * x.h2), 'min') AS minhash_val FROM hp"
         )
     return (
         "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
         "sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 4, 1) + 1), "
-        "i -> md5(array_to_string(toks[i:i+4], ' '))) AS shingles FROM tk) "
+        "i -> md5(array_to_string(toks[i:i+4], ' '))) AS shingles FROM tk), "
+        "hp AS (SELECT doc_id, list_transform(shingles, s -> struct_pack("
+        "h1 := CAST(concat('0x', substr(s, 1, 15)) AS BIGINT), "
+        "h2 := CAST(concat('0x', substr(s, 17, 14)) AS BIGINT))) AS hp FROM sh) "
         + " UNION ALL ".join(blocks)
         + " ORDER BY doc_id, perm"
     )
@@ -980,3 +985,132 @@ def m03(spark: SparkSession, sf: str) -> DataFrame:
         F.col("meta.codec").alias("codec"),
         F.length("payload").cast("int").alias("n_bytes"),
     ).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-data extensions III (y-series: past the driver's 50-query gate
+# window by construction — verified by tools/check.py / the pytest oracle
+# suite instead): chunking, PII masking, n-gram stats, length histogram.
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 32, 16
+
+
+@register(
+    "y01_doc_chunks",
+    "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),"
+    f" st AS (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1) + 1, {_STRIDE})) AS cs FROM tk)"
+    f" SELECT doc_id, CAST((cs - 1) // {_STRIDE} AS INTEGER) AS chunk_idx,"
+    " CAST(cs AS INTEGER) AS chunk_start,"
+    f" CAST(len(t[cs:cs + {_CHUNK - 1}]) AS INTEGER) AS n_chunk_tokens,"
+    f" array_to_string(t[cs:cs + {_CHUNK - 1}], ' ') AS chunk_text"
+    " FROM st ORDER BY doc_id, chunk_idx",
+    "document chunking for training/RAG ingestion: fixed 32-token windows"
+    " with stride 16 (50% overlap), one map stage, no shuffle",
+)
+def y01(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    return textops.chunk_documents(
+        _t(spark, sf, "documents"), "doc_id", "text", _CHUNK, _STRIDE
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def _pii_oracle() -> str:
+    from pw_etl_scrumptious_squad_spark.operators.text import PII_PATTERNS
+
+    em, ph, dr = (
+        PII_PATTERNS["email"],
+        PII_PATTERNS["phone"],
+        PII_PATTERNS["digit_run"],
+    )
+    inject = (
+        "concat(text, CASE CAST(doc_id % 3 AS INTEGER)"
+        " WHEN 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com')"
+        " WHEN 1 THEN ' call +44 555 0199 now'"
+        " ELSE ' ref 1234567890' END)"
+    )
+    return (
+        f"WITH base AS (SELECT doc_id, {inject} AS t0 FROM documents),"
+        f" s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(t0, '{em}')) AS INTEGER) AS n_email,"
+        f" regexp_replace(t0, '{em}', '<email>', 'g') AS t1 FROM base),"
+        f" s2 AS (SELECT doc_id, n_email, CAST(len(regexp_extract_all(t1, '{ph}')) AS INTEGER) AS n_phone,"
+        f" regexp_replace(t1, '{ph}', '<phone>', 'g') AS t2 FROM s1),"
+        f" s3 AS (SELECT doc_id, n_email, n_phone, CAST(len(regexp_extract_all(t2, '{dr}')) AS INTEGER) AS n_digit_run,"
+        f" regexp_replace(t2, '{dr}', '<digit_run>', 'g') AS masked_text FROM s2)"
+        " SELECT doc_id, n_email, n_phone, n_digit_run, masked_text FROM s3"
+        " ORDER BY doc_id"
+    )
+
+
+@register(
+    "y02_pii_mask",
+    _pii_oracle(),
+    "PII scrubbing with an audit trail: sequential email/phone/digit-run"
+    " masking + per-kind match counts over deterministically injected PII"
+    " (regex built-ins in the RE2/Java common subset, no UDFs)",
+)
+def y02(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    d = _t(spark, sf, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            )
+            .when(F.col("doc_id") % 3 == 1, F.lit(" call +44 555 0199 now"))
+            .otherwise(F.lit(" ref 1234567890")),
+        ).alias("text"),
+    )
+    return textops.mask_pii(injected, "text").select(
+        "doc_id", "n_email", "n_phone", "n_digit_run", "masked_text"
+    ).orderBy("doc_id")
+
+
+@register(
+    "y03_bigram_topk",
+    "WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents"
+    " WHERE len(string_split(text, ' ')) >= 2),"
+    " g AS (SELECT unnest(list_transform(range(1, len(t)),"
+    " i -> array_to_string(t[i:i + 1], ' '))) AS ngram FROM tk)"
+    " SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences FROM g"
+    " GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT 20",
+    "corpus-wide bigram frequency top-20 (explode + hash agg, one shuffle"
+    " with map-side partial aggregation)",
+)
+def y03(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    return (
+        textops.ngram_counts(_t(spark, sf, "documents"), "text", 2)
+        .orderBy(F.col("n_occurrences").desc(), "ngram")
+        .limit(20)
+    )
+
+
+@register(
+    "y04_length_histogram",
+    "SELECT CAST((len(string_split(text, ' ')) // 10) * 10 AS INTEGER) AS bucket_lo,"
+    " CAST(count(*) AS BIGINT) AS n_docs FROM documents"
+    " GROUP BY 1 ORDER BY 1",
+    "token-length histogram (width-10 buckets) — the length-filter"
+    " diagnostic every curation pipeline starts from",
+)
+def y04(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    n = F.size(F.split("text", " "))
+    return (
+        d.groupBy(
+            ((n / 10).cast("int") * 10).cast("int").alias("bucket_lo")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket_lo")
+    )

@@ -196,3 +196,86 @@ def fingerprint(df: DataFrame, text_col: str = "text", shingle_size: int = 5) ->
         )
         .drop(_SQL_TOKS, _SQL_SHINGLES)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    chunking step of a training/RAG ingestion pipeline.
+
+    Pure column expressions: tokenize once, generate window starts with
+    ``sequence`` (stride-spaced), explode, slice. One output row per
+    chunk: (doc_id, chunk_idx, chunk_start, n_chunk_tokens, chunk_text).
+    No shuffle — the explode is a generator over an already-partitioned
+    scan, so a 100 TB corpus chunks in a single map stage."""
+    toks = tokens(text_col)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("__tk"))
+        .withColumn("__n", F.size("__tk"))
+        .withColumn(
+            "chunk_start",
+            F.explode(F.expr(f"sequence(1, greatest(__n, 1), {stride})")),
+        )
+        .select(
+            "doc_id",
+            ((F.col("chunk_start") - 1) / stride).cast("int").alias("chunk_idx"),
+            F.col("chunk_start").cast("int"),
+            F.expr(f"slice(__tk, chunk_start, {chunk_tokens})").alias("__c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_start",
+            F.size("__c").alias("n_chunk_tokens"),
+            F.array_join("__c", " ").alias("chunk_text"),
+        )
+    )
+
+
+# PII patterns restricted to the RE2/Java common regex subset so Spark and
+# any oracle engine agree: emails, international-ish phone numbers, and
+# long digit runs (ids, SSNs, card fragments).
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone": "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}",
+    "digit_run": "[0-9]{6,}",
+}
+
+
+def mask_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub PII-shaped substrings, emitting the masked text plus per-kind
+    match counts (the audit trail a curation pipeline needs). Row-level
+    regexp built-ins only — JVM-side, no UDFs; masking order is fixed
+    (email, phone, digit_run) so counts are deterministic."""
+    out = df
+    masked = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(masked, F.lit(pat)).cast("int")
+        )
+        masked = F.regexp_replace(masked, pat, f"<{kind}>")
+    return out.withColumn("masked_text", masked)
+
+
+def ngram_counts(
+    df: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Corpus-wide n-gram frequencies: tokenize, slide an n-window, explode,
+    hash-aggregate. One shuffle (the count), map-side partial agg free."""
+    toks = tokens(text_col)
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(__tk) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(__tk, i, {n})))"
+    )
+    return (
+        df.select(toks.alias("__tk"))
+        .filter(F.size("__tk") >= n)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
