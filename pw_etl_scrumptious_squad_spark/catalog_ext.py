@@ -1114,3 +1114,43 @@ def y04(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("bucket_lo")
     )
+
+
+def _cc_oracle() -> str:
+    # same pair source as d02's oracle (token-set jaccard >= 0.9, lang
+    # blocked), then min-reachable-id per node via a recursive CTE over
+    # the undirected edge set; singletons label themselves
+    return (
+        "WITH RECURSIVE tkc AS (SELECT doc_id, lang,"
+        " list_distinct(string_split(text, ' ')) AS tk FROM documents),"
+        " prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        " FROM tkc a JOIN tkc b ON a.lang = b.lang AND a.doc_id < b.doc_id"
+        " WHERE ROUND(len(list_intersect(a.tk, b.tk)) /"
+        " (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 9) >= 0.9),"
+        " edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs"
+        " UNION SELECT doc_b, doc_a FROM prs),"
+        " reach(node, r) AS ("
+        " SELECT doc_id, doc_id FROM documents"
+        " UNION"
+        " SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)"
+        " SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id"
+        " FROM reach GROUP BY node ORDER BY doc_id"
+    )
+
+
+@register(
+    "y05_dup_clusters",
+    _cc_oracle(),
+    "near-duplicate cluster labeling: token-Jaccard pairs (>=0.9, lang"
+    " blocked) -> connected components by iterative min-label propagation"
+    " (the iterative-algorithm escape hatch done as DataFrame joins with"
+    " per-round checkpoints); oracle = recursive CTE transitive closure",
+)
+def y05(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", "lang", 0.9)
+    return (
+        dedup.connected_components(pairs.select("doc_a", "doc_b"), d, "doc_id")
+        .select(F.col("node").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )

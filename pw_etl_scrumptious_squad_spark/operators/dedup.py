@@ -600,3 +600,55 @@ def simhash(
         term = F.shiftleft(bit, i)
         packed = term if packed is None else packed + term
     return agg.select("doc_id", packed.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate-cluster labeling: assign every node the MINIMUM id
+    reachable through the near-dup pair graph (undirected). Returns
+    (node, cluster_id); singletons label themselves.
+
+    Iterative min-label propagation: each round joins current labels onto
+    the edge list and takes the min over {own label} ∪ {neighbor labels},
+    localCheckpoint-ing per round (the lineage would otherwise double every
+    iteration). Converges in graph-diameter rounds — near-dup clusters are
+    dense (diameter 2-3); a 100 TB run would switch to the large-star/
+    small-star variant of the same loop, which is these exact joins with
+    an extra label-edge propagation. Raises if ``max_iter`` is hit without
+    a fixpoint, rather than returning silently-wrong labels.
+    """
+    a, b = F.col("doc_a"), F.col("doc_b")
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iters")

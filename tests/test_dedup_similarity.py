@@ -268,3 +268,19 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
         dedup.minhash_signatures(small, "doc_id", num_perm=16), bands=8
     )
     assert sp.count() == 20 * 19 // 2
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    # chain 1-2-3-4 (diameter 3), clique {10,11,12}, singleton 99
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12)],
+        "doc_a LONG, doc_b LONG",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], "doc_id LONG"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs, nodes, "doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
