@@ -406,12 +406,59 @@ def d04(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _lsh_pairs_oracle(num_perm: int = 16, bands: int = 8) -> str:
+    """Full DuckDB twin of minhash_lsh_dedup: shingle md5s -> Carter-Wegman
+    double-hash signatures -> band strings -> bucket self-join -> exact
+    shingle-Jaccard verify. Every stage is deterministic, so the 'LSH is
+    approximate' property (vs brute force) does not prevent a value-exact
+    oracle for the pipeline itself. Bucket capping never triggers at gate
+    scale (500-doc corpus, cap 1000), so the uncapped SQL matches."""
+    rpb = num_perm // bands
+    mins = ", ".join(
+        f"list_aggregate(list_transform(hp, x -> x.h1 + {p} * x.h2), 'min')"
+        for p in range(num_perm)
+    )
+    band_sigs = ", ".join(
+        "struct_pack(band := %d, sig := %s)"
+        % (
+            b,
+            " || ',' || ".join(
+                f"CAST(m[{b * rpb + i + 1}] AS VARCHAR)" for i in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    return (
+        "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 4, 1) + 1), "
+        "i -> md5(array_to_string(toks[i:i+4], ' '))) AS shingles FROM tk), "
+        "hp AS (SELECT doc_id, shingles, list_transform(shingles, s -> struct_pack("
+        "h1 := CAST(concat('0x', substr(s, 1, 15)) AS BIGINT), "
+        "h2 := CAST(concat('0x', substr(s, 17, 14)) AS BIGINT))) AS hp FROM sh), "
+        f"sig AS (SELECT doc_id, [{mins}] AS m FROM hp), "
+        f"bnd AS (SELECT doc_id, unnest([{band_sigs}]) AS bb FROM sig), "
+        "cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
+        "FROM bnd l JOIN bnd r ON l.bb.band = r.bb.band AND l.bb.sig = r.bb.sig "
+        "AND l.doc_id < r.doc_id), "
+        "dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM hp) "
+        "SELECT c.doc_a, c.doc_b, "
+        "ROUND(len(list_intersect(a.s, b.s)) / "
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 9) AS jaccard "
+        "FROM cand c JOIN dsh a ON c.doc_a = a.doc_id "
+        "JOIN dsh b ON c.doc_b = b.doc_id "
+        "WHERE ROUND(len(list_intersect(a.s, b.s)) / "
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 9) >= 0.5 "
+        "ORDER BY doc_a, doc_b"
+    )
+
+
 @register(
     "d05_minhash_lsh_pairs",
-    None,  # approximate candidate generation — verified exact-Jaccard subset
-    "MinHash-LSH near-dup pairs (banded bucketing + exact-Jaccard verify);"
-    " no SQL oracle: candidate generation is approximate by design, the"
-    " exact-Jaccard contract is pinned by d02 and tests/test_dedup_similarity.py",
+    _lsh_pairs_oracle(),
+    "MinHash-LSH near-dup pairs (banded bucketing + exact-Jaccard verify),"
+    " value-exact against a full DuckDB twin of the signature/band/verify"
+    " pipeline — deterministic end-to-end, so 'LSH is approximate' (vs"
+    " brute force) doesn't preclude an oracle for the pipeline itself",
 )
 def d05(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_dedup(
