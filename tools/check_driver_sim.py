@@ -68,9 +68,18 @@ def main() -> None:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from pw_etl_scrumptious_squad_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark(app_name="driver-sim")
+    # a deliberately VANILLA session (no engine confs: no arrow, no
+    # inferTimestampNTZ, default broadcast threshold) — the external driver
+    # builds its own session, so every query must survive one
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("driver-sim")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
