@@ -1201,3 +1201,58 @@ def y05(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"), "cluster_id")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "y06_custom_udaf",
+    "SELECT o_orderpriority,"
+    " ROUND(exp(SUM(ROUND(ln(o_totalprice), 9)) / count(*)), 4) AS geo_mean_price,"
+    " CAST(count(*) AS BIGINT) AS n"
+    " FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "custom aggregate via a GROUPED_AGG pandas UDF (Arrow-batched UDAF"
+    " surface): per-priority geometric mean of order price. Per-element"
+    " ln is rounded to 9 dp on both engines and the UDF sums with exact"
+    " math.fsum over sorted values so summation order cannot diverge",
+)
+def y06(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.functions.udafs import geo_mean, n_rows
+
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(geo_mean("o_totalprice"), 4).alias("geo_mean_price"),
+            n_rows("o_totalprice").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "y07_python_udtf",
+    "WITH s AS (SELECT doc_id, unnest(string_split(text, '. ')) AS sentence,"
+    " unnest(range(len(string_split(text, '. ')))) AS sentence_idx FROM documents)"
+    " SELECT doc_id, CAST(sentence_idx AS INTEGER) AS sentence_idx, sentence,"
+    " CAST(len(string_split(sentence, ' ')) AS INTEGER) AS n_words"
+    " FROM s ORDER BY doc_id, sentence_idx",
+    "table function surface: a Python UDTF splitting documents into"
+    " indexed sentences with word counts — the lateral-generator API for"
+    " logic a built-in generator can't express (API demo; the equivalent"
+    " hot-path form is split+posexplode, shown in the oracle)",
+)
+def y07(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence string, n_words int")
+    class SplitSentences:
+        def eval(self, text: str):
+            for i, s in enumerate(text.split(". ")):
+                yield i, s, len(s.split(" "))
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    _t(spark, sf, "documents").createOrReplaceTempView("y07_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.sentence_idx, s.sentence, s.n_words"
+        " FROM y07_docs d, LATERAL split_sentences(d.text) s"
+        " ORDER BY d.doc_id, s.sentence_idx"
+    )

@@ -145,3 +145,24 @@ def test_upsert_idempotent_and_commutative_on_version(spark, tmp_path_factory, b
         if k not in truth or ver >= truth[k]:
             truth[k] = ver
     assert {k: v[1] for k, v in once.items()} == truth
+
+
+def test_approx_aggregates_within_tolerance(spark):
+    """Sketch-backed approximate aggregates (the 100 TB substitutes for
+    exact DISTINCT/percentile) must land within their documented error
+    envelopes on real data: HLL++ count-distinct ~2% default rsd,
+    approx_percentile exactly within the accuracy bound."""
+    from pyspark.sql import functions as F
+    from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+    o = read_table(spark, "/root/testdata/sf0.001", "orders")
+    exact = o.select(
+        F.countDistinct("o_custkey").alias("d"),
+        F.expr("percentile(o_totalprice, 0.5D)").alias("p50"),
+    ).first()
+    approx = o.select(
+        F.approx_count_distinct("o_custkey").alias("d"),
+        F.expr("approx_percentile(o_totalprice, 0.5D, 10000)").alias("p50"),
+    ).first()
+    assert abs(approx["d"] - exact["d"]) / exact["d"] < 0.05
+    assert abs(approx["p50"] - exact["p50"]) / exact["p50"] < 0.01
