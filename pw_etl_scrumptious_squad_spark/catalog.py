@@ -18,6 +18,17 @@ Determinism rules for cross-engine hash parity:
   places (no double is an exact decimal midpoint at that scale for the
   denominators involved, so HALF_UP vs HALF_EVEN cannot diverge);
 - all hashes derive from md5 (identical in both engines).
+
+Terminal presentation sorts use ``.repartition(1).sortWithinPartitions``
+instead of ``.orderBy``: a terminal orderBy on an unmaterialized plan
+re-executes the ENTIRE plan a second time to sample range-partition
+boundaries (measured ~2x on the pair-join queries). Funneling the
+result set through one task is fine because these are bounded query
+RESULTS, not intermediate data; a result too large for one task would
+keep a distributed orderBy (and pay the sampling pass) or write sorted
+buckets instead. ``orderBy(...).limit(k)`` top-k entries are left
+alone — Spark compiles those to TakeOrderedAndProject (no sampling, no
+global sort).
 """
 
 from __future__ import annotations
@@ -76,7 +87,7 @@ def r01(spark: SparkSession, sf: str) -> DataFrame:
     return (
         _t(spark, sf, "orders")
         .select(F.col("o_orderkey").alias("id"), "o_totalprice")
-        .orderBy("id")
+        .repartition(1).sortWithinPartitions("id")
     )
 
 
@@ -93,7 +104,7 @@ def r02(spark: SparkSession, sf: str) -> DataFrame:
     return (
         c.join(broadcast(n), c["c_nationkey"] == n["n_nationkey"], "inner")
         .select("c_custkey", "n_name")
-        .orderBy("c_custkey")
+        .repartition(1).sortWithinPartitions("c_custkey")
     )
 
 
@@ -109,7 +120,7 @@ def r03(spark: SparkSession, sf: str) -> DataFrame:
     return (
         s.join(broadcast(n), s["s_nationkey"] == n["n_nationkey"], "inner")
         .select("s_suppkey", "s_name", "n_name")
-        .orderBy("s_suppkey")
+        .repartition(1).sortWithinPartitions("s_suppkey")
     )
 
 
@@ -122,7 +133,7 @@ def r04(spark: SparkSession, sf: str) -> DataFrame:
     return (
         _t(spark, sf, "supplier")
         .select("s_suppkey", "s_name", "s_acctbal")
-        .orderBy("s_name", "s_suppkey")
+        .repartition(1).sortWithinPartitions("s_name", "s_suppkey")
     )
 
 
@@ -155,7 +166,7 @@ def r06(spark: SparkSession, sf: str) -> DataFrame:
             | (F.col("o_totalprice") > 400000)
         )
         .select("o_orderkey")
-        .orderBy("o_orderkey")
+        .repartition(1).sortWithinPartitions("o_orderkey")
     )
 
 
@@ -175,7 +186,7 @@ def r07(spark: SparkSession, sf: str) -> DataFrame:
         .when(F.col("n_name") == "UNITED KINGDOM", F.lit("uk"))
         .otherwise(F.lit("0"))
     )
-    return n.select("n_name", code.alias("code")).orderBy("n_name")
+    return n.select("n_name", code.alias("code")).repartition(1).sortWithinPartitions("n_name")
 
 
 @register(
@@ -191,7 +202,7 @@ def r08(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         F.to_date("ts").alias("created_date"),
         F.date_format("ts", "HH:mm:ss").alias("created_time"),
-    ).orderBy("event_id")
+    ).repartition(1).sortWithinPartitions("event_id")
 
 
 @register(
@@ -206,7 +217,7 @@ def r08(spark: SparkSession, sf: str) -> DataFrame:
     " (reference create_dim_date, src/transform.py:46-61)",
 )
 def r09(spark: SparkSession, sf: str) -> DataFrame:
-    return dims.create_dim_date(spark).orderBy("date_id")
+    return dims.create_dim_date(spark).repartition(1).sortWithinPartitions("date_id")
 
 
 @register(
@@ -232,7 +243,7 @@ def r11(spark: SparkSession, sf: str) -> DataFrame:
             F.col("o_totalprice").cast("decimal(18,2)").cast("double"), 2
         ).alias("unit price"),
         F.col("o_orderpriority").alias("priority"),
-    ).orderBy("sales_order_id")
+    ).repartition(1).sortWithinPartitions("sales_order_id")
 
 
 @register(
@@ -247,7 +258,7 @@ def r12(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.orderBy("s_suppkey")
     return s.select(
         F.row_number().over(w).alias("record_id"), "s_suppkey", "s_name"
-    ).orderBy("record_id")
+    ).repartition(1).sortWithinPartitions("record_id")
 
 
 @register(
@@ -267,7 +278,7 @@ def r13(spark: SparkSession, sf: str) -> DataFrame:
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts")
-        .orderBy("user_id")
+        .repartition(1).sortWithinPartitions("user_id")
     )
 
 
@@ -306,7 +317,7 @@ def q01(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .repartition(1).sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 
@@ -372,7 +383,7 @@ def q03(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.cume_dist().over(w), 9).alias("cdist"),
         )
         .filter(F.col("rn") <= 3)
-        .orderBy("c_mktsegment", "rn")
+        .repartition(1).sortWithinPartitions("c_mktsegment", "rn")
     )
 
 
@@ -414,7 +425,7 @@ def q04(spark: SparkSession, sf: str) -> DataFrame:
     return (
         gset(joined.rollup("r_name", "n_name"), "rollup")
         .unionByName(gset(joined.cube("r_name", "n_name"), "cube"))
-        .orderBy(
+        .repartition(1).sortWithinPartitions(
             "gset",
             "gid",
             F.col("r_name").asc_nulls_first(),
@@ -504,7 +515,7 @@ def q09(spark: SparkSession, sf: str) -> DataFrame:
                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
             ).alias("total_value"),
         )
-        .orderBy("hour_start", "event_type")
+        .repartition(1).sortWithinPartitions("hour_start", "event_type")
     )
 
 
@@ -546,7 +557,7 @@ def q10(spark: SparkSession, sf: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
         )
-        .orderBy("user_id", "session_idx")
+        .repartition(1).sortWithinPartitions("user_id", "session_idx")
     )
 
 
@@ -573,7 +584,7 @@ def t01(spark: SparkSession, sf: str) -> DataFrame:
         text.token_count("text").alias("n_tokens"),
         text.distinct_token_count("text").alias("n_distinct"),
         F.length("text").alias("n_chars_calc"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 @register(
@@ -589,7 +600,7 @@ def t02(spark: SparkSession, sf: str) -> DataFrame:
     d = text.quality_columns(_t(spark, sf, "documents"))
     return d.select(
         "doc_id", "distinct_ratio", "alpha_ratio", "stopword_ratio"
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 @register(
@@ -606,7 +617,7 @@ def t03(spark: SparkSession, sf: str) -> DataFrame:
     return (
         text.fingerprint(_t(spark, sf, "documents"), "text", 5)
         .select("doc_id", "content_md5", "shingle_fingerprint")
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -619,7 +630,7 @@ def t04(spark: SparkSession, sf: str) -> DataFrame:
     d = text.lang_id(_t(spark, sf, "documents"))
     return d.select(
         "doc_id", *[f"score_{lang}" for lang in text.LANG_PRIORITY], "lang_pred"
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 def _lang_id_oracle() -> str:
@@ -664,7 +675,7 @@ _REGISTRY["t04_lang_id"] = CatalogEntry(
 def d01(spark: SparkSession, sf: str) -> DataFrame:
     return (
         dedup.dedup_exact(_t(spark, sf, "documents"), ["text"], "doc_id")
-        .orderBy("keep_id")
+        .repartition(1).sortWithinPartitions("keep_id")
     )
 
 
@@ -684,7 +695,7 @@ def d01(spark: SparkSession, sf: str) -> DataFrame:
 def d02(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
         _t(spark, sf, "documents"), "doc_id", "text", "lang", 0.9
-    ).orderBy("doc_a", "doc_b")
+    ).repartition(1).sortWithinPartitions("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -710,7 +721,7 @@ def s01(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.cosine_topk_bruteforce(
         emb, queries, k=5, round_digits=6
-    ).orderBy("query_id", "rank")
+    ).repartition(1).sortWithinPartitions("query_id", "rank")
 
 
 # Extension entries (registered on import; placed last so the registry and

@@ -51,7 +51,7 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("total_spend"),
             F.countDistinct("o_orderpriority").alias("n_priorities"),
         )
-        .orderBy("c_custkey")
+        .repartition(1).sortWithinPartitions("c_custkey")
     )
 
 
@@ -87,7 +87,7 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
         F.when(missing.isNull(), F.lit("absent"))
         .otherwise(F.lit("present"))
         .alias("presence"),
-    ).orderBy("event_id")
+    ).repartition(1).sortWithinPartitions("event_id")
 
 
 @register(
@@ -120,7 +120,7 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
         F.col("c_name").rlike("[0-9]{3}").alias("has_3digits"),
         F.regexp_replace(F.col("c_name"), "[0-9]", "#").alias("masked"),
-    ).orderBy("c_custkey")
+    ).repartition(1).sortWithinPartitions("c_custkey")
 
 
 @register(
@@ -161,7 +161,7 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
         F.month("o_orderdate").cast("int").alias("mo"),
         F.dayofmonth(d).cast("int").alias("dom"),
         F.last_day(d).alias("month_end"),
-    ).orderBy("o_orderkey")
+    ).repartition(1).sortWithinPartitions("o_orderkey")
 
 
 @register(
@@ -239,7 +239,7 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
                 F.sum(price * (F.lit(1) - disc)).cast("double"), 4
             ).alias("revenue")
         )
-        .orderBy(F.col("revenue").desc(), "n_name")
+        .repartition(1).sortWithinPartitions(F.col("revenue").desc(), "n_name")
     )
 
 
@@ -288,7 +288,7 @@ def r14(spark: SparkSession, sf: str) -> DataFrame:
         c.unionByName(o)
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("k")
+        .repartition(1).sortWithinPartitions("k")
     )
 
 
@@ -321,7 +321,7 @@ def r15(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts", "last_view_ts")
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     )
 
 
@@ -374,7 +374,7 @@ def d03(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
     return sigs.select(
         "doc_id", F.posexplode("minhash").alias("perm", "minhash_val")
-    ).orderBy("doc_id", "perm")
+    ).repartition(1).sortWithinPartitions("doc_id", "perm")
 
 
 def _simhash_oracle() -> str:
@@ -403,7 +403,7 @@ def _simhash_oracle() -> str:
 def d04(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash(
         _t(spark, sf, "documents"), "doc_id", "text", bits=_SIMHASH_BITS
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 def _lsh_pairs_oracle(num_perm: int = 16, bands: int = 8) -> str:
@@ -464,7 +464,7 @@ def d05(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_dedup(
         _t(spark, sf, "documents"), "doc_id", "text",
         num_perm=16, bands=8, threshold=0.5,
-    ).orderBy("doc_a", "doc_b")
+    ).repartition(1).sortWithinPartitions("doc_a", "doc_b")
 
 
 @register(
@@ -482,7 +482,7 @@ def s02(spark: SparkSession, sf: str) -> DataFrame:
     assigned = similarity.assign_ivf_cells(emb, centroids)
     return similarity.ivf_topk(
         assigned, centroids, queries, k=5, n_probe=3
-    ).orderBy("query_id", "rank")
+    ).repartition(1).sortWithinPartitions("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -520,7 +520,7 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)),
             6,
         ).alias("running_total"),
-    ).orderBy("event_id")
+    ).repartition(1).sortWithinPartitions("event_id")
 
 
 @register(
@@ -551,7 +551,7 @@ def z19(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("price_quartiles"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("o_orderpriority")
+        .repartition(1).sortWithinPartitions("o_orderpriority")
     )
 
 
@@ -594,7 +594,7 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
             "stack(3, 'sum_f', sum_f, 'sum_o', sum_o, 'sum_p', sum_p)"
             " AS (metric, val)"
         ),
-    ).orderBy("o_orderpriority", "metric")
+    ).repartition(1).sortWithinPartitions("o_orderpriority", "metric")
 
 
 _BANDS = [(i, 100_000 * i, 100_000 * (i + 1)) for i in range(4)] + [
@@ -635,7 +635,7 @@ def r16(spark: SparkSession, sf: str) -> DataFrame:
                 2,
             ).alias("total"),
         )
-        .orderBy("band_id")
+        .repartition(1).sortWithinPartitions("band_id")
     )
 
 
@@ -662,7 +662,7 @@ def t05(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_bpe"),
         F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 @register(
@@ -682,7 +682,7 @@ def t05(spark: SparkSession, sf: str) -> DataFrame:
 def d06(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(
         _t(spark, sf, "embeddings"), "vec_id", "embedding", "label", 0.3
-    ).orderBy("doc_a", "doc_b")
+    ).repartition(1).sortWithinPartitions("doc_a", "doc_b")
 
 
 def _md5_features_sql(seed_expr: str) -> str:
@@ -735,7 +735,7 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
         "payload_md5",
         "n_bytes",
         _fmt_double_array(F.col("features")).alias("features"),
-    ).orderBy("asset_id")
+    ).repartition(1).sortWithinPartitions("asset_id")
 
 
 @register(
@@ -758,7 +758,7 @@ def m02(spark: SparkSession, sf: str) -> DataFrame:
         "frame_idx",
         "frame_ms",
         _fmt_double_array(F.col("frame_features")).alias("frame_features"),
-    ).orderBy("asset_id", "frame_idx")
+    ).repartition(1).sortWithinPartitions("asset_id", "frame_idx")
 
 
 @register(
@@ -791,7 +791,7 @@ def p01(spark: SparkSession, sf: str) -> DataFrame:
     return (
         e.groupBy("user_id")
         .applyInPandas(norm, "event_id long, user_id long, z double")
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     )
 
 
@@ -828,7 +828,7 @@ def z22(spark: SparkSession, sf: str) -> DataFrame:
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
         .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
         .select("c_custkey", "c_name", "o_orderkey", "total_qty")
-        .orderBy("o_orderkey")
+        .repartition(1).sortWithinPartitions("o_orderkey")
     )
 
 
@@ -856,7 +856,7 @@ def z23(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
-        .orderBy("p_type")
+        .repartition(1).sortWithinPartitions("p_type")
     )
 
 
@@ -884,7 +884,7 @@ def t06(spark: SparkSession, sf: str) -> DataFrame:
 
     return textops.tfidf_top_terms(
         _t(spark, sf, "documents"), "doc_id", "text", k=5
-    ).orderBy("doc_id", "rk")
+    ).repartition(1).sortWithinPartitions("doc_id", "rk")
 
 
 def _curation_oracle() -> str:
@@ -954,7 +954,7 @@ def x01(spark: SparkSession, sf: str) -> DataFrame:
         fp.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -989,7 +989,7 @@ def z28(spark: SparkSession, sf: str) -> DataFrame:
             ),
             6,
         ).alias("sum_v"),
-    ).orderBy("vec_id")
+    ).repartition(1).sortWithinPartitions("vec_id")
 
 
 @register(
@@ -1008,7 +1008,7 @@ def d07(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_near_pairs(
         _t(spark, sf, "documents"), "doc_id", "text",
         bits=_SIMHASH_BITS, bands=8, max_hamming=3,
-    ).orderBy("doc_a", "doc_b")
+    ).repartition(1).sortWithinPartitions("doc_a", "doc_b")
 
 
 @register(
@@ -1031,7 +1031,7 @@ def m03(spark: SparkSession, sf: str) -> DataFrame:
         F.col("meta.height").alias("height"),
         F.col("meta.codec").alias("codec"),
         F.length("payload").cast("int").alias("n_bytes"),
-    ).orderBy("asset_id")
+    ).repartition(1).sortWithinPartitions("asset_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1060,7 +1060,7 @@ def y01(spark: SparkSession, sf: str) -> DataFrame:
 
     return textops.chunk_documents(
         _t(spark, sf, "documents"), "doc_id", "text", _CHUNK, _STRIDE
-    ).orderBy("doc_id", "chunk_idx")
+    ).repartition(1).sortWithinPartitions("doc_id", "chunk_idx")
 
 
 def _pii_oracle() -> str:
@@ -1119,7 +1119,7 @@ def y02(spark: SparkSession, sf: str) -> DataFrame:
     )
     return textops.mask_pii(injected, "text").select(
         "doc_id", "n_email", "n_phone", "n_digit_run", "masked_text"
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 @register(
@@ -1159,7 +1159,7 @@ def y04(spark: SparkSession, sf: str) -> DataFrame:
             ((n / 10).cast("int") * 10).cast("int").alias("bucket_lo")
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("bucket_lo")
+        .repartition(1).sortWithinPartitions("bucket_lo")
     )
 
 
@@ -1199,7 +1199,7 @@ def y05(spark: SparkSession, sf: str) -> DataFrame:
     return (
         dedup.connected_components(pairs.select("doc_a", "doc_b"), d, "doc_id")
         .select(F.col("node").alias("doc_id"), "cluster_id")
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -1224,7 +1224,7 @@ def y06(spark: SparkSession, sf: str) -> DataFrame:
             F.round(geo_mean("o_totalprice"), 4).alias("geo_mean_price"),
             n_rows("o_totalprice").alias("n"),
         )
-        .orderBy("o_orderpriority")
+        .repartition(1).sortWithinPartitions("o_orderpriority")
     )
 
 
