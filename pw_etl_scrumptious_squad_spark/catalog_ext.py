@@ -13,6 +13,7 @@ from pyspark.sql.functions import broadcast
 
 from pw_etl_scrumptious_squad_spark.catalog import _t, register
 from pw_etl_scrumptious_squad_spark.operators import (
+    curation,
     dedup,
     multimodal,
     similarity,
@@ -1256,3 +1257,174 @@ def y07(spark: SparkSession, sf: str) -> DataFrame:
         " FROM y07_docs d, LATERAL split_sentences(d.text) s"
         " ORDER BY d.doc_id, s.sentence_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (operators/curation.py): decontamination, data mixing,
+# repetition metrics, embedding quantization. y-prefixed (past the driver
+# gate window by design; value-exact checked by tools/check.py + pytest).
+# ---------------------------------------------------------------------------
+
+_DECON_K = 8  # shingle size: standard decontamination n-gram range is 8-13
+
+
+def _decon_oracle() -> str:
+    k = _DECON_K
+    sh = (
+        f"list_transform(range(1, greatest(len(t) - {k - 1}, 1) + 1),"
+        f" i -> md5(array_to_string(t[i:i+{k - 1}], ' ')))"
+    )
+    return (
+        "WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS t"
+        " FROM documents WHERE doc_id % 20 != 0),"
+        " ev AS (SELECT string_split(text, ' ') AS t FROM documents"
+        " WHERE doc_id % 20 = 0),"
+        f" esh AS (SELECT DISTINCT unnest({sh}) AS shingle FROM ev),"
+        f" csh AS (SELECT DISTINCT doc_id, unnest({sh}) AS shingle FROM corpus),"
+        " hits AS (SELECT doc_id, count(*) AS n FROM csh JOIN esh USING (shingle)"
+        " GROUP BY doc_id)"
+        " SELECT c.doc_id, CAST(coalesce(h.n, 0) AS INTEGER) AS n_overlap,"
+        " coalesce(h.n, 0) >= 1 AS contaminated"
+        " FROM (SELECT DISTINCT doc_id FROM corpus) c"
+        " LEFT JOIN hits h USING (doc_id) ORDER BY c.doc_id"
+    )
+
+
+@register(
+    "y08_decontamination",
+    _decon_oracle(),
+    "benchmark decontamination: flag training docs sharing any 8-token"
+    " shingle with a (deterministic doc_id%20) eval split — eval shingles"
+    " distinct-reduced and broadcast, corpus side one explode + one"
+    " hash-agg; never a corpus x corpus join",
+)
+def y08(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return curation.decontaminate(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        "doc_id",
+        "text",
+        shingle_size=_DECON_K,
+        min_overlap=1,
+    ).repartition(1).sortWithinPartitions("doc_id")
+
+
+_MIX_RATES = {"en": 0.9, "de": 0.5, "es": 0.25, "fr": 0.1, "zh": 0.75}
+_MIX_SEED = "mix-v1"
+
+
+def _mix_oracle() -> str:
+    case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_RATES.items())
+    )
+    draw = (
+        "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),"
+        f" ':{_MIX_SEED}')), 1, 15)) AS BIGINT) / 1152921504606846976.0"
+    )
+    return (
+        f"SELECT doc_id, lang, source FROM documents"
+        f" WHERE {draw} < CASE lang {case} ELSE 0.0 END"
+        " ORDER BY doc_id"
+    )
+
+
+@register(
+    "y09_mix_sample",
+    _mix_oracle(),
+    "deterministic stratified sampling for data mixing: per-lang keep"
+    " rates via a literal CASE and an md5(id:seed) uniform draw — pure"
+    " map-side filter, no shuffle, restart-reproducible (same seed =>"
+    " byte-identical sample)",
+)
+def y09(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.stratified_sample(
+        _t(spark, sf, "documents"),
+        "lang",
+        _MIX_RATES,
+        "doc_id",
+        _MIX_SEED,
+    ).select("doc_id", "lang", "source").repartition(1).sortWithinPartitions(
+        "doc_id"
+    )
+
+
+def _rep_oracle() -> str:
+    def block(n: int) -> str:
+        return (
+            f"g{n} AS (SELECT doc_id,"
+            f" array_to_string(t[i:i+{n - 1}], ' ') AS g"
+            f" FROM tk, unnest(range(1, len(t) - {n - 2})) AS u(i)"
+            f" WHERE len(t) >= {n}),"
+            f" c{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n}"
+            " GROUP BY doc_id, g),"
+            f" d{n} AS (SELECT doc_id,"
+            " CAST(floor(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)"
+            " / CAST(SUM(c) AS DOUBLE) * 1e6 + 0.5) AS INTEGER)"
+            f" AS dup_{n}gram_ppm,"
+            f" CAST(max(c) AS INTEGER) AS max_{n}gram_count FROM c{n}"
+            " GROUP BY doc_id)"
+        )
+
+    return (
+        "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),"
+        f" {block(2)}, {block(3)}"
+        " SELECT tk.doc_id,"
+        " coalesce(d2.dup_2gram_ppm, 0) AS dup_2gram_ppm,"
+        " coalesce(d2.max_2gram_count, 0) AS max_2gram_count,"
+        " coalesce(d3.dup_3gram_ppm, 0) AS dup_3gram_ppm,"
+        " coalesce(d3.max_3gram_count, 0) AS max_3gram_count"
+        " FROM tk LEFT JOIN d2 ON tk.doc_id = d2.doc_id"
+        " LEFT JOIN d3 ON tk.doc_id = d3.doc_id ORDER BY tk.doc_id"
+    )
+
+
+@register(
+    "y10_repetition_metrics",
+    _rep_oracle(),
+    "Gopher-style within-doc repetition: fraction of 2-/3-gram"
+    " occurrences in duplicated n-grams (exact ppm integers via"
+    " floor(x*1e6+0.5) — immune to cross-engine rounding-mode skew) plus"
+    " max n-gram count; explode + two hash-aggs keyed by doc_id",
+)
+def y10(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.repetition_metrics(
+        _t(spark, sf, "documents"), "doc_id", "text", ns=(2, 3)
+    ).repartition(1).sortWithinPartitions("doc_id")
+
+
+def _quant_oracle() -> str:
+    return (
+        "WITH v AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        " FROM embeddings),"
+        " s AS (SELECT vec_id, e,"
+        " list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc FROM v)"
+        " SELECT vec_id,"
+        " CAST(floor(sc * 1e9 + 0.5) AS BIGINT) AS scale_ppb,"
+        " array_to_string(list_transform(e, x -> CAST(CASE WHEN sc > 0"
+        " THEN CAST(floor(x / sc + 0.5) AS INTEGER) ELSE 0 END"
+        " AS VARCHAR)), ',') AS codes_csv"
+        " FROM s ORDER BY vec_id"
+    )
+
+
+@register(
+    "y11_embedding_quant",
+    _quant_oracle(),
+    "symmetric int8 embedding quantization (scale = max|v|/127, codes ="
+    " floor(v/scale + 0.5)) — 4x storage compression for ANN; pure"
+    " projection, no shuffle; codes emitted as CSV and scale as exact"
+    " ppb integer so both engines agree bit-for-bit",
+)
+def y11(spark: SparkSession, sf: str) -> DataFrame:
+    q = curation.quantize_embeddings(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding"
+    )
+    return q.select(
+        "vec_id",
+        F.floor(F.col("scale") * F.lit(1e9) + F.lit(0.5))
+        .cast("bigint")
+        .alias("scale_ppb"),
+        "codes_csv",
+    ).repartition(1).sortWithinPartitions("vec_id")

@@ -1,0 +1,207 @@
+"""Corpus-curation operators for LLM training-data pipelines
+(north-star extensions, no reference counterpart — SURVEY.md §2.4):
+benchmark decontamination, deterministic stratified sampling (data
+mixing), Gopher-style repetition metrics, and int8 embedding
+quantization.
+
+All hot paths are built-in / higher-order SQL functions (JVM-side,
+whole-stage codegen); the only hash is md5, which is bit-identical in
+Spark and DuckDB, so every operator here has a value-exact oracle.
+
+100 TB posture, per operator:
+- decontaminate: the eval/benchmark side is tiny (thousands of docs) and
+  is distinct-reduced then BROADCAST; the corpus side is one explode +
+  one hash-agg on doc_id — a single shuffle of (doc_id, shingle-hits),
+  never a corpus x corpus join.
+- stratified_sample: pure map-side filter (md5 of the id — no shuffle at
+  all); rates live in a literal CASE, not a join.
+- repetition_metrics: explode n-grams + two hash-aggs keyed by doc_id —
+  shuffle volume is bounded by token count, and partial aggregation
+  absorbs the duplicate mass map-side.
+- quantize_embeddings: pure projection (no shuffle); emits int8 codes as
+  a CSV string so the output is gate-safe (no array columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from pw_etl_scrumptious_squad_spark.operators.text import with_shingles
+
+# 2^60: the first 15 md5 hex chars parsed as an integer fall in
+# [0, 2^60); dividing by this maps them to a uniform [0, 1) double.
+_HASH_SPACE = float(1 << 60)
+
+
+def _md5_unit_interval(col) -> F.Column:
+    """Deterministic uniform [0,1) draw from a string column: first 60
+    bits of md5, identical in DuckDB as
+    ``CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) / 2^60``."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+        / F.lit(_HASH_SPACE)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >=
+    ``min_overlap`` distinct ``shingle_size``-token shingles with an
+    eval/benchmark set (the standard n-gram-overlap decontamination run
+    before training, n in 8..13).
+
+    Plan shape: eval shingles are explode->distinct (benchmarks are tiny)
+    and broadcast; corpus shingles are explode->distinct-per-doc; the
+    inner join hits only contaminated docs, then one hash-agg on doc_id
+    counts distinct overlapping shingles. Output keeps every corpus doc
+    (left join) with ``n_overlap`` and a ``contaminated`` flag.
+    """
+    sh = "__shingles"
+    eval_sh = (
+        with_shingles(eval_docs, text_col, shingle_size)
+        .select(F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+    doc_sh = (
+        with_shingles(docs, text_col, shingle_size)
+        .select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(broadcast(eval_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap", F.lit(0)).cast("int").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "mix-v1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling — the data-mixing step that
+    up/down-weights sources to hit a target mixture. Each row draws a
+    uniform [0,1) from md5(id:seed) and survives iff the draw is below
+    its stratum's rate; re-running with the same seed reproduces the
+    exact sample (restart-safe on a 100 TB corpus, no RNG state).
+
+    Pure map-side filter: the rate lookup is a literal CASE on
+    ``strata_col`` (never a join) and the hash needs only the row itself.
+    """
+    rate = F.lit(default_rate)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    draw = _md5_unit_interval(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+    )
+    return df.withColumn("__draw", draw).filter(F.col("__draw") < rate).drop(
+        "__draw"
+    )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style within-document repetition signals: for each n in
+    ``ns``, the fraction of n-gram occurrences that belong to an n-gram
+    appearing more than once in the doc (``dup_{n}gram_frac``), plus the
+    highest single n-gram count (``max_{n}gram_count``). High values
+    mark boilerplate / degenerate repetition for curation filters.
+
+    One explode + two hash-aggs per n, all keyed by doc_id so the
+    per-doc groups never cross executors twice; map-side partial
+    aggregation collapses the duplicate mass before the shuffle.
+    """
+    toks = F.split(F.col(text_col), " ")
+    out = df.select(id_col)
+    for n in ns:
+        grams = F.expr(
+            f"CASE WHEN size(__tk) >= {n} THEN"
+            f" transform(sequence(1, size(__tk) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(__tk, i, {n})))"
+            " ELSE CAST(array() AS array<string>) END"
+        )
+        per_gram = (
+            df.select(F.col(id_col), toks.alias("__tk"))
+            .select(F.col(id_col), F.explode(grams).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # ppm as an exact integer via floor(x*1e6 + 0.5): the ratio is a
+        # small-denominator rational (e.g. 1/128 = 0.0078125) that CAN sit
+        # exactly on a decimal rounding midpoint, where Spark (HALF_UP)
+        # and DuckDB disagree; floor is one exact IEEE op in both.
+        dup = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+        per_doc = per_gram.groupBy(id_col).agg(
+            F.floor(dup / F.sum("c") * F.lit(1e6) + F.lit(0.5))
+            .cast("int")
+            .alias(f"dup_{n}gram_ppm"),
+            F.max("c").cast("int").alias(f"max_{n}gram_count"),
+        )
+        out = out.join(per_doc, id_col, "left")
+    # Docs shorter than n tokens have no n-grams at all: 0 repetition.
+    fills = {f"dup_{n}gram_ppm": 0 for n in ns}
+    fills.update({f"max_{n}gram_count": 0 for n in ns})
+    return out.fillna(fills)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    scale = max(|v|)/127, codes = floor(v/scale + 0.5) — an ANN/storage
+    compression step (4x smaller than float32, 8x than float64).
+
+    ``floor(x + 0.5)`` instead of round(): floor is a single exact IEEE
+    operation with identical semantics in Spark and DuckDB, so the codes
+    (and the oracle) cannot diverge on rounding mode; ties round toward
+    +inf symmetrically. Codes are emitted as a CSV string (gate-safe: no
+    array columns in final projections) plus the raw double ``scale``
+    for dequantization (gate-facing callers re-encode it as an exact
+    integer, e.g. floor(scale*1e9 + 0.5)). Pure projection — no shuffle,
+    codegen end-to-end.
+    """
+    # float32 -> double FIRST (both engines), then all math in double.
+    v = F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+    scale = F.array_max(F.expr(f"transform({vec_col}, x -> abs(CAST(x AS DOUBLE)))")) / F.lit(
+        127.0
+    )
+    # All-zero vectors: scale 0 would make every code 0/0; emit code 0
+    # explicitly (the guard is replicated verbatim in the oracle SQL).
+    code = lambda x: (  # noqa: E731
+        F.when(scale > 0, F.floor(x / scale + F.lit(0.5)).cast("int"))
+        .otherwise(F.lit(0))
+        .cast("string")
+    )
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.array_join(F.transform(v, code), ",").alias("codes_csv"),
+    )
