@@ -1,0 +1,167 @@
+"""Unit/property tests for operators/curation.py (decontamination,
+stratified sampling, repetition metrics, int8 quantization) on small
+synthetic frames — semantics the sf-oracle parity tests can't isolate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pw_etl_scrumptious_squad_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    eval_docs = _docs(
+        spark, [(100, "alpha beta gamma delta epsilon zeta eta theta", "en")]
+    )
+    corpus = _docs(
+        spark,
+        [
+            # contains the full 8-token eval shingle verbatim
+            (1, "x alpha beta gamma delta epsilon zeta eta theta y", "en"),
+            # shares tokens but no 8-token shingle
+            (2, "alpha beta gamma something else entirely here now", "en"),
+            (3, "totally unrelated text with no overlap at all", "en"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in curation.decontaminate(
+            corpus, eval_docs, shingle_size=8, min_overlap=1
+        ).collect()
+    }
+    assert out[1][0] >= 1 and out[1][1] is True
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    # every corpus doc gets a row (left join keeps clean docs)
+    assert set(out) == {1, 2, 3}
+
+
+def test_decontaminate_min_overlap_threshold(spark):
+    eval_docs = _docs(spark, [(100, "a b c d e f g h i j", "en")])
+    # doc 1 contains two distinct eval shingles, doc 2 exactly one
+    corpus = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h i j", "en"),
+            (2, "z a b c d e f g h z", "en"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in curation.decontaminate(
+            corpus, eval_docs, shingle_size=8, min_overlap=2
+        ).collect()
+    }
+    assert out[1] is True
+    assert out[2] is False
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    rates = {"en": 0.5, "zh": 0.0}
+    a = curation.stratified_sample(df, "lang", rates, "doc_id", "s1")
+    b = curation.stratified_sample(df, "lang", rates, "doc_id", "s1")
+    rows_a = sorted(r["doc_id"] for r in a.collect())
+    rows_b = sorted(r["doc_id"] for r in b.collect())
+    assert rows_a == rows_b  # same seed -> byte-identical sample
+    assert all(i % 2 == 0 for i in rows_a)  # zh rate 0 drops every odd id
+    # md5 draw is uniform: expect ~500 of the 1000 en docs (binomial
+    # 6-sigma bound ~ +/-95)
+    assert 400 <= len(rows_a) <= 600
+    # a different seed yields a different (but same-rate) sample
+    c = curation.stratified_sample(df, "lang", rates, "doc_id", "s2")
+    assert sorted(r["doc_id"] for r in c.collect()) != rows_a
+
+
+def test_stratified_sample_default_rate_drops_unknown_strata(spark):
+    df = _docs(spark, [(1, "t", "xx"), (2, "t", "en")])
+    out = curation.stratified_sample(df, "lang", {"en": 1.0}, "doc_id", "s")
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+# ---------------------------------------------------------------------------
+# repetition_metrics
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_metrics_degenerate_and_clean(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam spam", "en"),  # all bigrams identical
+            (2, "one two three four five", "en"),  # no repeats
+            (3, "hi", "en"),  # shorter than any n-gram
+        ],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in curation.repetition_metrics(df, ns=(2, 3)).collect()
+    }
+    # doc 1: 4 bigrams, all "spam spam" -> 100% dup mass
+    assert out[1]["dup_2gram_ppm"] == 1_000_000
+    assert out[1]["max_2gram_count"] == 4
+    assert out[1]["dup_3gram_ppm"] == 1_000_000
+    # doc 2: all n-grams unique
+    assert out[2]["dup_2gram_ppm"] == 0
+    assert out[2]["max_2gram_count"] == 1
+    # doc 3: no n-grams at all -> zero-filled, still present
+    assert out[3]["dup_2gram_ppm"] == 0
+    assert out[3]["max_3gram_count"] == 0
+
+
+def test_repetition_metrics_partial_duplication_exact_ppm(spark):
+    # tokens a b a b c -> bigrams: "a b","b a","a b","b c"; "a b" twice
+    # dup mass 2 of 4 -> exactly 500000 ppm
+    df = _docs(spark, [(1, "a b a b c", "en")])
+    row = curation.repetition_metrics(df, ns=(2,)).collect()[0]
+    assert row["dup_2gram_ppm"] == 500_000
+    assert row["max_2gram_count"] == 2
+
+
+# ---------------------------------------------------------------------------
+# quantize_embeddings
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_embeddings_roundtrip_bound_and_range(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.001, 0.002, -0.003, 0.004]),
+            (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in curation.quantize_embeddings(df).collect()}
+    for vid, vec in [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.001, 0.002, -0.003, 0.004])]:
+        scale = out[vid]["scale"]
+        codes = [int(c) for c in out[vid]["codes_csv"].split(",")]
+        assert scale == pytest.approx(max(abs(x) for x in vec) / 127.0)
+        assert all(-127 <= c <= 127 for c in codes)
+        # dequantization error bounded by half a quantization step
+        for c, x in zip(codes, vec):
+            assert abs(c * scale - x) <= scale / 2 + 1e-12
+        # the max-|v| component maps to exactly +/-127
+        assert max(abs(c) for c in codes) == 127
+    # zero vector: scale 0, all codes 0, no NaN/NULL
+    assert out[3]["scale"] == 0.0
+    assert out[3]["codes_csv"] == "0,0,0,0"
