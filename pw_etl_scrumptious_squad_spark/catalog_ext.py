@@ -1428,3 +1428,57 @@ def y11(spark: SparkSession, sf: str) -> DataFrame:
         .alias("scale_ppb"),
         "codes_csv",
     ).repartition(1).sortWithinPartitions("vec_id")
+
+
+_PACK_BUDGET = 80  # tokens per packed sequence (chunks are <=32 tokens)
+
+
+def _pack_oracle() -> str:
+    # Greedy packing as a recursive CTE: the frontier advances ALL doc
+    # streams one chunk per iteration, so recursion depth = max chunks
+    # per doc (~a dozen), not total chunks.
+    return (
+        "WITH RECURSIVE tk AS (SELECT doc_id, string_split(text, ' ') AS t"
+        " FROM documents),"
+        f" st AS (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1) + 1,"
+        f" {_STRIDE})) AS cs FROM tk),"
+        f" ch AS (SELECT doc_id, CAST((cs - 1) // {_STRIDE} AS INTEGER)"
+        f" AS chunk_idx, CAST(len(t[cs:cs + {_CHUNK - 1}]) AS BIGINT) AS n"
+        " FROM st),"
+        " walk AS ("
+        " SELECT doc_id, chunk_idx, n, CAST(0 AS BIGINT) AS bin_id,"
+        " n AS bin_fill FROM ch WHERE chunk_idx = 0"
+        " UNION ALL"
+        " SELECT c.doc_id, c.chunk_idx, c.n,"
+        f" CASE WHEN w.bin_fill + c.n > {_PACK_BUDGET} THEN w.bin_id + 1"
+        " ELSE w.bin_id END,"
+        f" CASE WHEN w.bin_fill + c.n > {_PACK_BUDGET} THEN c.n"
+        " ELSE w.bin_fill + c.n END"
+        " FROM walk w JOIN ch c ON c.doc_id = w.doc_id"
+        " AND c.chunk_idx = w.chunk_idx + 1)"
+        " SELECT doc_id, chunk_idx, CAST(n AS INTEGER) AS n_chunk_tokens,"
+        " bin_id, bin_fill FROM walk ORDER BY doc_id, chunk_idx"
+    )
+
+
+@register(
+    "y12_sequence_packing",
+    _pack_oracle(),
+    "greedy sequence packing: chunked docs walked in order, new bin when"
+    " the 80-token budget would overflow — the chunk->training-sequence"
+    " step; per-stream applyInPandas (tight numpy loop, not iterrows);"
+    " oracle is a recursive CTE whose frontier advances every stream in"
+    " parallel",
+)
+def y12(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    chunks = textops.chunk_documents(
+        _t(spark, sf, "documents"), "doc_id", "text", _CHUNK, _STRIDE
+    )
+    return curation.pack_chunks(
+        chunks,
+        budget=_PACK_BUDGET,
+        stream_col="doc_id",
+        order_cols=("chunk_idx",),
+    ).repartition(1).sortWithinPartitions("doc_id", "chunk_idx")

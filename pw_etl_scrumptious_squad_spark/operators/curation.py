@@ -170,6 +170,63 @@ def repetition_metrics(
     return out.fillna(fills)
 
 
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int,
+    stream_col: str = "lang",
+    order_cols: tuple[str, ...] = ("doc_id", "chunk_idx"),
+    tokens_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Greedy sequence packing: walk each ``stream_col`` stream in
+    ``order_cols`` order and start a new bin whenever adding the next
+    chunk would exceed ``budget`` tokens — the step that turns chunked
+    documents into fixed-length training sequences with minimal padding.
+
+    The greedy scan is inherently sequential (each bin boundary depends
+    on the running fill), so it runs as a per-stream ``applyInPandas``:
+    Arrow-batched transfer, then a tight loop over a primitive numpy
+    array — not ``pdf.iterrows()``. At 100 TB the stream key is a
+    partition-sized shard (e.g. (source, date-bucket)): packing never
+    needs global order, only order WITHIN a shard, so the plan is one
+    shuffle on the stream key and the bins stay executor-local.
+
+    Output: one row per chunk with ``bin_id`` (0-based per stream) and
+    ``bin_fill`` (running token count within the bin after this chunk).
+    Chunks larger than the budget get a bin of their own (never split).
+    """
+    cols = [stream_col, *order_cols, tokens_col]
+
+    def pack(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
+        n = pdf[tokens_col].to_numpy(dtype=np.int64)
+        bins = np.empty(len(n), dtype=np.int64)
+        fills = np.empty(len(n), dtype=np.int64)
+        b, fill = 0, 0
+        for i, ni in enumerate(n):
+            if fill > 0 and fill + ni > budget:
+                b, fill = b + 1, 0
+            fill += ni
+            bins[i] = b
+            fills[i] = fill
+        out = pdf[cols].copy()
+        out["bin_id"] = bins
+        out["bin_fill"] = fills
+        return out
+
+    dtypes = dict(chunks.dtypes)
+    schema = ", ".join(
+        f"{c} {t}"
+        for c, t in zip(
+            cols + ["bin_id", "bin_fill"],
+            [*[dtypes[c] for c in cols], "bigint", "bigint"],
+        )
+    )
+    return chunks.select(*cols).groupBy(stream_col).applyInPandas(pack, schema)
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

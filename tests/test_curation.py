@@ -165,3 +165,60 @@ def test_quantize_embeddings_roundtrip_bound_and_range(spark):
     # zero vector: scale 0, all codes 0, no NaN/NULL
     assert out[3]["scale"] == 0.0
     assert out[3]["codes_csv"] == "0,0,0,0"
+
+
+# ---------------------------------------------------------------------------
+# pack_chunks
+# ---------------------------------------------------------------------------
+
+
+def test_pack_chunks_greedy_boundaries_cross_doc(spark):
+    # one 'en' stream: sizes 30,30,30 -> bins [0,0,|1]; then doc 2 joins
+    # the same stream: 50 -> overflows fill 30 -> bin 2; 10 -> fits bin 2
+    chunks = spark.createDataFrame(
+        [
+            ("en", 1, 0, 30),
+            ("en", 1, 1, 30),
+            ("en", 1, 2, 30),
+            ("en", 2, 0, 50),
+            ("en", 2, 1, 10),
+            ("zh", 3, 0, 70),  # separate stream: bins restart at 0
+        ],
+        "lang string, doc_id bigint, chunk_idx int, n_chunk_tokens int",
+    )
+    out = {
+        (r["lang"], r["doc_id"], r["chunk_idx"]): (r["bin_id"], r["bin_fill"])
+        for r in curation.pack_chunks(
+            chunks, budget=64, stream_col="lang"
+        ).collect()
+    }
+    assert out[("en", 1, 0)] == (0, 30)
+    assert out[("en", 1, 1)] == (0, 60)
+    assert out[("en", 1, 2)] == (1, 30)
+    assert out[("en", 2, 0)] == (2, 50)
+    assert out[("en", 2, 1)] == (2, 60)
+    assert out[("zh", 3, 0)] == (0, 70)  # oversized chunk gets its own bin
+
+
+def test_pack_chunks_never_splits_and_respects_budget(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        ("s", i // 4, i % 4, rng.randint(1, 32)) for i in range(200)
+    ]
+    chunks = spark.createDataFrame(
+        rows, "lang string, doc_id bigint, chunk_idx int, n_chunk_tokens int"
+    )
+    out = curation.pack_chunks(chunks, budget=64, stream_col="lang").collect()
+    assert len(out) == 200  # every chunk assigned exactly once
+    fills = {}
+    for r in out:
+        fills[r["bin_id"]] = max(fills.get(r["bin_id"], 0), r["bin_fill"])
+    assert all(f <= 64 for f in fills.values())  # no bin over budget
+    # greedy tightness: no bin (except possibly the last) could have
+    # absorbed the FIRST chunk of the next bin
+    ordered = sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"]))
+    for prev, cur in zip(ordered, ordered[1:]):
+        if cur["bin_id"] == prev["bin_id"] + 1 and cur["bin_fill"] == cur["n_chunk_tokens"]:
+            assert prev["bin_fill"] + cur["n_chunk_tokens"] > 64
