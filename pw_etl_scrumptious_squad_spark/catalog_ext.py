@@ -407,13 +407,17 @@ def d04(spark: SparkSession, sf: str) -> DataFrame:
     ).repartition(1).sortWithinPartitions("doc_id")
 
 
-def _lsh_pairs_oracle(num_perm: int = 16, bands: int = 8) -> str:
+def _lsh_pairs_oracle(
+    num_perm: int = 16, bands: int = 8, pair_pred: str = ""
+) -> str:
     """Full DuckDB twin of minhash_lsh_dedup: shingle md5s -> Carter-Wegman
     double-hash signatures -> band strings -> bucket self-join -> exact
     shingle-Jaccard verify. Every stage is deterministic, so the 'LSH is
     approximate' property (vs brute force) does not prevent a value-exact
     oracle for the pipeline itself. Bucket capping never triggers at gate
-    scale (500-doc corpus, cap 1000), so the uncapped SQL matches."""
+    scale (500-doc corpus, cap 1000), so the uncapped SQL matches.
+    ``pair_pred`` (e.g. an at-least-one-side-is-new restriction for the
+    incremental variant) is ANDed into the candidate join."""
     rpb = num_perm // bands
     mins = ", ".join(
         f"list_aggregate(list_transform(hp, x -> x.h1 + {p} * x.h2), 'min')"
@@ -440,7 +444,7 @@ def _lsh_pairs_oracle(num_perm: int = 16, bands: int = 8) -> str:
         f"bnd AS (SELECT doc_id, unnest([{band_sigs}]) AS bb FROM sig), "
         "cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
         "FROM bnd l JOIN bnd r ON l.bb.band = r.bb.band AND l.bb.sig = r.bb.sig "
-        "AND l.doc_id < r.doc_id), "
+        f"AND l.doc_id < r.doc_id{pair_pred}), "
         "dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM hp) "
         "SELECT c.doc_a, c.doc_b, "
         "ROUND(len(list_intersect(a.s, b.s)) / "
@@ -1482,3 +1486,153 @@ def y12(spark: SparkSession, sf: str) -> DataFrame:
         stream_col="doc_id",
         order_cols=("chunk_idx",),
     ).repartition(1).sortWithinPartitions("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: snapshot diff, incremental dedup, embedding SRP
+# ---------------------------------------------------------------------------
+
+# Deterministic snapshot derivation for y13 (both engines compute the same
+# two "points in time" from one physical table): new inserts keys % 11 = 0,
+# deletes keys % 13 = 0, and bumps the price of keys % 7 = 0 by +1.0 (an
+# exact IEEE double op — no rounding divergence).
+_OLD_SNAP = (
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice"
+    " FROM orders WHERE o_orderkey % 11 != 0"
+)
+_NEW_SNAP = (
+    "SELECT o_orderkey, o_custkey, o_orderstatus,"
+    " CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0"
+    " ELSE o_totalprice END AS o_totalprice"
+    " FROM orders WHERE o_orderkey % 13 != 0"
+)
+
+
+@register(
+    "y13_snapshot_diff",
+    f"WITH old_s AS ({_OLD_SNAP}), new_s AS ({_NEW_SNAP})"
+    " SELECT 'I' AS op, n.o_orderkey, n.o_custkey, n.o_orderstatus,"
+    " ROUND(n.o_totalprice, 2) AS o_totalprice"
+    " FROM new_s n LEFT JOIN old_s o ON o.o_orderkey = n.o_orderkey"
+    " WHERE o.o_orderkey IS NULL"
+    " UNION ALL"
+    " SELECT 'D', o.o_orderkey, o.o_custkey, o.o_orderstatus,"
+    " ROUND(o.o_totalprice, 2)"
+    " FROM old_s o LEFT JOIN new_s n ON n.o_orderkey = o.o_orderkey"
+    " WHERE n.o_orderkey IS NULL"
+    " UNION ALL"
+    " SELECT 'U', n.o_orderkey, n.o_custkey, n.o_orderstatus,"
+    " ROUND(n.o_totalprice, 2)"
+    " FROM new_s n JOIN old_s o ON o.o_orderkey = n.o_orderkey"
+    " WHERE o.o_custkey IS DISTINCT FROM n.o_custkey"
+    " OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus"
+    " OR o.o_totalprice IS DISTINCT FROM n.o_totalprice"
+    " ORDER BY o_orderkey",
+    "full-snapshot CDC compare (insert/update/delete rows via one"
+    " null-safe full outer join) — the delta path when a source table has"
+    " no audit timestamps; with co-partitioned snapshots the join is a"
+    " shuffle-free sort-merge at scale",
+)
+def y13(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import cdc
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 11 != 0)
+    new = o.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return (
+        cdc.snapshot_diff(old, new, ["o_orderkey"])
+        .withColumn("o_totalprice", F.round("o_totalprice", 2))
+        .repartition(1).sortWithinPartitions("o_orderkey")
+    )
+
+
+@register(
+    "y14_incremental_neardup",
+    _lsh_pairs_oracle(
+        num_perm=16,
+        bands=8,
+        pair_pred=" AND (l.doc_id % 5 = 0 OR r.doc_id % 5 = 0)",
+    ),
+    "incremental MinHash-LSH dedup: the 20% 'daily batch' (doc_id % 5 = 0)"
+    " deduped against the 80% base store — batch bands join the persisted"
+    " band table, base x base pairs never recomputed, verify re-reads only"
+    " candidate docs; per-batch cost scales with the batch, not the corpus",
+)
+def y14(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedup.incremental_lsh_neardup(
+        base, new, "doc_id", "text", num_perm=16, bands=8, threshold=0.5
+    ).repartition(1).sortWithinPartitions("doc_a", "doc_b")
+
+
+_SRP_BITS = 32
+_SRP_DIM = 64
+_SRP_SCALE = 1_000_000
+_SRP_MAX_H = 7
+
+
+def _srp_oracle() -> str:
+    signs = similarity.srp_sign_matrix(_SRP_BITS, _SRP_DIM)
+    terms = []
+    for j, row in enumerate(signs):
+        lits = ",".join(str(s) for s in row)
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(range(1, {_SRP_DIM + 1}),"
+            f" i -> qv[i] * ([{lits}])[i])) > 0"
+            f" THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END"
+        )
+    packed = " + ".join(terms)
+    return (
+        "WITH q AS (SELECT vec_id,"
+        " list_transform(CAST(embedding AS DOUBLE[]),"
+        f" x -> CAST(floor(x * {_SRP_SCALE} + 0.5) AS BIGINT)) AS qv"
+        " FROM embeddings),"
+        f" s AS (SELECT vec_id, {packed} AS sig FROM q)"
+        " SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
+        " CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming"
+        " FROM s a JOIN s b ON a.vec_id < b.vec_id"
+        f" WHERE bit_count(xor(a.sig, b.sig)) <= {_SRP_MAX_H}"
+        " ORDER BY vec_a, vec_b"
+    )
+
+
+@register(
+    "y15_embedding_srp",
+    _srp_oracle(),
+    "signed-random-projection near-dup pairs for embeddings (SimHash for"
+    " vectors): ±1 md5-derived hyperplanes, integer-quantized dot products"
+    " (bit-identical across engines), banded hamming join — EXACT via the"
+    " pigeonhole guarantee, so the oracle is brute-force all-pairs; the"
+    " centroid-free scale path complementing IVF cells",
+)
+def y15(spark: SparkSession, sf: str) -> DataFrame:
+    sigs = similarity.srp_signatures(
+        _t(spark, sf, "embeddings"),
+        bits=_SRP_BITS,
+        scale=_SRP_SCALE,
+    ).localCheckpoint()
+    return (
+        dedup.hamming_near_pairs(
+            sigs,
+            bits=_SRP_BITS,
+            bands=8,
+            max_hamming=_SRP_MAX_H,
+            id_col="vec_id",
+            sig_col="srp_sig",
+        )
+        .select(
+            F.col("doc_a").alias("vec_a"),
+            F.col("doc_b").alias("vec_b"),
+            "hamming",
+        )
+        .repartition(1).sortWithinPartitions("vec_a", "vec_b")
+    )

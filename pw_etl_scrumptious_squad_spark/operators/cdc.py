@@ -66,6 +66,58 @@ def extract_delta(
     return delta
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Full-snapshot table compare: emit one row per changed key with
+    ``op`` in {'I','U','D'} — the CDC path when the source has NO audit
+    timestamps to push a delta predicate into (the reference's extract
+    assumes ``created_at``/``last_updated`` exist; this covers the tables
+    where they don't).
+
+    One full outer join on the key columns — both sides shuffle on the
+    same key, so with bucketed/pre-partitioned snapshots this is a
+    shuffle-free sort-merge join at 100 TB. Value comparison is null-safe
+    (``<=>``), so NULL -> value and value -> NULL both count as updates.
+    'I'/'U' rows carry the new-side values, 'D' rows the old-side values.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in key_cols]
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"o.{k}") == F.col(f"n.{k}")
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+    new_missing = F.col(f"n.{key_cols[0]}").isNull()
+    old_missing = F.col(f"o.{key_cols[0]}").isNull()
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        changed = ne if changed is None else changed | ne
+    op = (
+        F.when(old_missing, F.lit("I"))
+        .when(new_missing, F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    side = lambda c: F.when(new_missing, F.col(f"o.{c}")).otherwise(  # noqa: E731
+        F.col(f"n.{c}")
+    )
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            "op",
+            *[side(k).alias(k) for k in key_cols],
+            *[side(c).alias(c) for c in compare_cols],
+        )
+    )
+
+
 def incremental_extract(
     tables: dict[str, DataFrame],
     store: WatermarkStore,

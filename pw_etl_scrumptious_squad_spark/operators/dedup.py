@@ -112,20 +112,10 @@ def minhash_signatures(
 _LSH_BUCKET_CAP = 1_000
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, bucket_cap: int = _LSH_BUCKET_CAP
-) -> DataFrame:
-    """LSH banding: split each signature into ``bands`` equal bands, bucket
-    on (band index, band content), self-join buckets -> distinct candidate
-    pairs (a < b).
-
-    The self-join shuffles on the bucket key only; bucket sizes are the
-    skew risk. Buckets larger than ``bucket_cap`` (a cluster of
-    near-identical signatures IS the dup cluster) emit star pairs to the
-    bucket representative instead of all pairs: O(B) instead of O(B^2),
-    and a downstream connected-components/grouping step recovers the full
-    cluster through the shared representative.
-    """
+def _band_buckets(signatures: DataFrame, bands: int) -> DataFrame:
+    """Explode each MinHash signature into (doc_id, band, sig) bucket rows:
+    the signature is cut into ``bands`` equal slices and each slice is
+    serialized to a comma-joined string key."""
     # rows per band derived from the signature length (tiny driver-side peek)
     sig_len = signatures.selectExpr("size(minhash) AS n").first()["n"]
     rows_per_band = sig_len // bands
@@ -141,15 +131,31 @@ def lsh_candidate_pairs(
                 ).alias("sig"),
             )
         )
+    return signatures.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("bb")
+    ).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.sig").alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, bucket_cap: int = _LSH_BUCKET_CAP
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` equal bands, bucket
+    on (band index, band content), self-join buckets -> distinct candidate
+    pairs (a < b).
+
+    The self-join shuffles on the bucket key only; bucket sizes are the
+    skew risk. Buckets larger than ``bucket_cap`` (a cluster of
+    near-identical signatures IS the dup cluster) emit star pairs to the
+    bucket representative instead of all pairs: O(B) instead of O(B^2),
+    and a downstream connected-components/grouping step recovers the full
+    cluster through the shared representative.
+    """
     buckets = (
-        signatures.select(
-            "doc_id", F.explode(F.array(*band_rows)).alias("bb")
-        )
-        .select(
-            "doc_id",
-            F.col("bb.band").alias("band"),
-            F.col("bb.sig").alias("sig"),
-        )
+        _band_buckets(signatures, bands)
         .withColumn(
             "b_size",
             F.count(F.lit(1)).over(Window.partitionBy("band", "sig")),
@@ -242,6 +248,63 @@ def minhash_lsh_dedup(
     ).localCheckpoint()
     pairs = lsh_candidate_pairs(sigs, bands)
     return jaccard_verify(pairs, df, id_col, text_col, shingle_size, threshold)
+
+
+def incremental_lsh_neardup(
+    base_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_size: int = 5,
+    threshold: float = 0.8,
+    base_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental fuzzy dedup: near-dup pairs (exact-Jaccard >=
+    ``threshold``) where AT LEAST ONE side is in ``new_docs`` — the daily
+    ingest shape. base x base pairs are never recomputed (previous runs
+    already emitted them), so per-batch cost scales with the batch, not
+    the corpus.
+
+    Pass ``base_sigs`` (a persisted ``minhash_signatures`` table) to skip
+    re-hashing the base corpus entirely: the batch's band keys shuffle-join
+    against the stored band table, and the exact-Jaccard verify re-reads
+    only the candidate docs' text (a semi-join-sized lookup, not a scan).
+    At 100 TB the signature store is 8-16 longs per doc and the band join
+    partitions on (band, sig) — incremental dedup never touches cold
+    corpus partitions except for the handful of verify candidates.
+    """
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, num_perm, shingle_size
+    ).localCheckpoint()
+    if base_sigs is None:
+        base_sigs = minhash_signatures(
+            base_docs, id_col, text_col, num_perm, shingle_size
+        )
+    nb = _band_buckets(new_sigs, bands)
+    ab = _band_buckets(base_sigs, bands).unionByName(nb)
+    # left side = new batch only; right side = store + batch. Canonicalize
+    # with least/greatest (a new doc may have a smaller id than a base
+    # doc); distinct collapses new x new pairs seen from both directions.
+    cands = (
+        nb.alias("l")
+        .join(
+            ab.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") != F.col("r.doc_id")),
+        )
+        .select(
+            F.least("l.doc_id", "r.doc_id").alias("doc_a"),
+            F.greatest("l.doc_id", "r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    corpus = base_docs.unionByName(new_docs)
+    return jaccard_verify(
+        cands, corpus, id_col, text_col, shingle_size, threshold
+    )
 
 
 # Above this row count the exact O(n^2)-per-block pair join (which
@@ -435,6 +498,22 @@ def simhash_near_pairs(
     qualifying pair shares a bucket. The bucket self-join is the only
     shuffle; the verify step is two bitwise ops per candidate.
     """
+    sh = simhash(df, id_col, text_col, bits).localCheckpoint()
+    return hamming_near_pairs(sh, bits, bands, max_hamming)
+
+
+def hamming_near_pairs(
+    sig_df: DataFrame,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Banded hamming-distance pairs over ANY bigint bit-signature column
+    (text SimHash, embedding SRP, ...): (a < b, hamming <= ``max_hamming``).
+    EXACT by the pigeonhole guarantee — see ``simhash_near_pairs``. The
+    bucket self-join is the only shuffle."""
     if max_hamming >= bands:
         raise ValueError(
             "exactness needs max_hamming < bands (pigeonhole guarantee)"
@@ -443,7 +522,9 @@ def simhash_near_pairs(
         raise ValueError("bits must divide evenly into bands")
     width = bits // bands
     mask = (1 << width) - 1
-    sh = simhash(df, id_col, text_col, bits).localCheckpoint()
+    sh = sig_df.select(
+        F.col(id_col).alias("doc_id"), F.col(sig_col).alias("simhash")
+    )
     band_structs = F.array(
         *[
             F.struct(

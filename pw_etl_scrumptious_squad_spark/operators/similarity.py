@@ -210,3 +210,64 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def srp_sign_matrix(bits: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 (Rademacher) hyperplane matrix for signed random
+    projections: sign[j][d] comes from the low bit of md5(f"{j}:{d}"), so
+    any engine (or a DuckDB oracle) can reproduce the exact planes. ±1
+    components give the same locality guarantee as Gaussian planes for
+    SRP-LSH (angle-preserving in expectation) while keeping every dot
+    product in exact integer arithmetic."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{j}:{d}".encode()).digest()[0] & 1 else -1
+            for d in range(dim)
+        ]
+        for j in range(bits)
+    ]
+
+
+def srp_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 32,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Signed-random-projection bit signature per embedding — SimHash for
+    vectors: bit j = 1 iff the embedding falls on the positive side of
+    hyperplane j. Cosine-similar vectors agree on most bits, so the
+    signature feeds the same banded hamming machinery as text SimHash
+    (``dedup.hamming_near_pairs``) — the centroid-free scale path for
+    embedding near-dup (no training step, unlike IVF).
+
+    Floats are quantized to integers (``floor(x*scale + 0.5)``) BEFORE the
+    ±1 dot products, so every projection is an exact 64-bit integer sum —
+    order-independent and bit-identical across engines; float summation
+    order would otherwise flip sign bits on near-zero projections. Pure
+    column expressions, no shuffle, no Python per row.
+    """
+    dim = df.selectExpr(f"size({vec_col}) AS n").first()["n"]
+    signs = srp_sign_matrix(bits, dim)
+    qv = F.expr(
+        f"transform(cast({vec_col} as array<double>),"
+        f" x -> cast(floor(x * {scale}D + 0.5D) as bigint))"
+    )
+    out = df.select(
+        F.col(id_col).alias("vec_id"), qv.alias("__qv")
+    )
+    sig = None
+    for j in range(bits):
+        lits = ",".join(f"{s}L" for s in signs[j])
+        dot_j = F.expr(
+            f"aggregate(zip_with(__qv, array({lits}), (x, y) -> x * y),"
+            f" 0L, (a, x) -> a + x)"
+        )
+        term = F.when(dot_j > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return out.select("vec_id", sig.alias("srp_sig"))

@@ -92,3 +92,54 @@ def test_incremental_extract_cycles(spark, totesys, tmp_path):
     wm = store.get("sales_order")
     assert wm.created_at == LATER_CREATED
     assert wm.last_updated == LATER_UPDATED
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_i_u_d(spark):
+    from pw_etl_scrumptious_squad_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k int, name string, amt double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),       # unchanged -> no row
+            (2, "b", 25.0),       # value update
+            (3, "c", 30.0),       # NULL -> value is an update (null-safe)
+            (5, "e", 50.0),       # insert
+        ],
+        "k int, name string, amt double",
+    )
+    rows = {
+        r["k"]: (r["op"], r["name"], r["amt"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert rows == {
+        2: ("U", "b", 25.0),
+        3: ("U", "c", 30.0),
+        4: ("D", "d", 40.0),   # delete carries the OLD values
+        5: ("I", "e", 50.0),
+    }
+
+
+def test_snapshot_diff_compare_cols_subset_and_multi_key(spark):
+    from pw_etl_scrumptious_squad_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 1, "x", 9.0), (1, 2, "y", 8.0)],
+        "k1 int, k2 int, name string, amt double",
+    )
+    new = spark.createDataFrame(
+        [(1, 1, "x", 99.0), (1, 2, "CHANGED", 8.0)],
+        "k1 int, k2 int, name string, amt double",
+    )
+    # comparing only `name`: the amt-only change must NOT surface
+    rows = snapshot_diff(old, new, ["k1", "k2"], compare_cols=["name"]).collect()
+    assert [(r["k1"], r["k2"], r["op"], r["name"]) for r in rows] == [
+        (1, 2, "U", "CHANGED")
+    ]

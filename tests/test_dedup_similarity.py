@@ -284,3 +284,114 @@ def test_connected_components_chain_clique_singleton(spark):
         for r in dedup.connected_components(pairs, nodes, "doc_id").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+# ---------------------------------------------------------------------------
+# incremental_lsh_neardup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_matches_full_run_restricted_to_new(docs_with_near_dups):
+    """The incremental pass over a batch must find exactly the full-run
+    pairs that touch the batch (banding is deterministic, so the candidate
+    spaces agree)."""
+    docs = docs_with_near_dups
+    new_pred = F.col("doc_id") % 5 == 0
+    full = dedup.minhash_lsh_dedup(
+        docs, "doc_id", "text", num_perm=16, bands=8, threshold=0.5
+    )
+    expected = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in full.collect()
+        if r["doc_a"] % 5 == 0 or r["doc_b"] % 5 == 0
+    }
+    inc = dedup.incremental_lsh_neardup(
+        docs.filter(~new_pred),
+        docs.filter(new_pred),
+        "doc_id",
+        "text",
+        num_perm=16,
+        bands=8,
+        threshold=0.5,
+    )
+    got = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in inc.collect()}
+    assert got == expected
+    assert got  # 9000/9001 planted dups make the batch side non-trivial
+
+
+def test_incremental_accepts_persisted_signature_store(docs_with_near_dups):
+    """Passing a precomputed signature store must not change the result
+    (the store is exactly minhash_signatures of the base side)."""
+    docs = docs_with_near_dups
+    new_pred = F.col("doc_id") % 5 == 0
+    base = docs.filter(~new_pred)
+    new = docs.filter(new_pred)
+    kw = dict(num_perm=16, bands=8, threshold=0.5)
+    store = dedup.minhash_signatures(base, "doc_id", "text", 16).localCheckpoint()
+    with_store = dedup.incremental_lsh_neardup(
+        base, new, "doc_id", "text", base_sigs=store, **kw
+    )
+    without = dedup.incremental_lsh_neardup(base, new, "doc_id", "text", **kw)
+    assert sorted(map(tuple, with_store.collect())) == sorted(
+        map(tuple, without.collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRP embedding signatures
+# ---------------------------------------------------------------------------
+
+
+def test_srp_signature_deterministic_and_locality(spark):
+    """Identical vectors share a signature; a tiny perturbation flips at
+    most a few bits; an orthogonal-ish vector differs in many."""
+    base = [0.5, -1.0, 0.25, 2.0] * 4  # dim 16
+    near = list(base)
+    near[0] += 0.001
+    far = [-x for x in base]
+    df = spark.createDataFrame(
+        [(0, base), (1, list(base)), (2, near), (3, far)],
+        "vec_id long, embedding array<float>",
+    )
+    sig = {r["vec_id"]: r["srp_sig"] for r in similarity.srp_signatures(
+        df, bits=32).collect()}
+    again = {r["vec_id"]: r["srp_sig"] for r in similarity.srp_signatures(
+        df, bits=32).collect()}
+    assert sig == again  # deterministic planes (md5-derived)
+    assert sig[0] == sig[1]  # identical input, identical signature
+    assert bin(sig[0] ^ sig[2]).count("1") <= 3  # near vector ~ near bits
+    # negation lands on the opposite side of EVERY hyperplane
+    assert bin(sig[0] ^ sig[3]).count("1") == 32
+
+
+def test_srp_banded_pairs_equal_bruteforce(spark):
+    """hamming_near_pairs over SRP signatures is EXACT (pigeonhole): the
+    banded join must return precisely the brute-force hamming<=k set."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, v))
+        if i % 10 == 0:  # planted near-dup partner
+            rows.append((1000 + i, [x + rng.uniform(-0.01, 0.01) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sigs = similarity.srp_signatures(df, bits=32).localCheckpoint()
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.hamming_near_pairs(
+            sigs, bits=32, bands=8, max_hamming=7,
+            id_col="vec_id", sig_col="srp_sig",
+        ).collect()
+    }
+    sv = {r["vec_id"]: r["srp_sig"] for r in sigs.collect()}
+    ids = sorted(sv)
+    brute = {
+        (a, b, bin(sv[a] ^ sv[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sv[a] ^ sv[b]).count("1") <= 7
+    }
+    assert got == brute
+    assert any(b == 1000 + a for a, b, _ in got)  # planted partners found
