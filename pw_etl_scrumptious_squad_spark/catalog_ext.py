@@ -1636,3 +1636,64 @@ def y15(spark: SparkSession, sf: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("vec_a", "vec_b")
     )
+
+
+def _quota_oracle(k: int = 15) -> str:
+    from pw_etl_scrumptious_squad_spark.catalog import _stop_list_sql
+
+    toks = "string_split(text, ' ')"
+    return (
+        "WITH q AS (SELECT doc_id, source,"
+        " ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
+        " / length(text), 9) AS ar,"
+        f" ROUND(len(list_filter({toks}, t -> t IN ({_stop_list_sql()})))"
+        f" / len({toks}), 9) AS sr,"
+        f" ROUND(len(list_distinct({toks})) / len({toks}), 9) AS dr"
+        " FROM documents),"
+        # rank on the RAW weighted sum (exact IEEE, bit-identical across
+        # engines); emit it as an exact ppb integer via floor — ROUND(x, 9)
+        # can land on digits where Spark (HALF_UP) and DuckDB disagree
+        " s AS (SELECT doc_id, source,"
+        " 0.4 * ar + 0.3 * sr + 0.3 * dr AS qs FROM q),"
+        " r AS (SELECT doc_id, source,"
+        " CAST(floor(qs * 1000000000 + 0.5) AS BIGINT) AS quality_ppb,"
+        " CAST(row_number() OVER (PARTITION BY source"
+        " ORDER BY qs DESC, doc_id) AS INTEGER) AS rnk FROM s)"
+        f" SELECT source, doc_id, quality_ppb, rnk FROM r WHERE rnk <= {k}"
+        " ORDER BY source, rnk"
+    )
+
+
+@register(
+    "y16_source_quota",
+    _quota_oracle(),
+    "per-source quota: top-15 docs per source by quality score — the"
+    " domain cap that stops one boilerplate-heavy site from dominating a"
+    " web corpus; two-phase top-k (per-input-partition prune before the"
+    " group window) bounds the cost of a viral domain to k rows per task",
+)
+def y16(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    qs = (
+        0.4 * F.col("alpha_ratio")
+        + 0.3 * F.col("stopword_ratio")
+        + 0.3 * F.col("distinct_ratio")
+    )
+    q = textops.quality_columns(_t(spark, sf, "documents")).select(
+        "doc_id", "source", qs.alias("__qs")
+    )
+    return (
+        curation.top_k_per_group(
+            q, "source", 15, [F.desc("__qs"), F.asc("doc_id")]
+        )
+        .select(
+            "source",
+            "doc_id",
+            F.floor(F.col("__qs") * F.lit(1e9) + F.lit(0.5))
+            .cast("bigint")
+            .alias("quality_ppb"),
+            "rnk",
+        )
+        .repartition(1).sortWithinPartitions("source", "rnk")
+    )

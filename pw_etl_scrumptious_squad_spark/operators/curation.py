@@ -24,7 +24,7 @@ Spark and DuckDB, so every operator here has a value-exact oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -262,3 +262,38 @@ def quantize_embeddings(
         scale.alias("scale"),
         F.array_join(F.transform(v, code), ",").alias("codes_csv"),
     )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    order_by: list[Column],
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Per-group quota: keep the top ``k`` rows of each ``group_col``
+    group under the ``order_by`` ranking — the per-domain/per-source cap
+    that stops one boilerplate-heavy site from dominating a web corpus.
+
+    Two-phase at scale: rows are first pruned to the top-k WITHIN each
+    input partition (window over (group, input-partition) — a local sort,
+    NO shuffle), so the global per-group window receives at most
+    k * num_partitions rows per group instead of the whole group. A
+    single viral domain with 10^8 pages therefore costs each executor a
+    k-row heap, not a 10^8-row sort partition; only the survivors shuffle.
+
+    ``order_by`` must be a total order (tie-break on a unique id) for the
+    result to be deterministic.
+    """
+    local_w = Window.partitionBy(
+        F.spark_partition_id(), F.col(group_col)
+    ).orderBy(*order_by)
+    pruned = (
+        df.withColumn("__lr", F.row_number().over(local_w))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr")
+    )
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return pruned.withColumn(
+        rank_col, F.row_number().over(w).cast("int")
+    ).filter(F.col(rank_col) <= k)

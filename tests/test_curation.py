@@ -222,3 +222,51 @@ def test_pack_chunks_never_splits_and_respects_budget(spark):
     for prev, cur in zip(ordered, ordered[1:]):
         if cur["bin_id"] == prev["bin_id"] + 1 and cur["bin_fill"] == cur["n_chunk_tokens"]:
             assert prev["bin_fill"] + cur["n_chunk_tokens"] > 64
+
+
+# ---------------------------------------------------------------------------
+# top_k_per_group
+# ---------------------------------------------------------------------------
+
+
+def test_top_k_per_group_matches_naive_window(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3)
+    rows = [(f"g{i % 7}", i, rng.random()) for i in range(500)]
+    # skewed group: one domain with 10x the rows of the others
+    rows += [("viral", 10_000 + i, rng.random()) for i in range(700)]
+    df = spark.createDataFrame(rows, "grp string, id bigint, score double")
+    order = [F.desc("score"), F.asc("id")]
+    got = sorted(
+        (r["grp"], r["id"], r["rnk"])
+        for r in curation.top_k_per_group(df, "grp", 5, order).collect()
+    )
+    w = Window.partitionBy("grp").orderBy(*order)
+    naive = sorted(
+        (r["grp"], r["id"], r["rnk"])
+        for r in df.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .collect()
+    )
+    assert got == naive
+    assert len(got) == 8 * 5  # every group capped at exactly k
+
+
+def test_top_k_per_group_local_prune_in_plan(spark):
+    """The two-phase shape must be visible in the plan: a window keyed by
+    SPARK_PARTITION_ID before the per-group window."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).cast("string").alias("grp"),
+        F.col("id"),
+        F.rand(1).alias("score"),
+    )
+    plan = curation.top_k_per_group(
+        df, "grp", 3, [F.desc("score"), F.asc("id")]
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "SPARK_PARTITION_ID" in plan
