@@ -260,6 +260,7 @@ def incremental_lsh_neardup(
     shingle_size: int = 5,
     threshold: float = 0.8,
     base_sigs: DataFrame | None = None,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental fuzzy dedup: near-dup pairs (exact-Jaccard >=
     ``threshold``) where AT LEAST ONE side is in ``new_docs`` — the daily
@@ -275,9 +276,10 @@ def incremental_lsh_neardup(
     partitions on (band, sig) — incremental dedup never touches cold
     corpus partitions except for the handful of verify candidates.
     """
-    new_sigs = minhash_signatures(
-        new_docs, id_col, text_col, num_perm, shingle_size
-    ).localCheckpoint()
+    if new_sigs is None:
+        new_sigs = minhash_signatures(
+            new_docs, id_col, text_col, num_perm, shingle_size
+        ).localCheckpoint()
     if base_sigs is None:
         base_sigs = minhash_signatures(
             base_docs, id_col, text_col, num_perm, shingle_size

@@ -208,3 +208,75 @@ def run_foreach_batch(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_incremental_dedup(
+    docs_stream: DataFrame,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Streaming fuzzy dedup: each micro-batch of documents is deduped
+    against everything seen so far via ``dedup.incremental_lsh_neardup``,
+    then appended to the signature store. The union of all emitted pairs
+    equals a batch `minhash_lsh_dedup` over the full corpus (banding is
+    deterministic; a pair is emitted exactly when its LATER doc arrives).
+
+    Store layout: one parquet table of (doc_id, text, minhash) — the
+    signature table and the doc lookup the verify step needs. At scale
+    the store is the persisted signatures table partitioned by band-hash,
+    the text lookup is the corpus table itself, and the append becomes a
+    MERGE for retry idempotence (parquet append is at-least-once here;
+    re-emitted pairs are distinct-able downstream by (doc_a, doc_b)).
+    """
+    from pw_etl_scrumptious_squad_spark.operators import dedup
+
+    spark = docs_stream.sparkSession
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.select(id_col, text_col).localCheckpoint()
+        if not batch.head(1):  # empty trigger: nothing to hash or store
+            return
+        sigs = dedup.minhash_signatures(
+            batch, id_col, text_col, num_perm
+        ).localCheckpoint()
+        try:
+            store = spark.read.parquet(store_dir)
+            have_store = True
+        except Exception:
+            have_store = False
+        if have_store:
+            pairs = dedup.incremental_lsh_neardup(
+                store.select(
+                    F.col(id_col), F.col("text").alias(text_col)
+                ),
+                batch,
+                id_col,
+                text_col,
+                num_perm=num_perm,
+                bands=bands,
+                threshold=threshold,
+                base_sigs=store.select(
+                    F.col(id_col).alias("doc_id"), "minhash"
+                ),
+                new_sigs=sigs,
+            )
+        else:  # first batch: plain self-dedup
+            cands = dedup.lsh_candidate_pairs(sigs, bands)
+            pairs = dedup.jaccard_verify(
+                cands, batch, id_col, text_col, threshold=threshold
+            )
+        pairs.write.mode("append").parquet(pairs_dir)
+        batch.join(
+            sigs.withColumnRenamed("doc_id", id_col), id_col
+        ).write.mode("append").parquet(store_dir)
+
+    return run_foreach_batch(
+        docs_stream, checkpoint_dir, batch_fn, processing_time=processing_time
+    )

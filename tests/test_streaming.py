@@ -236,3 +236,58 @@ def test_processing_time_soak_and_checkpoint_resume(spark, tmp_path):
     q2 = sp.run_foreach_batch(stream2, ckpt, batch_fn2)  # AvailableNow drain
     q2.awaitTermination(120)
     assert sum(n for _, n in resumed) == 100
+
+
+def test_streaming_incremental_dedup_equals_batch_global(spark, tmp_path):
+    """Union of per-micro-batch near-dup pairs == one batch MinHash-LSH run
+    over the full corpus: a pair is emitted exactly once, when its later
+    doc arrives (same-batch pairs via self-dedup, cross-batch via the
+    signature store)."""
+    from pw_etl_scrumptious_squad_spark.operators import dedup
+    from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+    docs = (
+        read_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    # three arrival files split deterministically -> three micro-batches
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"arrival={i}.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/arrival=*.parquet")
+    )
+    q = sp.streaming_incremental_dedup(
+        stream,
+        store_dir=str(tmp_path / "store"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_perm=16,
+        bands=8,
+        threshold=0.5,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_dedup(
+            docs, "doc_id", "text", num_perm=16, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert got == full
+    assert full  # sf0.001 corpus contains at least one near-dup pair
+    # the store now holds every doc exactly once with its signature
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.count() == docs.count()
+    assert set(store.columns) == {"doc_id", "text", "minhash"}
