@@ -53,6 +53,13 @@ HEADLINE = [
     "m01_media_features",
     "t06_tfidf_topk",
     "x01_curation_pipeline",
+    # round-2 additions (no r1 baseline; establish one this round)
+    "y08_decontamination",
+    "y12_sequence_packing",
+    "y13_snapshot_diff",
+    "y14_incremental_neardup",
+    "y15_embedding_srp",
+    "y16_source_quota",
 ]
 
 

