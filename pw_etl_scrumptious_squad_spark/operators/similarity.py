@@ -249,6 +249,13 @@ def srp_signatures(
     order-independent and bit-identical across engines; float summation
     order would otherwise flip sign bits on near-zero projections. Pure
     column expressions, no shuffle, no Python per row.
+
+    Scale note: band selectivity is 2^(bits/bands) buckets per band, so
+    ``bits`` must grow with the corpus — 32 bits / 8 bands = 16 bucket
+    values, fine for 10^4 vectors, hopeless for 10^9 (every bucket holds
+    millions). At cluster scale use >=128 bits stored as an
+    ``array<bigint>`` of 64-bit words (band = one word slice) and band
+    widths of 16-32 bits; the quantize/dot/pack shape below is unchanged.
     """
     dim = df.selectExpr(f"size({vec_col}) AS n").first()["n"]
     signs = srp_sign_matrix(bits, dim)

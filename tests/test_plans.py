@@ -120,3 +120,23 @@ def test_partitioned_fact_write_prunes_on_read(spark, tmp_path, totesys):
     # the filter must appear as a partition filter, not only a data filter
     seg = plan[plan.index("PartitionFilters") :]
     assert "created_date" in seg[: seg.index("]")]
+
+
+def test_round2_ops_no_cartesian_no_full_broadcast(spark, cat):
+    """y13 diff joins on the key; y14's band join and verify are equi
+    joins; y15's bucket join is equi on (band, val) — none may degrade to
+    a cartesian product, and the incremental dedup must never broadcast
+    the corpus side (its base is unbounded at scale)."""
+    for name in ["y13_snapshot_diff", "y14_incremental_neardup",
+                 "y15_embedding_srp", "y16_source_quota"]:
+        plan = plan_of(spark, cat, name, "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_snapshot_diff_is_single_sort_merge_join(spark, cat):
+    # both snapshots derive from one scan; the diff itself must be ONE
+    # full-outer join keyed on o_orderkey (full outer can't broadcast)
+    plan = plan_of(spark, cat, "y13_snapshot_diff", "simple")
+    assert plan.count("SortMergeJoin") == 1
+    assert "FullOuter" in plan
