@@ -227,3 +227,68 @@ def upsert_table(
     # materialize before overwriting the files being read
     deduped = deduped.localCheckpoint()
     write_table(deduped, base_dir, name, mode="overwrite")
+
+
+def compact_table(
+    spark: SparkSession,
+    base_dir: str,
+    name: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite ``<name>.parquet`` into
+    ``ceil(table_bytes / target_file_bytes)`` files and return that count.
+
+    Streaming appends (see ``streaming_incremental_dedup``'s store) and
+    per-batch upserts accumulate files far smaller than a row group;
+    at 100 TB the per-file open/footer cost dominates scans and the
+    NameNode/listing cost dominates planning. Compaction trades one
+    bounded rewrite for every future scan's speedup. File count is sized
+    from the CURRENT on-disk bytes (compression survives the round trip,
+    so out-bytes ~= in-bytes); ``coalesce`` avoids a shuffle — each output
+    file unions whole input files. The rewrite goes through a temp dir +
+    atomic rename so a failed job never truncates the live table.
+    """
+    import math
+    import shutil
+
+    path = table_path(base_dir, name)
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = read_table(spark, base_dir, name)
+    tmp = path + ".compact.tmp"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    final = path + ".compact.old"
+    shutil.move(path, final)
+    shutil.move(tmp, path)
+    shutil.rmtree(final)
+    return n_files
+
+
+def clustered_write(
+    df: DataFrame,
+    base_dir: str,
+    name: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Range-clustered layout: globally range-partition on
+    ``cluster_cols`` and sort within each file, so every output file
+    holds a disjoint key range and its parquet min/max footer stats make
+    point/range reads skip whole files (poor-man's z-order for one sort
+    axis — the at-rest layout for a 100 TB fact scanned by date/key).
+
+    ``repartitionByRange`` samples the keys to build balanced range
+    boundaries (one pass + one shuffle); the within-file sort makes row
+    GROUPS skippable too, not just files.
+    """
+    parts = df.repartitionByRange(
+        *([n_files] if n_files else []), *cluster_cols
+    )
+    parts.sortWithinPartitions(*cluster_cols).write.mode(
+        "overwrite"
+    ).parquet(table_path(base_dir, name))

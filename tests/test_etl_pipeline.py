@@ -124,3 +124,66 @@ def test_read_events_without_session_conf(spark):
         assert dict(df.dtypes)["ts"] == "timestamp_ntz"
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+# ---------------------------------------------------------------------------
+# table maintenance: compaction + clustered layout
+# ---------------------------------------------------------------------------
+
+
+def test_compact_table_shrinks_files_keeps_rows(spark, tmp_path):
+    from pw_etl_scrumptious_squad_spark.sources import parquet as pq
+
+    df = pq.read_table(spark, "/root/testdata/sf0.001", "orders")
+    # simulate a streaming append history: 40 tiny files
+    df.repartition(40).write.parquet(str(tmp_path / "orders.parquet"))
+    path = str(tmp_path / "orders.parquet")
+    import os
+
+    def parquet_files():
+        return [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    assert len(parquet_files()) == 40
+    before = sorted(map(tuple, df.collect()))
+    n = pq.compact_table(spark, str(tmp_path), "orders", target_file_bytes=10**9)
+    assert n == 1 and len(parquet_files()) == 1
+    after = sorted(
+        map(tuple, pq.read_table(spark, str(tmp_path), "orders").collect())
+    )
+    assert after == before  # byte-level layout change only
+
+
+def test_clustered_write_disjoint_ranges_and_stats(spark, tmp_path):
+    import pyarrow.parquet as papq
+
+    from pw_etl_scrumptious_squad_spark.sources import parquet as pq
+
+    df = pq.read_table(spark, "/root/testdata/sf0.001", "orders")
+    pq.clustered_write(df, str(tmp_path), "orders_c", ["o_orderkey"], n_files=4)
+    import os
+
+    path = str(tmp_path / "orders_c.parquet")
+    ranges = []
+    for dp, _, fs in os.walk(path):
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            md = papq.read_metadata(os.path.join(dp, f))
+            idx = md.schema.names.index("o_orderkey")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # files hold disjoint key ranges -> skippable
+    back = pq.read_table(spark, str(tmp_path), "orders_c")
+    assert back.count() == df.count()
