@@ -118,6 +118,24 @@ def snapshot_diff(
     )
 
 
+def apply_diff(
+    old: DataFrame, diff: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Replay a ``snapshot_diff`` stream onto ``old``: drop keys marked
+    'D', replace keys marked 'U', add keys marked 'I'. By construction
+    ``apply_diff(old, snapshot_diff(old, new, k), k) == new`` — the
+    round-trip law the property tests pin down. This is the load-side
+    CDC apply (the reference's warehouse load replays extract deltas);
+    one anti-join on the key plus a union — both shuffle on the same key,
+    so co-partitioned inputs replay shuffle-free.
+    """
+    cols = [c for c in old.columns]
+    touched = diff.select(*key_cols)
+    kept = old.join(touched, key_cols, "left_anti")  # drop D and stale U
+    incoming = diff.filter(F.col("op") != "D").select(*cols)
+    return kept.unionByName(incoming)
+
+
 def incremental_extract(
     tables: dict[str, DataFrame],
     store: WatermarkStore,

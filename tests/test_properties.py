@@ -166,3 +166,46 @@ def test_approx_aggregates_within_tolerance(spark):
     ).first()
     assert abs(approx["d"] - exact["d"]) / exact["d"] < 0.05
     assert abs(approx["p50"] - exact["p50"]) / exact["p50"] < 0.01
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff / apply_diff round trip
+# ---------------------------------------------------------------------------
+
+_snap_strategy = st.dictionaries(
+    st.integers(min_value=0, max_value=15),          # key
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),            # name
+        st.one_of(st.none(), st.integers(0, 5)),     # nullable amt
+    ),
+    max_size=10,
+)
+
+
+@SLOW
+@given(old_map=_snap_strategy, new_map=_snap_strategy)
+def test_snapshot_diff_apply_round_trip(spark, old_map, new_map):
+    """apply_diff(old, snapshot_diff(old, new)) == new, for ANY pair of
+    snapshots — including NULL-valued cells, disjoint key sets, and
+    identical tables (empty diff)."""
+    from pw_etl_scrumptious_squad_spark.operators.cdc import (
+        apply_diff,
+        snapshot_diff,
+    )
+
+    schema = "k int, name string, amt int"
+    old = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in old_map.items()], schema
+    )
+    new = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in new_map.items()], schema
+    )
+    diff = snapshot_diff(old, new, ["k"])
+    # diff is minimal: unchanged keys never appear
+    for r in diff.collect():
+        assert old_map.get(r["k"]) != new_map.get(r["k"])
+    rebuilt = {
+        r["k"]: (r["name"], r["amt"])
+        for r in apply_diff(old, diff, ["k"]).collect()
+    }
+    assert rebuilt == new_map
