@@ -1697,3 +1697,82 @@ def y16(spark: SparkSession, sf: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("source", "rnk")
     )
+
+
+@register(
+    "y17_funnel",
+    "WITH u AS (SELECT DISTINCT user_id FROM events),"
+    " t1 AS (SELECT user_id, min(ts) AS t_view FROM events"
+    "  WHERE event_type = 'view' GROUP BY user_id),"
+    " t2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e"
+    "  JOIN t1 ON t1.user_id = e.user_id"
+    "  WHERE e.event_type = 'click' AND e.ts > t1.t_view"
+    "  GROUP BY e.user_id),"
+    " t3 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e"
+    "  JOIN t2 ON t2.user_id = e.user_id"
+    "  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click"
+    "  GROUP BY e.user_id)"
+    " SELECT u.user_id, t_view, t_click, t_purchase,"
+    " CAST(CASE WHEN t_purchase IS NOT NULL THEN 3"
+    " WHEN t_click IS NOT NULL THEN 2"
+    " WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stage"
+    " FROM u LEFT JOIN t1 ON t1.user_id = u.user_id"
+    " LEFT JOIN t2 ON t2.user_id = u.user_id"
+    " LEFT JOIN t3 ON t3.user_id = u.user_id"
+    " ORDER BY u.user_id",
+    "ordered funnel analysis (view -> later click -> later purchase):"
+    " three chained conditional-min windows over ONE user partitioning —"
+    " Spark reuses the exchange+sort across the chain, so the whole"
+    " funnel costs a single shuffle; the oracle states the same stages"
+    " as correlated min-joins",
+)
+def y17(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            F.max("t_view").alias("t_view"),
+            F.max("t_click").alias("t_click"),
+            F.max("t_purchase").alias("t_purchase"),
+        )
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .when(F.col("t_view").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("stage"),
+        )
+        .repartition(1).sortWithinPartitions("user_id")
+    )
