@@ -1776,3 +1776,93 @@ def y17(spark: SparkSession, sf: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("user_id")
     )
+
+
+@register(
+    "y18_cohort_retention",
+    "WITH f AS (SELECT user_id,"
+    " CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week"
+    " FROM events GROUP BY user_id),"
+    " a AS (SELECT DISTINCT user_id,"
+    " CAST(date_trunc('week', ts) AS DATE) AS w FROM events)"
+    " SELECT cohort_week,"
+    " CAST(date_diff('day', cohort_week, w) // 7 AS INTEGER) AS week_offset,"
+    " CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active"
+    " FROM a JOIN f ON f.user_id = a.user_id"
+    " GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset",
+    "weekly cohort retention: users grouped by first-activity week,"
+    " counted as active per week offset — first-touch agg + per-week"
+    " distinct + one join on user_id; both aggs and the join share the"
+    " user_id shuffle",
+)
+def y18(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events").select("user_id", "ts")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("w", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .repartition(1).sortWithinPartitions("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "y19_dq_report",
+    "SELECT * FROM ("
+    " SELECT 'lineitem_orderkey_fk' AS check_name, CAST(count(*) AS BIGINT)"
+    " AS n_violations FROM lineitem l WHERE l.l_orderkey IS NOT NULL"
+    " AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)"
+    " UNION ALL"
+    " SELECT 'lineitem_ship_after_order', CAST(count(*) AS BIGINT)"
+    " FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey"
+    " WHERE NOT coalesce(l.l_shipdate >= o.o_orderdate, FALSE)"
+    " UNION ALL"
+    " SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT) FROM orders o"
+    " WHERE o.o_custkey IS NOT NULL"
+    " AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"
+    " UNION ALL"
+    " SELECT 'orders_pk_unique', CAST(count(*) AS BIGINT) FROM"
+    " (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)"
+    " UNION ALL"
+    " SELECT 'orders_required_cols', CAST(count(*) AS BIGINT) FROM orders"
+    " WHERE o_orderdate IS NULL OR o_orderstatus IS NULL"
+    ") ORDER BY check_name",
+    "data-quality audit: PK uniqueness, FK orphans, required columns, and"
+    " a cross-table business rule (ship date >= order date — violated"
+    " 29k times in the synthetic data, proving the check actually fires);"
+    " null/rule checks are map-side counts, uniqueness one hash agg, FK"
+    " checks anti-joins on a broadcastable key set",
+)
+def y19(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import dq
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    c = _t(spark, sf, "customer")
+    shipped = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    checks = {
+        "orders_pk_unique": dq.unique_violations(o, ["o_orderkey"]),
+        "orders_custkey_fk": dq.fk_orphans(o, c, "o_custkey", "c_custkey"),
+        "lineitem_orderkey_fk": dq.fk_orphans(
+            li, o, "l_orderkey", "o_orderkey"
+        ),
+        "orders_required_cols": dq.null_violations(
+            o, ["o_orderdate", "o_orderstatus"]
+        ),
+        "lineitem_ship_after_order": dq.rule_violations(
+            shipped, F.col("l_shipdate") >= F.col("o_orderdate")
+        ),
+    }
+    return dq.dq_report(checks).repartition(1).sortWithinPartitions(
+        "check_name"
+    )
