@@ -1866,3 +1866,77 @@ def y19(spark: SparkSession, sf: str) -> DataFrame:
     return dq.dq_report(checks).repartition(1).sortWithinPartitions(
         "check_name"
     )
+
+
+@register(
+    "y20_salted_agg",
+    "SELECT l_orderkey,"
+    " CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,"
+    " CAST(count(*) AS BIGINT) AS n_lines,"
+    " ROUND(MAX(l_extendedprice), 2) AS max_price"
+    " FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
+    "salted two-phase aggregation, value-identical to the plain GROUP BY"
+    " (the oracle IS the unsalted SQL): a hot key spreads over 16 salt"
+    " buckets in phase 1 and recombines in phase 2 — algebraic aggregates"
+    " only, enforced by the operator",
+)
+def y20(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import skew
+
+    li = _t(spark, sf, "lineitem").withColumn(
+        "l_qty_long", F.col("l_quantity").cast("bigint")
+    )
+    out = skew.salted_aggregate(
+        li,
+        ["l_orderkey"],
+        {
+            "total_qty": ("sum", "l_qty_long"),
+            "n_lines": ("count", "l_orderkey"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        buckets=16,
+    )
+    return out.select(
+        "l_orderkey",
+        "total_qty",
+        "n_lines",
+        F.round("max_price", 2).alias("max_price"),
+    ).repartition(1).sortWithinPartitions("l_orderkey")
+
+
+@register(
+    "y21_incremental_rollup",
+    "SELECT o_orderdate, CAST(count(*) AS BIGINT) AS n_orders,"
+    " ROUND(SUM(o_totalprice), 2) AS revenue,"
+    " ROUND(MAX(o_totalprice), 2) AS max_order"
+    " FROM orders GROUP BY o_orderdate ORDER BY o_orderdate",
+    "incremental view maintenance: the pre-1998 daily rollup merged with"
+    " the 1998+ delta's partial aggregate must equal a full recompute"
+    " (the oracle IS the full GROUP BY) — the merge touches rollup rows,"
+    " not raw history",
+)
+def y21(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    split = "1998-01-01"
+
+    def partial(df):
+        return df.groupBy("o_orderdate").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+            F.max("o_totalprice").alias("max_order"),
+        )
+
+    prev = partial(o.filter(F.col("o_orderdate") < split))
+    delta = partial(o.filter(F.col("o_orderdate") >= split))
+    merged = curation.merge_aggregates(
+        prev,
+        delta,
+        ["o_orderdate"],
+        {"n_orders": "count", "revenue": "sum", "max_order": "max"},
+    )
+    return merged.select(
+        "o_orderdate",
+        "n_orders",
+        F.round("revenue", 2).alias("revenue"),
+        F.round("max_order", 2).alias("max_order"),
+    ).repartition(1).sortWithinPartitions("o_orderdate")

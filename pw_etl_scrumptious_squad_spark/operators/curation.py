@@ -310,3 +310,34 @@ def top_k_per_group(
     return pruned.withColumn(
         rank_col, F.row_number().over(w).cast("int")
     ).filter(F.col(rank_col) <= k)
+
+
+def merge_aggregates(
+    prev: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, str],
+) -> DataFrame:
+    """Incremental view maintenance for algebraic aggregates: fold a new
+    batch's PARTIAL aggregate into the previously materialized rollup
+    without rescanning history — ``aggs`` maps column -> original
+    function (sum / count / min / max); partial counts re-combine by
+    summing, the rest by their own function.
+
+    This is the 100 TB shape for any daily-maintained rollup: the merge
+    touches |prev keys| + |delta keys| rows (megabytes), not the raw
+    history (terabytes). Non-algebraic aggregates (avg, distinct) must be
+    carried as their algebraic parts (sum+count, sketch) and finalized at
+    read time.
+    """
+    recombine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for c, fn in aggs.items():
+        if fn not in recombine:
+            raise ValueError(
+                f"{fn} is not algebraic; materialize its parts instead"
+            )
+    return (
+        prev.unionByName(delta)
+        .groupBy(*key_cols)
+        .agg(*[recombine[fn](c).alias(c) for c, fn in aggs.items()])
+    )

@@ -270,3 +270,41 @@ def test_top_k_per_group_local_prune_in_plan(spark):
         df, "grp", 3, [F.desc("score"), F.asc("id")]
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "SPARK_PARTITION_ID" in plan
+
+
+# ---------------------------------------------------------------------------
+# merge_aggregates (incremental view maintenance)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_aggregates_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i % 5, float(i), i) for i in range(100)]
+    df = spark.createDataFrame(rows, "k int, amt double, seq int")
+
+    def partial(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("amt").alias("total"),
+            F.min("amt").alias("lo"),
+            F.max("amt").alias("hi"),
+        )
+
+    merged = curation.merge_aggregates(
+        partial(df.filter(F.col("seq") < 60)),
+        partial(df.filter(F.col("seq") >= 60)),
+        ["k"],
+        {"n": "count", "total": "sum", "lo": "min", "hi": "max"},
+    )
+    got = sorted(map(tuple, merged.collect()))
+    full = sorted(map(tuple, partial(df).collect()))
+    assert got == full
+
+
+def test_merge_aggregates_rejects_non_algebraic(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1.0)], "k int, amt double")
+    with pytest.raises(ValueError, match="not algebraic"):
+        curation.merge_aggregates(df, df, ["k"], {"amt": "avg"})
