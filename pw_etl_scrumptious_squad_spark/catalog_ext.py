@@ -1940,3 +1940,96 @@ def y21(spark: SparkSession, sf: str) -> DataFrame:
         F.round("revenue", 2).alias("revenue"),
         F.round("max_order", 2).alias("max_order"),
     ).repartition(1).sortWithinPartitions("o_orderdate")
+
+
+@register(
+    "y22_salted_join",
+    "SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority,"
+    " CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)"
+    " AS BIGINT) AS net_cents"
+    " FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey"
+    " WHERE o.o_orderstatus = 'O'"
+    " ORDER BY l.l_orderkey, l.l_linenumber",
+    "salted skewed join, value-identical to the plain equi join (the"
+    " oracle IS the unsalted SQL): the fact side carries a 16-way salt,"
+    " the medium dim replicates per salt value, so one hot order key"
+    " spreads over 16 tasks instead of wedging one",
+)
+def y22(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import skew
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    joined = skew.salted_join(li, o, on="l_orderkey", buckets=16)
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderpriority",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+        )
+        .cast("bigint")
+        .alias("net_cents"),
+    ).repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber")
+
+
+@register(
+    "y23_market_share",
+    "WITH rev AS (SELECT n.n_name AS nation,"
+    " CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS yr,"
+    " SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue"
+    " FROM lineitem l"
+    " JOIN orders o ON o.o_orderkey = l.l_orderkey"
+    " JOIN customer c ON c.c_custkey = o.o_custkey"
+    " JOIN nation n ON n.n_nationkey = c.c_nationkey"
+    " JOIN region r ON r.r_regionkey = n.n_regionkey"
+    " WHERE r.r_name = 'ASIA'"
+    " GROUP BY nation, yr)"
+    " SELECT nation, yr,"
+    " CAST(floor(revenue * 100 + 0.5) AS BIGINT) AS revenue_cents,"
+    " CAST(floor(revenue / SUM(revenue) OVER (PARTITION BY yr) * 1000000"
+    " + 0.5) AS BIGINT) AS share_ppm"
+    " FROM rev ORDER BY nation, yr",
+    "market-share analytics: five-way join (fact -> orders -> customer ->"
+    " nation -> region, dims broadcast) + per-year revenue share via a"
+    " window over the aggregate; money as exact cents/ppm integers",
+)
+def y23(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    rev = (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .join(broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    share = F.col("revenue") / F.sum("revenue").over(
+        Window.partitionBy("yr")
+    )
+    return rev.select(
+        "nation",
+        "yr",
+        F.floor(F.col("revenue") * 100 + 0.5).cast("bigint").alias(
+            "revenue_cents"
+        ),
+        F.floor(share * 1_000_000 + 0.5).cast("bigint").alias("share_ppm"),
+    ).repartition(1).sortWithinPartitions("nation", "yr")
