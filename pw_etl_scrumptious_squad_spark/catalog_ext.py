@@ -2033,3 +2033,41 @@ def y23(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.floor(share * 1_000_000 + 0.5).cast("bigint").alias("share_ppm"),
     ).repartition(1).sortWithinPartitions("nation", "yr")
+
+
+@register(
+    "y24_scd2_dim",
+    "WITH h AS (SELECT o_custkey AS custkey, o_orderpriority AS priority,"
+    " o_orderdate AS ts, o_orderkey FROM orders),"
+    " m AS (SELECT custkey, priority, ts, o_orderkey,"
+    " CASE WHEN lag(ts) OVER w IS NULL THEN 1"
+    " WHEN priority IS DISTINCT FROM lag(priority) OVER w THEN 1"
+    " ELSE 0 END AS chg"
+    " FROM h WINDOW w AS (PARTITION BY custkey ORDER BY ts, o_orderkey)),"
+    " v AS (SELECT custkey, priority, ts,"
+    " SUM(chg) OVER (PARTITION BY custkey ORDER BY ts, o_orderkey) AS ver"
+    " FROM m),"
+    " g AS (SELECT custkey, CAST(ver AS INTEGER) AS version, priority,"
+    " min(ts) AS valid_from FROM v GROUP BY custkey, ver, priority)"
+    " SELECT custkey, version, priority, valid_from,"
+    " lead(valid_from) OVER (PARTITION BY custkey ORDER BY version)"
+    " AS valid_to"
+    " FROM g ORDER BY custkey, version",
+    "type-2 SCD build from an event history: run-length versioning of"
+    " each customer's order priority with valid_from/valid_to ranges —"
+    " two windows sharing one (key, ts) exchange+sort; the versioned dim"
+    " is the lookup side of the r15 as-of join for point-in-time"
+    " enrichment",
+)
+def y24(spark: SparkSession, sf: str) -> DataFrame:
+    h = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    from pw_etl_scrumptious_squad_spark.operators import dims
+
+    return dims.scd2_from_history(
+        h, "custkey", ["priority"], "ts", tiebreak_cols=["o_orderkey"]
+    ).repartition(1).sortWithinPartitions("custkey", "version")

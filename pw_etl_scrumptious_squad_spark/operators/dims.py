@@ -18,7 +18,7 @@ semantics pinned by the warehouse DDL, document divergences:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -147,4 +147,49 @@ def create_dim_date(
         F.date_format("date_id", "EEEE").alias("day_name"),
         F.date_format("date_id", "MMMM").alias("month_name"),
         F.quarter("date_id").alias("quarter"),
+    )
+
+
+def scd2_from_history(
+    history: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from an event history:
+    one version row per (key, attribute-state) RUN, with
+    ``valid_from``/``valid_to`` effective ranges (``valid_to`` NULL for
+    the current version) — the versioned-dim layer the reference's
+    overwrite-style dims lack, and the standard lookup side of an as-of
+    join (see r15) for point-in-time fact enrichment.
+
+    Two windows over ONE (key, ts) partitioning — Spark reuses the
+    exchange+sort: a lag marks rows where any attribute changed
+    (null-safe), a running count of change-markers groups each run, and
+    the version's range is [min(ts) of run, min(ts) of next run). At
+    100 TB the history shuffles once on the key; version counts are tiny
+    compared to events, so the output is the broadcastable side.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in (tiebreak_cols or [])]]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = None
+    for c in attr_cols:
+        ne = ~F.col(c).eqNullSafe(F.lag(c).over(w))
+        changed = ne if changed is None else changed | ne
+    marked = history.withColumn(
+        "__chg",
+        F.when(F.lag(ts_col).over(w).isNull(), F.lit(1))  # first row: new run
+        .when(changed, F.lit(1))
+        .otherwise(F.lit(0)),
+    ).withColumn("__ver", F.sum("__chg").over(w))
+    versions = marked.groupBy(key_col, "__ver", *attr_cols).agg(
+        F.min(ts_col).alias("valid_from")
+    )
+    nxt = Window.partitionBy(key_col).orderBy("__ver")
+    return (
+        versions.withColumn("valid_to", F.lead("valid_from").over(nxt))
+        .withColumn("version", F.col("__ver").cast("int"))
+        .drop("__ver")
+        .select(key_col, "version", *attr_cols, "valid_from", "valid_to")
     )

@@ -127,3 +127,35 @@ def test_transform_missing_table_raises(spark, totesys):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "payment" in str(e)
+
+
+def test_scd2_from_history_runs_and_ranges(spark):
+    """Attribute runs collapse to one version each; ranges are contiguous
+    per key ([v.valid_to == next.valid_from]); the current version is
+    open-ended (NULL valid_to); a re-appearing old value starts a NEW
+    version (type-2, not type-1)."""
+    from pyspark.sql import functions as F
+
+    from pw_etl_scrumptious_squad_spark.operators.dims import scd2_from_history
+
+    rows = [
+        (1, "gold", "2024-01-01"),
+        (1, "gold", "2024-01-05"),     # same run
+        (1, "silver", "2024-02-01"),   # change
+        (1, "gold", "2024-03-01"),     # back to gold -> NEW version
+        (2, "bronze", "2024-01-10"),   # single-version key
+    ]
+    h = spark.createDataFrame(rows, "k int, tier string, d string").select(
+        "k", "tier", F.to_date("d").alias("d")
+    )
+    out = sorted(
+        (r["k"], r["version"], r["tier"], str(r["valid_from"]),
+         r["valid_to"] and str(r["valid_to"]))
+        for r in scd2_from_history(h, "k", ["tier"], "d").collect()
+    )
+    assert out == [
+        (1, 1, "gold", "2024-01-01", "2024-02-01"),
+        (1, 2, "silver", "2024-02-01", "2024-03-01"),
+        (1, 3, "gold", "2024-03-01", None),
+        (2, 1, "bronze", "2024-01-10", None),
+    ]
