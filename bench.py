@@ -94,19 +94,28 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # best-of-2 per query: a single pass is dominated by JVM/GC noise from
-    # neighboring queries (observed +-7s swings on a 23-query run); the min
-    # of two runs reports the steady-state cost of the plan itself
+    # adaptive best-of-N per query: a single pass is dominated by JVM/GC
+    # noise from neighboring queries (observed +-7s swings on a 23-query
+    # run), and first-execution codegen compilation can spoil BOTH of two
+    # back-to-back runs (observed q01 4.2s/3.9s cold vs 1.2s steady). Run
+    # twice; if the two disagree by >20%, a third run breaks the tie. The
+    # min reports the steady-state cost of the plan itself.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
+        runs = []
         for _ in range(2):
             start = time.perf_counter()
             cat[name].build(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - start)
+        if abs(runs[0] - runs[1]) > 0.2 * min(runs):
+            start = time.perf_counter()
+            cat[name].build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.perf_counter() - start)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(

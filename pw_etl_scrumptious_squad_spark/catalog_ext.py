@@ -2071,3 +2071,48 @@ def y24(spark: SparkSession, sf: str) -> DataFrame:
     return dims.scd2_from_history(
         h, "custkey", ["priority"], "ts", tiebreak_cols=["o_orderkey"]
     ).repartition(1).sortWithinPartitions("custkey", "version")
+
+
+@register(
+    "z29_bloom_semi_join",
+    "SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,"
+    " ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue"
+    " FROM lineitem WHERE l_orderkey IN"
+    " (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)"
+    " GROUP BY l_orderkey ORDER BY l_orderkey",
+    "Bloom-pruned semi-join (operators/join_opt.py): the fact side is"
+    " pre-filtered by a broadcast ONE-row Bloom filter built from the dim"
+    " keys (xxhash64 probes + bit_or word aggregation, pure public API),"
+    " then an exact semi-join removes the false positives — value-identical"
+    " to the plain IN-subquery the oracle runs, but at 100 TB the fact"
+    " shuffle shrinks from |fact| to ~|matches| when the dim key set is"
+    " too large to broadcast as a hash relation. z-prefix: past the gate"
+    " window by design; tools/check.py covers it",
+)
+def z29(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import join_opt
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    keys = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    pruned = join_opt.bloom_prune_semi_join(
+        li, keys, "l_orderkey", "o_orderkey", n_bits=1 << 17
+    )
+    return (
+        pruned.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(price * (F.lit(1) - disc)).cast("double"), 4
+            ).alias("revenue"),
+        )
+        .repartition(1).sortWithinPartitions("l_orderkey")
+    )
