@@ -269,6 +269,85 @@ def compact_table(
     return n_files
 
 
+def zorder_write(
+    df: DataFrame,
+    base_dir: str,
+    name: str,
+    zorder_cols: list[str],
+    n_files: int = 16,
+    bits: int = 12,
+) -> None:
+    """Z-order (Morton-curve) clustered layout over 2+ columns: every
+    output file covers a small HYPER-RECTANGLE of the key space, so
+    parquet min/max footer stats skip files for point/range predicates
+    on ANY of the clustered columns — the multi-axis generalization of
+    :func:`clustered_write` (whose single sort axis leaves the second
+    column's per-file ranges spanning the whole domain).
+
+    Each column is normalized to a ``bits``-bit bucket code with
+    ``width_bucket`` over its min/max (one tiny agg per column — the
+    same bounded driver-side planning read ``repartitionByRange``'s
+    sampler does), the codes are bit-interleaved into one Morton key
+    (pure integer expressions, JVM-side), and the data is range-
+    partitioned + sorted on that key. Heavily skewed columns flatten
+    the curve — pre-transform them (log, rank) before calling.
+    """
+    n_cols = len(zorder_cols)
+    if n_cols < 2:
+        raise ValueError("zorder_write needs >=2 columns; use clustered_write")
+    dtypes = dict(df.dtypes)
+
+    def _as_double(c: str) -> str:
+        t = dtypes[c]
+        if t == "date":
+            return f"CAST(datediff({c}, DATE '1970-01-01') AS DOUBLE)"
+        if t.startswith("timestamp"):
+            return f"CAST(unix_micros(CAST({c} AS TIMESTAMP)) AS DOUBLE)"
+        return f"CAST({c} AS DOUBLE)"
+
+    bounds = df.agg(
+        *[
+            F.expr(f"min({_as_double(c)})").alias(f"lo_{i}")
+            for i, c in enumerate(zorder_cols)
+        ],
+        *[
+            F.expr(f"max({_as_double(c)})").alias(f"hi_{i}")
+            for i, c in enumerate(zorder_cols)
+        ],
+    ).first()
+    codes = []
+    for i, c in enumerate(zorder_cols):
+        lo_d, hi_d = bounds[f"lo_{i}"], bounds[f"hi_{i}"]
+        if lo_d is None or hi_d is None or hi_d <= lo_d:
+            codes.append(F.lit(0).cast("long"))  # constant/all-null column
+            continue
+        n_buckets = 1 << bits
+        code = F.expr(
+            f"CAST(width_bucket({_as_double(c)}, {lo_d!r}, {hi_d!r},"
+            f" {n_buckets}) AS BIGINT) - 1"
+        )
+        codes.append(F.greatest(F.lit(0), F.least(F.lit(n_buckets - 1), code)))
+    morton = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, code in enumerate(codes):
+            # bit b of column i -> Morton bit (b * n_cols + i)
+            shift = b * n_cols + i - b  # == target - source bit position
+            bit = code.bitwiseAND(F.lit(1 << b))
+            morton = morton + (
+                F.call_function("shiftleft", bit, F.lit(shift))
+                if shift >= 0
+                else F.call_function("shiftright", bit, F.lit(-shift))
+            )
+    z = df.withColumn("__z", morton)
+    (
+        z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(table_path(base_dir, name))
+    )
+
+
 def clustered_write(
     df: DataFrame,
     base_dir: str,

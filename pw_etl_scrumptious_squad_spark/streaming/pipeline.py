@@ -164,6 +164,59 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def attribution_join(
+    events: DataFrame,
+    trigger_type: str = "view",
+    outcome_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each ``outcome_type`` event to
+    every ``trigger_type`` event by the same user in the preceding
+    ``within`` interval (classic view→purchase attribution).
+
+    Both sides carry a watermark and the join condition bounds event time
+    on BOTH ends, so Spark can size the join state and evict rows once
+    they can no longer match — the requirements for a bounded-state
+    stream-stream join (unbounded conditions would grow state forever on
+    a 100 TB/day event feed). State per side ≈ events inside
+    (watermark + within), partitioned by user_id.
+    """
+    trig = (
+        events.where(F.col("event_type") == trigger_type)
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("event_id").alias("trigger_id"),
+            F.col("ts").alias("t_ts"),
+        )
+        .withWatermark("t_ts", watermark)
+    )
+    out = (
+        events.where(F.col("event_type") == outcome_type)
+        .select(
+            F.col("user_id").alias("o_user"),
+            F.col("event_id").alias("outcome_id"),
+            F.col("ts").alias("o_ts"),
+            F.col("value").alias("outcome_value"),
+        )
+        .withWatermark("o_ts", watermark)
+    )
+    joined = trig.join(
+        out,
+        (F.col("t_user") == F.col("o_user"))
+        & (F.col("o_ts") >= F.col("t_ts"))
+        & (F.col("o_ts") <= F.col("t_ts") + F.expr(f"INTERVAL {within}")),
+    )
+    return joined.select(
+        F.col("t_user").alias("user_id"),
+        "trigger_id",
+        "outcome_id",
+        "t_ts",
+        "o_ts",
+        "outcome_value",
+    )
+
+
 def run_available_now(
     df: DataFrame,
     checkpoint_dir: str,

@@ -187,3 +187,79 @@ def test_clustered_write_disjoint_ranges_and_stats(spark, tmp_path):
         assert hi1 <= lo2  # files hold disjoint key ranges -> skippable
     back = pq.read_table(spark, str(tmp_path), "orders_c")
     assert back.count() == df.count()
+
+
+def test_zorder_write_skips_files_on_both_axes(spark, tmp_path):
+    """Z-order files cover hyper-rectangles: a mid-domain point predicate
+    on EITHER clustered column must skip most files via footer min/max,
+    whereas single-axis clustering leaves the other column's per-file
+    range spanning the whole domain (no skipping)."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    from pw_etl_scrumptious_squad_spark.sources import parquet as pq
+
+    df = pq.read_table(spark, "/root/testdata/sf0.001", "orders")
+    pq.zorder_write(
+        df, str(tmp_path), "orders_z", ["o_custkey", "o_totalprice"],
+        n_files=16,
+    )
+
+    def file_ranges(table, col):
+        path = str(tmp_path / f"{table}.parquet")
+        out = []
+        for dp, _, fs in os.walk(path):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                md = papq.read_metadata(os.path.join(dp, f))
+                idx = md.schema.names.index(col)
+                stats = [
+                    md.row_group(rg).column(idx).statistics
+                    for rg in range(md.num_row_groups)
+                ]
+                out.append(
+                    (min(s.min for s in stats), max(s.max for s in stats))
+                )
+        return out
+
+    def hit_fraction(table, col, value):
+        ranges = file_ranges(table, col)
+        hits = sum(1 for lo, hi in ranges if lo <= value <= hi)
+        return hits / len(ranges)
+
+    mid = df.selectExpr(
+        "percentile_approx(o_custkey, 0.5) AS ck",
+        "percentile_approx(o_totalprice, 0.5) AS tp",
+    ).first()
+
+    assert len(file_ranges("orders_z", "o_custkey")) == 16
+    z_ck = hit_fraction("orders_z", "o_custkey", mid.ck)
+    z_tp = hit_fraction("orders_z", "o_totalprice", mid.tp)
+    assert z_ck <= 0.6, f"custkey point predicate hits {z_ck:.0%} of files"
+    assert z_tp <= 0.6, f"totalprice point predicate hits {z_tp:.0%} of files"
+
+    # the single-axis baseline skips on its sort column but NOT the other
+    pq.clustered_write(
+        df, str(tmp_path), "orders_lin", ["o_custkey"], n_files=16
+    )
+    lin_tp = hit_fraction("orders_lin", "o_totalprice", mid.tp)
+    assert z_tp < lin_tp  # z-order strictly better on the second axis
+
+    back = pq.read_table(spark, str(tmp_path), "orders_z")
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+
+
+def test_zorder_write_date_and_constant_columns(spark, tmp_path):
+    from pw_etl_scrumptious_squad_spark.sources import parquet as pq
+
+    df = pq.read_table(spark, "/root/testdata/sf0.001", "orders").withColumn(
+        "const", __import__("pyspark").sql.functions.lit(7)
+    )
+    pq.zorder_write(
+        df, str(tmp_path), "orders_zd", ["o_orderdate", "const"], n_files=4
+    )
+    back = pq.read_table(spark, str(tmp_path), "orders_zd")
+    assert back.count() == df.count()
