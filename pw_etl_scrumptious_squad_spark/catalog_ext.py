@@ -1168,7 +1168,7 @@ def y04(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _cc_oracle() -> str:
+def _cc_cte() -> str:
     # same pair source as d02's oracle (token-set jaccard >= 0.9, lang
     # blocked), then min-reachable-id per node via a recursive CTE over
     # the undirected edge set; singletons label themselves
@@ -1184,10 +1184,14 @@ def _cc_oracle() -> str:
         " reach(node, r) AS ("
         " SELECT doc_id, doc_id FROM documents"
         " UNION"
-        " SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)"
-        " SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id"
-        " FROM reach GROUP BY node ORDER BY doc_id"
+        " SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),"
+        " clusters AS (SELECT node AS doc_id, CAST(MIN(r) AS BIGINT)"
+        " AS cluster_id FROM reach GROUP BY node)"
     )
+
+
+def _cc_oracle() -> str:
+    return _cc_cte() + " SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"
 
 
 @register(
@@ -2115,4 +2119,80 @@ def z29(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("revenue"),
         )
         .repartition(1).sortWithinPartitions("l_orderkey")
+    )
+
+
+def _y25_oracle() -> str:
+    from pw_etl_scrumptious_squad_spark.catalog import _stop_list_sql
+
+    toks = "string_split(text, ' ')"
+    # raw UNROUNDED weighted score: every term is IEEE double arithmetic
+    # over exact integers, so both engines produce the bit-identical
+    # double (no ROUND midpoint divergence anywhere in the ranking key)
+    quality = (
+        "(0.4 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
+        " / length(text))"
+        f" + 0.3 * (len(list_filter({toks}, t -> t IN"
+        f" ({_stop_list_sql()}))) / len({toks}))"
+        f" + 0.3 * (len(list_distinct({toks})) / len({toks})))"
+    )
+    return (
+        _cc_cte()
+        + f", q AS (SELECT doc_id, {quality} AS qs FROM documents)"
+        " SELECT d.doc_id, c.cluster_id,"
+        " CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)"
+        " AS cluster_size,"
+        " CAST(floor(q.qs * 1e9 + 0.5) AS BIGINT) AS score_ppb,"
+        " CAST(CASE WHEN row_number() OVER (PARTITION BY c.cluster_id"
+        " ORDER BY q.qs DESC, d.doc_id) = 1 THEN 1 ELSE 0 END"
+        " AS INTEGER) AS is_canonical"
+        " FROM documents d JOIN clusters c USING (doc_id)"
+        " JOIN q USING (doc_id) ORDER BY doc_id"
+    )
+
+
+@register(
+    "y25_cluster_canon",
+    _y25_oracle(),
+    "canonical-document selection: near-dup clusters (y05's connected"
+    " components over token-Jaccard pairs) ranked by the t02-family"
+    " quality score, keeping the best-scoring doc per cluster (ties ->"
+    " lowest doc_id). The step that turns pair detection into a"
+    " deduplicated corpus; one cluster_id shuffle shared by the size"
+    " count and the rank window. The ranking key is the raw IEEE double"
+    " (bit-identical cross-engine); the emitted score is integer ppb via"
+    " floor(x*1e9+0.5), never ROUND (midpoint-safe). Oracle ="
+    " recursive-CTE closure + the same window, value-exact",
+)
+def y25(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    d = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", "lang", 0.9)
+    toks = F.split(F.col("text"), " ")
+    quoted = ", ".join(f"'{w}'" for w in textops.ENGLISH_STOPWORDS)
+    n_tok = F.size(toks)
+    qs = (
+        0.4
+        * (
+            F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+            / F.length("text")
+        )
+        + 0.3
+        * (F.expr(f"size(filter(split(text, ' '), t -> t IN ({quoted})))") / n_tok)
+        + 0.3 * (F.size(F.array_distinct(toks)) / n_tok)
+    )
+    scored = d.select("doc_id", qs.alias("qs"))
+    return (
+        dedup.keep_canonical(scored, pairs, "doc_id", "qs")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            F.floor(F.col("qs") * F.lit(1e9) + F.lit(0.5))
+            .cast("bigint")
+            .alias("score_ppb"),
+            "is_canonical",
+        )
+        .repartition(1).sortWithinPartitions("doc_id")
     )

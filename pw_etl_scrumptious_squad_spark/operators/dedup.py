@@ -755,3 +755,50 @@ def connected_components(
         if changed == 0:
             return labels.select("node", F.col("label").alias("cluster_id"))
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iters")
+
+
+def keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Pick ONE representative document per near-duplicate cluster — the
+    step that turns pair/cluster detection into an actually-deduplicated
+    corpus (extension past the reference's relational surface; near-dup
+    semantics follow the d02/y05 Jaccard family).
+
+    Labels every doc with its :func:`connected_components` cluster, then
+    ranks within each cluster by ``score_col`` descending (ties broken by
+    ascending ``id_col``, so the choice is deterministic). Returns all
+    input rows annotated with ``cluster_id``, ``cluster_size`` and
+    ``is_canonical`` (1 for the kept representative, 0 for discards) —
+    callers filter ``is_canonical = 1`` for the deduplicated corpus, or
+    keep the full frame for audit.
+
+    Scale shape: the component loop is y05's (diameter-bounded joins);
+    after labeling, ranking costs ONE shuffle on ``cluster_id`` shared by
+    the size count and the row_number (same window partition). Cluster
+    sizes are near-dup clusters — small by construction (the LSH/banding
+    stages cap degenerate buckets upstream), so the window never sees a
+    skewed partition.
+    """
+    labels = connected_components(
+        pairs.select("doc_a", "doc_b"), docs, id_col
+    )
+    scored = docs.join(
+        labels, docs[id_col] == labels["node"], "inner"
+    ).drop("node")
+    w = Window.partitionBy("cluster_id")
+    rank_w = w.orderBy(F.col(score_col).desc(), F.col(id_col))
+    return (
+        scored.withColumn(
+            "cluster_size", F.count(F.lit(1)).over(w).cast("bigint")
+        )
+        .withColumn(
+            "is_canonical",
+            F.when(F.row_number().over(rank_w) == 1, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+    )

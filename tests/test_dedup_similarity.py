@@ -395,3 +395,27 @@ def test_srp_banded_pairs_equal_bruteforce(spark):
     }
     assert got == brute
     assert any(b == 1000 + a for a, b, _ in got)  # planted partners found
+
+
+def test_keep_canonical_best_score_per_cluster(spark):
+    """keep_canonical keeps exactly one doc per component — the highest
+    score, ties broken by lowest id — and labels every input row with its
+    cluster, size, and canonical flag."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a LONG, doc_b LONG"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, 0.5), (2, 0.9), (3, 0.9),   # cluster 1: tie 2 vs 3 -> 2
+            (10, 0.1), (11, 0.2),            # cluster 10: 11 wins
+            (99, 0.7),                       # singleton: itself
+        ],
+        "doc_id LONG, score DOUBLE",
+    )
+    rows = dedup.keep_canonical(docs, pairs, "doc_id", "score").collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(rows) == 6
+    assert {i for i, r in by_id.items() if r["is_canonical"] == 1} == {2, 11, 99}
+    assert by_id[3]["cluster_id"] == 1 and by_id[3]["cluster_size"] == 3
+    assert by_id[10]["cluster_id"] == 10 and by_id[10]["cluster_size"] == 2
+    assert by_id[99]["cluster_size"] == 1
