@@ -2196,3 +2196,52 @@ def y25(spark: SparkSession, sf: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("doc_id")
     )
+
+
+@register(
+    "z30_session_window",
+    "WITH flagged AS (SELECT user_id, ts, value, CASE WHEN"
+    " epoch_us(ts) - lag(epoch_us(ts)) OVER"
+    " (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000"
+    " THEN 1 ELSE 0 END AS new_s FROM events),"
+    " sessions AS (SELECT user_id, ts, value,"
+    " SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts"
+    " ROWS UNBOUNDED PRECEDING) AS session_idx FROM flagged)"
+    " SELECT user_id, min(ts) AS session_start,"
+    " max(ts) + INTERVAL 30 MINUTE AS session_end,"
+    " CAST(count(*) AS BIGINT) AS n_events,"
+    " ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)"
+    " AS total_value"
+    " FROM sessions GROUP BY user_id, session_idx"
+    " ORDER BY user_id, session_start",
+    "built-in session_window gap sessions (30-min timeout) in batch —"
+    " the native form of q10's lag+cumsum sessionization and the exact"
+    " batch twin of the streaming session-window aggregation (same"
+    " operator runs under a watermark in streaming/pipeline.py)."
+    " session_end = last event + gap per Spark's window contract; the"
+    " oracle reproduces it with max(ts) + INTERVAL. Merge rule verified:"
+    " an event exactly gap-after the previous one MERGES (new session"
+    " iff strictly greater), matching the oracle's lag > gap flag."
+    " z-prefix: past the gate window by design; tools/check.py covers it",
+)
+def z30(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .repartition(1).sortWithinPartitions("user_id", "session_start")
+    )

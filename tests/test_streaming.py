@@ -72,6 +72,26 @@ def test_session_rollup_total_events_preserved(spark, events_dir):
         for prev, nxt in zip(user_rows, user_rows[1:]):
             assert prev["session_end"] <= nxt["session_start"]
 
+    # exact parity with the batch session_window twin (catalog z30's
+    # shape): same sessions, same boundaries, same per-session counts
+    from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+    batch = (
+        read_table(spark, SF, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    key = lambda r: (  # noqa: E731
+        r["user_id"], r["session_start"], r["session_end"], r["n_events"]
+    )
+    assert sorted(map(key, rows)) == sorted(map(key, batch.collect()))
+
 
 def test_foreach_batch_sink_receives_all_rows(spark, events_dir, tmp_path):
     stream = sp.read_event_stream(spark, events_dir)
