@@ -2245,3 +2245,45 @@ def z30(spark: SparkSession, sf: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("user_id", "session_start")
     )
+
+
+_SHARD_N, _SHARD_BUCKETS, _SHARD_SEED = 8, 16, "shard-v1"
+
+
+@register(
+    "y26_shard_assign",
+    "WITH w AS (SELECT doc_id,"
+    " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,"
+    " CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),"
+    f" ':{_SHARD_SEED}')), 1, 15)) AS BIGINT) % {_SHARD_BUCKETS} AS bucket"
+    " FROM documents),"
+    " r AS (SELECT doc_id, n_tokens, bucket,"
+    " row_number() OVER (PARTITION BY bucket"
+    " ORDER BY n_tokens DESC, doc_id) AS rn FROM w)"
+    f" SELECT CAST((rn - 1 + bucket) % {_SHARD_N} AS INTEGER) AS shard,"
+    " CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(SUM(n_tokens) AS BIGINT) AS total_tokens"
+    " FROM r GROUP BY 1 ORDER BY shard",
+    "balanced training-shard assignment manifest: md5-bucketed rows,"
+    " per-bucket weight-descending round-robin with rotating start shard"
+    " (curation.py::assign_shards). Deterministic (seeded hash, no RNG"
+    " state), no global sort — windows partition by bucket. The manifest"
+    " aggregates per-shard doc/token totals; balance is asserted in"
+    " pytest. Oracle = identical window/modulo arithmetic in DuckDB",
+)
+def y26(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    assigned = curation.assign_shards(
+        d, _SHARD_N, "doc_id", "n_tokens", _SHARD_BUCKETS, _SHARD_SEED
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .repartition(1).sortWithinPartitions("shard")
+    )

@@ -341,3 +341,59 @@ def merge_aggregates(
         .groupBy(*key_cols)
         .agg(*[recombine[fn](c).alias(c) for c, fn in aggs.items()])
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    n_buckets: int = 64,
+    seed: str = "shard-v1",
+) -> DataFrame:
+    """Deterministic balanced shard assignment: give every row a shard in
+    ``[0, n_shards)`` such that per-shard total ``weight_col`` (token
+    counts) comes out near-equal — the writer-side step that turns a
+    curated corpus into training shards of even size.
+
+    A greedy global LPT pass would need a single-partition sort at 100 TB.
+    Instead each row hashes (md5, seeded — restart-reproducible) into one
+    of ``n_buckets`` independent groups; within each bucket a window
+    ranks rows by descending weight and deals them round-robin, with the
+    bucket index rotating the starting shard so bucket remainders don't
+    all land on shard 0. Within one bucket the round-robin keeps shard
+    sums within one max-item weight per round of each other; across many
+    buckets the deviations average out. All windows are partitioned by
+    bucket — ``n_buckets`` parallel sorts, no global bottleneck.
+
+    Returns the input plus ``shard`` (int). Deterministic: same data +
+    seed => identical assignment, any partitioning.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"), F.lit(":" + seed)
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n_buckets
+    )
+    w = Window.partitionBy("__bucket").orderBy(
+        F.col(weight_col).desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("__bucket", bucket)
+        .withColumn(
+            "shard",
+            ((F.row_number().over(w) - 1 + F.col("__bucket")) % n_shards)
+            .cast("int"),
+        )
+        .drop("__bucket")
+    )

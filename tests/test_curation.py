@@ -308,3 +308,28 @@ def test_merge_aggregates_rejects_non_algebraic(spark):
     df = spark.createDataFrame([(1, 1.0)], "k int, amt double")
     with pytest.raises(ValueError, match="not algebraic"):
         curation.merge_aggregates(df, df, ["k"], {"amt": "avg"})
+
+
+def test_assign_shards_partitions_corpus_and_balances_tokens(spark):
+    from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+    d = read_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    a = curation.assign_shards(d, 8, "doc_id", "n_tokens", 16)
+    # exact partition: every doc in exactly one shard
+    assert a.count() == d.count()
+    assert a.select("doc_id").distinct().count() == d.count()
+    manifest = {
+        r["shard"]: r["tok"]
+        for r in a.groupBy("shard").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    assert set(manifest) == set(range(8))
+    spread = max(manifest.values()) / min(manifest.values())
+    assert spread < 1.1, f"token imbalance {spread:.3f}"
+    # deterministic under repartitioning: same assignment either way
+    b = curation.assign_shards(d.repartition(13), 8, "doc_id", "n_tokens", 16)
+    assert (
+        sorted((r["doc_id"], r["shard"]) for r in a.collect())
+        == sorted((r["doc_id"], r["shard"]) for r in b.collect())
+    )
