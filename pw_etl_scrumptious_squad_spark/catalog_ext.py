@@ -2287,3 +2287,29 @@ def y26(spark: SparkSession, sf: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("shard")
     )
+
+
+@register(
+    "y27_inverted_index",
+    "WITH pairs AS (SELECT doc_id,"
+    " unnest(list_distinct(string_split(text, ' '))) AS term"
+    " FROM documents)"
+    " SELECT term, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CASE WHEN count(*) <= 390 THEN"
+    " array_to_string(list_sort(list(doc_id)), ',') END AS postings"
+    " FROM pairs GROUP BY term ORDER BY term",
+    "inverted-index build (text.py::inverted_index): term -> document"
+    " frequency + sorted posting list, with a df-cap skew guard — terms"
+    " above the cap keep the exact count but a NULL posting list, so a"
+    " stopword can never blow up one aggregation buffer at corpus scale"
+    " (frequencies first, then a left-semi join collects postings for"
+    " light terms only). Postings serialize CSV per the no-array gate"
+    " contract. Oracle = same conditional aggregation in DuckDB",
+)
+def y27(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    return (
+        textops.inverted_index(_t(spark, sf, "documents"), df_cap=390)
+        .repartition(1).sortWithinPartitions("term")
+    )

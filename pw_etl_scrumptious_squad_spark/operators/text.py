@@ -279,3 +279,47 @@ def ngram_counts(
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int = 100,
+) -> DataFrame:
+    """Inverted index build (term -> sorted posting list), the retrieval
+    side of the corpus: one row per distinct term with its document
+    frequency and, for terms at or under ``df_cap`` documents, the full
+    comma-joined posting list.
+
+    The cap is the skew guard: on a web-scale corpus a stopword's
+    posting list is the whole corpus — materializing it in one
+    aggregation buffer is an executor OOM. Document frequencies are
+    counted first (map-side-combinable), and only terms under the cap
+    join back (left-semi) to collect postings; heavy terms keep an exact
+    count with a NULL posting list (callers shard those separately or
+    treat them as stop-terms). Two term-keyed shuffles total, both
+    partial-aggregated.
+    """
+    pairs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), " "))
+        ).alias("term"),
+    )
+    dfc = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    light = dfc.filter(F.col("n_docs") <= df_cap).select("term")
+    postings = (
+        pairs.join(light, "term", "left_semi")
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("doc_id")), ","
+            ).alias("postings")
+        )
+    )
+    return dfc.join(postings, "term", "left").select(
+        "term", "n_docs", "postings"
+    )

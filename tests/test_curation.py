@@ -333,3 +333,25 @@ def test_assign_shards_partitions_corpus_and_balances_tokens(spark):
         sorted((r["doc_id"], r["shard"]) for r in a.collect())
         == sorted((r["doc_id"], r["shard"]) for r in b.collect())
     )
+
+
+def test_inverted_index_postings_and_df_cap(spark):
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),   # apple deduped within doc
+            (2, "banana cherry"),
+            (3, "banana"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["term"]: r
+        for r in textops.inverted_index(docs, df_cap=2).collect()
+    }
+    assert rows["apple"]["n_docs"] == 1 and rows["apple"]["postings"] == "1"
+    assert rows["cherry"]["postings"] == "2"
+    # banana (3 docs) exceeds the cap: exact count, NULL postings
+    assert rows["banana"]["n_docs"] == 3
+    assert rows["banana"]["postings"] is None
