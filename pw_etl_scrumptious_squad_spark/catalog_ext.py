@@ -2313,3 +2313,78 @@ def y27(spark: SparkSession, sf: str) -> DataFrame:
         textops.inverted_index(_t(spark, sf, "documents"), df_cap=390)
         .repartition(1).sortWithinPartitions("term")
     )
+
+
+@register(
+    "z31_time_range_rolling",
+    "SELECT event_id, user_id, ts,"
+    " CAST(count(*) OVER w AS BIGINT) AS n_prev_hour,"
+    " ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)"
+    " AS value_prev_hour"
+    " FROM events"
+    " WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)"
+    " RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+    " ORDER BY event_id",
+    "event-time RANGE window frames: per-user rolling 1-hour count and"
+    " value sum, ordered by epoch micros with RANGE BETWEEN 1 hour"
+    " PRECEDING — the time-based sliding aggregate q18's ROWS frames"
+    " can't express (a RANGE frame spans a value interval, not a row"
+    " count). The order key is exact integer MICROSECONDS on both"
+    " engines (truncated-seconds keys would disagree on sub-second"
+    " fringe pairs; events carry ns precision)."
+    " DECIMAL-sum-then-round keeps the money total order-insensitive."
+    " z-prefix: past the gate window by design; tools/check.py covers it",
+)
+def z31(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_prev_hour"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+                .cast("double"),
+                2,
+            ).alias("value_prev_hour"),
+        )
+        .repartition(1).sortWithinPartitions("event_id")
+    )
+
+
+@register(
+    "z32_token_ids",
+    "WITH tokc AS (SELECT unnest(string_split(text, ' ')) AS term"
+    " FROM documents),"
+    " vocab AS (SELECT term, CAST(row_number() OVER"
+    " (ORDER BY count(*) DESC, term) AS INTEGER) AS id"
+    " FROM tokc GROUP BY term),"
+    " pos AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,"
+    " unnest(range(len(string_split(text, ' ')))) AS p FROM documents)"
+    " SELECT doc_id,"
+    " CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,"
+    " (SELECT array_to_string(list(v.id ORDER BY p.p), ',') FROM pos p"
+    "  JOIN vocab v USING (term) WHERE p.doc_id = d.doc_id) AS token_ids"
+    " FROM documents d ORDER BY doc_id",
+    "token-id encoding (text.py::encode_token_ids): corpus vocabulary"
+    " ranked by (freq desc, token) collapses to a ONE-row token->id map"
+    " broadcast everywhere; each doc's ids come from a vectorized"
+    " transform over its split tokens — the corpus is scanned once,"
+    " never exploded or shuffled (the vocab build shuffles token TYPES,"
+    " which stay bounded at any corpus size). Output = CSV id stream +"
+    " n_tokens, the text->training-input step. z-prefix: past the gate"
+    " window by design; tools/check.py covers it",
+)
+def z32(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    return (
+        textops.encode_token_ids(_t(spark, sf, "documents"))
+        .repartition(1).sortWithinPartitions("doc_id")
+    )

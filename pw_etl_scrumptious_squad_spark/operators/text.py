@@ -323,3 +323,56 @@ def inverted_index(
     return dfc.join(postings, "term", "left").select(
         "term", "n_docs", "postings"
     )
+
+
+def encode_token_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Encode each document's token stream into vocabulary ids — the
+    text -> training-input step. Vocabulary = distinct corpus tokens
+    ranked by (frequency desc, token), id starting at 1; unseen tokens
+    (when encoding NEW text against this corpus's vocab) get ``oov_id``.
+
+    The vocabulary ranking is one global window over the VOCAB (token
+    types, not occurrences — bounded and small even at corpus scale);
+    the vocab then collapses to a single-row token->id map that
+    broadcasts to every executor, and encoding is a pure vectorized
+    ``transform`` over the split tokens — the corpus is scanned once,
+    never exploded, never shuffled.
+    """
+    toks = F.split(F.col(text_col), " ")
+    vocab = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), "term")
+    vmap = (
+        vocab.select("term", F.row_number().over(w).cast("int").alias("id"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "id"))
+            ).alias("__vmap")
+        )
+    )
+    from pyspark.sql.functions import broadcast as _bc
+
+    return (
+        df.crossJoin(_bc(vmap))
+        .select(
+            F.col(id_col),
+            F.size(toks).cast("int").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    toks,
+                    lambda t: F.coalesce(
+                        F.element_at(F.col("__vmap"), t), F.lit(oov_id)
+                    ).cast("string"),
+                ),
+                ",",
+            ).alias("token_ids"),
+        )
+    )

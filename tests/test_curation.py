@@ -355,3 +355,16 @@ def test_inverted_index_postings_and_df_cap(spark):
     # banana (3 docs) exceeds the cap: exact count, NULL postings
     assert rows["banana"]["n_docs"] == 3
     assert rows["banana"]["postings"] is None
+
+
+def test_encode_token_ids_ranks_by_frequency_and_handles_oov(spark):
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    docs = spark.createDataFrame(
+        [(1, "b b a c"), (2, "b a")],
+        "doc_id long, text string",
+    )
+    # freq: b=3 -> id 1, a=2 -> id 2, c=1 -> id 3
+    rows = {r["doc_id"]: r for r in textops.encode_token_ids(docs).collect()}
+    assert rows[1]["token_ids"] == "1,1,2,3" and rows[1]["n_tokens"] == 4
+    assert rows[2]["token_ids"] == "1,2"
