@@ -2388,3 +2388,37 @@ def z32(spark: SparkSession, sf: str) -> DataFrame:
         textops.encode_token_ids(_t(spark, sf, "documents"))
         .repartition(1).sortWithinPartitions("doc_id")
     )
+
+
+@register(
+    "y28_dup_span_removal",
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),"
+    " s AS (SELECT doc_id, i AS pos,"
+    " array_to_string(tk[i*10+1 : i*10+10], ' ') AS span"
+    " FROM t, LATERAL (SELECT unnest(range(CAST(ceil(len(tk)/10.0) AS"
+    " BIGINT))) AS i)),"
+    " k AS (SELECT doc_id, pos, span,"
+    " row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1 AS kept"
+    " FROM s)"
+    " SELECT doc_id,"
+    " coalesce(string_agg(span, ' ' ORDER BY pos) FILTER (WHERE kept), '')"
+    " AS clean_text,"
+    " CAST(count(*) AS BIGINT) AS n_spans,"
+    " CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped"
+    " FROM k GROUP BY doc_id ORDER BY doc_id",
+    "corpus-wide duplicate-passage removal"
+    " (dedup.py::drop_duplicate_spans): every 10-token span is kept only"
+    " at its first (doc_id, pos) occurrence corpus-wide; documents are"
+    " reassembled from surviving spans (C4-style boilerplate removal,"
+    " Lee et al. 2022 exact-substring dedup at span granularity)."
+    " One shuffle on the span key + one back on doc_id; span-window skew"
+    " = duplication count (count-shaped, no pair blowup). Oracle = the"
+    " identical window/filtered-aggregate pipeline in DuckDB",
+)
+def y28(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        dedup.drop_duplicate_spans(
+            _t(spark, sf, "documents"), "doc_id", "text", 10
+        )
+        .repartition(1).sortWithinPartitions("doc_id")
+    )

@@ -802,3 +802,94 @@ def keep_canonical(
             .cast("int"),
         )
     )
+
+
+def drop_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-wide duplicate-PASSAGE removal: tokenize each document into
+    consecutive ``span_tokens``-token spans, keep only the FIRST occurrence
+    of every distinct span across the whole corpus (first = lowest
+    ``(id, position)``), and reassemble documents from their surviving
+    spans. This is the passage/line-level exact dedup step of C4-style
+    corpus cleaning — document-level dedup (d01) can't touch boilerplate
+    that repeats INSIDE otherwise-distinct documents.
+
+    Output: one row per input document — ``clean_text`` (surviving spans
+    re-joined in order, '' when everything was boilerplate), ``n_spans``,
+    ``n_dropped``. Dropping zero spans reproduces the input text exactly
+    (span concatenation is the identity partition of the token stream).
+
+    Scale shape: ONE shuffle on the span string (the window's hash
+    partition), then ONE shuffle back on the doc id for reassembly; both
+    keys are high-cardinality. The span window's per-key partition size
+    equals that span's duplication count, and the work inside it is a
+    single sequential row_number — O(dups), no pair blowup, so even a
+    million-fold boilerplate span costs only its own row mass (the skew
+    profile of a count, not a join). At 100 TB, spans would be hashed
+    (xxhash64) before the shuffle so the exchange carries 8-byte keys
+    instead of text; kept verbatim here so the DuckDB oracle is literal.
+
+    No reference counterpart (SURVEY §2.4 extension). Paper basis: Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better"
+    (exact-substring dedup), simplified to fixed token-aligned spans.
+    """
+    k = span_tokens
+    toks = F.split(F.col(text_col), " ")
+    d = df.select(
+        F.col(id_col),
+        toks.alias("__tk"),
+        F.ceil(F.size(toks) / F.lit(float(k))).cast("int").alias("__ns"),
+    )
+    # sequence(0, n-1) generates DESCENDING for n<=0 — guard explicitly
+    d = d.withColumn(
+        "pos",
+        F.expr(
+            "CASE WHEN __ns > 0 THEN sequence(0, __ns - 1)"
+            " ELSE CAST(array() AS ARRAY<INT>) END"
+        ),
+    )
+    spans = d.select(
+        id_col,
+        F.explode("pos").alias("pos"),
+        "__tk",
+    ).select(
+        id_col,
+        "pos",
+        F.array_join(
+            F.expr(f"slice(__tk, pos * {k} + 1, {k})"), " "
+        ).alias("span"),
+    )
+    first_w = Window.partitionBy("span").orderBy(id_col, "pos")
+    flagged = spans.withColumn(
+        "__kept", F.row_number().over(first_w) == F.lit(1)
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__kept"),
+                                    F.struct("pos", "span"),
+                                )
+                            )
+                        ),
+                        lambda s: s["span"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("__kept"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )

@@ -37,7 +37,7 @@ from pyspark.sql.streaming import StreamingQuery
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos
+        T.StructField("ts", T.LongType()),  # epoch nanos OR micros (see below)
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -57,8 +57,17 @@ def read_event_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
+    # The LongType schema surfaces the raw INT64: epoch NANOS for
+    # TIMESTAMP(NANOS) files (under nanosAsLong), epoch MICROS for
+    # TIMESTAMP(MICROS) files. Normalize by magnitude — any post-1986
+    # nanos value is >= 5e17 while micros stay below that until year
+    # ~17,000 — so one stream definition survives either file format.
     return raw.withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
+        "ts",
+        F.expr(
+            "timestamp_micros(CASE WHEN abs(ts) >= 500000000000000000"
+            " THEN ts div 1000 ELSE ts END)"
+        ),
     )
 
 

@@ -419,3 +419,38 @@ def test_keep_canonical_best_score_per_cluster(spark):
     assert by_id[3]["cluster_id"] == 1 and by_id[3]["cluster_size"] == 3
     assert by_id[10]["cluster_id"] == 10 and by_id[10]["cluster_size"] == 2
     assert by_id[99]["cluster_size"] == 1
+
+
+def test_drop_duplicate_spans_semantics(spark):
+    # doc 1 owns both spans; doc 2 repeats doc 1's first span (dropped)
+    # then has a fresh one; doc 3 is pure boilerplate -> empty clean_text
+    a = "a b c d e"  # one 5-token span
+    b = "f g h i j"
+    c = "k l m n o"
+    df = spark.createDataFrame(
+        [(1, f"{a} {b}"), (2, f"{a} {c}"), (3, f"{a} {b}")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_spans"], r["n_dropped"])
+        for r in dedup.drop_duplicate_spans(
+            df, "doc_id", "text", span_tokens=5
+        ).collect()
+    }
+    assert got[1] == (f"{a} {b}", 2, 0)  # first occurrence keeps everything
+    assert got[2] == (c, 2, 1)
+    assert got[3] == ("", 2, 2)  # fully-duplicated doc still emits a row
+
+
+def test_drop_duplicate_spans_identity_when_unique(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(13))) for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    out = dedup.drop_duplicate_spans(df, "doc_id", "text", span_tokens=5)
+    rows = out.collect()
+    orig = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert all(r["n_dropped"] == 0 for r in rows)
+    # span partition + reassembly is the identity on duplicate-free text,
+    # including the partial trailing span (13 = 5 + 5 + 3 tokens)
+    assert all(r["clean_text"] == orig[r["doc_id"]] for r in rows)
