@@ -2422,3 +2422,47 @@ def y28(spark: SparkSession, sf: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("doc_id")
     )
+
+
+@register(
+    "z33_grouping_sets",
+    "SELECT o_orderstatus, o_orderpriority,"
+    " CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,"
+    " CAST(count(*) AS BIGINT) AS n_orders,"
+    " ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)"
+    " AS total_price"
+    " FROM orders GROUP BY GROUPING SETS"
+    " ((o_orderstatus, o_orderpriority), (o_orderstatus), ())"
+    " ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
+    "arbitrary GROUPING SETS (not a rollup/cube hierarchy: detail,"
+    " one partial, grand total) via the native DataFrame.groupingSets"
+    " API with grouping_id disambiguation — completes the"
+    " rollup/cube/grouping-sets triple (q04 covers the first two)."
+    " One expand + one hash-agg, same shuffle count as a plain GROUP BY."
+    " z-prefix: past the gate window by design; tools/check.py covers it",
+)
+def z33(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_price"),
+        )
+        .repartition(1)
+        .sortWithinPartitions(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
