@@ -60,6 +60,7 @@ HEADLINE = [
     "y14_incremental_neardup",
     "y15_embedding_srp",
     "y16_source_quota",
+    "y28_dup_span_removal",
     "z29_bloom_semi_join",
 ]
 

@@ -209,3 +209,36 @@ def test_snapshot_diff_apply_round_trip(spark, old_map, new_map):
         for r in apply_diff(old, diff, ["k"]).collect()
     }
     assert rebuilt == new_map
+
+
+@given(texts=docs_strategy)
+@SLOW
+def test_drop_duplicate_spans_ground_truth(spark, texts):
+    """First-occurrence-wins span dedup vs a sequential Python scan:
+    identical kept-span choices, counts, and reassembled text."""
+    k = 3
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_spans"], r["n_dropped"])
+        for r in dedup.drop_duplicate_spans(
+            df, "doc_id", "text", span_tokens=k
+        ).collect()
+    }
+    seen: set[str] = set()
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        spans = [
+            " ".join(toks[j : j + k]) for j in range(0, len(toks), k)
+        ]
+        kept = []
+        for s in spans:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        assert got[i] == (
+            " ".join(kept),
+            len(spans),
+            len(spans) - len(kept),
+        )
