@@ -140,3 +140,14 @@ def test_snapshot_diff_is_single_sort_merge_join(spark, cat):
     plan = plan_of(spark, cat, "y13_snapshot_diff", "simple")
     assert plan.count("SortMergeJoin") == 1
     assert "FullOuter" in plan
+
+
+def test_dup_span_removal_shuffle_count_and_pruning(spark, cat):
+    """y28 must read only (doc_id, text) and shuffle exactly three times:
+    span window, doc_id reassembly agg, terminal single-partition sort —
+    never a pair join or a cartesian blowup."""
+    plan = plan_of(spark, cat, "y28_dup_span_removal")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    simple = plan_of(spark, cat, "y28_dup_span_removal", "simple")
+    assert simple.count("Exchange") == 3
+    assert "Join" not in simple and "CartesianProduct" not in simple
