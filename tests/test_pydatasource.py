@@ -1,0 +1,114 @@
+"""Python DataSource API connector (sources/pydatasource.py): batch
+determinism/parallelism and micro-batch stream parity with the batch read."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pw_etl_scrumptious_squad_spark.sources.pydatasource import (
+    SyntheticDocsDataSource,
+)
+
+
+def _register(spark):
+    spark.dataSource.register(SyntheticDocsDataSource)
+
+
+def test_batch_read_deterministic_and_partitioned(spark):
+    _register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 500)
+        .option("num_partitions", 8)
+        .load()
+    )
+    assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert df.rdd.getNumPartitions() == 8
+    rows1 = sorted(tuple(r) for r in df.collect())
+    rows2 = sorted(
+        tuple(r)
+        for r in spark.read.format("synthetic_docs")
+        .option("n_docs", 500)
+        .load()
+        .collect()
+    )
+    assert rows1 == rows2  # same seed => byte-identical regeneration
+    assert len(rows1) == 500
+    assert len({r[0] for r in rows1}) == 500  # ids unique
+    n_chars_ok = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 500)
+        .load()
+        .filter(F.length("text") != F.col("n_chars"))
+        .count()
+    )
+    assert n_chars_ok == 0
+
+
+def test_different_seed_changes_content(spark):
+    _register(spark)
+    a = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 50)
+        .option("seed", 1)
+        .load()
+        .agg(F.md5(F.concat_ws("|", F.collect_list("text"))).alias("h"))
+        .first()["h"]
+    )
+    b = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 50)
+        .option("seed", 2)
+        .load()
+        .agg(F.md5(F.concat_ws("|", F.collect_list("text"))).alias("h"))
+        .first()["h"]
+    )
+    assert a != b
+
+
+def test_stream_batches_union_to_batch_read(spark):
+    _register(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows_per_batch", 40)
+        .option("num_partitions", 4)
+        .load()
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt-pydatasource-")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synthetic_docs_sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        # drain at least 3 micro-batches (>= 120 rows)
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.sql(
+                "SELECT count(*) AS n FROM synthetic_docs_sink"
+            ).first()["n"]
+            if n >= 120:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM synthetic_docs_sink").collect()
+    }
+    n = len(got)
+    assert n >= 120
+    # ids are the contiguous prefix [0, n) and every row equals the batch
+    # read of the same range: stream == batch on the shared id range
+    batch = {
+        tuple(r)
+        for r in spark.read.format("synthetic_docs")
+        .option("n_docs", n)
+        .load()
+        .collect()
+    }
+    assert got == batch
