@@ -2466,3 +2466,76 @@ def z33(spark: SparkSession, sf: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+@register(
+    "z34_variant_json",
+    "SELECT event_id,"
+    " CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,"
+    " CAST(json(props) AS VARCHAR) AS canon_json,"
+    " CASE WHEN json_structure(props) = '{\"k\":\"UBIGINT\"}'"
+    " THEN 'OBJECT<k: BIGINT>' END AS vschema"
+    " FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50"
+    " ORDER BY event_id",
+    "semi-structured VARIANT ingestion (Spark 4): parse_json once into"
+    " the shredded binary encoding, then typed variant_get extraction,"
+    " canonical to_json round-trip, and schema_of_variant inference —"
+    " the modern path for JSON event payloads (q12's get_json_object"
+    " re-parses the string per extraction; VARIANT parses once and"
+    " every later field read is a binary probe, the difference between"
+    " O(fields x parse) and O(parse + fields) on a 100 TB event log)."
+    " Predicate on the extracted field; oracle = DuckDB JSON functions"
+    " with its own json_structure guarding the inferred-schema string."
+    " z-prefix: past the gate window by design; tools/check.py covers it",
+)
+def z34(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return (
+        e.selectExpr("event_id", "parse_json(props) AS v")
+        .selectExpr(
+            "event_id",
+            "variant_get(v, '$.k', 'bigint') AS k_val",
+            "to_json(v) AS canon_json",
+            "schema_of_variant(v) AS vschema",
+        )
+        .filter(F.col("k_val") >= 50)
+        .repartition(1)
+        .sortWithinPartitions("event_id")
+    )
+
+
+@register(
+    "z35_recursive_cte",
+    "WITH RECURSIVE d(dt) AS ("
+    " SELECT DATE '2022-01-01' AS dt"
+    " UNION ALL"
+    " SELECT CAST(dt + INTERVAL 1 DAY AS DATE) FROM d"
+    " WHERE dt < DATE '2024-01-01')"
+    " SELECT dt AS date_id, CAST(year(dt) AS INTEGER) AS year,"
+    " CAST(month(dt) AS INTEGER) AS month,"
+    " CAST(isodow(dt) AS INTEGER) AS day_of_week,"
+    " CAST(quarter(dt) AS INTEGER) AS quarter"
+    " FROM d ORDER BY date_id",
+    "recursive CTE front-end surface (Spark 4 WITH RECURSIVE ... MAX"
+    " RECURSION LEVEL): the reference's dim_date range built by"
+    " recursion instead of r09's explode(sequence) — same 731-row"
+    " output, here exercising the iterative-plan SQL surface DuckDB"
+    " also speaks natively. Scale note: per-day recursion is depth-"
+    " bounded by the calendar span; for GRAPH workloads (near-dup"
+    " closure) use y05's alternating-join components, which double the"
+    " reach per iteration instead of one hop per level. z-prefix: past"
+    " the gate window by design; tools/check.py covers it",
+)
+def z35(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.sql(
+        "WITH RECURSIVE d(dt) MAX RECURSION LEVEL 800 AS ("
+        " SELECT DATE '2022-01-01' AS dt"
+        " UNION ALL"
+        " SELECT CAST(dt + INTERVAL '1' DAY AS DATE) FROM d"
+        " WHERE dt < DATE '2024-01-01')"
+        " SELECT dt AS date_id, CAST(year(dt) AS INT) AS year,"
+        " CAST(month(dt) AS INT) AS month,"
+        " CAST(weekday(dt) + 1 AS INT) AS day_of_week,"
+        " CAST(quarter(dt) AS INT) AS quarter"
+        " FROM d"
+    ).repartition(1).sortWithinPartitions("date_id")
