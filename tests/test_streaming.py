@@ -354,3 +354,70 @@ def test_stream_stream_attribution_join_matches_batch(spark, events_dir):
     )
     assert got_pairs == exp_pairs
     assert len(got_pairs) > 0  # the fixture actually exercises the join
+
+
+def test_transform_with_state_matches_apply_in_pandas_twin(spark, tmp_path):
+    """The transformWithStateInPandas processor must reach the same final
+    per-user state as the applyInPandasWithState operator on the same
+    2-batch stream (cross-batch ValueState carry on the RocksDB store).
+
+    Requires google.protobuf (the TWS driver worker speaks protobuf to
+    the JVM); skipped where that package is unavailable — the
+    applyInPandasWithState twin covers the semantics there."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "ev_tws"
+    d.mkdir()
+    t = pq.read_table(f"{SF}/events.parquet")
+    ids = t.column("event_id").to_numpy()
+    pq.write_table(t.filter(pa.array(ids % 2 == 0)), str(d / "a.parquet"))
+    pq.write_table(t.filter(pa.array(ids % 2 == 1)), str(d / "b.parquet"))
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = sp.read_event_stream(spark, str(d), max_files_per_trigger=1)
+        stats = sp.running_user_stats_tws(stream)
+        ckpt = tempfile.mkdtemp(prefix="ckpt-tws-")
+        q = sp.run_available_now(stats, ckpt, "user_stats_tws_sink", "update")
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    got = {
+        r["user_id"]: (r["n"], r["np"], r["last"])
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n, max(n_purchases) AS np,"
+            " max_by(last_event_type, n_events) AS last"
+            " FROM user_stats_tws_sink GROUP BY user_id"
+        ).collect()
+    }
+    events = read_table(spark, SF, "events")
+    expected = {
+        r["user_id"]: (r["n"], r["np"], r["last"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("np"),
+            F.max_by("event_type", "ts").alias("last"),
+        )
+        .collect()
+    }
+    assert got == expected
