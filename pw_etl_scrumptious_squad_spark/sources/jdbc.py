@@ -33,6 +33,14 @@ DISCOVER_TABLES_SQL = (
     "WHERE table_schema = '{schema}' AND table_type = 'BASE TABLE'"
 )
 
+# Catalog discovery for warehouses without information_schema (used by the
+# embedded-Derby round-trip tests; any {schema}-templated query works).
+DISCOVER_TABLES_SQL_DERBY = (
+    "SELECT t.tablename FROM SYS.SYSTABLES t "
+    "JOIN SYS.SYSSCHEMAS s ON t.schemaid = s.schemaid "
+    "WHERE s.schemaname = '{schema}' AND t.tabletype = 'T'"
+)
+
 # SQL built for the JDBC dbtable option is string-assembled (the JDBC
 # source takes no bound parameters there), so identifiers and timestamp
 # literals are allowlist-validated before interpolation — the reference's
@@ -72,6 +80,9 @@ class JdbcConfig:
     password: str
     driver: str = "org.postgresql.Driver"
     schema: str = "public"
+    # {schema}-templated catalog query; swap for warehouses that don't
+    # speak information_schema (e.g. DISCOVER_TABLES_SQL_DERBY)
+    discover_sql: str = DISCOVER_TABLES_SQL
 
     def apply(self, reader: DataFrameReader) -> DataFrameReader:
         return (
@@ -93,16 +104,26 @@ def cdc_subquery(
     on top so re-extraction can safely switch to ``>=`` (SURVEY.md §2.3).
     Identifiers and timestamps are allowlist-validated (see module note).
     """
+    # {ts '...'} is the JDBC timestamp escape — the driver rewrites it to
+    # the warehouse's native literal (verified against Postgres syntax and
+    # live embedded Derby), unlike ANSI TIMESTAMP '...' which Derby rejects.
+    # Audit columns are double-quoted: Spark's JDBC writer creates quoted
+    # (case-exact) column names, and unquoted identifiers fold to the
+    # warehouse's default case (upper on Derby) and would miss them;
+    # quoted-lowercase equals unquoted-lowercase on Postgres.
     return (
         f"(SELECT * FROM {_check_ident(table, 'table')} "
-        f"WHERE created_at > '{_ts_literal(created_after)}' "
-        f"OR last_updated > '{_ts_literal(updated_after)}') AS cdc_src"
+        f"WHERE \"created_at\" > {{ts '{_ts_literal(created_after)}'}} "
+        f"OR \"last_updated\" > {{ts '{_ts_literal(updated_after)}'}})"
+        " AS cdc_src"
     )
 
 
-def discover_tables_subquery(schema: str = "public") -> str:
+def discover_tables_subquery(
+    schema: str = "public", sql: str = DISCOVER_TABLES_SQL
+) -> str:
     """Catalog discovery (reference ``get_titles``, ``src/extract.py:77-89``)."""
-    return f"({DISCOVER_TABLES_SQL.format(schema=_check_ident(schema, 'schema'))}) AS t"
+    return f"({sql.format(schema=_check_ident(schema, 'schema'))}) AS t"
 
 
 def read_table(
@@ -145,7 +166,7 @@ def read_incremental(
 def discover_tables(spark: SparkSession, cfg: JdbcConfig) -> list[str]:
     """List base tables in the configured schema (reference ``get_titles``)."""
     df = cfg.apply(spark.read).option(
-        "dbtable", discover_tables_subquery(cfg.schema)
+        "dbtable", discover_tables_subquery(cfg.schema, cfg.discover_sql)
     ).load()
     return [row[0] for row in df.collect()]
 

@@ -1,6 +1,7 @@
-"""JDBC helper unit tests — no database ships in this container, so these
-pin the pushed-down SQL strings and reader configuration (the part of
-S1/S2/S3/S6 that is this repo's logic rather than Spark's)."""
+"""JDBC helper unit tests: pin the pushed-down SQL strings and reader
+configuration (the part of S1/S2/S3/S6 that is this repo's logic rather
+than Spark's). The live round-trip against embedded Derby is
+tests/test_jdbc_roundtrip.py."""
 
 from datetime import datetime
 
@@ -15,15 +16,15 @@ def test_cdc_subquery_matches_reference_predicate():
     )
     assert q == (
         "(SELECT * FROM sales_order "
-        "WHERE created_at > '2023-01-01 10:00:00' "
-        "OR last_updated > '2023-02-02 11:30:00') AS cdc_src"
+        "WHERE \"created_at\" > {ts '2023-01-01 10:00:00'} "
+        "OR \"last_updated\" > {ts '2023-02-02 11:30:00'}) AS cdc_src"
     )
 
 
 def test_cdc_subquery_accepts_preformatted_strings():
     q = jdbc.cdc_subquery("t", "2024-05-05 00:00:00", "2024-05-06 00:00:00")
-    assert "created_at > '2024-05-05 00:00:00'" in q
-    assert "last_updated > '2024-05-06 00:00:00'" in q
+    assert "\"created_at\" > {ts '2024-05-05 00:00:00'}" in q
+    assert "\"last_updated\" > {ts '2024-05-06 00:00:00'}" in q
 
 
 def test_discover_tables_subquery_scopes_schema_and_base_tables():
