@@ -242,3 +242,179 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         )
         rows.append((i, mt, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs for container-friendly formats. JPEG/PNG/MP4 still need
+# native libraries (the loud stub above), but 16-bit PCM WAV decodes with
+# the stdlib `wave` module and binary PPM (P6) is a pure-numpy parse — so
+# for these two formats the decode step is real, not faked: bytes in,
+# verified samples/pixels out, measured features downstream.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
+    """Encode an int16 numpy array (frames x channels, or 1-D mono) to a
+    WAV payload — the test-side inverse of :func:`decode_wav_pcm`."""
+    import io
+    import wave
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype="<i2")
+    if x.ndim == 1:
+        x = x[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(x.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_pcm(payload: bytes):
+    """REAL audio decode (stdlib): parse a 16-bit PCM WAV payload into
+    ``(sample_rate, frames x channels int16 array)``."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV is supported")
+        ch = w.getnchannels()
+        sr = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    return sr, np.frombuffer(raw, dtype="<i2").reshape(-1, ch)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak_abs", T.DoubleType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def audio_wav_features(media: DataFrame) -> DataFrame:
+    """Real audio feature extraction over WAV payload columns: duration,
+    RMS level, absolute peak, zero-crossing count — the loudness/activity
+    stats an audio-curation pipeline filters on (silence, clipping).
+    Arrow-batched ``mapInPandas``; per batch the only Python loop is over
+    payload byte-strings (unavoidable: variable-length blobs), everything
+    per-sample is numpy."""
+
+    def batches(parts: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in parts:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                sr, x = decode_wav_pcm(bytes(payload))
+                mono = x.astype("f8").mean(axis=1) / 32768.0
+                n = len(mono)
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "duration_ms": int(round(1000.0 * n / sr)),
+                        "sample_rate": sr,
+                        "rms": float(np.sqrt(np.mean(mono**2))) if n else 0.0,
+                        "peak_abs": float(np.max(np.abs(mono))) if n else 0.0,
+                        "zero_crossings": int(
+                            np.sum(
+                                np.signbit(mono[1:]) != np.signbit(mono[:-1])
+                            )
+                        )
+                        if n > 1
+                        else 0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("asset_id", "payload").mapInPandas(
+        batches, AUDIO_FEATURES_SCHEMA
+    )
+
+
+def encode_ppm(img) -> bytes:
+    """Encode an (H x W x 3) uint8 array as binary PPM (P6)."""
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.uint8)
+    h, w, _ = a.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """REAL image decode (pure numpy): binary PPM (P6) to an
+    (H x W x 3) uint8 pixel array."""
+    import re
+
+    import numpy as np
+
+    m = re.match(rb"^P6\s+(?:#[^\n]*\s+)*(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h, maxv = (int(g) for g in m.groups())
+    if maxv != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    data = payload[m.end() : m.end() + w * h * 3]
+    if len(data) != w * h * 3:
+        raise ValueError("truncated PPM payload")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("luma_mean", T.DoubleType()),
+    ]
+)
+
+
+def image_ppm_stats(media: DataFrame) -> DataFrame:
+    """Real image stats over PPM payload columns: dimensions, per-channel
+    means, Rec.601 luma mean — the brightness/size screens an image-
+    curation pipeline applies before expensive model scoring."""
+
+    def batches(parts: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in parts:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_ppm(bytes(payload)).astype("f8")
+                means = img.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "width": img.shape[1],
+                        "height": img.shape[0],
+                        "mean_r": float(means[0]),
+                        "mean_g": float(means[1]),
+                        "mean_b": float(means[2]),
+                        "luma_mean": float(
+                            0.299 * means[0]
+                            + 0.587 * means[1]
+                            + 0.114 * means[2]
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("asset_id", "payload").mapInPandas(
+        batches, IMAGE_STATS_SCHEMA
+    )

@@ -90,3 +90,57 @@ def test_media_from_documents_payload_roundtrip(spark):
             assert (r["meta"]["width"], r["meta"]["height"]) == (64, 48)
         else:
             assert r["meta"]["duration_ms"] is not None
+
+
+def test_wav_decode_roundtrip_and_features(spark):
+    """Real WAV decode: a generated sine + a silent clip round-trip through
+    encode->Spark->decode with features matching closed-form values."""
+    import numpy as np
+
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+
+    sr = 8000
+    t = np.arange(sr)  # 1 second
+    sine = (0.5 * 32767 * np.sin(2 * np.pi * 440 * t / sr)).astype("<i2")
+    silence = np.zeros(sr // 2, dtype="<i2")  # 0.5 s
+    rows = [
+        (1, "audio", bytearray(mm.encode_wav_pcm16(sine, sr))),
+        (2, "audio", bytearray(mm.encode_wav_pcm16(silence, sr))),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id LONG, media_type STRING, payload BINARY"
+    )
+    got = {r["asset_id"]: r for r in mm.audio_wav_features(df).collect()}
+    assert got[1]["duration_ms"] == 1000
+    assert got[1]["sample_rate"] == sr
+    # 440 Hz over 1 s crosses zero ~880 times; amplitude 0.5 -> rms ~0.354
+    assert abs(got[1]["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert 850 <= got[1]["zero_crossings"] <= 910
+    assert abs(got[1]["peak_abs"] - 0.5) < 1e-3
+    assert got[2]["duration_ms"] == 500
+    assert got[2]["rms"] == 0.0 and got[2]["zero_crossings"] == 0
+
+
+def test_ppm_decode_roundtrip_and_stats(spark):
+    import numpy as np
+
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+
+    red = np.zeros((4, 6, 3), dtype=np.uint8)
+    red[..., 0] = 200
+    grad = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    # decode is the exact inverse of encode
+    assert (mm.decode_ppm(mm.encode_ppm(grad)) == grad).all()
+    rows = [
+        (1, "image", bytearray(mm.encode_ppm(red))),
+        (2, "image", bytearray(mm.encode_ppm(grad))),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id LONG, media_type STRING, payload BINARY"
+    )
+    got = {r["asset_id"]: r for r in mm.image_ppm_stats(df).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (6, 4)
+    assert got[1]["mean_r"] == 200.0 and got[1]["mean_b"] == 0.0
+    assert abs(got[1]["luma_mean"] - 0.299 * 200) < 1e-9
+    exp = grad.reshape(-1, 3).mean(axis=0)
+    assert abs(got[2]["mean_g"] - exp[1]) < 1e-9
