@@ -107,3 +107,79 @@ def run_batch_etl(
     star = transform(tables, spark)
     load(star, warehouse_dir, mode="overwrite")
     return star
+
+
+def extract_jdbc(
+    spark: SparkSession,
+    cfg,
+    staging_dir: str,
+    state_path: str,
+    tables: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """Incremental extract from a LIVE JDBC source: the CDC predicate is
+    pushed into the database (reference ``src/extract.py:106-119`` —
+    the DB does the delta filtering), watermarks advance from a
+    distributed max-agg over each delta, and non-empty deltas stage to
+    the parquet lake exactly like the parquet-snapshot variant.
+
+    Per-table cost is the DB's index scan over the audit columns plus
+    transfer of the delta rows only — the property that keeps a 3-minute
+    cadence viable when the source is 10^9 rows.
+    """
+    from pw_etl_scrumptious_squad_spark.sources import jdbc
+    from pw_etl_scrumptious_squad_spark.sources.state import delta_watermark
+
+    names = tables if tables is not None else OLTP_TABLES
+    store = WatermarkStore(spark, state_path)
+    deltas: dict[str, DataFrame] = {}
+    for name in names:
+        wm = store.get(name)
+        delta = jdbc.read_incremental(
+            spark,
+            cfg,
+            f"{cfg.schema}.{name}",
+            wm.created_at,
+            wm.last_updated,
+        )
+        deltas[name] = delta
+        new_wm = delta_watermark(delta)
+        if new_wm is not None:
+            store.advance(name, new_wm)
+            lake.write_table(delta, staging_dir, name)
+    return deltas
+
+
+def load_jdbc(star: dict[str, DataFrame], cfg, batch_size: int = 1000) -> None:
+    """Warehouse load over JDBC: batched appends per star table
+    (reference ``src/load.py:97-110``; ``num_partitions`` bounds
+    concurrent warehouse connections)."""
+    from pw_etl_scrumptious_squad_spark.sources import jdbc
+
+    for name, df in star.items():
+        jdbc.append_table(df, cfg, name, batch_size=batch_size, num_partitions=2)
+
+
+def run_batch_etl_jdbc(
+    spark: SparkSession,
+    source_cfg,
+    warehouse_cfg,
+    staging_dir: str,
+    state_path: str,
+) -> dict[str, DataFrame]:
+    """The reference's full lifecycle with REAL databases on both ends:
+    JDBC CDC extract -> star-schema transform -> batched JDBC load
+    (src/extract.py -> src/transform.py -> src/load.py). Dims re-derive
+    from the full source each cycle (reference §2.3 semantics); the
+    staged deltas remain available for delta-only fact processing."""
+    from pw_etl_scrumptious_squad_spark.sources import jdbc
+
+    extract_jdbc(spark, source_cfg, staging_dir, state_path)
+    tables = {
+        name: jdbc.read_table(
+            spark, source_cfg, f"{source_cfg.schema}.{name}"
+        )
+        for name in OLTP_TABLES
+    }
+    star = transform(tables, spark)
+    load_jdbc(star, warehouse_cfg)
+    return star

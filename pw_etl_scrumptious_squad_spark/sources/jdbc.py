@@ -60,6 +60,16 @@ def _check_ident(name: str, what: str = "identifier") -> str:
     return name
 
 
+def _quote_ident(name: str, what: str = "identifier") -> str:
+    """Validate then double-quote each part of a (possibly qualified)
+    identifier. Quoting makes reserved words (the reference schema's
+    ``transaction`` table) legal in any warehouse; for the snake_case
+    names used throughout, quoted-lowercase is identical to unquoted on
+    case-folding engines like Postgres."""
+    _check_ident(name, what)
+    return ".".join(f'"{part}"' for part in name.split("."))
+
+
 def _ts_literal(value: datetime | str) -> str:
     """Render a timestamp as a quoted SQL literal; strings must already
     look like ISO timestamps (no quotes/escapes can reach the SQL)."""
@@ -112,7 +122,7 @@ def cdc_subquery(
     # warehouse's default case (upper on Derby) and would miss them;
     # quoted-lowercase equals unquoted-lowercase on Postgres.
     return (
-        f"(SELECT * FROM {_check_ident(table, 'table')} "
+        f"(SELECT * FROM {_quote_ident(table, 'table')} "
         f"WHERE \"created_at\" > {{ts '{_ts_literal(created_after)}'}} "
         f"OR \"last_updated\" > {{ts '{_ts_literal(updated_after)}'}})"
         " AS cdc_src"
@@ -137,7 +147,7 @@ def read_table(
 ) -> DataFrame:
     """Full-table scan (reference ``get_whole_table``, ``src/extract.py:92-103``),
     parallelized into range partitions when a numeric key is given."""
-    reader = cfg.apply(spark.read).option("dbtable", _check_ident(table, "table"))
+    reader = cfg.apply(spark.read).option("dbtable", _quote_ident(table, "table"))
     if partition_column is not None:
         reader = (
             reader.option("partitionColumn", partition_column)
@@ -194,7 +204,7 @@ def append_table(
         .option("driver", cfg.driver)
         .option(
             "dbtable",
-            f"{_check_ident(cfg.schema, 'schema')}.{_check_ident(table, 'table')}",
+            f"{_quote_ident(cfg.schema, 'schema')}.{_quote_ident(table, 'table')}",
         )
         .option("batchsize", str(batch_size))
         .mode("append")

@@ -15,9 +15,9 @@ def test_cdc_subquery_matches_reference_predicate():
         datetime(2023, 2, 2, 11, 30, 0),
     )
     assert q == (
-        "(SELECT * FROM sales_order "
-        "WHERE \"created_at\" > {ts '2023-01-01 10:00:00'} "
-        "OR \"last_updated\" > {ts '2023-02-02 11:30:00'}) AS cdc_src"
+        '(SELECT * FROM "sales_order" '
+        'WHERE "created_at" > {ts \'2023-01-01 10:00:00\'} '
+        'OR "last_updated" > {ts \'2023-02-02 11:30:00\'}) AS cdc_src'
     )
 
 
@@ -60,6 +60,6 @@ def test_sql_builders_reject_injection_shapes():
     )
     assert "sales_order" in ok and "2023-01-01 10:30:00" in ok
     # schema-qualified tables still pass
-    assert "oltp.sales_order" in jdbc.cdc_subquery(
+    assert '"oltp"."sales_order"' in jdbc.cdc_subquery(
         "oltp.sales_order", "2023-01-01", "2023-01-01"
     )

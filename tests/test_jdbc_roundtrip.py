@@ -89,3 +89,52 @@ def test_catalog_discovery(spark, cfg):
     _seed(spark, cfg, table="orders_wh")
     tables = J.discover_tables(spark, cfg)
     assert "ORDERS_WH" in [t.upper() for t in tables]
+
+
+def test_end_to_end_etl_between_live_databases(spark, totesys, tmp_path):
+    """The reference's whole lifecycle with real databases on both ends:
+    seed an OLTP Derby, JDBC-CDC extract -> 11-table star transform ->
+    batched JDBC load into a second Derby warehouse, then verify the
+    warehouse contents and that a second extraction cycle is empty."""
+    from pw_etl_scrumptious_squad_spark.plans import etl
+
+    src = J.JdbcConfig(
+        url=f"jdbc:derby:{tmp_path}/oltp;create=true",
+        user="app",
+        password="",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+        schema="APP",
+        discover_sql=J.DISCOVER_TABLES_SQL_DERBY,
+    )
+    wh = J.JdbcConfig(
+        url=f"jdbc:derby:{tmp_path}/wh;create=true",
+        user="app",
+        password="",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+        schema="APP",
+        discover_sql=J.DISCOVER_TABLES_SQL_DERBY,
+    )
+    for name, df in totesys.items():
+        J.append_table(df, src, name, num_partitions=1)
+
+    star = etl.run_batch_etl_jdbc(
+        spark, src, wh, str(tmp_path / "staging"), str(tmp_path / "state")
+    )
+    assert len(star) == 11
+
+    # warehouse holds all 11 star tables with the expected contents
+    wh_tables = {t.upper() for t in J.discover_tables(spark, wh)}
+    assert {
+        "DIM_DATE", "DIM_CURRENCY", "FACT_SALES_ORDER", "FACT_PAYMENT",
+    } <= wh_tables
+    fact = J.read_table(spark, wh, "APP.fact_sales_order")
+    assert fact.count() == totesys["sales_order"].count()
+    assert '"unit price"' in " ".join(f'"{c}"' for c in fact.columns)
+    dim_date = J.read_table(spark, wh, "APP.dim_date")
+    assert dim_date.count() == 731
+
+    # second cycle: watermarks advanced, the DB-side CDC returns nothing
+    deltas2 = etl.extract_jdbc(
+        spark, src, str(tmp_path / "staging2"), str(tmp_path / "state")
+    )
+    assert all(df.count() == 0 for df in deltas2.values())
