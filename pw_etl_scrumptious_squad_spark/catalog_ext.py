@@ -2539,3 +2539,48 @@ def z35(spark: SparkSession, sf: str) -> DataFrame:
         " CAST(quarter(dt) AS INT) AS quarter"
         " FROM d"
     ).repartition(1).sortWithinPartitions("date_id")
+
+
+@register(
+    "y29_corpus_stats",
+    "SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,"
+    " ROUND(quantile_cont(len(string_split(text, ' ')), 0.5), 6)"
+    " AS p50_tokens,"
+    " ROUND(quantile_cont(len(string_split(text, ' ')), 0.9), 6)"
+    " AS p90_tokens,"
+    " CAST(MIN(n_chars) AS BIGINT) AS min_chars,"
+    " CAST(MAX(n_chars) AS BIGINT) AS max_chars"
+    " FROM documents GROUP BY source, lang ORDER BY source, lang",
+    "dataset-card corpus report: per (source, lang) doc counts, token"
+    " totals, exact interpolated p50/p90 token lengths, and char-length"
+    " extrema — the at-a-glance profile published with a training-data"
+    " release. One scan + one partial-agg shuffle; exact percentiles on"
+    " integer token counts interpolate to halves, identical across"
+    " engines (Spark percentile == DuckDB quantile_cont). y-prefix:"
+    " past the gate window by design; tools/check.py covers it",
+)
+def y29(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias(
+                "p50_tokens"
+            ),
+            F.round(F.expr("percentile(n_tokens, 0.9)"), 6).alias(
+                "p90_tokens"
+            ),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("source", "lang")
+    )
