@@ -27,11 +27,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: e.build for name, e in sorted(_catalog.catalog().items())}
 
 
-def oracle_sql() -> dict[str, str]:
+ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+
+
+def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query (omitted for non-SQL-expressible
-    operators — the driver records a weaker rows-only check for those)."""
+    operators — the driver records a weaker rows-only check for those).
+
+    Data-dependent oracles (e.g. s02's trained-centroid literals) are
+    materialized for ``sf_dir`` — the driver compares at sf0.01, the
+    default; in-repo checkers pass the directory they're checking.
+    """
     return {
-        name: e.oracle
+        name: _catalog.resolve_oracle(e, sf_dir)
         for name, e in sorted(_catalog.catalog().items())
         if e.oracle is not None
     }

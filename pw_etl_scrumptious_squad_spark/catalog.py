@@ -50,8 +50,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class CatalogEntry:
     name: str
     build: QueryFn
-    oracle: str | None  # None -> driver runs the weaker rows-only check
+    # str: static DuckDB SQL; Callable[[sf_dir], str]: oracle whose literals
+    # depend on the data (e.g. trained IVF centroids embedded as constants);
+    # None -> driver runs the weaker rows-only check
+    oracle: str | Callable[[str], str] | None
     doc: str = ""
+
+
+def resolve_oracle(entry: "CatalogEntry", sf_dir: str) -> str | None:
+    """Materialize an entry's oracle SQL for a concrete sf directory."""
+    return entry.oracle(sf_dir) if callable(entry.oracle) else entry.oracle
 
 
 _REGISTRY: dict[str, CatalogEntry] = {}

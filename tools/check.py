@@ -74,7 +74,7 @@ def main():
         )
 
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    oracles = entrymod.oracle_sql(sf_dir)
     failures = []
     for name, fn in sorted(qs.items()):
         if only and name not in only:

@@ -88,7 +88,7 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    oracles = entrymod.oracle_sql(sf_dir)
     # the driver checks the first 50 names only; --all covers the extension
     # entries beyond the window with the same canonicalizer
     window = sorted(qs) if run_all else sorted(qs)[:50]
