@@ -490,6 +490,7 @@ def simhash_near_pairs(
     bits: int = 32,
     bands: int = 8,
     max_hamming: int = 3,
+    bucket_cap: int = _LSH_BUCKET_CAP,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: (a < b, hamming(simhash_a, simhash_b)
     <= max_hamming), found by banding the simhash bits.
@@ -501,7 +502,9 @@ def simhash_near_pairs(
     shuffle; the verify step is two bitwise ops per candidate.
     """
     sh = simhash(df, id_col, text_col, bits).localCheckpoint()
-    return hamming_near_pairs(sh, bits, bands, max_hamming)
+    return hamming_near_pairs(
+        sh, bits, bands, max_hamming, bucket_cap=bucket_cap
+    )
 
 
 def hamming_near_pairs(
@@ -511,11 +514,21 @@ def hamming_near_pairs(
     max_hamming: int,
     id_col: str = "doc_id",
     sig_col: str = "simhash",
+    bucket_cap: int = _LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Banded hamming-distance pairs over ANY bigint bit-signature column
     (text SimHash, embedding SRP, ...): (a < b, hamming <= ``max_hamming``).
     EXACT by the pigeonhole guarantee — see ``simhash_near_pairs``. The
-    bucket self-join is the only shuffle."""
+    bucket self-join is the only shuffle.
+
+    Buckets above ``bucket_cap`` (a corpus of thousands of identical or
+    near-identical signatures puts O(B^2) pairs in one task) emit star
+    pairs to the bucket's minimum doc id instead of all pairs — same
+    degenerate-bucket containment as ``lsh_candidate_pairs``: O(B) work,
+    and every member still reaches the representative, so duplicate
+    clusters stay connected for a downstream grouping/CC step. Below the
+    cap (any non-degenerate corpus) output is unchanged.
+    """
     if max_hamming >= bands:
         raise ValueError(
             "exactness needs max_hamming < bands (pigeonhole guarantee)"
@@ -536,15 +549,28 @@ def hamming_near_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sh.select(
-        "doc_id", F.explode(band_structs).alias("bb")
-    ).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
+    buckets = (
+        sh.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select(
+            "doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.val").alias("val"),
+        )
+        .withColumn(
+            "b_size",
+            F.count(F.lit(1)).over(Window.partitionBy("band", "val")),
+        )
+        .withColumn(
+            "b_rep", F.min("doc_id").over(Window.partitionBy("band", "val"))
+        )
     )
-    cands = (
-        buckets.alias("l")
+    small = buckets.filter(F.col("b_size") <= bucket_cap).select(
+        "doc_id", "band", "val"
+    )
+    all_pairs = (
+        small.alias("l")
         .join(
-            buckets.alias("r"),
+            small.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.val") == F.col("r.val"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
@@ -552,8 +578,15 @@ def hamming_near_pairs(
         .select(
             F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
         )
-        .distinct()
     )
+    star_pairs = (
+        buckets.filter(
+            (F.col("b_size") > bucket_cap)
+            & (F.col("doc_id") != F.col("b_rep"))
+        )
+        .select(F.col("b_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    cands = all_pairs.unionByName(star_pairs).distinct()
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
     return (

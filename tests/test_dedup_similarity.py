@@ -270,6 +270,30 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
     assert sp.count() == 20 * 19 // 2
 
 
+def test_hamming_bucket_cap_bounds_degenerate_corpus(spark):
+    """1k identical bit-signatures (one viral doc cluster) collapse into
+    one bucket per band; the capped hamming path must emit star pairs
+    (O(B)) instead of all pairs (O(B^2)), anchored at the representative."""
+    sigs = spark.createDataFrame(
+        [(i, 0x5A5A5A5A) for i in range(1000)], "doc_id LONG, simhash LONG"
+    )
+    pairs = dedup.hamming_near_pairs(
+        sigs, bits=32, bands=8, max_hamming=3, bucket_cap=100
+    )
+    got = [(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs.collect()]
+    assert len(got) == 999
+    assert all(a == 0 and h == 0 for a, _, h in got)
+    assert {b for _, b, _ in got} == set(range(1, 1000))
+    # under the cap, output is unchanged: all pairs survive the verify
+    small = spark.createDataFrame(
+        [(i, 0x5A5A5A5A) for i in range(20)], "doc_id LONG, simhash LONG"
+    )
+    assert (
+        dedup.hamming_near_pairs(small, bits=32, bands=8, max_hamming=3).count()
+        == 20 * 19 // 2
+    )
+
+
 def test_connected_components_chain_clique_singleton(spark):
     # chain 1-2-3-4 (diameter 3), clique {10,11,12}, singleton 99
     pairs = spark.createDataFrame(
