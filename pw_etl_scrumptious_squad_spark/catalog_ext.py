@@ -1720,6 +1720,98 @@ def y15(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# max_hamming 44/128 (theta ~62 deg) is calibrated to the synthetic
+# embeddings, which contain no planted twins: the closest banded candidate
+# pairs at sf0.01 sit at hamming 32-40, so a tighter threshold would make
+# the entry a trivially-empty check.
+_SRPW_BITS, _SRPW_BANDS, _SRPW_MAX_H = 128, 8, 44
+
+
+def _srp_wide_oracle() -> str:
+    """DuckDB twin of the WIDE (128-bit, array<bigint>) SRP pipeline:
+    integer-exact projections packed into two 64-bit words, 16-bit band
+    slices, bucket join, full-signature hamming verify. The wide-band
+    regime is approximate (recall < 1) but deterministic end-to-end, so
+    the pipeline itself is value-exact checkable (d05's argument)."""
+    signs = similarity.srp_sign_matrix(_SRPW_BITS, _SRP_DIM)
+    words = []
+    for w in range(_SRPW_BITS // 64):
+        terms = []
+        for j in range(w * 64, (w + 1) * 64):
+            lits = ",".join(str(s) for s in signs[j])
+            s_bit = j - w * 64
+            bit = (
+                "(-9223372036854775807 - 1)"  # 1<<63 overflows DuckDB's shift
+                if s_bit == 63
+                else f"(CAST(1 AS BIGINT) << {s_bit})"
+            )
+            terms.append(
+                f"CASE WHEN list_sum(list_transform(range(1, {_SRP_DIM + 1}),"
+                f" i -> qv[i] * ([{lits}])[i])) > 0"
+                f" THEN {bit} ELSE CAST(0 AS BIGINT) END"
+            )
+        words.append(" | ".join(terms))
+    width = _SRPW_BITS // _SRPW_BANDS
+    mask = (1 << width) - 1
+    slices = ", ".join(
+        "struct_pack(band := %d, val := (w%d >> %d) & %d)"
+        % (b, (b * width) // 64, (b * width) % 64, mask)
+        for b in range(_SRPW_BANDS)
+    )
+    ham = "bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))"
+    return (
+        "WITH q AS (SELECT vec_id,"
+        " list_transform(CAST(embedding AS DOUBLE[]),"
+        f" x -> CAST(floor(x * {_SRP_SCALE} + 0.5) AS BIGINT)) AS qv"
+        " FROM embeddings),"
+        f" s AS (SELECT vec_id, {words[0]} AS w0, {words[1]} AS w1 FROM q),"
+        f" bnd AS (SELECT vec_id, unnest([{slices}]) AS bb FROM s),"
+        " cand AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b"
+        " FROM bnd l JOIN bnd r ON l.bb.band = r.bb.band"
+        " AND l.bb.val = r.bb.val AND l.vec_id < r.vec_id)"
+        f" SELECT c.vec_a, c.vec_b, CAST({ham} AS INTEGER) AS hamming"
+        " FROM cand c JOIN s a ON c.vec_a = a.vec_id"
+        " JOIN s b ON c.vec_b = b.vec_id"
+        f" WHERE {ham} <= {_SRPW_MAX_H}"
+        " ORDER BY vec_a, vec_b"
+    )
+
+
+@register(
+    "y30_srp_wide",
+    _srp_wide_oracle(),
+    "WIDE signed-random-projection near-dup (128-bit array<bigint>"
+    " signatures, 16-bit band slices = 65k bucket values per band — the"
+    " cluster-scale geometry where y15's 32-bit scalar tier would"
+    " degenerate): integer-exact projections, banded bucket join,"
+    " full-signature hamming verify; approximate recall by design, but"
+    " the pipeline is deterministic so the oracle is value-exact."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y30(spark: SparkSession, sf: str) -> DataFrame:
+    sigs = similarity.srp_signature_words(
+        _t(spark, sf, "embeddings"),
+        bits=_SRPW_BITS,
+        scale=_SRP_SCALE,
+    ).localCheckpoint()
+    return (
+        dedup.hamming_near_pairs_words(
+            sigs,
+            bits=_SRPW_BITS,
+            bands=_SRPW_BANDS,
+            max_hamming=_SRPW_MAX_H,
+            id_col="vec_id",
+            exact=False,
+        )
+        .select(
+            F.col("doc_a").alias("vec_a"),
+            F.col("doc_b").alias("vec_b"),
+            "hamming",
+        )
+        .repartition(1).sortWithinPartitions("vec_a", "vec_b")
+    )
+
+
 def _quota_oracle(k: int = 15) -> str:
     from pw_etl_scrumptious_squad_spark.catalog import _stop_list_sql
 

@@ -549,22 +549,38 @@ def hamming_near_pairs(
             for b in range(bands)
         ]
     )
-    buckets = (
-        sh.select("doc_id", F.explode(band_structs).alias("bb"))
-        .select(
-            "doc_id",
-            F.col("bb.band").alias("band"),
-            F.col("bb.val").alias("val"),
-        )
-        .withColumn(
-            "b_size",
-            F.count(F.lit(1)).over(Window.partitionBy("band", "val")),
-        )
-        .withColumn(
-            "b_rep", F.min("doc_id").over(Window.partitionBy("band", "val"))
-        )
+    buckets = sh.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
     )
-    small = buckets.filter(F.col("b_size") <= bucket_cap).select(
+    cands = _capped_band_pairs(buckets, bucket_cap)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _capped_band_pairs(buckets: DataFrame, bucket_cap: int) -> DataFrame:
+    """(doc_id, band, val) bucket rows -> distinct candidate (doc_a < doc_b)
+    pairs, with degenerate-bucket containment: buckets above ``bucket_cap``
+    emit star pairs to the bucket's min doc id (O(B)) instead of the
+    all-pairs self-join (O(B^2) in one task) — shared by the scalar and
+    words-based hamming paths and mirroring ``lsh_candidate_pairs``."""
+    sized = buckets.withColumn(
+        "b_size", F.count(F.lit(1)).over(Window.partitionBy("band", "val"))
+    ).withColumn(
+        "b_rep", F.min("doc_id").over(Window.partitionBy("band", "val"))
+    )
+    small = sized.filter(F.col("b_size") <= bucket_cap).select(
         "doc_id", "band", "val"
     )
     all_pairs = (
@@ -580,25 +596,87 @@ def hamming_near_pairs(
         )
     )
     star_pairs = (
-        buckets.filter(
+        sized.filter(
             (F.col("b_size") > bucket_cap)
             & (F.col("doc_id") != F.col("b_rep"))
         )
         .select(F.col("b_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    cands = all_pairs.unionByName(star_pairs).distinct()
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return all_pairs.unionByName(star_pairs).distinct()
+
+
+def hamming_near_pairs_words(
+    sig_df: DataFrame,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    sig_col: str = "srp_words",
+    bucket_cap: int = _LSH_BUCKET_CAP,
+    exact: bool = True,
+) -> DataFrame:
+    """Banded hamming-distance pairs over an ``array<bigint>`` word
+    signature (>=128-bit SRP, wide SimHash): the cluster-scale variant of
+    :func:`hamming_near_pairs`, whose scalar bigint caps signatures at 64
+    bits. Wide signatures are what keep band selectivity growing with the
+    corpus (16-32-bit band slices = 65k-4B bucket values per band), so
+    the bucket join never degenerates the way narrow signatures do at
+    large n. Bucket self-join is the only shuffle; degenerate buckets
+    are star-capped like everywhere else.
+
+    With ``exact=True`` (default) the pigeonhole guarantee applies:
+    ``max_hamming < bands`` is enforced and EVERY qualifying pair is
+    found. ``exact=False`` is the production SRP-LSH regime — wide bands
+    (high selectivity) with a verify threshold above the band count:
+    recall < 1 (a qualifying pair may differ in every band), but every
+    EMITTED pair is still exact-verified, and the whole pipeline remains
+    deterministic, so a value-exact oracle of the pipeline still exists
+    (same argument as MinHash-LSH's d05).
+
+    Band ``b`` is the ``width``-bit slice starting at bit ``b*width``;
+    ``width`` must divide 64 so a band never straddles a word boundary.
+    """
+    if exact and max_hamming >= bands:
+        raise ValueError(
+            "exactness needs max_hamming < bands (pigeonhole guarantee);"
+            " pass exact=False for the approximate wide-band LSH regime"
+        )
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    if 64 % width != 0:
+        raise ValueError("band width (bits // bands) must divide 64")
+    mask = (1 << width) - 1
+    sh = sig_df.select(
+        F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sw")
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    f"(element_at(sw, {(b * width) // 64 + 1})"
+                    f" >> {(b * width) % 64}) & {mask}L"
+                ).alias("val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sh.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
+    )
+    cands = _capped_band_pairs(buckets, bucket_cap)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sw").alias("wa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sw").alias("wb"))
+    ham = F.expr(
+        "aggregate(zip_with(wa, wb,"
+        " (x, y) -> cast(bit_count(x ^ y) as bigint)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
     return (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-            .cast("int")
-            .alias("hamming"),
-        )
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 

@@ -253,9 +253,10 @@ def srp_signatures(
     Scale note: band selectivity is 2^(bits/bands) buckets per band, so
     ``bits`` must grow with the corpus — 32 bits / 8 bands = 16 bucket
     values, fine for 10^4 vectors, hopeless for 10^9 (every bucket holds
-    millions). At cluster scale use >=128 bits stored as an
-    ``array<bigint>`` of 64-bit words (band = one word slice) and band
-    widths of 16-32 bits; the quantize/dot/pack shape below is unchanged.
+    millions). At cluster scale use :func:`srp_signature_words` (>=128
+    bits as an ``array<bigint>`` of 64-bit words, 16-32-bit band slices)
+    with ``dedup.hamming_near_pairs_words`` — same quantize/dot/pack
+    shape, selectivity that keeps growing with the corpus.
     """
     dim = df.selectExpr(f"size({vec_col}) AS n").first()["n"]
     signs = srp_sign_matrix(bits, dim)
@@ -278,3 +279,54 @@ def srp_signatures(
         )
         sig = term if sig is None else sig + term
     return out.select("vec_id", sig.alias("srp_sig"))
+
+
+def srp_signature_words(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 128,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Wide SRP signature as an ``array<bigint>`` of 64-bit words — the
+    cluster-scale variant of :func:`srp_signatures` (which packs at most
+    64 bits into one scalar).
+
+    Band selectivity is what makes SRP-LSH scale: with B bucket values
+    per band each bucket holds ~n/B rows, so 32-bit signatures cut into
+    8 bands (16 values per band) degenerate to quadratic bucket joins at
+    large n. 128+ bits sliced into 16-32-bit bands give 65k-4B values
+    per band — bucket sizes keep shrinking as the corpus grows. Same
+    integer-exact quantize/±1-dot/pack as the scalar tier (md5-seeded
+    hyperplanes, so any engine reproduces the planes); bit j of the
+    signature lives in word j//64 at position j%64. Bits are combined
+    with bitwise OR (terms are disjoint powers of two), keeping word 63
+    well-defined in signed-64 arithmetic on every engine. Pure column
+    expressions: no shuffle, no Python per row.
+
+    Pairs come from ``dedup.hamming_near_pairs_words`` — the same banded
+    machinery, pigeonhole-exact for ``max_hamming < bands``.
+    """
+    if bits % 64 != 0:
+        raise ValueError("wide SRP signatures need bits as a multiple of 64")
+    dim = df.selectExpr(f"size({vec_col}) AS n").first()["n"]
+    signs = srp_sign_matrix(bits, dim)
+    qv = F.expr(
+        f"transform(cast({vec_col} as array<double>),"
+        f" x -> cast(floor(x * {scale}D + 0.5D) as bigint))"
+    )
+    out = df.select(F.col(id_col).alias("vec_id"), qv.alias("__qv"))
+    words = []
+    for w in range(bits // 64):
+        word = None
+        for j in range(w * 64, (w + 1) * 64):
+            lits = ",".join(f"{s}L" for s in signs[j])
+            dot_j = F.expr(
+                f"aggregate(zip_with(__qv, array({lits}), (x, y) -> x * y),"
+                f" 0L, (a, x) -> a + x)"
+            )
+            bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), {j - w * 64})")
+            term = F.when(dot_j > 0, bit).otherwise(F.lit(0).cast("bigint"))
+            word = term if word is None else word.bitwiseOR(term)
+        words.append(word)
+    return out.select("vec_id", F.array(*words).alias("srp_words"))

@@ -421,6 +421,91 @@ def test_srp_banded_pairs_equal_bruteforce(spark):
     assert any(b == 1000 + a for a, b, _ in got)  # planted partners found
 
 
+def test_srp_wide_words_extend_scalar_signature(spark):
+    """The 128-bit word signature's low 32 bits equal the 32-bit scalar
+    signature (same md5-seeded planes, j-indexed), and the wide banded
+    path in a pigeonhole-exact config returns precisely the brute-force
+    hamming<=k set over the word signatures."""
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, v))
+        if i % 10 == 0:
+            rows.append((1000 + i, [x + rng.uniform(-0.005, 0.005) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    scalar = {
+        r["vec_id"]: r["srp_sig"]
+        for r in similarity.srp_signatures(df, bits=32).collect()
+    }
+    wide = {
+        r["vec_id"]: r["srp_words"]
+        for r in similarity.srp_signature_words(df, bits=128).collect()
+    }
+    assert all(len(w) == 2 for w in wide.values())
+    for i, w in wide.items():
+        assert w[0] & 0xFFFFFFFF == scalar[i]
+    # pigeonhole-exact config over words: banded == brute force
+    sigs = similarity.srp_signature_words(df, bits=128).localCheckpoint()
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.hamming_near_pairs_words(
+            sigs, bits=128, bands=16, max_hamming=15, id_col="vec_id"
+        ).collect()
+    }
+
+    def ham(a, b):
+        return sum(
+            bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+            for x, y in zip(wide[a], wide[b])
+        )
+
+    ids = sorted(wide)
+    brute = {
+        (a, b, ham(a, b))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if ham(a, b) <= 15
+    }
+    assert got == brute
+    assert any(b == 1000 + a for a, b, _ in got)
+
+
+def test_srp_wide_band_selectivity_grows_past_scalar_cap(spark):
+    """The scale rationale for wide signatures, measured: 32-bit/8-band
+    slices top out at 2^4=16 bucket values per band, so bucket sizes grow
+    linearly with the corpus; 128-bit/8-band slices (16-bit values) keep
+    splitting. Assert the wide path's distinct bucket count per band
+    blows past the scalar cap on a corpus of ~1k random vectors."""
+    import random
+
+    rng = random.Random(7)
+    df = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(1000)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    scalar_sigs = similarity.srp_signatures(df, bits=32).localCheckpoint()
+    wide_sigs = similarity.srp_signature_words(df, bits=128).localCheckpoint()
+    sv = [r["srp_sig"] for r in scalar_sigs.collect()]
+    wv = [r["srp_words"] for r in wide_sigs.collect()]
+    # band 0 value sets: scalar = low 4 bits, wide = low 16 bits of word 0
+    scalar_buckets = {s & 0xF for s in sv}
+    wide_buckets = {w[0] & 0xFFFF for w in wv}
+    assert len(scalar_buckets) <= 16  # structurally capped
+    assert len(wide_buckets) > 16  # keeps splitting as the corpus grows
+    # max bucket size shrinks accordingly (the quadratic-join risk metric)
+    from collections import Counter
+
+    worst_scalar = max(Counter(s & 0xF for s in sv).values())
+    worst_wide = max(Counter(w[0] & 0xFFFF for w in wv).values())
+    assert worst_wide * 4 < worst_scalar
+
+
 def test_keep_canonical_best_score_per_cluster(spark):
     """keep_canonical keeps exactly one doc per component — the highest
     score, ties broken by lowest id — and labels every input row with its
