@@ -325,6 +325,7 @@ def ngram_jaccard_pairs(
     max_exact_rows: int = _MAX_EXACT_PAIR_ROWS,
     num_perm: int = 16,
     bands: int = 8,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Token-set Jaccard near-duplicate pairs with an enforced scale guard.
 
@@ -337,13 +338,20 @@ def ngram_jaccard_pairs(
     The banded path is the 100 TB shape; its recall for a pair at Jaccard
     ``t`` is 1-(1-t^(num_perm/bands))^bands (>=0.9999 at t=0.9 with the
     defaults), and the verify stage keeps emitted pairs value-exact.
+
+    ``n_rows_hint`` skips the path-picking ``count()``: counting a
+    filtered/derived input at 100 TB is a full extra pass before any dedup
+    work, and callers usually know the corpus size (catalog row counts,
+    parquet footer statistics, an upstream count). The hint only picks the
+    path — a wrong hint degrades performance, never correctness.
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("tk"),
     ).withColumn("n", F.size("tk"))
-    if df.count() > max_exact_rows:
+    n_rows = n_rows_hint if n_rows_hint is not None else df.count()
+    if n_rows > max_exact_rows:
         return _ngram_jaccard_lsh(toks, threshold, num_perm, bands)
     return _ngram_jaccard_exact(df, toks, threshold)
 
@@ -689,6 +697,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.3,
     max_exact_rows: int = _MAX_EXACT_PAIR_ROWS,
     n_cells: int | None = None,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a < b, round(cosine, 6) >=
     threshold), optionally blocked on ``block_col`` (cluster/label id) —
@@ -704,6 +713,10 @@ def embedding_neardup_pairs(
     stay bounded and nothing is broadcast except the tiny centroid set.
     The cell path is approximate (cross-cell pairs are not compared), the
     standard IVF trade; emitted pairs remain value-exact.
+
+    ``n_rows_hint`` skips the path-picking ``count()`` (a full extra pass
+    over a derived input at scale) and also sizes the default cell count;
+    a wrong hint degrades performance, never pair values.
     """
     # hoist the norm into its own column — computing it inside the
     # transform() lambda would redo the O(dim) sum for every element
@@ -729,7 +742,7 @@ def embedding_neardup_pairs(
             F.transform("dv", lambda x: x / F.col("nrm")).alias("uv"),
         )
     )
-    n_rows = df.count()
+    n_rows = n_rows_hint if n_rows_hint is not None else df.count()
     if n_rows > max_exact_rows:
         from pw_etl_scrumptious_squad_spark.operators import similarity
 

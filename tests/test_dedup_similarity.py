@@ -249,6 +249,46 @@ def test_embedding_guard_routes_to_cells_no_full_broadcast(spark):
         assert a < b
 
 
+def test_row_count_hint_skips_path_picking_job(spark):
+    """With n_rows_hint supplied, building the guarded dedup DataFrames
+    must trigger ZERO Spark jobs (no path-picking count pass); without
+    the hint, at least one job runs at build time. Values are identical
+    either way."""
+    docs = [(i, f"alpha beta gamma delta tok{i}", "x") for i in range(50)]
+    ddf = spark.createDataFrame(docs, "doc_id LONG, text STRING, lang STRING")
+    vecs = [(i, [float(i % 7), 1.0, 0.5], 0) for i in range(50)]
+    vdf = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    # embedding path: the hint leaves NOTHING to run at build time
+    sc.setJobGroup("hinted-emb", "hint probe")
+    hinted_emb = dedup.embedding_neardup_pairs(
+        vdf, "vec_id", "embedding", "label", 0.3, n_rows_hint=50
+    )
+    assert list(tracker.getJobIdsForGroup("hinted-emb")) == []
+
+    # ngram path: the exact tier still runs its (capped, documented)
+    # vocabulary probe at build time; the hint must remove exactly the
+    # full-input count pass on top of it
+    sc.setJobGroup("hinted-ng", "hint probe")
+    hinted_ng = dedup.ngram_jaccard_pairs(
+        ddf, "doc_id", "text", "lang", 0.5, n_rows_hint=50
+    )
+    hinted_jobs = len(tracker.getJobIdsForGroup("hinted-ng"))
+    sc.setJobGroup("counted-ng", "count probe")
+    counted_ng = dedup.ngram_jaccard_pairs(ddf, "doc_id", "text", "lang", 0.5)
+    counted_jobs = len(tracker.getJobIdsForGroup("counted-ng"))
+    assert counted_jobs > hinted_jobs  # the count pass is gone
+    sc.setJobGroup("results", "collect")
+
+    key = lambda r: (r["doc_a"], r["doc_b"], r["jaccard"])  # noqa: E731
+    assert sorted(map(key, hinted_ng.collect())) == sorted(
+        map(key, counted_ng.collect())
+    )
+    assert hinted_emb.count() > 0  # hinted embedding path builds and runs
+
+
 def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
     """1k identical docs collapse into one bucket per band; the capped
     path must emit star pairs (O(B)) instead of all pairs (O(B^2)),
