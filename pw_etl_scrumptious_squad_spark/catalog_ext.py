@@ -2564,12 +2564,21 @@ def z32(spark: SparkSession, sf: str) -> DataFrame:
     "y28_dup_span_removal",
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),"
     " s AS (SELECT doc_id, i AS pos,"
-    " array_to_string(tk[i*10+1 : i*10+10], ' ') AS span"
+    " array_to_string(tk[i*10+1 : i*10+10], ' ') AS span, len(tk) AS nt"
     " FROM t, LATERAL (SELECT unnest(range(CAST(ceil(len(tk)/10.0) AS"
     " BIGINT))) AS i)),"
-    " k AS (SELECT doc_id, pos, span,"
+    " kg AS (SELECT array_to_string(tk[p+1 : p+10], ' ') AS kgram,"
+    " struct_pack(d := doc_id, p := p) AS occ"
+    " FROM t, LATERAL (SELECT unnest(range(len(tk) - 9)) AS p)"
+    " WHERE len(tk) >= 10),"
+    " fr AS (SELECT kgram, min(occ) AS f FROM kg GROUP BY kgram),"
+    " fullk AS (SELECT s.doc_id, s.pos, s.span,"
+    " ((fr.f).d = s.doc_id AND (fr.f).p = s.pos*10) AS kept"
+    " FROM s JOIN fr ON s.span = fr.kgram WHERE s.pos*10 + 10 <= s.nt),"
+    " part AS (SELECT doc_id, pos, span,"
     " row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1 AS kept"
-    " FROM s)"
+    " FROM s WHERE s.pos*10 + 10 > s.nt),"
+    " k AS (SELECT * FROM fullk UNION ALL SELECT * FROM part)"
     " SELECT doc_id,"
     " coalesce(string_agg(span, ' ' ORDER BY pos) FILTER (WHERE kept), '')"
     " AS clean_text,"
@@ -2577,13 +2586,15 @@ def z32(spark: SparkSession, sf: str) -> DataFrame:
     " CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped"
     " FROM k GROUP BY doc_id ORDER BY doc_id",
     "corpus-wide duplicate-passage removal"
-    " (dedup.py::drop_duplicate_spans): every 10-token span is kept only"
-    " at its first (doc_id, pos) occurrence corpus-wide; documents are"
-    " reassembled from surviving spans (C4-style boilerplate removal,"
+    " (dedup.py::drop_duplicate_spans, k-gram-anchor mode): a 10-token"
+    " span is dropped iff its exact content occurred earlier at ANY token"
+    " offset corpus-wide (sliding k-gram anchors close the aligned-only"
+    " blind spot for passages duplicated at a +-1-token shift); documents"
+    " are reassembled from surviving spans (C4-style boilerplate removal,"
     " Lee et al. 2022 exact-substring dedup at span granularity)."
-    " One shuffle on the span key + one back on doc_id; span-window skew"
-    " = duplication count (count-shaped, no pair blowup). Oracle = the"
-    " identical window/filtered-aggregate pipeline in DuckDB",
+    " One shuffle on the anchor key (partial-aggregable min) + one back"
+    " on doc_id; skew = duplication count (count-shaped, no pair blowup)."
+    " Oracle = the identical anchor/min/filtered-aggregate twin in DuckDB",
 )
 def y28(spark: SparkSession, sf: str) -> DataFrame:
     return (

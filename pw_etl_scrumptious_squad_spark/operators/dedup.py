@@ -933,6 +933,7 @@ def drop_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     span_tokens: int = 10,
+    anchor_unaligned: bool = True,
 ) -> DataFrame:
     """Corpus-wide duplicate-PASSAGE removal: tokenize each document into
     consecutive ``span_tokens``-token spans, keep only the FIRST occurrence
@@ -942,30 +943,43 @@ def drop_duplicate_spans(
     corpus cleaning — document-level dedup (d01) can't touch boilerplate
     that repeats INSIDE otherwise-distinct documents.
 
+    With ``anchor_unaligned=True`` (default), duplicate detection uses
+    k-gram anchors at EVERY token offset, not just span-aligned ones: a
+    full span is dropped iff its exact content occurred earlier — as a
+    sliding window at any offset — anywhere in the corpus (earlier =
+    lower ``(id, token_offset)``). This closes the aligned-only blind
+    spot where a passage duplicated at a +1-token offset inside an
+    otherwise-distinct document went undetected (the known weakness of
+    aligned-span approximations to Lee et al.'s suffix-array
+    exact-substring dedup). Removal stays span-aligned — the reassembly
+    contract is unchanged. ``anchor_unaligned=False`` keeps the cheaper
+    aligned-only detection (k-gram volume is ~k-fold smaller).
+
     Output: one row per input document — ``clean_text`` (surviving spans
     re-joined in order, '' when everything was boilerplate), ``n_spans``,
     ``n_dropped``. Dropping zero spans reproduces the input text exactly
     (span concatenation is the identity partition of the token stream).
 
-    Scale shape: ONE shuffle on the span string (the window's hash
-    partition), then ONE shuffle back on the doc id for reassembly; both
-    keys are high-cardinality. The span window's per-key partition size
-    equals that span's duplication count, and the work inside it is a
-    single sequential row_number — O(dups), no pair blowup, so even a
+    Scale shape: ONE shuffle on the span/k-gram string, then ONE shuffle
+    back on the doc id for reassembly; both keys are high-cardinality.
+    The per-key work is a partial-aggregable min (or a sequential
+    row_number in aligned mode) — O(dups), no pair blowup, so even a
     million-fold boilerplate span costs only its own row mass (the skew
-    profile of a count, not a join). At 100 TB, spans would be hashed
+    profile of a count, not a join). The anchor pass multiplies exchanged
+    rows by ~k; at 100 TB both spans and anchors would be hashed
     (xxhash64) before the shuffle so the exchange carries 8-byte keys
-    instead of text; kept verbatim here so the DuckDB oracle is literal.
+    instead of text — kept verbatim here so the DuckDB oracle is literal.
 
     No reference counterpart (SURVEY §2.4 extension). Paper basis: Lee et
     al. 2022, "Deduplicating Training Data Makes Language Models Better"
-    (exact-substring dedup), simplified to fixed token-aligned spans.
+    (exact-substring dedup), at span granularity with k-gram anchors.
     """
     k = span_tokens
     toks = F.split(F.col(text_col), " ")
     d = df.select(
         F.col(id_col),
         toks.alias("__tk"),
+        F.size(toks).alias("__nt"),
         F.ceil(F.size(toks) / F.lit(float(k))).cast("int").alias("__ns"),
     )
     # sequence(0, n-1) generates DESCENDING for n<=0 — guard explicitly
@@ -980,17 +994,64 @@ def drop_duplicate_spans(
         id_col,
         F.explode("pos").alias("pos"),
         "__tk",
+        "__nt",
     ).select(
         id_col,
         "pos",
         F.array_join(
             F.expr(f"slice(__tk, pos * {k} + 1, {k})"), " "
         ).alias("span"),
+        (F.col("pos") * k + k <= F.col("__nt")).alias("__full"),
     )
-    first_w = Window.partitionBy("span").orderBy(id_col, "pos")
-    flagged = spans.withColumn(
-        "__kept", F.row_number().over(first_w) == F.lit(1)
-    )
+    if anchor_unaligned:
+        # k-gram anchors at every token offset; min (id, offset) per content
+        anchors = (
+            d.filter(F.col("__nt") >= k)
+            .select(
+                id_col,
+                F.explode(F.expr(f"sequence(0, __nt - {k})")).alias("p"),
+                "__tk",
+            )
+            .select(
+                F.array_join(
+                    F.expr(f"slice(__tk, p + 1, {k})"), " "
+                ).alias("kgram"),
+                F.struct(
+                    F.col(id_col).alias("d"), F.col("p").alias("p")
+                ).alias("occ"),
+            )
+        )
+        firsts = anchors.groupBy("kgram").agg(F.min("occ").alias("f"))
+        # a full span survives iff the globally-first occurrence of its
+        # content is its own position (inner join: every full span IS an
+        # anchor at offset pos*k, so a match always exists)
+        full_leg = (
+            spans.filter(F.col("__full"))
+            .join(firsts, F.col("span") == F.col("kgram"))
+            .select(
+                id_col,
+                "pos",
+                "span",
+                (
+                    (F.col("f.d") == F.col(id_col))
+                    & (F.col("f.p") == F.col("pos") * k)
+                ).alias("__kept"),
+            )
+        )
+        # partial tail spans (< k tokens) can never equal a k-gram; they
+        # dedup among themselves exactly as in aligned mode
+        part_w = Window.partitionBy("span").orderBy(id_col, "pos")
+        part_leg = (
+            spans.filter(~F.col("__full"))
+            .withColumn("__kept", F.row_number().over(part_w) == F.lit(1))
+            .select(id_col, "pos", "span", "__kept")
+        )
+        flagged = full_leg.unionByName(part_leg)
+    else:
+        first_w = Window.partitionBy("span").orderBy(id_col, "pos")
+        flagged = spans.withColumn(
+            "__kept", F.row_number().over(first_w) == F.lit(1)
+        )
     return (
         flagged.groupBy(id_col)
         .agg(

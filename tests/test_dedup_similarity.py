@@ -591,6 +591,61 @@ def test_drop_duplicate_spans_semantics(spark):
     assert got[3] == ("", 2, 2)  # fully-duplicated doc still emits a row
 
 
+def test_drop_duplicate_spans_unaligned_offset(spark):
+    """A passage duplicated at a +1-token offset inside an otherwise
+    distinct document is caught by the k-gram-anchor mode (and provably
+    invisible to aligned-only detection)."""
+    passage = "p1 p2 p3 p4 p5"  # 5 tokens = one span at k=5
+    # doc 1 contains the passage span-aligned; doc 2 embeds it shifted by
+    # one token ("x" prefix), doc 3 repeats it span-aligned again
+    df = spark.createDataFrame(
+        [
+            (1, f"{passage} t1 t2 t3 t4 t5"),
+            (2, f"x {passage} u1 u2 u3 u4"),
+            (3, f"{passage} v1 v2 v3 v4 v5"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_dropped"])
+        for r in dedup.drop_duplicate_spans(
+            df, "doc_id", "text", span_tokens=5
+        ).collect()
+    }
+    assert got[1] == (f"{passage} t1 t2 t3 t4 t5", 0)
+    # doc 2's aligned spans ("x p1 p2 p3 p4", "p5 u1 u2 u3 u4") are unique
+    # strings — untouched; but doc 3's span-aligned copy of the passage is
+    # dropped because the content's first occurrence is doc 1's anchor
+    assert got[2][1] == 0
+    assert got[3] == ("v1 v2 v3 v4 v5", 1)
+
+    # same corpus where only doc 2 (the +1-offset copy) precedes doc 3:
+    # doc 3's aligned span must STILL be dropped — its content appeared
+    # earlier solely as an UNALIGNED anchor inside doc 2. This is exactly
+    # the pair the aligned-only mode cannot see.
+    df2 = spark.createDataFrame(
+        [
+            (2, f"x {passage} u1 u2 u3 u4"),
+            (3, f"{passage} v1 v2 v3 v4 v5"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    anchored = {
+        r["doc_id"]: r["n_dropped"]
+        for r in dedup.drop_duplicate_spans(
+            df2, "doc_id", "text", span_tokens=5
+        ).collect()
+    }
+    assert anchored == {2: 0, 3: 1}
+    aligned_only = {
+        r["doc_id"]: r["n_dropped"]
+        for r in dedup.drop_duplicate_spans(
+            df2, "doc_id", "text", span_tokens=5, anchor_unaligned=False
+        ).collect()
+    }
+    assert aligned_only == {2: 0, 3: 0}  # the documented blind spot
+
+
 def test_drop_duplicate_spans_identity_when_unique(spark):
     df = spark.createDataFrame(
         [(i, " ".join(f"w{i}_{j}" for j in range(13))) for i in range(20)],

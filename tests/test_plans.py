@@ -143,11 +143,20 @@ def test_snapshot_diff_is_single_sort_merge_join(spark, cat):
 
 
 def test_dup_span_removal_shuffle_count_and_pruning(spark, cat):
-    """y28 must read only (doc_id, text) and shuffle exactly three times:
-    span window, doc_id reassembly agg, terminal single-partition sort —
-    never a pair join or a cartesian blowup."""
+    """y28 (k-gram-anchor mode) must read only (doc_id, text), never
+    blow up into a cartesian/pair join, and partial-aggregate the anchor
+    min BEFORE its exchange (map-side combine is what keeps a
+    million-fold boilerplate anchor at count-shaped cost). Shuffles: 5 =
+    anchor-min agg, span-to-firsts join leg, partial-span window, doc_id
+    reassembly agg, terminal single-partition sort."""
     plan = plan_of(spark, cat, "y28_dup_span_removal")
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "partial_min" in plan  # map-side combine on the anchor key
     simple = plan_of(spark, cat, "y28_dup_span_removal", "simple")
-    assert simple.count("Exchange") == 3
-    assert "Join" not in simple and "CartesianProduct" not in simple
+    assert simple.count("Exchange") <= 5
+    assert "CartesianProduct" not in simple
+    # the only join is span-content = anchor-content (equi); at this sf
+    # the firsts side broadcasts, at scale it degrades to a shuffle join —
+    # either way exactly one join and it is never nested-loop
+    assert simple.count("Join") == 1
+    assert "BroadcastNestedLoopJoin" not in simple
