@@ -829,6 +829,35 @@ def simhash(
     return agg.select("doc_id", packed.alias("simhash"))
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood. Input/output
+    edges are directed (src > dst)."""
+    both = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    w = Window.partitionBy("src")
+    return (
+        both.withColumn("m", F.least(F.col("src"), F.min("dst").over(w)))
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node connects its smaller-or-equal
+    neighbors (and itself) to its minimum neighbor. Requires and
+    preserves the src > dst orientation."""
+    w = Window.partitionBy("src")
+    with_min = edges.withColumn("m", F.min("dst").over(w))
+    relinked = with_min.filter(F.col("dst") != F.col("m")).select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    self_link = with_min.select("src", F.col("m").alias("dst"))
+    return relinked.unionByName(self_link).distinct()
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -839,45 +868,57 @@ def connected_components(
     reachable through the near-dup pair graph (undirected). Returns
     (node, cluster_id); singletons label themselves.
 
-    Iterative min-label propagation: each round joins current labels onto
-    the edge list and takes the min over {own label} ∪ {neighbor labels},
-    localCheckpoint-ing per round (the lineage would otherwise double every
-    iteration). Converges in graph-diameter rounds — near-dup clusters are
-    dense (diameter 2-3); a 100 TB run would switch to the large-star/
-    small-star variant of the same loop, which is these exact joins with
-    an extra label-edge propagation. Raises if ``max_iter`` is hit without
-    a fixpoint, rather than returning silently-wrong labels.
+    Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round rewires
+    edges toward local minima, halving component diameter, so a path of
+    length n converges in O(log n) rounds — not the O(diameter) of plain
+    min-label propagation. Each phase is ONE window shuffle on the edge
+    list (no label join), localCheckpoint-ed per round so lineage stays
+    flat. Convergence is detected by a map-side single-row aggregate
+    (edge count + xxhash64 bit_xor) instead of a join-and-count over the
+    label table — at 100 TB that check is a partial-aggregate pass, not
+    a shuffle. A hash-sum tie on a CHANGED edge set would need a 2^-64
+    collision in the same round as an identical count; ``max_iter``
+    still backstops with a raise rather than silently-wrong labels.
+
+    At the fixpoint the edge set is a star forest rooted at each
+    component's minimum id, so labels read directly off the edges; roots
+    and singletons label themselves.
     """
     a, b = F.col("doc_a"), F.col("doc_b")
     edges = (
-        pairs.select(a.alias("src"), b.alias("dst"))
-        .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+        pairs.select(F.greatest(a, b).alias("src"), F.least(a, b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    node_col = nodes.select(F.col(id_col).alias("node"))
+
+    def _fingerprint(e: DataFrame):
+        # bit_xor, not sum: order-independent like sum but can't overflow
+        # a long under ANSI mode; the edge set is distinct so no two rows
+        # cancel each other out
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _fingerprint(edges)
+    if prev[0] == 0:
+        return node_col.select("node", F.col("node").alias("cluster_id"))
     for _ in range(max_iter):
-        neigh = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .select(F.col("dst").alias("node"), "label")
-        )
-        new = (
-            labels.unionByName(neigh)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            return labels.select("node", F.col("label").alias("cluster_id"))
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        fp = _fingerprint(edges)
+        if fp == prev:
+            roots = edges.select(
+                F.col("src").alias("node"), F.col("dst").alias("cluster_id")
+            )
+            return node_col.join(roots, "node", "left").select(
+                "node",
+                F.coalesce("cluster_id", F.col("node")).alias("cluster_id"),
+            )
+        prev = fp
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iters")
 
 

@@ -26,7 +26,10 @@ QUERIES = sorted(entrymod.queries())
 def test_query_matches_oracle(spark, oracle_con, name):
     sdf = entrymod.queries()[name](spark, SF)
     srows = [tuple(r) for r in sdf.collect()]
-    oracle = entrymod.oracle_sql().get(name)
+    # pass SF so data-dependent oracles (s02's embedded centroids) are
+    # generated for the sf this test actually runs at, not the driver's
+    # sf0.01 default
+    oracle = entrymod.oracle_sql(SF).get(name)
     if oracle is None:
         assert len(srows) >= 0  # rows-only check (non-SQL-expressible op)
         return

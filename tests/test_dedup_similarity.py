@@ -658,3 +658,56 @@ def test_drop_duplicate_spans_identity_when_unique(spark):
     # span partition + reassembly is the identity on duplicate-free text,
     # including the partial trailing span (13 = 5 + 5 + 3 tokens)
     assert all(r["clean_text"] == orig[r["doc_id"]] for r in rows)
+
+
+def test_connected_components_long_path_converges_logarithmically(spark):
+    """The alternating large-star/small-star loop must converge in
+    O(log n) rounds on a path graph — plain min-label propagation would
+    need O(diameter) = 255 rounds here, so max_iter=12 proves the star
+    variant is actually doing the diameter-halving."""
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a LONG, doc_b LONG"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id LONG")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components(
+            pairs, nodes, "doc_id", max_iter=12
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_reversed_and_shuffled_edges(spark):
+    """Orientation and order of the input pairs must not matter."""
+    pairs = spark.createDataFrame(
+        [(7, 3), (3, 9), (9, 7), (2, 1), (1, 2)], "doc_a LONG, doc_b LONG"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 7, 9, 42]], "doc_id LONG"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs, nodes, "doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 7: 3, 9: 3, 42: 42}
+
+
+def test_train_ivf_centroids_pinned_for_fixed_seed(spark):
+    """Determinism guard for the s02 oracle: the embedded-centroid DuckDB
+    twin is only value-exact if Spark ML k-means reproduces these exact
+    float32 centroids for seed=7 on sf0.001 embeddings. If a Spark
+    version bump shifts k-means|| behavior, this pin fails loudly instead
+    of the oracle silently drifting."""
+    import hashlib
+
+    emb = read_table(spark, SF, "embeddings")
+    cent = similarity.train_ivf_centroids(emb, k=10, seed=7)
+    rows = [
+        (int(r["centroid_id"]), [float(x) for x in r["embedding"]])
+        for r in cent.orderBy("centroid_id").collect()
+    ]
+    assert hashlib.md5(repr(rows).encode()).hexdigest() == (
+        "3f2978b80c9a0138a5a08fca38eb229d"
+    )
