@@ -125,6 +125,14 @@ def extract_jdbc(
     Per-table cost is the DB's index scan over the audit columns plus
     transfer of the delta rows only — the property that keeps a 3-minute
     cadence viable when the source is 10^9 rows.
+
+    The delta is materialized ONCE against the live source (persist +
+    count): the watermark max-agg, the staging write and any later use of
+    the returned DataFrame all read the cached rows. Re-executing the
+    lazy JDBC scan per consumer would let rows committed between
+    executions slip above the recorded watermark — staged contents,
+    returned deltas and the watermark could diverge (at-least-once
+    duplicates for append-mode consumers).
     """
     from pw_etl_scrumptious_squad_spark.sources import jdbc
     from pw_etl_scrumptious_squad_spark.sources.state import delta_watermark
@@ -140,10 +148,11 @@ def extract_jdbc(
             f"{cfg.schema}.{name}",
             wm.created_at,
             wm.last_updated,
-        )
+        ).persist()
+        n_rows = delta.count()  # the single execution against the DB
         deltas[name] = delta
-        new_wm = delta_watermark(delta)
-        if new_wm is not None:
+        if n_rows > 0:
+            new_wm = delta_watermark(delta)
             store.advance(name, new_wm)
             lake.write_table(delta, staging_dir, name)
     return deltas

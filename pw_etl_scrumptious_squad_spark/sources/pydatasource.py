@@ -99,13 +99,25 @@ class SyntheticDocsReader(DataSourceReader):
 
 
 class SyntheticDocsStreamReader(DataSourceStreamReader):
-    """Offset = next unread doc_id (a dict for JSON round-tripping)."""
+    """Offset = next unread doc_id (a dict for JSON round-tripping).
+
+    Restart safety: a fresh instance starts ``_current = 0``, but on
+    query restart Spark replays the checkpointed offsets through
+    ``partitions(start, end)`` / ``commit(end)`` — ratcheting
+    ``_current`` to the highest offset seen there means
+    ``latestOffset()`` never regresses below the committed offset, so
+    already-committed id ranges are not re-planned and re-emitted
+    (stream==batch parity holds across restarts)."""
 
     def __init__(self, options):
         self.seed = int(options.get("seed", 7))
         self.rows_per_batch = int(options.get("rows_per_batch", 100))
         self.num_partitions = int(options.get("num_partitions", 4))
         self._current = 0
+
+    def _ratchet(self, offset) -> None:
+        if offset and "doc_id" in offset:
+            self._current = max(self._current, int(offset["doc_id"]))
 
     def initialOffset(self):
         return {"doc_id": 0}
@@ -115,13 +127,17 @@ class SyntheticDocsStreamReader(DataSourceStreamReader):
         return {"doc_id": self._current}
 
     def partitions(self, start, end):
+        # recover from a checkpoint replay: never let the cursor sit
+        # below an offset range the engine already planned
+        self._ratchet(start)
+        self._ratchet(end)
         return _slices(start["doc_id"], end["doc_id"], self.num_partitions)
 
     def read(self, partition: _IdRange):
         return _gen_range(self.seed, partition.start, partition.end)
 
     def commit(self, end):
-        pass
+        self._ratchet(end)
 
 
 class SyntheticDocsDataSource(DataSource):

@@ -46,29 +46,65 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+def detect_ts_unit(source_dir: str, col: str = "ts") -> str:
+    """Read the timestamp unit ('ns' or 'us') ONCE from the first parquet
+    footer under ``source_dir``. The testdata generator has shipped both
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) events files across rounds
+    (TESTDATA.md); the footer's logical type is authoritative, unlike a
+    per-row magnitude guess. Defaults to 'us' when no file exists yet
+    (a stream can start on an empty directory)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    pattern = (
+        source_dir
+        if source_dir.endswith(".parquet")
+        else os.path.join(source_dir, "*.parquet")
+    )
+    files = sorted(glob.glob(pattern)) or sorted(
+        glob.glob(os.path.join(source_dir, "**", "*.parquet"), recursive=True)
+    )
+    if not files:
+        return "us"
+    field = pq.ParquetFile(files[0]).schema_arrow.field(col)
+    unit = getattr(field.type, "unit", "us")
+    return "ns" if unit == "ns" else "us"
+
+
 def read_event_stream(
-    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 8
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int = 8,
+    ts_unit: str | None = None,
 ) -> DataFrame:
     """File-source stream over an events directory: each new parquet file is
     a micro-batch (the streaming twin of the reference's 'new delta file in
-    the bucket' handoff)."""
+    the bucket' handoff).
+
+    ``ts_unit`` ('ns' | 'us') pins how the raw INT64 ``ts`` is decoded;
+    when omitted it is detected once from the first file's parquet footer
+    (:func:`detect_ts_unit`) — NOT guessed per row by magnitude, which
+    would silently mis-decode pre-1986 nanos values and normalize a
+    mixed-unit directory inconsistently. A directory whose later files
+    switch units needs an explicit restart with the right ``ts_unit``;
+    that's a generation change, not late data."""
+    if ts_unit is None:
+        ts_unit = detect_ts_unit(source_dir)
+    if ts_unit not in ("ns", "us"):
+        raise ValueError(f"ts_unit must be 'ns' or 'us', got {ts_unit!r}")
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-    # The LongType schema surfaces the raw INT64: epoch NANOS for
-    # TIMESTAMP(NANOS) files (under nanosAsLong), epoch MICROS for
-    # TIMESTAMP(MICROS) files. Normalize by magnitude — any post-1986
-    # nanos value is >= 5e17 while micros stay below that until year
-    # ~17,000 — so one stream definition survives either file format.
-    return raw.withColumn(
-        "ts",
-        F.expr(
-            "timestamp_micros(CASE WHEN abs(ts) >= 500000000000000000"
-            " THEN ts div 1000 ELSE ts END)"
-        ),
+    # The LongType schema surfaces the raw INT64 (epoch nanos under
+    # nanosAsLong for TIMESTAMP(NANOS) files, epoch micros otherwise).
+    expr = "timestamp_micros(ts div 1000)" if ts_unit == "ns" else (
+        "timestamp_micros(ts)"
     )
+    return raw.withColumn("ts", F.expr(expr))
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -112,3 +112,28 @@ def test_stream_batches_union_to_batch_read(spark):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_reader_offset_ratchets_on_restart():
+    """A fresh reader instance (query restart) must never hand the engine
+    an offset below one it has already seen via the checkpoint-replayed
+    partitions()/commit() calls — otherwise committed id ranges would be
+    re-planned and re-emitted, breaking stream==batch parity."""
+    from pw_etl_scrumptious_squad_spark.sources.pydatasource import (
+        SyntheticDocsStreamReader,
+    )
+
+    r1 = SyntheticDocsStreamReader({"rows_per_batch": "100"})
+    assert r1.latestOffset() == {"doc_id": 100}
+    r1.partitions({"doc_id": 0}, {"doc_id": 100})
+    r1.commit({"doc_id": 100})
+
+    # restart: fresh instance, engine replays the committed batch range
+    r2 = SyntheticDocsStreamReader({"rows_per_batch": "100"})
+    r2.partitions({"doc_id": 100}, {"doc_id": 200})
+    assert r2.latestOffset() == {"doc_id": 300}  # not 100
+
+    # restart where only commit() fires before the next offset request
+    r3 = SyntheticDocsStreamReader({"rows_per_batch": "100"})
+    r3.commit({"doc_id": 500})
+    assert r3.latestOffset()["doc_id"] >= 600
