@@ -1007,9 +1007,12 @@ def drop_duplicate_spans(
     row_number in aligned mode) — O(dups), no pair blowup, so even a
     million-fold boilerplate span costs only its own row mass (the skew
     profile of a count, not a join). The anchor pass multiplies exchanged
-    rows by ~k; at 100 TB both spans and anchors would be hashed
-    (xxhash64) before the shuffle so the exchange carries 8-byte keys
-    instead of text — kept verbatim here so the DuckDB oracle is literal.
+    rows by ~k, so its k-gram keys are xxhash64-hashed BEFORE the
+    shuffle: the exchange carries 8-byte keys instead of ~70-byte text
+    (the grouping and the span-probe join agree because both sides hash
+    the same string). A cross-content hash tie would need a 2^-64
+    collision; the DuckDB oracle compares final reassembled documents,
+    so any collision at test scale would surface as a value mismatch.
 
     No reference counterpart (SURVEY §2.4 extension). Paper basis: Lee et
     al. 2022, "Deduplicating Training Data Makes Language Models Better"
@@ -1045,7 +1048,8 @@ def drop_duplicate_spans(
         (F.col("pos") * k + k <= F.col("__nt")).alias("__full"),
     )
     if anchor_unaligned:
-        # k-gram anchors at every token offset; min (id, offset) per content
+        # k-gram anchors at every token offset; min (id, offset) per
+        # content, keyed by the 8-byte hash of the gram (see docstring)
         anchors = (
             d.filter(F.col("__nt") >= k)
             .select(
@@ -1054,21 +1058,21 @@ def drop_duplicate_spans(
                 "__tk",
             )
             .select(
-                F.array_join(
-                    F.expr(f"slice(__tk, p + 1, {k})"), " "
-                ).alias("kgram"),
+                F.xxhash64(
+                    F.array_join(F.expr(f"slice(__tk, p + 1, {k})"), " ")
+                ).alias("kh"),
                 F.struct(
                     F.col(id_col).alias("d"), F.col("p").alias("p")
                 ).alias("occ"),
             )
         )
-        firsts = anchors.groupBy("kgram").agg(F.min("occ").alias("f"))
+        firsts = anchors.groupBy("kh").agg(F.min("occ").alias("f"))
         # a full span survives iff the globally-first occurrence of its
         # content is its own position (inner join: every full span IS an
         # anchor at offset pos*k, so a match always exists)
         full_leg = (
             spans.filter(F.col("__full"))
-            .join(firsts, F.col("span") == F.col("kgram"))
+            .join(firsts, F.xxhash64(F.col("span")) == F.col("kh"))
             .select(
                 id_col,
                 "pos",

@@ -214,8 +214,10 @@ def test_snapshot_diff_apply_round_trip(spark, old_map, new_map):
 @given(texts=docs_strategy)
 @SLOW
 def test_drop_duplicate_spans_ground_truth(spark, texts):
-    """First-occurrence-wins span dedup vs a sequential Python scan:
-    identical kept-span choices, counts, and reassembled text."""
+    """Anchor-mode (default) span dedup vs a sequential Python scan: a
+    full span survives iff the first occurrence of its content — as a
+    k-window at ANY token offset, in (doc_id, offset) order — is its own
+    position; partial tail spans dedup among themselves first-wins."""
     k = 3
     df = spark.createDataFrame(
         list(enumerate(texts)), "doc_id LONG, text STRING"
@@ -224,6 +226,50 @@ def test_drop_duplicate_spans_ground_truth(spark, texts):
         r["doc_id"]: (r["clean_text"], r["n_spans"], r["n_dropped"])
         for r in dedup.drop_duplicate_spans(
             df, "doc_id", "text", span_tokens=k
+        ).collect()
+    }
+    first_occ: dict[str, tuple[int, int]] = {}
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        for p in range(0, len(toks) - k + 1):
+            g = " ".join(toks[p : p + k])
+            first_occ.setdefault(g, (i, p))
+    seen_partials: set[str] = set()
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        spans = [
+            " ".join(toks[j : j + k]) for j in range(0, len(toks), k)
+        ]
+        kept = []
+        for pos, s in enumerate(spans):
+            if pos * k + k <= len(toks):  # full span: anchor semantics
+                if first_occ[s] == (i, pos * k):
+                    kept.append(s)
+            else:  # partial tail: first-wins among partials
+                if s not in seen_partials:
+                    seen_partials.add(s)
+                    kept.append(s)
+        assert got[i] == (
+            " ".join(kept),
+            len(spans),
+            len(spans) - len(kept),
+        )
+
+
+@given(texts=docs_strategy)
+@SLOW
+def test_drop_duplicate_spans_aligned_ground_truth(spark, texts):
+    """Aligned-only mode vs the simple sequential first-wins scan over
+    span-aligned content (the pre-anchor semantics, kept as the cheap
+    tier)."""
+    k = 3
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_spans"], r["n_dropped"])
+        for r in dedup.drop_duplicate_spans(
+            df, "doc_id", "text", span_tokens=k, anchor_unaligned=False
         ).collect()
     }
     seen: set[str] = set()
