@@ -62,6 +62,9 @@ HEADLINE = [
     "y16_source_quota",
     "y28_dup_span_removal",
     "z29_bloom_semi_join",
+    # round-3 additions
+    "y30_srp_wide",
+    "s02_ivf_topk",
 ]
 
 

@@ -1812,6 +1812,86 @@ def y30(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# 128-bit text simhash, 16 bands x 8-bit slices: 256 bucket values per
+# band at test sf (plenty selective for 5k docs), pigeonhole-exact for
+# max_hamming < 16. 12/128 mirrors d07's 3/32 relative threshold.
+_SHW_BITS, _SHW_BANDS, _SHW_MAX_H = 128, 16, 12
+
+
+def _simhash_wide_oracle() -> str:
+    """DuckDB twin of the WIDE (128-bit, array<bigint>) text-SimHash
+    near-pair pipeline: md5-chunked token hashes (60 bits per chunk),
+    per-bit majority votes, two 64-bit words, brute-force all-pairs
+    hamming — valid as the oracle because the banded Spark path is
+    pigeonhole-exact at max_hamming < bands."""
+    n_chunks = (_SHW_BITS + 59) // 60
+    chunk_cols = ", ".join(
+        f"CAST(concat('0x', substr(md5(t || '#{c}'), 1, 15)) AS BIGINT)"
+        f" AS h{c}"
+        for c in range(n_chunks)
+    )
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h{j // 60} >> {j % 60}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" AS v{j}"
+        for j in range(_SHW_BITS)
+    )
+    words = []
+    for w in range(_SHW_BITS // 64):
+        terms = []
+        for j in range(w * 64, (w + 1) * 64):
+            s_bit = j - w * 64
+            bit = (
+                "(-9223372036854775807 - 1)"  # 1<<63 overflows DuckDB's shift
+                if s_bit == 63
+                else f"(CAST(1 AS BIGINT) << {s_bit})"
+            )
+            terms.append(
+                f"CASE WHEN v{j} > 0 THEN {bit} ELSE CAST(0 AS BIGINT) END"
+            )
+        words.append(" | ".join(terms))
+    ham = "bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))"
+    return (
+        "WITH tok AS (SELECT doc_id,"
+        " unnest(list_distinct(string_split(text, ' '))) AS t"
+        " FROM documents),"
+        f" h AS (SELECT doc_id, {chunk_cols} FROM tok),"
+        f" votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),"
+        f" s AS (SELECT doc_id, {words[0]} AS w0, {words[1]} AS w1"
+        " FROM votes)"
+        " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        f" CAST({ham} AS INTEGER) AS hamming"
+        " FROM s a JOIN s b ON a.doc_id < b.doc_id"
+        f" WHERE {ham} <= {_SHW_MAX_H}"
+        " ORDER BY doc_a, doc_b"
+    )
+
+
+@register(
+    "y31_simhash_wide",
+    _simhash_wide_oracle(),
+    "WIDE text SimHash near-dup (128-bit array<bigint> signatures, 16"
+    " 8-bit band slices — the text twin of y30's scale geometry, where"
+    " d07's 32-bit tier has only 16 bucket values per band):"
+    " md5-chunked token hashes, majority votes, banded hamming join,"
+    " EXACT by pigeonhole at max_hamming 12 < 16 bands."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y31(spark: SparkSession, sf: str) -> DataFrame:
+    sigs = dedup.simhash_words(
+        _t(spark, sf, "documents"), "doc_id", "text", bits=_SHW_BITS
+    ).localCheckpoint()
+    return (
+        dedup.hamming_near_pairs_words(
+            sigs,
+            bits=_SHW_BITS,
+            bands=_SHW_BANDS,
+            max_hamming=_SHW_MAX_H,
+            sig_col="simhash_words",
+        )
+        .repartition(1).sortWithinPartitions("doc_a", "doc_b")
+    )
+
+
 def _quota_oracle(k: int = 15) -> str:
     from pw_etl_scrumptious_squad_spark.catalog import _stop_list_sql
 

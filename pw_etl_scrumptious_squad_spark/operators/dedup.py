@@ -529,13 +529,22 @@ def hamming_near_pairs(
     EXACT by the pigeonhole guarantee — see ``simhash_near_pairs``. The
     bucket self-join is the only shuffle.
 
-    Buckets above ``bucket_cap`` (a corpus of thousands of identical or
-    near-identical signatures puts O(B^2) pairs in one task) emit star
-    pairs to the bucket's minimum doc id instead of all pairs — same
-    degenerate-bucket containment as ``lsh_candidate_pairs``: O(B) work,
-    and every member still reaches the representative, so duplicate
-    clusters stay connected for a downstream grouping/CC step. Below the
-    cap (any non-degenerate corpus) output is unchanged.
+    Degenerate-corpus containment lives at the IDENTICAL-SIGNATURE-group
+    level, not the band-bucket level: a corpus of thousands of identical
+    or near-identical docs collapses to identical signatures, and such a
+    group above ``bucket_cap`` emits star pairs to its minimum doc id
+    (hamming 0) with only the representative entering the banding stage
+    — O(B) instead of O(B^2), every member still reaches the
+    representative, and a hamming-0 equivalence class loses nothing a
+    downstream grouping/CC step can't reconstruct. Band buckets
+    themselves are NOT capped here: with this scalar geometry (e.g. 32
+    bits / 8 bands = 16 values per band) large band buckets arise on
+    perfectly natural data, so capping them would silently drop
+    qualifying pairs — exactly what an "exact" tier must not do. The
+    narrow tier's band join does grow ~n^2/2^width per band; that is the
+    documented reason the cluster-scale path is
+    :func:`hamming_near_pairs_words` (wide signatures, selective bands),
+    not a cap. Groups at or below ``bucket_cap`` leave output unchanged.
     """
     if max_hamming >= bands:
         raise ValueError(
@@ -548,6 +557,7 @@ def hamming_near_pairs(
     sh = sig_df.select(
         F.col(id_col).alias("doc_id"), F.col(sig_col).alias("simhash")
     )
+    star, survivors = _signature_group_containment(sh, "simhash", bucket_cap)
     band_structs = F.array(
         *[
             F.struct(
@@ -557,10 +567,12 @@ def hamming_near_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sh.select("doc_id", F.explode(band_structs).alias("bb")).select(
+    buckets = survivors.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
     )
-    cands = _capped_band_pairs(buckets, bucket_cap)
+    cands = _band_pairs(buckets)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
     return (
@@ -574,7 +586,58 @@ def hamming_near_pairs(
             .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .unionByName(
+            star.select(
+                "doc_a", "doc_b", F.lit(0).cast("int").alias("hamming")
+            )
+        )
     )
+
+
+def _band_pairs(buckets: DataFrame) -> DataFrame:
+    """(doc_id, band, val) bucket rows -> distinct candidate (doc_a < doc_b)
+    pairs, plain uncapped self-join — the exact-tier path (any containment
+    has already happened upstream at the signature-group level)."""
+    return (
+        buckets.alias("l")
+        .join(
+            buckets.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _signature_group_containment(
+    sh: DataFrame, sig_cols: str | list[str], cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse oversized IDENTICAL-signature groups before banding.
+
+    Returns ``(star, survivors)``: groups whose full signature repeats
+    more than ``cap`` times emit star pairs ``(min_id, member)`` and send
+    only the representative into banding; all other rows pass through
+    untouched. This is where a degenerate corpus (thousands of identical
+    or near-identical docs -> identical signatures) actually explodes —
+    and the one place a star cover is lossless, because the members of a
+    hamming-0 equivalence class are interchangeable for any downstream
+    cluster/canonicalize step. One window shuffle on the signature."""
+    cols = [sig_cols] if isinstance(sig_cols, str) else list(sig_cols)
+    gw = Window.partitionBy(*cols)
+    sized = sh.withColumn(
+        "__g_size", F.count(F.lit(1)).over(gw)
+    ).withColumn("__g_rep", F.min("doc_id").over(gw))
+    star = sized.filter(
+        (F.col("__g_size") > cap) & (F.col("doc_id") != F.col("__g_rep"))
+    ).select(F.col("__g_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    survivors = sized.filter(
+        (F.col("__g_size") <= cap) | (F.col("doc_id") == F.col("__g_rep"))
+    ).drop("__g_size", "__g_rep")
+    return star, survivors
 
 
 def _capped_band_pairs(buckets: DataFrame, bucket_cap: int) -> DataFrame:
@@ -629,8 +692,13 @@ def hamming_near_pairs_words(
     bits. Wide signatures are what keep band selectivity growing with the
     corpus (16-32-bit band slices = 65k-4B bucket values per band), so
     the bucket join never degenerates the way narrow signatures do at
-    large n. Bucket self-join is the only shuffle; degenerate buckets
-    are star-capped like everywhere else.
+    large n. Bucket self-join is the only shuffle. Containment is
+    two-tier: oversized IDENTICAL-signature groups star-collapse before
+    banding (lossless — hamming-0 classes; same as the scalar path), and
+    any band bucket still above ``bucket_cap`` after that (adversarial
+    near-identical-but-distinct signatures) is star-capped — at that
+    point the wide path is already in recall-trading territory, which is
+    consistent with its approximate regime.
 
     With ``exact=True`` (default) the pigeonhole guarantee applies:
     ``max_hamming < bands`` is enforced and EVERY qualifying pair is
@@ -658,6 +726,7 @@ def hamming_near_pairs_words(
     sh = sig_df.select(
         F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sw")
     )
+    star, survivors = _signature_group_containment(sh, "sw", bucket_cap)
     band_structs = F.array(
         *[
             F.struct(
@@ -670,7 +739,9 @@ def hamming_near_pairs_words(
             for b in range(bands)
         ]
     )
-    buckets = sh.select("doc_id", F.explode(band_structs).alias("bb")).select(
+    buckets = survivors.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
     )
     cands = _capped_band_pairs(buckets, bucket_cap)
@@ -686,6 +757,11 @@ def hamming_near_pairs_words(
         .join(b, "doc_b")
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .unionByName(
+            star.select(
+                "doc_a", "doc_b", F.lit(0).cast("int").alias("hamming")
+            )
+        )
     )
 
 
@@ -856,6 +932,59 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
     self_link = with_min.select("src", F.col("m").alias("dst"))
     return relinked.unionByName(self_link).distinct()
+
+
+def simhash_words(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 128
+) -> DataFrame:
+    """Wide SimHash as an ``array<bigint>`` of 64-bit words — the text
+    twin of :func:`similarity.srp_signature_words`, for the same reason:
+    32-bit signatures give bands only 2^(32/bands) bucket values, so the
+    banded join degenerates as the corpus grows; 128+ bits sliced into
+    8-32-bit bands keep bucket selectivity growing with n. Pairs come
+    from :func:`hamming_near_pairs_words`.
+
+    Per-token hashing follows :func:`simhash` (md5-derived, engine-
+    reproducible): chunk ``c`` contributes 60 bits from
+    ``md5(token || '#c')``, and vote ``j`` reads bit ``j % 60`` of chunk
+    ``j // 60``. One explode + one hash-agg of ``bits`` majority votes —
+    the same single doc-id shuffle as the scalar tier, ~``bits/32``x the
+    plan-time aggregate expressions, all JVM-side."""
+    if bits % 64 != 0:
+        raise ValueError("wide simhash needs bits as a multiple of 64")
+    n_chunks = (bits + 59) // 60
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("t"),
+    )
+    for c in range(n_chunks):
+        tok = tok.withColumn(
+            f"h{c}",
+            F.expr(
+                f"cast(conv(substring(md5(concat(t, '#{c}')), 1, 15),"
+                " 16, 10) as bigint)"
+            ),
+        )
+    votes = [
+        F.sum(
+            F.when(
+                F.expr(f"(h{j // 60} >> {j % 60}) & 1") == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    words = []
+    for w in range(bits // 64):
+        word = None
+        for j in range(w * 64, (w + 1) * 64):
+            bit = F.when(
+                F.col(f"v{j}") > 0,
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {j - w * 64})"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            word = bit if word is None else word.bitwiseOR(bit)
+        words.append(word)
+    return agg.select("doc_id", F.array(*words).alias("simhash_words"))
 
 
 def connected_components(

@@ -210,3 +210,26 @@ def append_table(
         .mode("append")
         .save()
     )
+
+
+def execute_update(spark: SparkSession, cfg: JdbcConfig, sql: str) -> int:
+    """Run one DML/DDL statement against the database through the JVM's
+    ``DriverManager`` (the JDBC driver jars are already on Spark's
+    classpath — same ones the DataFrame reader/writer use). Returns the
+    update count. This is the side-channel a transactional foreachBatch
+    sink needs (DELETE of a replayed batch id) that the DataFrame writer
+    API deliberately doesn't expose."""
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(cfg.driver)
+    props = jvm.java.util.Properties()
+    props.setProperty("user", cfg.user)
+    props.setProperty("password", cfg.password)
+    conn = jvm.java.sql.DriverManager.getConnection(cfg.url, props)
+    try:
+        stmt = conn.createStatement()
+        try:
+            return stmt.executeUpdate(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()

@@ -711,3 +711,32 @@ def test_train_ivf_centroids_pinned_for_fixed_seed(spark):
     assert hashlib.md5(repr(rows).encode()).hexdigest() == (
         "3f2978b80c9a0138a5a08fca38eb229d"
     )
+
+
+def test_simhash_words_deterministic_and_near_for_dups(docs_with_near_dups):
+    """128-bit wide SimHash: deterministic, identical docs hash equal,
+    near-duplicates land within a small hamming distance, and the banded
+    wide pair join finds them."""
+    docs = docs_with_near_dups
+    sigs = dedup.simhash_words(docs, "doc_id", "text", bits=128)
+    vals = {r["doc_id"]: tuple(r["simhash_words"]) for r in sigs.collect()}
+    again = {
+        r["doc_id"]: tuple(r["simhash_words"])
+        for r in dedup.simhash_words(docs, "doc_id", "text", bits=128).collect()
+    }
+    assert vals == again
+    assert all(len(v) == 2 for v in vals.values())
+    # exact copies (the fixture plants copies of doc 0 at high ids)
+    pairs = dedup.hamming_near_pairs_words(
+        sigs, bits=128, bands=16, max_hamming=12, sig_col="simhash_words"
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    # brute-force twin on the collected signatures
+    def ham(a, b):
+        return sum(bin((x ^ y) & (2**64 - 1)).count("1") for x, y in zip(a, b))
+    expected = {
+        (i, j): ham(vals[i], vals[j])
+        for i in vals for j in vals
+        if i < j and ham(vals[i], vals[j]) <= 12
+    }
+    assert got == expected

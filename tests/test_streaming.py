@@ -421,3 +421,53 @@ def test_transform_with_state_matches_apply_in_pandas_twin(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_to_jdbc_exactly_once(spark, tmp_path):
+    """Streaming warehouse load into a LIVE Derby database: the drained
+    stream lands every event exactly once, a checkpoint restart adds
+    nothing, and a replayed micro-batch (same id, same rows — the crash-
+    between-sink-and-checkpoint case) converges instead of duplicating."""
+    import shutil as _sh
+
+    from pw_etl_scrumptious_squad_spark.sources import jdbc as J
+    from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+    cfg = J.JdbcConfig(
+        url=f"jdbc:derby:{tmp_path}/stream_wh;create=true",
+        user="app",
+        password="",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+        schema="APP",
+        discover_sql=J.DISCOVER_TABLES_SQL_DERBY,
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    _sh.copy(f"{SF}/events.parquet", d / "part-000.parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = sp.read_event_stream(spark, str(d))
+    q = sp.stream_to_jdbc(stream, ckpt, cfg, "events_wh")
+    q.awaitTermination(120)
+    n_src = read_table(spark, SF, "events").count()
+    back = J.read_table(spark, cfg, "APP.events_wh")
+    assert back.count() == n_src
+    batch_ids = [r["__batch_id"] for r in back.select("__batch_id").distinct().collect()]
+    assert len(batch_ids) >= 1
+
+    # restart on the same checkpoint: no new data -> no new rows
+    q2 = sp.stream_to_jdbc(sp.read_event_stream(spark, str(d)), ckpt, cfg, "events_wh")
+    q2.awaitTermination(120)
+    assert J.read_table(spark, cfg, "APP.events_wh").count() == n_src
+
+    # replay one committed batch verbatim (same id, same content):
+    # delete-then-append must converge to the identical row count
+    sink = sp.jdbc_batch_sink(cfg, "events_wh")
+    replay = (
+        J.read_table(spark, cfg, "APP.events_wh")
+        .filter(F.col("__batch_id") == batch_ids[0])
+        .drop("__batch_id")
+    ).cache()
+    assert replay.count() > 0
+    sink(replay, batch_ids[0])
+    assert J.read_table(spark, cfg, "APP.events_wh").count() == n_src

@@ -73,13 +73,22 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
 
-    # a deliberately VANILLA session (no engine confs: no arrow, no
+    # a deliberately VANILLA session (no engine SQL confs: no arrow, no
     # inferTimestampNTZ, default broadcast threshold) — the external driver
-    # builds its own session, so every query must survive one
+    # builds its own session, so every query must survive one. Heap is NOT
+    # a SQL conf: the default 1g driver heap OOMs on honestly-large exact
+    # results at sf0.1 (d07 emits 2.1M pairs), so give the JVM memory while
+    # keeping the query-semantics surface vanilla.
+    import os
+
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("driver-sim")
         .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -128,11 +137,16 @@ def main() -> None:
                     b = ddf[sorted(ddf.columns)].map(_cell)
                     a = a.sort_values(by=list(a.columns)).reset_index(drop=True)
                     b = b.sort_values(by=list(b.columns)).reset_index(drop=True)
-                    neq = (a != b).any(axis=1)
+                    n = min(len(a), len(b))
+                    neq = (a.iloc[:n] != b.iloc[:n]).any(axis=1)
                     if neq.any():
                         i = neq.idxmax()
                         print(f"      spark : {a.loc[i].tolist()}"[:300])
                         print(f"      duckdb: {b.loc[i].tolist()}"[:300])
+                    elif len(a) != len(b):
+                        side = a if len(a) > len(b) else b
+                        which = "spark" if len(a) > len(b) else "duckdb"
+                        print(f"      extra {which} row: {side.loc[n].tolist()}"[:300])
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
