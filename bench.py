@@ -64,6 +64,7 @@ HEADLINE = [
     "z29_bloom_semi_join",
     # round-3 additions
     "y30_srp_wide",
+    "y31_simhash_wide",
     "s02_ivf_topk",
 ]
 

@@ -1812,23 +1812,25 @@ def y30(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# 128-bit text simhash, 16 bands x 8-bit slices: 256 bucket values per
-# band at test sf (plenty selective for 5k docs), pigeonhole-exact for
-# max_hamming < 16. 12/128 mirrors d07's 3/32 relative threshold.
-_SHW_BITS, _SHW_BANDS, _SHW_MAX_H = 128, 16, 12
+# 128-bit text simhash, 8 bands x 16-bit slices (y30's scale geometry:
+# 65k bucket values per band), pigeonhole-exact for max_hamming < 8.
+# Measured against 16 x 8-bit bands at max_hamming 12 on sf0.1: the
+# 8-bit slices produced 10.8M distinct candidates for 675k result pairs
+# (this corpus is near-dup-rich, so coarse bands collide constantly);
+# 16-bit slices cut the candidate waste an order of magnitude.
+_SHW_BITS, _SHW_BANDS, _SHW_MAX_H = 128, 8, 7
 
 
 def _simhash_wide_oracle() -> str:
     """DuckDB twin of the WIDE (128-bit, array<bigint>) text-SimHash
-    near-pair pipeline: md5-chunked token hashes (60 bits per chunk),
-    per-bit majority votes, two 64-bit words, brute-force all-pairs
-    hamming — valid as the oracle because the banded Spark path is
-    pigeonhole-exact at max_hamming < bands."""
-    n_chunks = (_SHW_BITS + 59) // 60
+    near-pair pipeline: ONE md5 per token sliced 60+60+8 (hex substrings
+    1-15 / 16-30 / 31-32), per-bit majority votes, two 64-bit words,
+    brute-force all-pairs hamming — valid as the oracle because the
+    banded Spark path is pigeonhole-exact at max_hamming < bands."""
     chunk_cols = ", ".join(
-        f"CAST(concat('0x', substr(md5(t || '#{c}'), 1, 15)) AS BIGINT)"
+        f"CAST(concat('0x', substr(md5(t), {start}, {length})) AS BIGINT)"
         f" AS h{c}"
-        for c in range(n_chunks)
+        for c, (start, length) in enumerate([(1, 15), (16, 15), (31, 2)])
     )
     votes = ", ".join(
         f"SUM(CASE WHEN (h{j // 60} >> {j % 60}) & 1 = 1 THEN 1 ELSE -1 END)"
@@ -1869,11 +1871,11 @@ def _simhash_wide_oracle() -> str:
 @register(
     "y31_simhash_wide",
     _simhash_wide_oracle(),
-    "WIDE text SimHash near-dup (128-bit array<bigint> signatures, 16"
-    " 8-bit band slices — the text twin of y30's scale geometry, where"
+    "WIDE text SimHash near-dup (128-bit array<bigint> signatures, 8"
+    " 16-bit band slices — the text twin of y30's scale geometry, where"
     " d07's 32-bit tier has only 16 bucket values per band):"
-    " md5-chunked token hashes, majority votes, banded hamming join,"
-    " EXACT by pigeonhole at max_hamming 12 < 16 bands."
+    " one-md5 token hashes, majority votes, banded hamming join,"
+    " EXACT by pigeonhole at max_hamming 7 < 8 bands."
     " y-prefix: past the gate window by design; tools/check.py covers it",
 )
 def y31(spark: SparkSession, sf: str) -> DataFrame:

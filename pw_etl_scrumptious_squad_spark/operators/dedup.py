@@ -944,25 +944,27 @@ def simhash_words(
     8-32-bit bands keep bucket selectivity growing with n. Pairs come
     from :func:`hamming_near_pairs_words`.
 
-    Per-token hashing follows :func:`simhash` (md5-derived, engine-
-    reproducible): chunk ``c`` contributes 60 bits from
-    ``md5(token || '#c')``, and vote ``j`` reads bit ``j % 60`` of chunk
-    ``j // 60``. One explode + one hash-agg of ``bits`` majority votes —
-    the same single doc-id shuffle as the scalar tier, ~``bits/32``x the
-    plan-time aggregate expressions, all JVM-side."""
-    if bits % 64 != 0:
-        raise ValueError("wide simhash needs bits as a multiple of 64")
-    n_chunks = (bits + 59) // 60
+    Per-token hashing is md5-derived like :func:`simhash` but pays ONE
+    md5 per token: md5 already yields 128 bits, sliced as 60+60+8 (hex
+    substrings 1-15, 16-30, 31-32; ``conv`` caps at 60 bits per slice) —
+    vote ``j`` reads bit ``j % 60`` of slice ``j // 60``. One explode +
+    one hash-agg of ``bits`` majority votes — the same single doc-id
+    shuffle as the scalar tier, all JVM-side. Engine-reproducible: any
+    SQL engine with md5 + hex-to-int recovers the identical planes."""
+    if bits % 64 != 0 or bits > 128:
+        raise ValueError(
+            "wide simhash needs bits in {64, 128} (one md5 per token)"
+        )
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("t"),
-    )
-    for c in range(n_chunks):
+    ).withColumn("m", F.md5("t"))
+    for c, (start, length) in enumerate([(1, 15), (16, 15), (31, 2)]):
         tok = tok.withColumn(
             f"h{c}",
             F.expr(
-                f"cast(conv(substring(md5(concat(t, '#{c}')), 1, 15),"
-                " 16, 10) as bigint)"
+                f"cast(conv(substring(m, {start}, {length}), 16, 10)"
+                " as bigint)"
             ),
         )
     votes = [
