@@ -299,10 +299,22 @@ def srp_signature_words(
     vec_col: str = "embedding",
     bits: int = 128,
     scale: int = 1_000_000,
+    impl: str = "auto",
 ) -> DataFrame:
     """Wide SRP signature as an ``array<bigint>`` of 64-bit words — the
     cluster-scale variant of :func:`srp_signatures` (which packs at most
     64 bits into one scalar).
+
+    ``impl``: ``'matmul'`` (default under ``'auto'``) computes all
+    ``bits`` projections as ONE Arrow-batched int64 numpy matmul per
+    partition — measured 9x faster than the expression path at 128 bits
+    on sf0.1 (0.3 s vs 2.8 s steady-state; the 32-bit A/B in
+    ENGINEERING_NOTES measured parity, but the interpreted lambda cost
+    scales with ``bits`` while the matmul amortizes). ``'expr'`` keeps
+    the pure-column-expression form — zero Python workers, and the
+    direct structural twin of the DuckDB oracle. Both are exact integer
+    arithmetic and VALUE-IDENTICAL (asserted in tests), so the choice is
+    operational, not semantic.
 
     Band selectivity is what makes SRP-LSH scale: with B bucket values
     per band each bucket holds ~n/B rows, so 32-bit signatures cut into
@@ -321,8 +333,14 @@ def srp_signature_words(
     """
     if bits % 64 != 0:
         raise ValueError("wide SRP signatures need bits as a multiple of 64")
+    if impl not in ("auto", "matmul", "expr"):
+        raise ValueError(f"impl must be auto|matmul|expr, got {impl!r}")
     dim = df.selectExpr(f"size({vec_col}) AS n").first()["n"]
     signs = srp_sign_matrix(bits, dim)
+    if impl in ("auto", "matmul"):
+        return _srp_signature_words_matmul(
+            df, id_col, vec_col, bits, scale, signs
+        )
     qv = F.expr(
         f"transform(cast({vec_col} as array<double>),"
         f" x -> cast(floor(x * {scale}D + 0.5D) as bigint))"
@@ -342,3 +360,50 @@ def srp_signature_words(
             word = term if word is None else word.bitwiseOR(term)
         words.append(word)
     return out.select("vec_id", F.array(*words).alias("srp_words"))
+
+
+def _srp_signature_words_matmul(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bits: int,
+    scale: int,
+    signs: list[list[int]],
+) -> DataFrame:
+    """Arrow-batched implementation of :func:`srp_signature_words`: all
+    projections as one int64 ``Q @ S`` per pandas batch. Exact integer
+    arithmetic end-to-end (quantize -> int64 matmul -> sign -> pack), so
+    it is bit-identical to the expression path on any input whose
+    quantized dot products fit int64 — the same contract the expression
+    form has."""
+    import numpy as np
+
+    smat = np.array(signs, dtype=np.int64).T  # dim x bits
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "srp_words": []})
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(V * scale + 0.5).astype(np.int64)
+            B = (Q @ smat) > 0  # n x bits
+            packed = []
+            for w in range(bits // 64):
+                chunk = B[:, w * 64 : (w + 1) * 64]
+                word = np.zeros(len(B), dtype=np.uint64)
+                for j in range(64):
+                    word |= chunk[:, j].astype(np.uint64) << np.uint64(j)
+                packed.append(word.astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "srp_words": [list(t) for t in zip(*packed)],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        gen, "vec_id bigint, srp_words array<bigint>"
+    )

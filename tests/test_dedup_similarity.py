@@ -740,3 +740,34 @@ def test_simhash_words_deterministic_and_near_for_dups(docs_with_near_dups):
         if i < j and ham(vals[i], vals[j]) <= 12
     }
     assert got == expected
+
+
+def test_srp_words_matmul_expr_parity(spark):
+    """The Arrow-matmul and pure-expression wide-SRP paths must be
+    bit-identical — both are exact int64 arithmetic, so this is an
+    equality, not a tolerance."""
+    emb = read_table(spark, SF, "embeddings")
+    a = {
+        r["vec_id"]: tuple(r["srp_words"])
+        for r in similarity.srp_signature_words(emb, bits=128, impl="expr").collect()
+    }
+    b = {
+        r["vec_id"]: tuple(r["srp_words"])
+        for r in similarity.srp_signature_words(emb, bits=128, impl="matmul").collect()
+    }
+    assert a == b
+
+
+def test_simhash_words_vectorized_expr_parity(spark):
+    """The Arrow-vectorized and explode+agg wide-SimHash paths must be
+    bit-identical (both integer-exact over the same md5 slices)."""
+    docs = read_table(spark, SF, "documents").limit(300)
+    a = {
+        r["doc_id"]: tuple(r["simhash_words"])
+        for r in dedup.simhash_words(docs, "doc_id", "text", impl="expr").collect()
+    }
+    b = {
+        r["doc_id"]: tuple(r["simhash_words"])
+        for r in dedup.simhash_words(docs, "doc_id", "text", impl="vectorized").collect()
+    }
+    assert a == b
