@@ -407,3 +407,71 @@ def _srp_signature_words_matmul(
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         gen, "vec_id bigint, srp_words array<bigint>"
     )
+
+
+def write_ivf_index(
+    corpus_with_cells: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Persist an IVF index: the assigned corpus laid out on disk
+    PARTITIONED BY cell id (`.../cell=<k>/part-*.parquet`). This is the
+    step that turns the module-docstring promise into a physical layout:
+    at 100 TB a probe must be a partition-pruned scan of ``n_probe``
+    directories, never a full pass — the pruning is asserted against the
+    actual scan plan in tests."""
+    corpus_with_cells.write.mode(mode).partitionBy("cell").parquet(path)
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """ANN top-k against a DISK-RESIDENT :func:`write_ivf_index` layout.
+
+    Query routing runs first (queries x centroids — both tiny), the
+    probed cell ids are collected to the driver (|queries| * n_probe
+    ints), and the index is read with a LITERAL ``cell IN (...)``
+    predicate — static partition pruning: Spark lists and scans ONLY the
+    probed cell directories (``PartitionFilters`` in the scan node), so
+    probe cost is proportional to the touched cells, not the corpus.
+    Value-identical to :func:`ivf_topk` over the same assignment (same
+    scoring expressions on the same rows)."""
+    cent = centroids.select(
+        F.col(centroid_id).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("centv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    q_cells = q.crossJoin(broadcast(cent)).select(
+        "query_id", "cell", cosine("qv", "centv").alias("cscore")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("cell").asc()
+    )
+    probed = (
+        q_cells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    cells = sorted(int(r["cell"]) for r in probed)
+    corpus = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    return ivf_topk(
+        corpus,
+        centroids,
+        queries,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_id=centroid_id,
+    )

@@ -771,3 +771,31 @@ def test_simhash_words_vectorized_expr_parity(spark):
         for r in dedup.simhash_words(docs, "doc_id", "text", impl="vectorized").collect()
     }
     assert a == b
+
+
+def test_ivf_index_probe_partition_pruned(spark, tmp_path):
+    """Disk-resident IVF: the probe must (a) return exactly what the
+    in-memory ivf_topk returns for the same assignment, and (b) scan
+    ONLY the probed cell partitions — static partition pruning visible
+    in the physical plan."""
+    emb = read_table(spark, SF, "embeddings")
+    cent = similarity.train_ivf_centroids(emb, k=10, seed=7)
+    assigned = similarity.assign_ivf_cells(emb, cent)
+    path = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(assigned, path)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = similarity.probe_ivf_index(
+        spark, path, cent, queries, k=5, n_probe=3
+    )
+    expected = similarity.ivf_topk(assigned, cent, queries, k=5, n_probe=3)
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+    # pruning: the scan plan carries a partition filter on cell, and the
+    # number of selected partitions is bounded by the probed cells
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
