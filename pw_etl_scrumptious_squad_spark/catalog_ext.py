@@ -2847,3 +2847,76 @@ def y29(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("source", "lang")
     )
+
+
+@register(
+    "z36_lateral_join",
+    "SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DECIMAL(12,2)) AS acctbal"
+    " FROM nation n, LATERAL ("
+    " SELECT c_name, c_acctbal FROM customer c"
+    " WHERE c.c_nationkey = n.n_nationkey"
+    " ORDER BY c_acctbal DESC, c_name LIMIT 2) t"
+    " ORDER BY n_name, acctbal DESC, c_name",
+    "correlated LATERAL subquery (top-2 customers per nation by account"
+    " balance): the SQL-standard form of per-row dependent subqueries,"
+    " planned by Catalyst as a ranked window join — no driver loop,"
+    " one shuffle on the correlation key."
+    " z-prefix: past the gate window by design; tools/check.py covers it",
+)
+def z36(spark: SparkSession, sf: str) -> DataFrame:
+    _t(spark, sf, "nation").createOrReplaceTempView("z36_nation")
+    _t(spark, sf, "customer").createOrReplaceTempView("z36_customer")
+    return spark.sql(
+        "SELECT n.n_name, t.c_name,"
+        " CAST(t.c_acctbal AS DECIMAL(12,2)) AS acctbal"
+        " FROM z36_nation n, LATERAL ("
+        " SELECT c_name, c_acctbal FROM z36_customer c"
+        " WHERE c.c_nationkey = n.n_nationkey"
+        " ORDER BY c_acctbal DESC, c_name LIMIT 2) t"
+    ).repartition(1).sortWithinPartitions(
+        "n_name", F.col("acctbal").desc(), "c_name"
+    )
+
+
+@register(
+    "z37_unpivot",
+    "WITH base AS (SELECT o_orderstatus,"
+    " CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS urgent,"
+    " CAST(SUM(CASE WHEN o_orderpriority LIKE '2%' THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS high,"
+    " CAST(SUM(CASE WHEN o_orderpriority LIKE '5%' THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS low"
+    " FROM orders GROUP BY o_orderstatus)"
+    " SELECT o_orderstatus, priority, n_orders FROM base"
+    " UNPIVOT (n_orders FOR priority IN (urgent, high, low))"
+    " ORDER BY o_orderstatus, priority",
+    "UNPIVOT (melt): wide per-priority counts back to long form — the"
+    " inverse of q20's pivot, as the native relational operator (a"
+    " zero-shuffle expand over the aggregated base, not a UNION of"
+    " per-column scans)."
+    " z-prefix: past the gate window by design; tools/check.py covers it",
+)
+def z37(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    base = o.groupBy("o_orderstatus").agg(
+        F.sum(
+            F.when(F.col("o_orderpriority").startswith("1"), 1).otherwise(0)
+        ).cast("bigint").alias("urgent"),
+        F.sum(
+            F.when(F.col("o_orderpriority").startswith("2"), 1).otherwise(0)
+        ).cast("bigint").alias("high"),
+        F.sum(
+            F.when(F.col("o_orderpriority").startswith("5"), 1).otherwise(0)
+        ).cast("bigint").alias("low"),
+    )
+    return (
+        base.unpivot(
+            ["o_orderstatus"],
+            ["urgent", "high", "low"],
+            "priority",
+            "n_orders",
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_orderstatus", "priority")
+    )
