@@ -371,3 +371,24 @@ def clustered_write(
     parts.sortWithinPartitions(*cluster_cols).write.mode(
         "overwrite"
     ).parquet(table_path(base_dir, name))
+
+
+def read_table_evolving(
+    spark: SparkSession,
+    base_dir: str,
+    name: str,
+) -> DataFrame:
+    """Read a table whose parquet files were written under EVOLVING
+    schemas (columns added over time — the normal life of a lake table
+    fed by a changing upstream): ``mergeSchema`` unions every file
+    footer's schema, and rows from files that predate a column surface
+    it as NULL. This costs one footer read per file at planning time
+    (not a data scan), which is why it is a separate entry point and not
+    the default — on a 100 TB table you pay it only when you know the
+    layout actually evolved, and you repair to a single schema with
+    :func:`compact_table` afterwards."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(table_path(base_dir, name))
+    )

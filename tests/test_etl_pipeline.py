@@ -263,3 +263,28 @@ def test_zorder_write_date_and_constant_columns(spark, tmp_path):
     )
     back = pq.read_table(spark, str(tmp_path), "orders_zd")
     assert back.count() == df.count()
+
+
+def test_schema_evolution_read_and_repair(spark, tmp_path):
+    """A lake table whose later files carry an added column: the evolving
+    read unions the schemas (old rows -> NULL), a plain read of the
+    repaired (compacted) table carries the full schema forward."""
+    import pw_etl_scrumptious_squad_spark.sources.parquet as pq
+
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id LONG, name STRING")
+    v2 = spark.createDataFrame(
+        [(3, "c", 30.0)], "id LONG, name STRING, score DOUBLE"
+    )
+    pq.write_table(v1, str(tmp_path), "t")
+    pq.write_table(v2, str(tmp_path), "t", mode="append")
+
+    df = pq.read_table_evolving(spark, str(tmp_path), "t")
+    assert sorted(df.columns) == ["id", "name", "score"]
+    got = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 30.0)}
+
+    # repair: rewrite under the merged schema; a PLAIN read now sees it
+    pq.write_table(df, str(tmp_path), "t_repaired")
+    plain = pq.read_table(spark, str(tmp_path), "t_repaired")
+    assert sorted(plain.columns) == ["id", "name", "score"]
+    assert plain.count() == 3
