@@ -63,3 +63,42 @@ def dq_report(checks: dict[str, DataFrame]) -> DataFrame:
         ).select(F.lit(name).alias("check_name"), "n_violations")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def observed(
+    df: DataFrame, name: str, metrics: dict[str, Column]
+):
+    """Attach IN-FLIGHT data-quality counters to a frame: the metrics
+    (any aggregate expressions) are computed DURING whatever action
+    materializes the frame — Spark's Observation / CollectMetrics node —
+    not by a second job. The checks above are exact second-pass probes;
+    at 100 TB a second pass over the fact table costs as much as the
+    load itself, so the production shape is: observe counters for free
+    on every run, trigger the targeted second-pass check only when a
+    counter moves.
+
+    Returns ``(df, observation)``; read ``observation.get`` AFTER an
+    action has run over the returned frame (it blocks until the metrics
+    arrive)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return (
+        df.observe(obs, *[c.alias(k) for k, c in sorted(metrics.items())]),
+        obs,
+    )
+
+
+def standard_counters(key: Column | str, amount: Column | str) -> dict:
+    """The counter set every fact load wants: row count, NULL-key count,
+    negative-amount count, amount total (reconciles against the source
+    side). Compose with :func:`observed`."""
+    k, a = F.col(key) if isinstance(key, str) else key, (
+        F.col(amount) if isinstance(amount, str) else amount
+    )
+    return {
+        "n_rows": F.count(F.lit(1)),
+        "n_null_key": F.sum(F.when(k.isNull(), 1).otherwise(0)),
+        "n_negative_amount": F.sum(F.when(a < 0, 1).otherwise(0)),
+        "total_amount": F.sum(a),
+    }

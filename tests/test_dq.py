@@ -54,3 +54,26 @@ def test_dq_report_one_row_per_check_sorted(spark):
         ("a_rule", 0),
         ("b_unique", 1),
     ]
+
+
+def test_observed_counters_ride_the_action(spark):
+    """Observation metrics arrive from the SAME job that materializes
+    the frame — no second scan — and reconcile exactly."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, Decimal("10.00")), (None, Decimal("-2.50")), (3, Decimal("5.00"))],
+        "k INT, amt DECIMAL(10,2)",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    out, obs = dq.observed(df, "fact_load", dq.standard_counters("k", "amt"))
+    n = out.count()  # the one action
+    got = obs.get
+    assert n == 3
+    assert got["n_rows"] == 3
+    assert got["n_null_key"] == 1
+    assert got["n_negative_amount"] == 1
+    assert got["total_amount"] == Decimal("12.50")
