@@ -126,13 +126,15 @@ def extract_jdbc(
     transfer of the delta rows only — the property that keeps a 3-minute
     cadence viable when the source is 10^9 rows.
 
-    The delta is materialized ONCE against the live source (persist +
-    count): the watermark max-agg, the staging write and any later use of
-    the returned DataFrame all read the cached rows. Re-executing the
-    lazy JDBC scan per consumer would let rows committed between
-    executions slip above the recorded watermark — staged contents,
-    returned deltas and the watermark could diverge (at-least-once
-    duplicates for append-mode consumers).
+    The delta is executed ONCE against the live source and pinned to
+    disk: persist + count (one DB execution), stage to parquet, then the
+    watermark max-agg and the RETURNED frame read the staged copy — not
+    the JDBC scan, and not the Spark cache either (eviction would lazily
+    re-execute the scan, letting rows committed since slip above the
+    recorded watermark: staged contents, returned deltas and the
+    watermark could diverge — at-least-once duplicates for append-mode
+    consumers). Empty deltas return a literal empty frame for the same
+    reason: a re-executed "empty" scan may no longer be empty.
     """
     from pw_etl_scrumptious_squad_spark.sources import jdbc
     from pw_etl_scrumptious_squad_spark.sources.state import delta_watermark
@@ -150,11 +152,14 @@ def extract_jdbc(
             wm.last_updated,
         ).persist()
         n_rows = delta.count()  # the single execution against the DB
-        deltas[name] = delta
         if n_rows > 0:
-            new_wm = delta_watermark(delta)
-            store.advance(name, new_wm)
             lake.write_table(delta, staging_dir, name)
+            staged = lake.read_table(spark, staging_dir, name, delta.schema)
+            store.advance(name, delta_watermark(staged))
+            deltas[name] = staged
+        else:
+            deltas[name] = spark.createDataFrame([], delta.schema)
+        delta.unpersist()
     return deltas
 
 
