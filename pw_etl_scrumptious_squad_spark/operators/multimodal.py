@@ -418,3 +418,161 @@ def image_ppm_stats(media: DataFrame) -> DataFrame:
     return media.select("asset_id", "payload").mapInPandas(
         batches, IMAGE_STATS_SCHEMA
     )
+
+
+def encode_png(img) -> bytes:
+    """Encode a uint8 array (H x W gray, H x W x 3 RGB, or H x W x 4
+    RGBA) as a real PNG: filter-0 scanlines, one zlib IDAT, CRC-correct
+    chunks — stdlib only. Test-side inverse of :func:`decode_png`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        color, arr = 0, a[:, :, None]
+    elif a.shape[2] == 3:
+        color, arr = 2, a
+    elif a.shape[2] == 4:
+        color, arr = 6, a
+    else:
+        raise ValueError("expected gray, RGB or RGBA uint8 array")
+    h, w = arr.shape[:2]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """REAL PNG decode — stdlib ``zlib`` + numpy, no Pillow: 8-bit
+    greyscale/RGB/RGBA, non-interlaced, ALL FIVE scanline filters
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6). Returns an
+    (H x W x channels) uint8 array. Filters None and Up are vectorized;
+    Sub/Average/Paeth carry a left-neighbor dependency and run the
+    per-byte recurrence in Python — correct first, and external PNGs are
+    a cold path next to the PPM/WAV fixtures. Palette, 16-bit and
+    interlaced files raise loudly rather than mis-decode."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, w, h, color = 8, b"", None, None, None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError("only 8-bit PNG supported")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+            if color not in (0, 2, 6):
+                raise ValueError("palette / grey-alpha PNG not supported")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        ftype = raw[p]
+        line = np.frombuffer(raw[p + 1 : p + 1 + stride], dtype=np.uint8)
+        p += 1 + stride
+        if ftype == 0:
+            cur = line.copy()
+        elif ftype == 2:  # Up: wraps mod 256 like all PNG filters
+            cur = line + prev
+        elif ftype in (1, 3, 4):
+            cur = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a_ = int(cur[i - ch]) if i >= ch else 0
+                b_ = int(prev[i])
+                if ftype == 1:  # Sub
+                    pred = a_
+                elif ftype == 3:  # Average
+                    pred = (a_ + b_) // 2
+                else:  # Paeth
+                    c_ = int(prev[i - ch]) if i >= ch else 0
+                    est = a_ + b_ - c_
+                    pa, pb, pc = abs(est - a_), abs(est - b_), abs(est - c_)
+                    pred = a_ if pa <= pb and pa <= pc else (
+                        b_ if pb <= pc else c_
+                    )
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def image_png_stats(media: DataFrame) -> DataFrame:
+    """Real image stats over PNG payload columns (same screens as
+    :func:`image_ppm_stats`: dimensions, channel means, Rec.601 luma).
+    Greyscale broadcasts its single channel; RGBA ignores alpha for the
+    luma (composited screening belongs to a real pipeline stage)."""
+
+    def batches(parts: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in parts:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_png(bytes(payload)).astype("f8")
+                rgb = (
+                    np.repeat(img, 3, axis=2)
+                    if img.shape[2] == 1
+                    else img[:, :, :3]
+                )
+                means = rgb.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "width": img.shape[1],
+                        "height": img.shape[0],
+                        "mean_r": float(means[0]),
+                        "mean_g": float(means[1]),
+                        "mean_b": float(means[2]),
+                        "luma_mean": float(
+                            0.299 * means[0]
+                            + 0.587 * means[1]
+                            + 0.114 * means[2]
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("asset_id", "payload").mapInPandas(
+        batches, IMAGE_STATS_SCHEMA
+    )

@@ -144,3 +144,95 @@ def test_ppm_decode_roundtrip_and_stats(spark):
     assert abs(got[1]["luma_mean"] - 0.299 * 200) < 1e-9
     exp = grad.reshape(-1, 3).mean(axis=0)
     assert abs(got[2]["mean_g"] - exp[1]) < 1e-9
+
+
+def test_png_round_trip_gray_rgb_rgba():
+    """encode_png -> decode_png is the identity for all three supported
+    color types (filter-0 path)."""
+    import numpy as np
+
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (5, 4), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (6, 3, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (2, 7, 4), dtype=np.uint8)
+    assert (mm.decode_png(mm.encode_png(gray))[:, :, 0] == gray).all()
+    assert (mm.decode_png(mm.encode_png(rgb)) == rgb).all()
+    assert (mm.decode_png(mm.encode_png(rgba)) == rgba).all()
+
+
+def test_png_all_five_scanline_filters():
+    """Hand-build a PNG whose IDAT uses every filter type (None, Sub,
+    Up, Average, Paeth) and check the decode against the closed-form
+    forward filtering of known pixels (RFC 2083 §6)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    h, w, ch = img.shape
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = b""
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = img[y].reshape(-1).astype(np.int32)
+        filt = np.empty(w * ch, dtype=np.uint8)
+        for i in range(w * ch):
+            a = int(cur[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[
+                ftype
+            ]
+            filt[i] = (int(cur[i]) - pred) & 0xFF
+        raw += bytes([ftype]) + filt.tobytes()
+        prev = cur
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (mm.decode_png(payload) == img).all()
+
+
+def test_png_stats_operator(spark):
+    """image_png_stats over a small frame of encoded PNGs matches the
+    closed-form channel means."""
+    import numpy as np
+
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+
+    imgs = {
+        1: np.full((4, 4, 3), (10, 20, 30), dtype=np.uint8),
+        2: np.full((2, 8, 3), (200, 100, 0), dtype=np.uint8),
+    }
+    media = spark.createDataFrame(
+        [(k, bytearray(mm.encode_png(v))) for k, v in imgs.items()],
+        "asset_id LONG, payload BINARY",
+    )
+    got = {r["asset_id"]: r for r in mm.image_png_stats(media).collect()}
+    assert got[1]["width"] == 4 and got[1]["height"] == 4
+    assert got[1]["mean_r"] == 10.0 and got[1]["mean_b"] == 30.0
+    assert got[2]["mean_r"] == 200.0 and got[2]["mean_g"] == 100.0
+    expected_luma = 0.299 * 200 + 0.587 * 100
+    assert abs(got[2]["luma_mean"] - expected_luma) < 1e-9
