@@ -576,3 +576,138 @@ def image_png_stats(media: DataFrame) -> DataFrame:
     return media.select("asset_id", "payload").mapInPandas(
         batches, IMAGE_STATS_SCHEMA
     )
+
+
+def encode_mp4_skeleton(
+    duration_ms: int, width: int, height: int, brand: bytes = b"isom"
+) -> bytes:
+    """Build a minimal-but-well-formed MP4 box skeleton (ftyp + moov
+    with mvhd and one trak/tkhd) — the test-side inverse of
+    :func:`parse_mp4_metadata`. Carries NO media samples; it exists so
+    the metadata parser can be closed-form verified without ffmpeg."""
+    import struct
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    timescale = 1000
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0
+        + struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">II", timescale, duration_ms)
+        + b"\x00" * 80,  # rate/volume/matrix/reserved/next_track
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, 1, 0)  # times, track id, reserved
+        + struct.pack(">I", duration_ms)
+        + b"\x00" * 52  # reserved/layer/volume/matrix
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    trak = box(b"trak", tkhd)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+    return ftyp + moov
+
+
+def parse_mp4_metadata(payload: bytes) -> dict:
+    """REAL MP4 container metadata — a pure ``struct`` walk of the ISO
+    BMFF box tree (no frame decode, no ffmpeg): major brand from
+    ``ftyp``, duration from ``moov/mvhd`` (timescale-normalized to ms),
+    presentation width/height from the first ``moov/trak/tkhd`` (16.16
+    fixed point). This is the honest subset of "video support" the
+    sandbox allows: everything a curation pipeline filters on BEFORE
+    deciding to decode (length screens, aspect screens, brand routing)
+    — the frame-sample stage stays a loud stub (`m02`) because actual
+    codecs need libraries this container doesn't ship."""
+    import struct
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            tag = buf[pos + 4 : pos + 8]
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                body = pos + 16
+            elif size == 0:  # to end of enclosing box
+                size = end - pos
+                body = pos + 8
+            else:
+                body = pos + 8
+            if size < 8 or pos + size > end:
+                raise ValueError("malformed MP4 box structure")
+            yield tag, body, pos + size
+            pos += size
+
+    meta = {"brand": None, "duration_ms": None, "width": None, "height": None}
+    for tag, body, stop in walk(payload, 0, len(payload)):
+        if tag == b"ftyp":
+            meta["brand"] = payload[body : body + 4].decode("latin-1")
+        elif tag == b"moov":
+            for t2, b2, s2 in walk(payload, body, stop):
+                if t2 == b"mvhd":
+                    version = payload[b2]
+                    if version == 1:
+                        ts, dur = struct.unpack(
+                            ">IQ", payload[b2 + 20 : b2 + 32]
+                        )
+                    else:
+                        ts, dur = struct.unpack(
+                            ">II", payload[b2 + 12 : b2 + 20]
+                        )
+                    if ts:
+                        meta["duration_ms"] = int(round(1000.0 * dur / ts))
+                elif t2 == b"trak" and meta["width"] is None:
+                    for t3, b3, _ in walk(payload, b2, s2):
+                        if t3 == b"tkhd":
+                            version = payload[b3]
+                            off = b3 + (88 if version == 1 else 76)
+                            w_fx, h_fx = struct.unpack(
+                                ">II", payload[off : off + 8]
+                            )
+                            meta["width"] = w_fx >> 16
+                            meta["height"] = h_fx >> 16
+    if meta["brand"] is None:
+        raise ValueError("no ftyp box: not an MP4/ISO-BMFF payload")
+    return meta
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("brand", T.StringType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def video_mp4_metadata(media: DataFrame) -> DataFrame:
+    """Container-level video screening over MP4 payload columns (the
+    pre-decode filters: duration, dimensions, brand)."""
+
+    def batches(parts: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in parts:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                m = parse_mp4_metadata(bytes(payload))
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "brand": m["brand"],
+                        "duration_ms": m["duration_ms"],
+                        "width": m["width"],
+                        "height": m["height"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("asset_id", "payload").mapInPandas(
+        batches, VIDEO_META_SCHEMA
+    )

@@ -236,3 +236,39 @@ def test_png_stats_operator(spark):
     assert got[2]["mean_r"] == 200.0 and got[2]["mean_g"] == 100.0
     expected_luma = 0.299 * 200 + 0.587 * 100
     assert abs(got[2]["luma_mean"] - expected_luma) < 1e-9
+
+
+def test_mp4_metadata_round_trip(spark):
+    """parse_mp4_metadata recovers the exact brand/duration/dimensions
+    written into a hand-built ISO-BMFF box skeleton, standalone and
+    through the video_mp4_metadata operator."""
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+
+    payload = mm.encode_mp4_skeleton(125_000, 1920, 1080, brand=b"mp42")
+    m = mm.parse_mp4_metadata(payload)
+    assert m == {
+        "brand": "mp42",
+        "duration_ms": 125_000,
+        "width": 1920,
+        "height": 1080,
+    }
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(mm.encode_mp4_skeleton(5_000, 640, 360))),
+            (2, bytearray(mm.encode_mp4_skeleton(90_000, 1280, 720))),
+        ],
+        "asset_id LONG, payload BINARY",
+    )
+    got = {r["asset_id"]: r for r in mm.video_mp4_metadata(media).collect()}
+    assert got[1]["duration_ms"] == 5_000 and got[1]["width"] == 640
+    assert got[2]["height"] == 720 and got[2]["brand"] == "isom"
+
+
+def test_mp4_metadata_rejects_non_mp4():
+    import pytest as _pytest
+
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+
+    with _pytest.raises(ValueError):
+        mm.parse_mp4_metadata(b"\x89PNG\r\n\x1a\nnotmp4boxes")
