@@ -711,3 +711,61 @@ def video_mp4_metadata(media: DataFrame) -> DataFrame:
     return media.select("asset_id", "payload").mapInPandas(
         batches, VIDEO_META_SCHEMA
     )
+
+
+def encode_jpeg_skeleton(width: int, height: int, progressive: bool = False) -> bytes:
+    """Build a structurally-valid JPEG header stream (SOI, JFIF APP0,
+    SOFn with real dimensions, EOI — no entropy-coded data): the
+    test-side inverse of :func:`parse_jpeg_metadata`."""
+    import struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    sof = seg(
+        0xFFC2 if progressive else 0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01",
+    )
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def parse_jpeg_metadata(payload: bytes) -> dict:
+    """REAL JPEG container metadata — a marker-segment walk (no entropy
+    decode): dimensions and component count from the first SOFn frame
+    header, progressive-vs-baseline from which SOFn appears. The
+    pre-decode screening fields (size/aspect filters, progressive
+    routing); pixel decode stays a loud stub — a DCT entropy decoder
+    needs libraries this container doesn't ship."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("no SOI marker: not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("desynchronized JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone
+            pos += 2
+            continue
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                      0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            precision, h, w, ncomp = struct.unpack(
+                ">BHHB", payload[pos + 4 : pos + 10]
+            )
+            return {
+                "width": w,
+                "height": h,
+                "n_components": ncomp,
+                "precision": precision,
+                "progressive": marker in (0xC2, 0xC6, 0xCA, 0xCE),
+            }
+        if marker == 0xDA:  # SOS: frame header must have come first
+            break
+        pos += 2 + length
+    raise ValueError("no SOF frame header found")

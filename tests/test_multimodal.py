@@ -272,3 +272,20 @@ def test_mp4_metadata_rejects_non_mp4():
 
     with _pytest.raises(ValueError):
         mm.parse_mp4_metadata(b"\x89PNG\r\n\x1a\nnotmp4boxes")
+
+
+def test_jpeg_metadata_marker_walk():
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+
+    base = mm.parse_jpeg_metadata(mm.encode_jpeg_skeleton(1024, 768))
+    assert (base["width"], base["height"]) == (1024, 768)
+    assert base["n_components"] == 3 and not base["progressive"]
+    prog = mm.parse_jpeg_metadata(
+        mm.encode_jpeg_skeleton(320, 200, progressive=True)
+    )
+    assert prog["progressive"] and prog["width"] == 320
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.parse_jpeg_metadata(b"not a jpeg")
