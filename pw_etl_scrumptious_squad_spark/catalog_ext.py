@@ -2851,7 +2851,8 @@ def y29(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "z36_lateral_join",
-    "SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DECIMAL(12,2)) AS acctbal"
+    "SELECT n.n_name, t.c_name,"
+    " ROUND(CAST(t.c_acctbal AS DOUBLE), 2) AS acctbal"
     " FROM nation n, LATERAL ("
     " SELECT c_name, c_acctbal FROM customer c"
     " WHERE c.c_nationkey = n.n_nationkey"
@@ -2868,7 +2869,7 @@ def z36(spark: SparkSession, sf: str) -> DataFrame:
     _t(spark, sf, "customer").createOrReplaceTempView("z36_customer")
     return spark.sql(
         "SELECT n.n_name, t.c_name,"
-        " CAST(t.c_acctbal AS DECIMAL(12,2)) AS acctbal"
+        " ROUND(CAST(t.c_acctbal AS DOUBLE), 2) AS acctbal"
         " FROM z36_nation n, LATERAL ("
         " SELECT c_name, c_acctbal FROM z36_customer c"
         " WHERE c.c_nationkey = n.n_nationkey"

@@ -692,13 +692,18 @@ def hamming_near_pairs_words(
     bits. Wide signatures are what keep band selectivity growing with the
     corpus (16-32-bit band slices = 65k-4B bucket values per band), so
     the bucket join never degenerates the way narrow signatures do at
-    large n. Bucket self-join is the only shuffle. Containment is
-    two-tier: oversized IDENTICAL-signature groups star-collapse before
-    banding (lossless — hamming-0 classes; same as the scalar path), and
-    any band bucket still above ``bucket_cap`` after that (adversarial
-    near-identical-but-distinct signatures) is star-capped — at that
-    point the wide path is already in recall-trading territory, which is
-    consistent with its approximate regime.
+    large n. Bucket self-join is the only shuffle.
+
+    Guards and exactness are mutually exclusive, BY MODE: with
+    ``exact=True`` the output is the full pigeonhole-guaranteed pair set
+    and NO output-changing containment runs — a dense natural near-dup
+    cluster can push a band bucket past any fixed cap (observed on real
+    text at sf0.1: a capped bucket silently dropped 765 qualifying
+    pairs), and "exact minus whatever the guard ate" is not exact. With
+    ``exact=False`` (the production wide-band regime, already trading
+    recall) both guards run: oversized IDENTICAL-signature groups
+    star-collapse before banding (lossless — hamming-0 classes), and
+    band buckets above ``bucket_cap`` are star-capped.
 
     With ``exact=True`` (default) the pigeonhole guarantee applies:
     ``max_hamming < bands`` is enforced and EVERY qualifying pair is
@@ -726,7 +731,10 @@ def hamming_near_pairs_words(
     sh = sig_df.select(
         F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sw")
     )
-    star, survivors = _signature_group_containment(sh, "sw", bucket_cap)
+    if exact:
+        star, survivors = None, sh
+    else:
+        star, survivors = _signature_group_containment(sh, "sw", bucket_cap)
     band_structs = F.array(
         *[
             F.struct(
@@ -744,7 +752,11 @@ def hamming_near_pairs_words(
     ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
     )
-    cands = _capped_band_pairs(buckets, bucket_cap)
+    cands = (
+        _band_pairs(buckets)
+        if exact
+        else _capped_band_pairs(buckets, bucket_cap)
+    )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sw").alias("wa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sw").alias("wb"))
     ham = F.expr(
@@ -752,17 +764,19 @@ def hamming_near_pairs_words(
         " (x, y) -> cast(bit_count(x ^ y) as bigint)),"
         " 0L, (acc, v) -> acc + v)"
     )
-    return (
+    out = (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .unionByName(
+    )
+    if star is not None:
+        out = out.unionByName(
             star.select(
                 "doc_a", "doc_b", F.lit(0).cast("int").alias("hamming")
             )
         )
-    )
+    return out
 
 
 def embedding_neardup_pairs(
