@@ -65,6 +65,7 @@ HEADLINE = [
     # round-3 additions
     "y30_srp_wide",
     "y31_simhash_wide",
+    "y32_bigram_logprob",
     "s02_ivf_topk",
 ]
 

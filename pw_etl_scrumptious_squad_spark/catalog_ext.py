@@ -2921,3 +2921,42 @@ def z37(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("o_orderstatus", "priority")
     )
+
+
+@register(
+    "y32_bigram_logprob",
+    "WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk"
+    " FROM documents),"
+    " bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),"
+    " i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS g"
+    " FROM base WHERE len(tk) >= 2),"
+    " db AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM bg),"
+    " bc AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY w1, w2),"
+    " uc AS (SELECT unnest(tk[1:len(tk) - 1]) AS w1 FROM base"
+    " WHERE len(tk) >= 2),"
+    " u AS (SELECT w1, count(*) AS c1 FROM uc GROUP BY w1),"
+    " s AS (SELECT db.doc_id,"
+    " CAST(round(ln(CAST(bc.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE))"
+    " * 1000000000, 0) AS BIGINT) AS slog"
+    " FROM db JOIN bc USING (w1, w2) JOIN u USING (w1)),"
+    " sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,"
+    " ROUND(SUM(slog) / count(*) / 1000000000.0, 6) AS avg_logprob"
+    " FROM s GROUP BY doc_id)"
+    " SELECT b.doc_id, CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT)"
+    " AS n_bigrams, sc.avg_logprob"
+    " FROM base b LEFT JOIN sc USING (doc_id) ORDER BY doc_id",
+    "perplexity-proxy quality scoring (CCNet-style): bigram MLE model"
+    " trained on the corpus itself, documents scored by mean bigram"
+    " log-probability — boilerplate scores near 0, rare garbage very"
+    " negative. Order-free determinism via 9-dp-scaled BIGINT log sums"
+    " (a float avg would depend on partition order)."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y32(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    return (
+        textops.bigram_logprob_scores(_t(spark, sf, "documents"))
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -376,3 +376,76 @@ def encode_token_ids(
             ).alias("token_ids"),
         )
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Perplexity-proxy quality scoring (CCNet-style): train a bigram
+    MLE language model on the corpus itself, then score every document
+    by its mean bigram log-probability ``avg ln c(w1,w2)/c(w1)``.
+    Documents full of boilerplate score near 0 (their bigrams dominate
+    the corpus); rare-garbage documents score very negative — the
+    screen perplexity filtering applies before expensive model scoring.
+
+    Every document bigram exists in the corpus counts by construction
+    (the model is trained on the same corpus), so MLE needs no
+    smoothing. Determinism: a float ``avg(ln ...)`` would sum doubles
+    in partition order — not reproducible across engines OR runs. Each
+    log term is instead rounded at 9 dp and summed as a scaled BIGINT
+    (exact, order-free), then divided and rounded once — the same
+    one-rounded-float-per-value discipline t06's TF-IDF uses.
+    Documents with fewer than 2 tokens get score NULL.
+
+    Scale shape: two hash-aggs (bigram counts, unigram counts) and one
+    shuffle join of the exploded bigram stream against the counts —
+    all keys are high-cardinality, partial aggregation applies. At
+    100 TB the counts table is itself huge; the production variant
+    prunes it to the top-K frequencies with a floor probability for
+    the tail (documented trade; the exact form here is the oracle
+    tier)."""
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__tk")
+    ).localCheckpoint()
+    grams = F.expr(
+        "transform(sequence(1, size(__tk) - 1),"
+        " i -> struct(element_at(__tk, i) AS w1,"
+        " element_at(__tk, i + 1) AS w2))"
+    )
+    doc_bigrams = base.filter(F.size("__tk") >= 2).select(
+        "doc_id", F.explode(grams).alias("g")
+    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    big_counts = doc_bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    uni_counts = base.select(
+        # unigram count over the SAME event space as bigram lefts:
+        # every token except each document's last one
+        F.explode(F.expr("slice(__tk, 1, greatest(size(__tk) - 1, 0))")).alias(
+            "w1"
+        )
+    ).groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scaled_log = F.expr(
+        "cast(round(ln(c12 / c1) * 1000000000, 0) as bigint)"
+    )
+    scored = (
+        doc_bigrams.join(big_counts, ["w1", "w2"])
+        .join(uni_counts, "w1")
+        .select("doc_id", scaled_log.alias("__slog"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum("__slog")
+                / F.count(F.lit(1))
+                / F.lit(1000000000.0),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+    return base.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        "avg_logprob",
+    )

@@ -288,3 +288,33 @@ def test_drop_duplicate_spans_aligned_ground_truth(spark, texts):
             len(spans),
             len(spans) - len(kept),
         )
+
+
+def test_bigram_logprob_boilerplate_vs_rare(spark):
+    """The dominant boilerplate document must out-score a unique-text
+    document (its bigrams carry most of the corpus mass), and scores
+    are <= 0 with exact n_bigrams counts; 1-token docs score NULL."""
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    rows = [(i, "the quick brown fox jumps over dog") for i in range(20)]
+    rows.append((100, "zebra quark nebula xylophone banjo"))
+    rows.append((101, "solo"))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in textops.bigram_logprob_scores(df).collect()
+    }
+    assert got[0][0] == 6 and got[100][0] == 4 and got[101] == (0, None)
+    # boilerplate bigrams: every w1 appears 20x, always followed the
+    # same way -> P=1 -> score 0; rare doc's bigrams are unique among
+    # shared-prefix unigrams -> strictly negative... here all unigrams
+    # are doc-local so P=1 too; make one overlap to force P<1
+    rows2 = rows + [(102, "the slow brown cat naps")]
+    df2 = spark.createDataFrame(rows2, "doc_id LONG, text STRING")
+    got2 = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in textops.bigram_logprob_scores(df2).collect()
+    }
+    assert got2[0] is not None and got2[102] is not None
+    assert got2[0] > got2[102]  # boilerplate out-scores the deviant doc
+    assert all(v is None or v <= 0 for v in got2.values())
