@@ -2960,3 +2960,136 @@ def y32(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: retrieval scoring, quality rules, containment dedup, contamination
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "query", "join"]
+
+
+def _bm25_oracle() -> str:
+    """DuckDB twin of text.bm25_topk: same expression tree per term
+    (idf * (tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl))), every literal
+    forced to DOUBLE (bare DuckDB decimals are DECIMAL), each per-term
+    score scaled to BIGINT ppb with floor(x*1e9 + 0.5) and integer-summed
+    so partition/evaluation order cannot perturb the total."""
+    tf_cols = ", ".join(
+        f"len(list_filter(tk, t -> t = '{w}')) AS tf{i}"
+        for i, w in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    contribs = []
+    for i in range(len(_BM25_TERMS)):
+        tf = f"CAST(tf{i} AS DOUBLE)"
+        dfq = f"CAST(df{i} AS DOUBLE)"
+        idf = (
+            f"ln(1.0::DOUBLE + (CAST(n_docs AS DOUBLE) - {dfq}"
+            f" + 0.5::DOUBLE) / ({dfq} + 0.5::DOUBLE))"
+        )
+        norm = (
+            f"({tf} + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE"
+            f" + 0.75::DOUBLE * CAST(dl AS DOUBLE)"
+            " / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+        )
+        contribs.append(
+            f"CAST(floor({idf} * ({tf} * 2.2::DOUBLE) / {norm}"
+            " * 1000000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)"
+        )
+    total = " + ".join(contribs)
+    return (
+        "WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk"
+        " FROM documents),"
+        f" d AS (SELECT doc_id, len(tk) AS dl, {tf_cols} FROM base),"
+        " s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,"
+        f" CAST(SUM(dl) AS BIGINT) AS sum_dl, {df_cols} FROM d)"
+        " SELECT doc_id, CAST(dl AS INTEGER) AS dl,"
+        f" {total} AS score_ppb"
+        " FROM d CROSS JOIN s"
+        " ORDER BY score_ppb DESC, doc_id LIMIT 20"
+    )
+
+
+@register(
+    "y33_bm25_topk",
+    _bm25_oracle(),
+    "BM25 retrieval scoring (Robertson-Zaragoza; Lucene idf form) of the"
+    " corpus against a fixed query-term set: per-doc term frequencies as"
+    " higher-order filters (corpus scanned once, never exploded), corpus"
+    " stats as ONE broadcast row, top-k via TakeOrderedAndProject."
+    " Per-term scores ppb-scaled to BIGINT then integer-summed, so the"
+    " ranking is exact on both engines."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y33(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    return textops.bm25_topk(_t(spark, sf, "documents"), _BM25_TERMS, k=20)
+
+
+def _gopher_oracle() -> str:
+    quoted = ", ".join(f"'{w}'" for w in __import__(
+        "pw_etl_scrumptious_squad_spark.operators.text", fromlist=["text"]
+    ).ENGLISH_STOPWORDS)
+    return (
+        "WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk"
+        " FROM documents),"
+        " m AS (SELECT doc_id,"
+        " CAST(len(tk) AS INTEGER) AS n_words,"
+        " ROUND(list_sum(list_transform(tk, t -> length(t))) / len(tk), 6)"
+        " AS mean_word_len,"
+        " ROUND(len(list_filter(tk, t -> regexp_matches(t, '[^a-zA-Z]')))"
+        " / len(tk), 6) AS nonalpha_ratio,"
+        f" CAST(len(list_filter(tk, t -> t IN ({quoted}))) AS INTEGER)"
+        " AS n_stopword_hits,"
+        " ROUND(list_max(list_transform(list_distinct(tk),"
+        " d -> len(list_filter(tk, t -> t = d)))) / len(tk), 6)"
+        " AS top_token_ratio FROM base)"
+        " SELECT doc_id, n_words, mean_word_len, nonalpha_ratio,"
+        " n_stopword_hits, top_token_ratio,"
+        " CAST(n_words BETWEEN 40 AND 100000"
+        " AND mean_word_len BETWEEN 2.0 AND 10.0"
+        " AND nonalpha_ratio <= 0.2 AND n_stopword_hits >= 2"
+        " AND top_token_ratio <= 0.2 AS INTEGER) AS keep,"
+        " CASE WHEN NOT n_words BETWEEN 40 AND 100000 THEN 'word_count'"
+        " WHEN NOT mean_word_len BETWEEN 2.0 AND 10.0 THEN 'mean_word_len'"
+        " WHEN nonalpha_ratio > 0.2 THEN 'nonalpha'"
+        " WHEN n_stopword_hits < 2 THEN 'stopwords'"
+        " WHEN top_token_ratio > 0.2 THEN 'repetition'"
+        " ELSE '' END AS drop_reason"
+        " FROM m ORDER BY doc_id"
+    )
+
+
+@register(
+    "y34_quality_rules",
+    _gopher_oracle(),
+    "Gopher-rule quality battery (Rae et al. 2021 heuristics): word count,"
+    " mean word length, non-alpha token ratio, stopword presence, top-token"
+    " repetition — keep/drop with first-failing-rule reason. Entirely"
+    " map-side higher-order expressions; every rule is an exact integer or"
+    " exact-ratio test so the oracle matches bit-for-bit."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y34(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    q = textops.gopher_quality(_t(spark, sf, "documents"))
+    return (
+        q.select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "nonalpha_ratio",
+            "n_stopword_hits",
+            "top_token_ratio",
+            F.col("keep").cast("int").alias("keep"),
+            "drop_reason",
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

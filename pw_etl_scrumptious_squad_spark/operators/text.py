@@ -378,6 +378,156 @@ def encode_token_ids(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed query-term set — the
+    retrieval scoring that pairs with ``inverted_index`` (Robertson &
+    Zaragoza 2009; idf in the Lucene ``ln(1 + (N-df+0.5)/(df+0.5))``
+    form, which is never negative).
+
+    Scale shape: the per-document term frequencies are higher-order
+    ``filter`` expressions over the token split — the corpus is scanned
+    once, never exploded (the query has a handful of terms, so a tf
+    column per term beats a token explode by orders of magnitude). The
+    corpus-level statistics (N, Σdl, per-term document frequencies) are
+    ONE tiny aggregate row broadcast back, scoring is map-side, and the
+    top-k is a TakeOrderedAndProject — no global sort, no shuffle of the
+    corpus anywhere.
+
+    Determinism: each per-term score is one fixed expression tree over
+    exact integers plus the single ``avgdl`` double, evaluated
+    identically by both engines, then scaled to a BIGINT ppb value with
+    ``floor(x*1e9 + 0.5)`` (round() would re-round a sum); the document
+    score is the exact integer sum of its per-term ppb scores, so
+    partition order cannot perturb ranks.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__tk")
+    ).withColumn("dl", F.size("__tk"))
+    for i, term in enumerate(query_terms):
+        quoted = term.replace("'", "''")
+        base = base.withColumn(
+            f"__tf{i}",
+            F.expr(f"size(filter(__tk, t -> t = '{quoted}'))"),
+        )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("bigint")).alias(f"__df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    contribs = []
+    for i in range(len(query_terms)):
+        tf = f"cast(__tf{i} as double)"
+        dfreq = f"cast(__df{i} as double)"
+        idf = f"ln(1.0d + (cast(n_docs as double) - {dfreq} + 0.5d) / ({dfreq} + 0.5d))"
+        norm = (
+            f"({tf} + {k1}d * (1.0d - {b}d + {b}d * cast(dl as double)"
+            f" / (cast(sum_dl as double) / cast(n_docs as double))))"
+        )
+        contribs.append(
+            f"cast(floor({idf} * ({tf} * {1.0 + k1}d) / {norm}"
+            " * 1000000000.0d + 0.5d) as bigint)"
+        )
+    return (
+        scored.select(
+            "doc_id",
+            F.col("dl").cast("int").alias("dl"),
+            F.expr(" + ".join(contribs)).alias("score_ppb"),
+        )
+        .orderBy(F.col("score_ppb").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+# Gopher-style rule thresholds (Rae et al. 2021, table A1 subset) — the
+# document-level heuristics that run before any model-based scoring.
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_NONALPHA_RATIO = 0.2
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MAX_TOP_TOKEN_RATIO = 0.2
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-rule quality battery: per-document heuristic flags and a
+    keep/drop decision with the first failing rule as the reason —
+    the cheap screen a 100 TB corpus runs before model scoring.
+
+    Rules (each an exact integer or exact-ratio test, so the oracle
+    reproduces them bit-for-bit): word count in [40, 100k]; mean word
+    length in [2, 10]; non-alphabetic token ratio ≤ 0.2; ≥ 2 stopword
+    hits; most-frequent token ≤ 20% of the document. Entirely map-side
+    — no shuffle, no UDFs; ratios are exact integer divisions in IEEE
+    double rounded once at 6 dp.
+    """
+    out = with_tokens(df, text_col)
+    n_words = F.expr(f"size({_SQL_TOKS})")
+    sum_len = F.expr(f"aggregate({_SQL_TOKS}, 0, (a, t) -> a + length(t))")
+    n_nonalpha = F.expr(
+        f"size(filter({_SQL_TOKS}, t -> t rlike '[^a-zA-Z]'))"
+    )
+    quoted = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    n_stop = F.expr(f"size(filter({_SQL_TOKS}, t -> t IN ({quoted})))")
+    # most-frequent token count without an explode: aggregate over the
+    # distinct tokens of the count of their occurrences
+    top_tok = F.expr(
+        f"array_max(transform(array_distinct({_SQL_TOKS}),"
+        f" d -> size(filter({_SQL_TOKS}, t -> t = d))))"
+    )
+    out = (
+        out.withColumn("n_words", n_words.cast("int"))
+        .withColumn("mean_word_len", F.round(sum_len / n_words, 6))
+        .withColumn("nonalpha_ratio", F.round(n_nonalpha / n_words, 6))
+        .withColumn("n_stopword_hits", n_stop.cast("int"))
+        .withColumn("top_token_ratio", F.round(top_tok / n_words, 6))
+    )
+    checks = [
+        (
+            "word_count",
+            (F.col("n_words") >= GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= GOPHER_MAX_WORDS),
+        ),
+        (
+            "mean_word_len",
+            (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN),
+        ),
+        (
+            "nonalpha",
+            F.col("nonalpha_ratio") <= GOPHER_MAX_NONALPHA_RATIO,
+        ),
+        ("stopwords", F.col("n_stopword_hits") >= GOPHER_MIN_STOPWORD_HITS),
+        (
+            "repetition",
+            F.col("top_token_ratio") <= GOPHER_MAX_TOP_TOKEN_RATIO,
+        ),
+    ]
+    keep = F.lit(True)
+    reason = F.lit("")
+    # first failing rule wins: fold right-to-left so earlier rules override
+    for name, ok in reversed(checks):
+        reason = F.when(~ok, F.lit(name)).otherwise(reason)
+    for _, ok in checks:
+        keep = keep & ok
+    return out.withColumn("keep", keep).withColumn("drop_reason", reason).drop(
+        _SQL_TOKS
+    )
+
+
 def bigram_logprob_scores(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

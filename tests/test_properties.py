@@ -318,3 +318,56 @@ def test_bigram_logprob_boilerplate_vs_rare(spark):
     assert got2[0] is not None and got2[102] is not None
     assert got2[0] > got2[102]  # boilerplate out-scores the deviant doc
     assert all(v is None or v <= 0 for v in got2.values())
+
+
+def test_bm25_ranks_matching_docs_and_idf_weighting(spark):
+    """Docs containing query terms beat docs without; a doc matching the
+    RARE query term out-scores one matching the COMMON term the same
+    number of times (idf weighting); scores are non-negative ppb ints."""
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    rows = [(i, "common filler words here common") for i in range(10)]
+    # 'widget' appears in many docs (low idf), 'rarity' in one (high idf)
+    for i in range(5):
+        rows.append((20 + i, "widget stuff and more widget stuff"))
+    rows.append((30, "rarity stuff and more rarity stuff"))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = textops.bm25_topk(df, ["widget", "rarity"], k=20).collect()
+    scores = {r["doc_id"]: r["score_ppb"] for r in got}
+    ranked = [r["doc_id"] for r in got]
+    assert all(s >= 0 for s in scores.values())
+    # the rare-term doc must rank first
+    assert ranked[0] == 30
+    # every matching doc out-scores every non-matching doc (score 0)
+    for i in range(5):
+        assert scores[20 + i] > 0
+    assert all(scores.get(i, 0) == 0 for i in range(10) if i in scores)
+
+
+def test_gopher_quality_flags_each_rule(spark):
+    """One fixture doc per failing rule; drop_reason names the FIRST
+    failing rule in battery order and a clean doc keeps."""
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    clean = " ".join(
+        ["the and valid words of normal length appear here often"] * 5
+    )
+    rows = [
+        (0, clean),  # passes everything (50 words, stopwords present)
+        (1, "too short"),  # word_count
+        (2, " ".join(["a"] * 50)),  # mean_word_len < 2 (after word_count ok)
+        (3, " ".join(["the and of to in"] * 8 + ["x9!"] * 15)),  # nonalpha>0.2
+        (4, " ".join(f"w{chr(97 + i % 26)}q" for i in range(50))),  # no stopwords
+        (5, "the and " + " ".join(["dup"] * 48)),  # repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (bool(r["keep"]), r["drop_reason"])
+        for r in textops.gopher_quality(df).collect()
+    }
+    assert got[0] == (True, "")
+    assert got[1] == (False, "word_count")
+    assert got[2] == (False, "mean_word_len")
+    assert got[3] == (False, "nonalpha")
+    assert got[4] == (False, "stopwords")
+    assert got[5] == (False, "repetition")
