@@ -3093,3 +3093,87 @@ def y34(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+@register(
+    "y35_containment_pairs",
+    # DuckDB twin: same 5-token shingle-md5 sets (slice is END-INCLUSIVE in
+    # DuckDB: tk[i:i+4] = 5 elements), same overlap-coefficient math.
+    "WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk"
+    " FROM documents),"
+    " sh AS (SELECT doc_id, CASE WHEN len(tk) >= 5 THEN"
+    " list_distinct(list_transform(range(1, len(tk) - 3),"
+    " i -> md5(array_to_string(tk[i:i + 4], ' '))))"
+    " ELSE [md5(array_to_string(tk, ' '))] END AS s FROM base),"
+    " c AS (SELECT doc_id, len(s) AS n FROM sh),"
+    " e AS (SELECT doc_id, unnest(s) AS h FROM sh),"
+    " p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+    " count(*) AS inter FROM e a JOIN e b ON a.h = b.h"
+    " AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+    " SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS n_shared,"
+    " ROUND(inter / least(ca.n, cb.n), 6) AS overlap_coef,"
+    " CAST(inter = least(ca.n, cb.n) AS INTEGER) AS contained"
+    " FROM p JOIN c ca ON ca.doc_id = doc_a JOIN c cb ON cb.doc_id = doc_b"
+    " WHERE inter / least(ca.n, cb.n) >= 0.8"
+    " ORDER BY doc_a, doc_b",
+    "shingle-containment near-dup pairs (overlap coefficient"
+    " |A∩B|/min(|A|,|B|)): catches a document EMBEDDED in a longer one,"
+    " which symmetric Jaccard dilutes toward 0. One shingle-keyed"
+    " self-join, pair space bounded by shared shingles; exact mode runs"
+    " no output-changing guard (max_shingle_df is the documented"
+    " approximate tier for boilerplate-heavy corpora)."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y35(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        dedup.containment_pairs(
+            _t(spark, sf, "documents"), "doc_id", "text", 5, 0.8
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
+    )
+
+
+@register(
+    "y36_embed_decontaminate",
+    # Eval split = vec_id % 97 == 0 (scale-free); integer-quantized dot
+    # products and squared norms are exact BIGINTs, the cosine is one
+    # double expression, ppb-scaled with floor on both engines.
+    "WITH q AS (SELECT vec_id, list_transform(embedding,"
+    " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0::DOUBLE"
+    " + 0.5::DOUBLE) AS BIGINT)) AS qv FROM embeddings),"
+    " n AS (SELECT vec_id, qv,"
+    " CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS nn"
+    " FROM q),"
+    " e AS (SELECT vec_id AS eval_id, qv AS ev, nn AS en FROM n"
+    " WHERE vec_id % 97 = 0),"
+    " c AS (SELECT vec_id, qv, nn FROM n WHERE vec_id % 97 <> 0),"
+    " p AS (SELECT c.vec_id, e.eval_id,"
+    " CAST(floor(CAST(CAST(list_sum(list_transform(range(1, len(c.qv) + 1),"
+    " i -> c.qv[i] * e.ev[i])) AS BIGINT) AS DOUBLE)"
+    " / nullif(sqrt(CAST(c.nn AS DOUBLE)) * sqrt(CAST(e.en AS DOUBLE)),"
+    " 0.0::DOUBLE) * 1000000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)"
+    " AS cos_ppb FROM c JOIN e ON c.vec_id <> e.eval_id),"
+    " r AS (SELECT vec_id, eval_id, cos_ppb,"
+    " row_number() OVER (PARTITION BY vec_id"
+    " ORDER BY cos_ppb DESC NULLS LAST, eval_id) AS rn FROM p)"
+    " SELECT vec_id, eval_id AS best_eval_id, cos_ppb,"
+    " CAST(cos_ppb >= 950000000 AS INTEGER) AS contaminated"
+    " FROM r WHERE rn = 1 ORDER BY vec_id",
+    "semantic benchmark decontamination (SemDeDup-style): corpus"
+    " embeddings scored by cosine against a broadcast eval split"
+    " (vec_id % 97 = 0); best match + contaminated flag at cos >= 0.95."
+    " Integer-quantized pair math keeps it value-exact cross-engine."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y36(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import curation
+
+    emb = _t(spark, sf, "embeddings")
+    eval_df = emb.filter(F.col("vec_id") % 97 == 0)
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    return (
+        curation.embedding_decontaminate(corpus, eval_df)
+        .repartition(1)
+        .sortWithinPartitions("vec_id")
+    )

@@ -277,6 +277,83 @@ def quantize_embeddings(
     )
 
 
+def embedding_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_ppb: int = 950_000_000,
+) -> DataFrame:
+    """Semantic benchmark decontamination (SemDeDup-style): flag corpus
+    items whose embedding is near-identical to ANY eval/benchmark item
+    by cosine similarity — the embedding-space complement of the
+    shingle-overlap ``decontaminate``, catching paraphrased leakage that
+    exact n-grams miss.
+
+    Exactness: embeddings are integer-quantized per element
+    (``floor(x*1e6 + 0.5)``) before any pair math, so dot products and
+    squared norms are exact BIGINTs (order-free); the cosine is then ONE
+    double expression identical on both engines, scaled to a ppb BIGINT
+    with floor. Zero-norm vectors yield NULL cosine and sort last.
+
+    Scale shape: the eval side is distinct-reduced and BROADCAST (a
+    benchmark is thousands of rows); the corpus is scanned once, scored
+    map-side against the broadcast eval matrix, and the best-match
+    reduction shuffles once on the corpus id. Nothing corpus-sized is
+    ever broadcast or re-read. For billion-row corpora route through IVF
+    cells first (`embedding_neardup_pairs`' guarded path) to skip the
+    eval x corpus product entirely.
+    """
+    quant = F.expr(
+        f"transform({vec_col}, x -> cast(floor(cast(x as double)"
+        " * 1000000.0d + 0.5d) as bigint))"
+    )
+    sqnorm = F.expr("aggregate(__qv, 0L, (acc, v) -> acc + v * v)")
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), quant.alias("__qv")
+    ).withColumn("__nc", sqnorm)
+    e = eval_df.select(
+        F.col(id_col).alias("eval_id"), quant.alias("__qe")
+    ).withColumn(
+        "__ne", F.expr("aggregate(__qe, 0L, (acc, v) -> acc + v * v)")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(__qv, __qe, (x, y) -> x * y),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    cos = F.col("__dot").cast("double") / F.nullif(
+        F.sqrt(F.col("__nc").cast("double"))
+        * F.sqrt(F.col("__ne").cast("double")),
+        F.lit(0.0),
+    )
+    scored = (
+        c.join(broadcast(e), F.col("vec_id") != F.col("eval_id"))
+        .withColumn("__dot", dot)
+        .select(
+            "vec_id",
+            "eval_id",
+            F.floor(cos * F.lit(1_000_000_000.0)+ F.lit(0.5)).cast("bigint").alias(
+                "cos_ppb"
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_ppb").desc_nulls_last(), F.col("eval_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("eval_id").alias("best_eval_id"),
+            "cos_ppb",
+            (F.col("cos_ppb") >= F.lit(threshold_ppb)).cast("int").alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     group_col: str,

@@ -316,6 +316,77 @@ def incremental_lsh_neardup(
 _MAX_EXACT_PAIR_ROWS = 100_000
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 5,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Shingle-containment near-dup pairs: overlap coefficient
+    ``|S_a ∩ S_b| / min(|S_a|, |S_b|)`` over distinct k-token shingle
+    sets — the measure that catches a document EMBEDDED inside a longer
+    one (quote-plus-commentary, page-plus-boilerplate), which symmetric
+    Jaccard dilutes toward 0 as the host document grows. ``contained=1``
+    marks full subset pairs (every shingle of the smaller doc appears in
+    the larger).
+
+    Shape: per-doc distinct shingle-md5 arrays (map-side), one explode,
+    one self-join keyed on the shingle hash, one pair aggregation — the
+    corpus pair space is never enumerated; only docs sharing at least
+    one shingle meet. Exact mode (``max_shingle_df=None``, the oracle
+    tier) runs no output-changing guard per the guards-vs-exactness mode
+    rule. At 100 TB pass ``max_shingle_df`` to drop shingles appearing
+    in more than that many documents before the self-join (boilerplate
+    shingles generate quadratic bucket joins while carrying no
+    discriminative signal) — an explicit recall trade for the
+    approximate regime, mirroring the LSH tiers.
+
+    Determinism: counts are exact integers; the overlap ratio is one
+    integer division in IEEE double, identical across engines, rounded
+    once for display while the threshold compares the raw value.
+    """
+    shingled = with_shingles(df, text_col, shingle_size).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(F.col(_SQL_SHINGLES)).alias("sh"),
+    )
+    counts = shingled.select("doc_id", F.size("sh").alias("n")).localCheckpoint()
+    ex = shingled.select("doc_id", F.explode("sh").alias("h"))
+    if max_shingle_df is not None:
+        light = (
+            ex.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") <= max_shingle_df)
+            .select("h")
+        )
+        ex = ex.join(light, "h", "left_semi")
+    a = ex.select(F.col("doc_id").alias("doc_a"), "h")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    lo = F.least("n_a", "n_b")
+    overlap = F.col("inter") / lo
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(overlap >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("bigint").alias("n_shared"),
+            F.round(overlap, 6).alias("overlap_coef"),
+            (F.col("inter") == lo).cast("int").alias("contained"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -799,3 +799,54 @@ def test_ivf_index_probe_partition_pruned(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_containment_pairs_embedded_doc(spark):
+    """A short doc fully embedded inside a longer host must emit
+    contained=1 with overlap 1.0; unrelated docs emit nothing; the
+    max_shingle_df guard drops boilerplate-driven pairs."""
+    from pw_etl_scrumptious_squad_spark.operators import dedup
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    host = "intro words here " + quote + " closing commentary tail words"
+    rows = [
+        (1, quote),
+        (2, host),
+        (3, "completely different content with other tokens entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = dedup.containment_pairs(df, threshold=0.8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"], r["contained"]) == (1, 2, 1)
+    assert r["overlap_coef"] == 1.0
+    # guard tier: dropping every shingle seen in >1 doc kills the pair
+    got2 = dedup.containment_pairs(df, threshold=0.8, max_shingle_df=1).collect()
+    assert got2 == []
+
+
+def test_embedding_decontaminate_flags_near_copies(spark):
+    """A corpus vector equal to an eval vector is contaminated with
+    cos_ppb == 1e9; an orthogonal one is not; best_eval_id is the argmax
+    with deterministic tie-break."""
+    from pw_etl_scrumptious_squad_spark.operators import curation
+
+    ev = [(100, [1.0, 0.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0, 0.0])]
+    corpus = [
+        (1, [1.0, 0.0, 0.0, 0.0]),      # copy of eval 100
+        (2, [0.0, 0.0, 1.0, 0.0]),      # orthogonal to both
+        (3, [0.6, 0.8, 0.0, 0.0]),      # closer to 200 (0.8) than 100 (0.6)
+    ]
+    schema = "vec_id LONG, embedding ARRAY<FLOAT>"
+    got = {
+        r["vec_id"]: r
+        for r in curation.embedding_decontaminate(
+            spark.createDataFrame(corpus, schema),
+            spark.createDataFrame(ev, schema),
+        ).collect()
+    }
+    assert got[1]["best_eval_id"] == 100
+    assert got[1]["cos_ppb"] == 1_000_000_000
+    assert got[1]["contaminated"] == 1
+    assert got[2]["contaminated"] == 0 and got[2]["cos_ppb"] == 0
+    assert got[3]["best_eval_id"] == 200 and got[3]["contaminated"] == 0
