@@ -3177,3 +3177,145 @@ def y36(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("vec_id")
     )
+
+
+def _y37_oracle(sf_dir: str) -> str:
+    """DuckDB twin of the k-means cluster profile with the trained
+    centroids embedded as literals (same machinery as _s02_oracle);
+    per-vector cosines ppb-scaled with floor before the mean so both
+    engines sum exact integers."""
+    lits = ivf_centroid_literals(sf_dir)
+    vals = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (c, ", ".join(repr(x) for x in v))
+        for c, v in lits
+    )
+    return (
+        f"WITH cent AS (SELECT * FROM (VALUES {vals}) AS t(cell, centv)),"
+        " e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),"
+        " assign AS (SELECT vec_id, label, v, cell FROM ("
+        " SELECT e.vec_id, e.label, e.v, c.cell,"
+        " row_number() OVER (PARTITION BY e.vec_id"
+        " ORDER BY list_cosine_similarity(e.v, c.centv) DESC, c.cell) AS rn"
+        " FROM e CROSS JOIN cent c) WHERE rn = 1),"
+        " s AS (SELECT a.cell, a.label,"
+        " CAST(floor(list_cosine_similarity(a.v, c.centv)"
+        " * 1000000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS cp"
+        " FROM assign a JOIN cent c ON a.cell = c.cell),"
+        " agg AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,"
+        " ROUND(SUM(cp) / count(*) / 1000000000.0, 6) AS mean_cos"
+        " FROM s GROUP BY cell),"
+        " lc AS (SELECT cell, label, count(*) AS c FROM s GROUP BY 1, 2),"
+        " dom AS (SELECT cell, label AS top_label FROM ("
+        " SELECT cell, label, row_number() OVER (PARTITION BY cell"
+        " ORDER BY c DESC, label) AS rn FROM lc) WHERE rn = 1)"
+        " SELECT agg.cell, agg.n_vecs, agg.mean_cos, dom.top_label"
+        " FROM agg JOIN dom USING (cell) ORDER BY cell"
+    )
+
+
+@register(
+    "y37_cluster_profile",
+    _y37_oracle,  # data-dependent: trained centroids embedded as literals
+    "k-means cluster profiling for curation (SemDeDup-style"
+    " cluster-then-prune support): per-cell vector count, mean"
+    " cosine-to-centroid tightness, dominant label. Centroids broadcast,"
+    " one cell-keyed agg + one (cell,label) mode reduction; trained"
+    " centroid literals make it value-exact on both engines."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y37(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    lits = ivf_centroid_literals(sf, spark)
+    centroids = spark.createDataFrame(
+        lits, "centroid_id INT, embedding ARRAY<FLOAT>"
+    )
+    assigned = similarity.assign_ivf_cells(emb, centroids).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    return (
+        similarity.ivf_cell_profile(assigned, centroids)
+        .repartition(1)
+        .sortWithinPartitions("cell")
+    )
+
+
+@register(
+    "y38_source_overlap",
+    "WITH base AS (SELECT source, string_split(text, ' ') AS tk"
+    " FROM documents),"
+    " sh AS (SELECT DISTINCT source AS grp, h FROM ("
+    " SELECT source, unnest(CASE WHEN len(tk) >= 5 THEN"
+    " list_distinct(list_transform(range(1, len(tk) - 3),"
+    " i -> md5(array_to_string(tk[i:i + 4], ' '))))"
+    " ELSE [md5(array_to_string(tk, ' '))] END) AS h FROM base)),"
+    " sz AS (SELECT grp, count(*) AS n FROM sh GROUP BY grp),"
+    " p AS (SELECT a.grp AS src_a, b.grp AS src_b, count(*) AS n_shared"
+    " FROM sh a JOIN sh b ON a.h = b.h AND a.grp < b.grp GROUP BY 1, 2)"
+    " SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,"
+    " CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,"
+    " ROUND(n_shared / (sa.n + sb.n - n_shared), 6) AS jaccard"
+    " FROM p JOIN sz sa ON sa.grp = src_a JOIN sz sb ON sb.grp = src_b"
+    " ORDER BY src_a, src_b",
+    "pairwise source-overlap matrix (dataset-card style): exact Jaccard"
+    " of distinct 5-token shingle sets per source pair. One corpus-wide"
+    " (source, shingle) distinct agg; pair space bounded by #sources^2;"
+    " the documented sketch path swaps sets for MinHash at high group"
+    " cardinality."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y38(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import curation
+
+    return (
+        curation.source_overlap_matrix(_t(spark, sf, "documents"))
+        .repartition(1)
+        .sortWithinPartitions("src_a", "src_b")
+    )
+
+
+@register(
+    "y39_ppl_buckets",
+    # y32's scoring CTEs + per-language ntile(3) terciles over the
+    # deterministic (score desc, doc_id) total order.
+    "WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk"
+    " FROM documents),"
+    " bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),"
+    " i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS g"
+    " FROM base WHERE len(tk) >= 2),"
+    " db AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM bg),"
+    " bc AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY w1, w2),"
+    " uc AS (SELECT unnest(tk[1:len(tk) - 1]) AS w1 FROM base"
+    " WHERE len(tk) >= 2),"
+    " u AS (SELECT w1, count(*) AS c1 FROM uc GROUP BY w1),"
+    " s AS (SELECT db.doc_id,"
+    " CAST(round(ln(CAST(bc.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE))"
+    " * 1000000000, 0) AS BIGINT) AS slog"
+    " FROM db JOIN bc USING (w1, w2) JOIN u USING (w1)),"
+    " sc AS (SELECT doc_id,"
+    " ROUND(SUM(slog) / count(*) / 1000000000.0, 6) AS avg_logprob"
+    " FROM s GROUP BY doc_id),"
+    " j AS (SELECT d.doc_id, d.lang, sc.avg_logprob FROM documents d"
+    " LEFT JOIN sc USING (doc_id)),"
+    " t AS (SELECT doc_id, lang, avg_logprob,"
+    " CASE ntile(3) OVER (PARTITION BY lang"
+    " ORDER BY avg_logprob DESC, doc_id)"
+    " WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket"
+    " FROM j WHERE avg_logprob IS NOT NULL)"
+    " SELECT doc_id, lang, avg_logprob, bucket FROM t"
+    " UNION ALL SELECT doc_id, lang, avg_logprob, 'short' AS bucket"
+    " FROM j WHERE avg_logprob IS NULL"
+    " ORDER BY doc_id",
+    "CCNet-style per-language perplexity terciles (head/middle/tail)"
+    " over the corpus-trained bigram LM scores; sub-scorable docs land"
+    " in 'short'. One lang-keyed window atop y32's aggregations."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y39(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import curation
+
+    return (
+        curation.perplexity_buckets(_t(spark, sf, "documents"))
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

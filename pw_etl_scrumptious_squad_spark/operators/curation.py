@@ -389,6 +389,112 @@ def top_k_per_group(
     ).filter(F.col(rank_col) <= k)
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style head/middle/tail split: score every document with the
+    corpus-trained bigram log-probability model
+    (:func:`text.bigram_logprob_scores`) and tercile it PER LANGUAGE —
+    head = most-probable third (cleanest), tail = least. Downstream
+    mixing then over-samples head and discards or down-weights tail,
+    which is exactly CCNet's per-language perplexity bucketing.
+
+    Documents too short to score (< 2 tokens) get bucket 'short' rather
+    than polluting a tercile. Terciles are ``ntile(3)`` over the total
+    order (score desc, doc_id) — deterministic because the score is
+    already integer-derived and the id breaks ties; one lang-keyed window
+    shuffle on top of the scoring aggregations.
+    """
+    from pw_etl_scrumptious_squad_spark.operators.text import (
+        bigram_logprob_scores,
+    )
+
+    scores = bigram_logprob_scores(df, id_col, text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
+    joined = base.join(scores, "doc_id")
+    scored = joined.filter(F.col("avg_logprob").isNotNull())
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+    )
+    bucket = (
+        F.when(F.ntile(3).over(w) == 1, F.lit("head"))
+        .when(F.ntile(3).over(w) == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    with_bucket = scored.select(
+        "doc_id", "lang", "avg_logprob", bucket.alias("bucket")
+    )
+    shorts = joined.filter(F.col("avg_logprob").isNull()).select(
+        "doc_id", "lang", "avg_logprob", F.lit("short").alias("bucket")
+    )
+    return with_bucket.unionByName(shorts)
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Pairwise content overlap between corpus sources: exact Jaccard of
+    each source-pair's distinct k-token shingle sets — the
+    cross-source-duplication report that decides whether two crawl dumps
+    or vendor feeds are worth ingesting both of (cf. the overlap matrices
+    in The Pile / Dolma dataset cards).
+
+    Shape: ONE (group, shingle-md5) distinct aggregation over the corpus
+    (partial agg absorbs duplicate mass map-side), then a self-join keyed
+    on the shingle whose output is bounded by #groups² — group counts are
+    small (feeds, dumps, domains-bucketed), so the pair space never
+    explodes even when the corpus does. At larger group cardinality swap
+    the exact sets for per-group MinHash signatures (union via
+    element-wise min) — same report, sketch-sized state.
+    """
+    from pw_etl_scrumptious_squad_spark.operators.text import (
+        _SQL_SHINGLES,
+        with_shingles,
+    )
+
+    sh = (
+        with_shingles(df, text_col, shingle_size)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.array_distinct(F.col(_SQL_SHINGLES))).alias("h"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("grp").alias("src_a"), "h")
+    b = sh.select(F.col("grp").alias("src_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("grp").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("grp").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def merge_aggregates(
     prev: DataFrame,
     delta: DataFrame,

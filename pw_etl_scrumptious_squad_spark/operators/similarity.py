@@ -224,6 +224,57 @@ def ivf_topk(
     )
 
 
+def ivf_cell_profile(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Per-cluster corpus profile over an IVF/k-means assignment: vector
+    count, mean cosine-to-centroid (cluster tightness), and the dominant
+    label — the semantic-clustering report a curation pipeline reads to
+    decide per-cluster sampling rates (cf. SemDeDup's cluster-then-prune).
+
+    ``assigned`` is ``assign_ivf_cells`` output joined with a label
+    column. Shape: centroids broadcast, per-vector cosine map-side, ONE
+    cell-keyed aggregation plus a (cell,label)-keyed mode reduction —
+    nothing corpus-sized shuffles more than once. Determinism: each
+    cosine is ppb-scaled to BIGINT (floor) before the mean, so partition
+    order can't perturb the sum; the mean divides exact integers.
+    """
+    cent = centroids.select(
+        F.col(centroid_id).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("centv"),
+    )
+    cp = F.floor(
+        cosine(F.col(vec_col).cast("array<double>"), F.col("centv"))
+        * F.lit(1_000_000_000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = assigned.join(broadcast(cent), "cell").select(
+        "cell", F.col(label_col).alias("__lbl"), cp.alias("__cp")
+    )
+    agg = scored.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(
+            F.sum("__cp") / F.count(F.lit(1)) / F.lit(1_000_000_000.0), 6
+        ).alias("mean_cos"),
+    )
+    lc = scored.groupBy("cell", "__lbl").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("cell").orderBy(
+        F.col("c").desc(), F.col("__lbl").asc()
+    )
+    dom = (
+        lc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cell", F.col("__lbl").alias("top_label"))
+    )
+    return agg.join(dom, "cell").select(
+        "cell", "n_vecs", "mean_cos", "top_label"
+    )
+
+
 def srp_sign_matrix(bits: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 (Rademacher) hyperplane matrix for signed random
     projections: sign[j][d] comes from the low bit of md5(f"{j}:{d}"), so

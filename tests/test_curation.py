@@ -368,3 +368,75 @@ def test_encode_token_ids_ranks_by_frequency_and_handles_oov(spark):
     rows = {r["doc_id"]: r for r in textops.encode_token_ids(docs).collect()}
     assert rows[1]["token_ids"] == "1,1,2,3" and rows[1]["n_tokens"] == 4
     assert rows[2]["token_ids"] == "1,2"
+
+
+def test_source_overlap_matrix_known_jaccard(spark):
+    """Two sources built from overlapping shingle sets produce the exact
+    Jaccard; sources sharing nothing emit no pair row."""
+    from pw_etl_scrumptious_squad_spark.operators import curation
+
+    # 6-token docs -> two 5-token shingles each; srcA and srcB share
+    # exactly one doc's text (2 shingles), srcC shares nothing
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, shared, "srcA"),
+        (2, "eta theta iota kappa lambda mu", "srcA"),
+        (3, shared, "srcB"),
+        (4, "nu xi omicron pi rho sigma", "srcB"),
+        (5, "tau upsilon phi chi psi omega", "srcC"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    got = {
+        (r["src_a"], r["src_b"]): r
+        for r in curation.source_overlap_matrix(df).collect()
+    }
+    assert set(got) == {("srcA", "srcB")}
+    r = got[("srcA", "srcB")]
+    # each source has 4 distinct shingles, 2 shared -> J = 2/6
+    assert (r["n_a"], r["n_b"], r["n_shared"]) == (4, 4, 2)
+    assert r["jaccard"] == round(2 / 6, 6)
+
+
+def test_perplexity_buckets_split_and_short(spark):
+    """Boilerplate docs score highest (head), the rare doc lands in
+    tail, 1-token docs get 'short'; terciles are per-language."""
+    from pw_etl_scrumptious_squad_spark.operators import curation
+
+    rows = [(i, "the quick brown fox jumps", "en") for i in range(6)]
+    rows += [
+        (100, "the slow brown cat naps", "en"),
+        (101, "zebra quark nebula xylophone banjo", "en"),
+        (102, "solo", "en"),
+        (200, "der schnelle braune fuchs springt", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    got = {r["doc_id"]: r["bucket"] for r in curation.perplexity_buckets(df).collect()}
+    assert got[102] == "short"
+    assert got[0] == "head"          # boilerplate = most probable
+    assert got[100] == "tail" or got[101] == "tail"
+    assert got[200] in {"head", "middle", "tail"}  # own language partition
+    en_buckets = [got[i] for i in range(6)] + [got[100], got[101]]
+    assert {"head", "middle", "tail"} <= set(en_buckets)
+
+
+def test_ivf_cell_profile_counts_and_dominant_label(spark):
+    from pw_etl_scrumptious_squad_spark.operators import similarity
+
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id INT, embedding ARRAY<FLOAT>"
+    )
+    vecs = [
+        (1, [1.0, 0.0], 7),
+        (2, [1.0, 0.0], 7),
+        (3, [0.9, 0.1], 8),
+        (4, [0.0, 1.0], 9),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    assigned = similarity.assign_ivf_cells(emb, cent).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    got = {r["cell"]: r for r in similarity.ivf_cell_profile(assigned, cent).collect()}
+    assert got[0]["n_vecs"] == 3 and got[0]["top_label"] == 7
+    assert got[1]["n_vecs"] == 1 and got[1]["top_label"] == 9
+    assert got[1]["mean_cos"] == 1.0
+    assert 0.99 < got[0]["mean_cos"] <= 1.0
