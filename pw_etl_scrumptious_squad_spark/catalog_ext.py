@@ -3319,3 +3319,28 @@ def y39(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+_Z38_SQL = (
+    "SELECT c.c_custkey, c.c_name FROM customer c"
+    " WHERE EXISTS (SELECT 1 FROM orders o"
+    " WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')"
+    " AND NOT EXISTS (SELECT 1 FROM orders o2"
+    " WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 450000)"
+    " ORDER BY c.c_custkey"
+)
+
+
+@register(
+    "z38_exists_correlated",
+    _Z38_SQL,
+    "correlated EXISTS + NOT EXISTS subqueries (TPC-H q21/q22 shape):"
+    " customers with a finished order but no order above the price cap."
+    " Catalyst decorrelates both into a left-semi and a left-anti join"
+    " against the same orders scan — identical SQL text runs on DuckDB."
+    " z-prefix: past the gate window by design; tools/check.py covers it",
+)
+def z38(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark import api
+
+    return api.sql(spark, sf, _Z38_SQL)

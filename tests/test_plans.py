@@ -160,3 +160,13 @@ def test_dup_span_removal_shuffle_count_and_pruning(spark, cat):
     # either way exactly one join and it is never nested-loop
     assert simple.count("Join") == 1
     assert "BroadcastNestedLoopJoin" not in simple
+
+
+def test_correlated_exists_decorrelates_to_semi_anti(spark, cat):
+    """z38's correlated EXISTS / NOT EXISTS must be decorrelated into
+    semi/anti hash joins — no nested-loop re-execution of the subquery
+    per outer row."""
+    plan = plan_of(spark, cat, "z38_exists_correlated")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
