@@ -3344,3 +3344,51 @@ def z38(spark: SparkSession, sf: str) -> DataFrame:
     from pw_etl_scrumptious_squad_spark import api
 
     return api.sql(spark, sf, _Z38_SQL)
+
+
+# m04's pixel formula, replicated arithmetically by the oracle: channel c
+# of pixel (x, y) in doc d's 36x32 synthetic PPM is
+# (d*7 + x*3 + y*5 + c*11) % 256 (multimodal.synthetic_ppm_from_documents).
+_M04_LUMA = (
+    "299 * ((doc_id * 7 + (bx * 4 + px) * 3 + (by * 4 + py) * 5) % 256)"
+    " + 587 * ((doc_id * 7 + (bx * 4 + px) * 3 + (by * 4 + py) * 5 + 11) % 256)"
+    " + 114 * ((doc_id * 7 + (bx * 4 + px) * 3 + (by * 4 + py) * 5 + 22) % 256)"
+)
+
+
+@register(
+    "m04_image_dhash",
+    "WITH d AS (SELECT doc_id FROM documents),"
+    " g AS (SELECT doc_id, bx.bx, by.by FROM d"
+    " CROSS JOIN range(0, 9) AS bx(bx) CROSS JOIN range(0, 8) AS by(by)),"
+    " b AS (SELECT doc_id, bx, by,"
+    " list_sum(flatten(list_transform(range(0, 4),"
+    " py -> list_transform(range(0, 4), px -> "
+    + _M04_LUMA
+    + ")))) AS s FROM g),"
+    " bits AS (SELECT a.doc_id, a.by * 8 + a.bx AS idx,"
+    " CASE WHEN n.s > a.s THEN 1 ELSE 0 END AS bit"
+    " FROM b a JOIN b n ON n.doc_id = a.doc_id AND n.by = a.by"
+    " AND n.bx = a.bx + 1 WHERE a.bx < 8)"
+    " SELECT doc_id AS asset_id, CAST(36 AS INTEGER) AS width,"
+    " CAST(32 AS INTEGER) AS height,"
+    " CAST(SUM(CASE WHEN bit = 1 THEN"
+    " CASE WHEN idx = 63 THEN -9223372036854775808"
+    " ELSE (1::BIGINT << CAST(idx AS INTEGER)) END ELSE 0 END)"
+    " AS BIGINT) AS dhash"
+    " FROM bits GROUP BY doc_id ORDER BY asset_id",
+    "perceptual difference-hash over the REAL PPM codec: deterministic"
+    " 36x32 P6 payload per document, decoded by the pure-numpy codec,"
+    " Rec.601 integer milli-luma, 9x8 block-sum grid, 64 horizontal"
+    " comparison bits packed into a signed BIGINT. The oracle replicates"
+    " the generating formula arithmetically, so a codec or hashing bug"
+    " breaks the hash match. Near-dup images then cluster via the"
+    " existing hamming-pair machinery (d07/y30) with no pixel joins.",
+)
+def m04(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.synthetic_ppm_from_documents(_t(spark, sf, "documents"))
+    return (
+        multimodal.image_dhash(media)
+        .repartition(1)
+        .sortWithinPartitions("asset_id")
+    )

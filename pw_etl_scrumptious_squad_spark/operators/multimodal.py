@@ -769,3 +769,110 @@ def parse_jpeg_metadata(payload: bytes) -> dict:
             break
         pos += 2 + length
     raise ValueError("no SOF frame header found")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing over the REAL PPM codec
+# ---------------------------------------------------------------------------
+
+# dHash geometry: a 9x8 grid of 4x4-pixel blocks (36x32 source image);
+# each of the 8x8 horizontal block comparisons contributes one bit.
+DHASH_BLOCK = 4
+DHASH_GRID_W = 9
+DHASH_GRID_H = 8
+DHASH_IMG_W = DHASH_GRID_W * DHASH_BLOCK  # 36
+DHASH_IMG_H = DHASH_GRID_H * DHASH_BLOCK  # 32
+
+
+def synthetic_ppm_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic 36x32 binary-PPM payload per document:
+    pixel channel value = ``(doc_id*7 + x*3 + y*5 + c*11) % 256``. A
+    stand-in for real crawl image bytes (no image libraries ship in this
+    container) whose generating formula an SQL oracle can replicate —
+    while the Spark side still round-trips REAL P6 bytes through
+    :func:`encode_ppm` / :func:`decode_ppm`, so the codec and the
+    hashing pipeline are exercised end-to-end."""
+
+    def batches(parts: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        y, x, c = np.meshgrid(
+            np.arange(DHASH_IMG_H),
+            np.arange(DHASH_IMG_W),
+            np.arange(3),
+            indexing="ij",
+        )
+        base = x * 3 + y * 5 + c * 11
+        for pdf in parts:
+            rows = [
+                {
+                    "asset_id": int(aid),
+                    "payload": encode_ppm((int(aid) * 7 + base) % 256),
+                }
+                for aid in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+IMAGE_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over REAL decoded PPM payloads — the
+    image-dedup analogue of SimHash: near-identical images agree on most
+    of the 64 bits, so the existing hamming-pair machinery
+    (`dedup.hamming_near_pairs`) clusters them without any pixel joins.
+
+    Pipeline per image (all exact integer math, so an oracle can verify
+    bit-for-bit): decode P6 bytes -> Rec.601 milli-luma
+    ``299R + 587G + 114B`` per pixel -> 9x8 grid of 4x4 block sums ->
+    bit(y, x) = 1 iff block(y, x+1) > block(y, x) -> 64 bits packed
+    little-endian by index ``y*8 + x`` into a signed two's-complement
+    BIGINT. Arrow-batched mapInPandas; one map stage, no shuffle."""
+
+    def batches(parts: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in parts:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_ppm(bytes(payload)).astype(np.int64)
+                h, w, _ = img.shape
+                luma = img[:, :, 0] * 299 + img[:, :, 1] * 587 + img[:, :, 2] * 114
+                gh, gw = h // DHASH_BLOCK, w // DHASH_BLOCK
+                blocks = luma[: gh * DHASH_BLOCK, : gw * DHASH_BLOCK].reshape(
+                    gh, DHASH_BLOCK, gw, DHASH_BLOCK
+                ).sum(axis=(1, 3))
+                bits = blocks[:, 1:] > blocks[:, :-1]  # (gh, gw-1)
+                val = 0
+                for yy in range(min(gh, DHASH_GRID_H)):
+                    for xx in range(min(gw - 1, DHASH_GRID_W - 1)):
+                        if bits[yy, xx]:
+                            val |= 1 << (yy * 8 + xx)
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                rows.append(
+                    {"asset_id": aid, "width": w, "height": h, "dhash": val}
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("asset_id", "payload").mapInPandas(
+        batches, IMAGE_DHASH_SCHEMA
+    )

@@ -289,3 +289,33 @@ def test_jpeg_metadata_marker_walk():
 
     with _pytest.raises(ValueError):
         mm.parse_jpeg_metadata(b"not a jpeg")
+
+
+def test_image_dhash_matches_reference_and_locality(spark):
+    """dhash of hand-built PPM images: a constant image hashes to 0, a
+    horizontal gradient to all-ones (every right block sum is larger),
+    and flipping pixels inside ONE block changes at most 2 bits."""
+    import numpy as np
+
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+
+    flat = np.zeros((32, 36, 3), dtype=np.uint8)
+    grad = np.tile(
+        np.arange(36, dtype=np.uint8)[None, :, None], (32, 1, 3)
+    ) * 7  # strictly increasing block sums left->right
+    noisy = grad.copy()
+    noisy[0:4, 4:8, :] = 255  # perturb exactly one interior block (y0, x1)
+    rows = [
+        (0, bytearray(mm.encode_ppm(flat))),
+        (1, bytearray(mm.encode_ppm(grad))),
+        (2, bytearray(mm.encode_ppm(noisy))),
+    ]
+    media = spark.createDataFrame(rows, "asset_id LONG, payload BINARY")
+    got = {r["asset_id"]: r for r in mm.image_dhash(media).collect()}
+    assert (got[0]["width"], got[0]["height"]) == (36, 32)
+    assert got[0]["dhash"] == 0
+    # all 64 bits set == signed -1
+    assert got[1]["dhash"] == -1
+    h1, h2 = got[1]["dhash"], got[2]["dhash"]
+    hamming = bin((h1 ^ h2) & ((1 << 64) - 1)).count("1")
+    assert 1 <= hamming <= 2
