@@ -3392,3 +3392,133 @@ def m04(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("asset_id")
     )
+
+
+@register(
+    "y40_shingle_novelty",
+    # 8-token shingles: slice tk[i:i+7] is END-INCLUSIVE in DuckDB (8
+    # elements); short docs fall back to one whole-text shingle, matching
+    # with_shingles.
+    "WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk"
+    " FROM documents),"
+    " sh AS (SELECT doc_id, CASE WHEN len(tk) >= 8 THEN"
+    " list_distinct(list_transform(range(1, len(tk) - 6),"
+    " i -> md5(array_to_string(tk[i:i + 7], ' '))))"
+    " ELSE [md5(array_to_string(tk, ' '))] END AS s FROM base),"
+    " e AS (SELECT doc_id, unnest(s) AS h FROM sh),"
+    " dfreq AS (SELECT h, count(*) AS df FROM e GROUP BY h)"
+    " SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,"
+    " CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_novel,"
+    " ROUND(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) / count(*), 6)"
+    " AS novelty_ratio"
+    " FROM e JOIN dfreq USING (h) GROUP BY e.doc_id ORDER BY e.doc_id",
+    "per-document 8-gram novelty scoring (memorization/duplication"
+    " diagnostic): fraction of a doc's distinct shingles unseen anywhere"
+    " else. Map-side distinct before the explode, one df agg + one join"
+    " back — the TF-IDF two-shuffle skeleton."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y40(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    return (
+        textops.shingle_novelty(_t(spark, sf, "documents"))
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def _x02_oracle() -> str:
+    """Composed-pipeline oracle: gopher keep -> bigram-LM terciles
+    (trained on the survivors, as the pipeline stages it) -> head+middle
+    -> containment prune (keep the lower doc_id of each >=0.8-overlap
+    pair). Every stage reuses the component oracles' expression trees."""
+    from pw_etl_scrumptious_squad_spark.operators.text import (
+        ENGLISH_STOPWORDS,
+    )
+
+    quoted = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    return (
+        "WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS tk"
+        " FROM documents),"
+        " surv1 AS (SELECT doc_id, lang, tk FROM base"
+        " WHERE len(tk) BETWEEN 40 AND 100000"
+        " AND ROUND(list_sum(list_transform(tk, t -> length(t))) / len(tk), 6)"
+        " BETWEEN 2.0 AND 10.0"
+        " AND ROUND(len(list_filter(tk, t -> regexp_matches(t, '[^a-zA-Z]')))"
+        " / len(tk), 6) <= 0.2"
+        f" AND len(list_filter(tk, t -> t IN ({quoted}))) >= 2"
+        " AND ROUND(list_max(list_transform(list_distinct(tk),"
+        " d -> len(list_filter(tk, t -> t = d)))) / len(tk), 6) <= 0.2),"
+        " bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),"
+        " i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS g"
+        " FROM surv1 WHERE len(tk) >= 2),"
+        " db AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM bg),"
+        " bc AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY w1, w2),"
+        " uc AS (SELECT unnest(tk[1:len(tk) - 1]) AS w1 FROM surv1"
+        " WHERE len(tk) >= 2),"
+        " u AS (SELECT w1, count(*) AS c1 FROM uc GROUP BY w1),"
+        " s AS (SELECT db.doc_id,"
+        " CAST(round(ln(CAST(bc.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE))"
+        " * 1000000000, 0) AS BIGINT) AS slog"
+        " FROM db JOIN bc USING (w1, w2) JOIN u USING (w1)),"
+        " sc AS (SELECT doc_id,"
+        " ROUND(SUM(slog) / count(*) / 1000000000.0, 6) AS avg_logprob"
+        " FROM s GROUP BY doc_id),"
+        " t AS (SELECT surv1.doc_id, surv1.lang, surv1.tk,"
+        " CASE ntile(3) OVER (PARTITION BY surv1.lang"
+        " ORDER BY sc.avg_logprob DESC, surv1.doc_id)"
+        " WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket"
+        " FROM surv1 JOIN sc USING (doc_id)),"
+        " surv2 AS (SELECT doc_id, lang, bucket, tk FROM t"
+        " WHERE bucket IN ('head', 'middle')),"
+        " sh AS (SELECT doc_id, CASE WHEN len(tk) >= 5 THEN"
+        " list_distinct(list_transform(range(1, len(tk) - 3),"
+        " i -> md5(array_to_string(tk[i:i + 4], ' '))))"
+        " ELSE [md5(array_to_string(tk, ' '))] END AS s FROM surv2),"
+        " c AS (SELECT doc_id, len(s) AS n FROM sh),"
+        " e AS (SELECT doc_id, unnest(s) AS h FROM sh),"
+        " p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        " count(*) AS inter FROM e a JOIN e b ON a.h = b.h"
+        " AND a.doc_id < b.doc_id GROUP BY 1, 2),"
+        " dropped AS (SELECT DISTINCT doc_b FROM p"
+        " JOIN c ca ON ca.doc_id = doc_a JOIN c cb ON cb.doc_id = doc_b"
+        " WHERE inter / least(ca.n, cb.n) >= 0.8)"
+        " SELECT doc_id, lang, bucket, CAST(len(tk) AS INTEGER) AS n_words"
+        " FROM surv2 WHERE doc_id NOT IN (SELECT doc_b FROM dropped)"
+        " ORDER BY doc_id"
+    )
+
+
+@register(
+    "x02_fineweb_pipeline",
+    _x02_oracle(),
+    "FineWeb-style staged curation composing the round-3 operators:"
+    " Gopher-rule screen -> per-language bigram-LM terciles trained on"
+    " the survivors (head+middle kept) -> shingle-containment prune"
+    " keeping the lower doc_id. Each stage feeds the next, so the LM"
+    " statistics and pair space shrink with the corpus — the staged-"
+    "filtering shape a production pipeline runs.",
+)
+def x02(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import curation
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    d = _t(spark, sf, "documents")
+    g = textops.gopher_quality(d).filter(F.col("keep"))
+    surv1 = g.select("doc_id", "lang", "text", "n_words").localCheckpoint()
+    buckets = curation.perplexity_buckets(surv1)
+    surv2 = (
+        buckets.filter(F.col("bucket").isin("head", "middle"))
+        .join(surv1.select("doc_id", "text", "n_words"), "doc_id")
+        .localCheckpoint()
+    )
+    pairs = dedup.containment_pairs(surv2, threshold=0.8)
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        surv2.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "lang", "bucket", "n_words")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -378,6 +378,50 @@ def encode_token_ids(
     )
 
 
+def shingle_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 8,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    k-token shingles that appear NOWHERE else in the corpus — the
+    memorization/duplication diagnostic (docs near 0 are assembled from
+    corpus boilerplate; docs near 1 contribute genuinely new text).
+    Complements dedup: it scores every document instead of emitting
+    pairs, so it feeds mixing/weighting decisions directly.
+
+    Shape: per-doc distinct shingle-md5 arrays (map-side dedup BEFORE
+    the explode — the duplicate mass never shuffles), one
+    shingle-keyed document-frequency aggregation (partial-agg
+    absorbed), one join back on the shingle, one doc-keyed count — the
+    same two-shuffle skeleton as TF-IDF. Exact integers + one division
+    rounded at 6 dp.
+    """
+    shingled = with_shingles(df, text_col, shingle_size).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(F.col(_SQL_SHINGLES)).alias("__sh"),
+    ).localCheckpoint()
+    ex = shingled.select("doc_id", F.explode("__sh").alias("h"))
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        ex.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("bigint")).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+            "novelty_ratio"
+        ),
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],
