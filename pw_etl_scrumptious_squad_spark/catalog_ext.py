@@ -3522,3 +3522,60 @@ def x02(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+_Y41_PERMS = 16
+
+
+def _y41_oracle() -> str:
+    """Per-source component mins (MinHash union = element-wise min) in
+    d03's Carter-Wegman form, then pairwise agreement fractions."""
+    blocks = [
+        f"SELECT source AS grp, CAST({p} AS INTEGER) AS p,"
+        " min(list_aggregate(list_transform(hp,"
+        f" x -> x.h1 + {p} * x.h2), 'min')) AS mh FROM hp GROUP BY source"
+        for p in range(_Y41_PERMS)
+    ]
+    return (
+        "WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS toks"
+        " FROM documents),"
+        " sh AS (SELECT doc_id, source,"
+        " list_transform(range(1, greatest(len(toks) - 4, 1) + 1),"
+        " i -> md5(array_to_string(toks[i:i+4], ' '))) AS shingles FROM tk),"
+        " hp AS (SELECT doc_id, source, list_transform(shingles,"
+        " s -> struct_pack("
+        "h1 := CAST(concat('0x', substr(s, 1, 15)) AS BIGINT),"
+        " h2 := CAST(concat('0x', substr(s, 17, 14)) AS BIGINT))) AS hp"
+        " FROM sh),"
+        " comp AS (" + " UNION ALL ".join(blocks) + "),"
+        " a AS (SELECT grp AS src_a, p, mh AS ha FROM comp),"
+        " b AS (SELECT grp AS src_b, p, mh AS hb FROM comp)"
+        " SELECT src_a, src_b,"
+        " CAST(SUM(CASE WHEN ha = hb THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_agree,"
+        f" ROUND(SUM(CASE WHEN ha = hb THEN 1 ELSE 0 END) / {_Y41_PERMS}, 6)"
+        " AS est_jaccard"
+        " FROM a JOIN b USING (p) WHERE src_a < src_b"
+        " GROUP BY src_a, src_b ORDER BY src_a, src_b"
+    )
+
+
+@register(
+    "y41_source_overlap_sketch",
+    _y41_oracle(),
+    "sketch-tier source overlap: per-source MinHash merged by"
+    " element-wise min (constant state per source), pairwise Jaccard"
+    " estimated from component agreement — the 100 TB path y38"
+    " documents; md5-determinism makes even the estimate value-exact."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y41(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import curation
+
+    return (
+        curation.source_overlap_sketch(
+            _t(spark, sf, "documents"), num_perm=_Y41_PERMS
+        )
+        .repartition(1)
+        .sortWithinPartitions("src_a", "src_b")
+    )

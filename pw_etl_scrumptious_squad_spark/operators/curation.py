@@ -495,6 +495,68 @@ def source_overlap_matrix(
     )
 
 
+def source_overlap_sketch(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Sketch-tier source overlap: the scale path
+    :func:`source_overlap_matrix` documents. Each source's shingle SET is
+    summarized by a ``num_perm``-component MinHash — the per-source
+    sketch is the ELEMENT-WISE MIN of its documents' signatures (MinHash
+    unions merge by min, so the reduction is a plain aggregation) — and
+    pairwise Jaccard is estimated by the fraction of agreeing
+    components.
+
+    State per source is ``num_perm`` longs regardless of corpus size:
+    at 100 TB the exact (source, shingle) distinct agg that
+    ``source_overlap_matrix`` runs becomes the dominant shuffle, while
+    this path shuffles only ``num_perm`` rows per source. Estimation
+    error is the standard MinHash bound (sd ≈ sqrt(J(1-J)/num_perm));
+    the pipeline is fully md5-deterministic, so even the ESTIMATE is
+    value-exact reproducible cross-engine.
+    """
+    from pw_etl_scrumptious_squad_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_size)
+    tagged = sigs.join(
+        df.select(
+            F.col(id_col).alias("doc_id"), F.col(group_col).alias("grp")
+        ),
+        "doc_id",
+    )
+    comp = (
+        tagged.select("grp", F.posexplode("minhash").alias("p", "h"))
+        .groupBy("grp", "p")
+        .agg(F.min("h").alias("mh"))
+    )
+    a = comp.select(F.col("grp").alias("src_a"), "p", F.col("mh").alias("ha"))
+    b = comp.select(F.col("grp").alias("src_b"), "p", F.col("mh").alias("hb"))
+    return (
+        a.join(b, "p")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum((F.col("ha") == F.col("hb")).cast("bigint")).alias(
+                "n_agree"
+            )
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_agree").cast("bigint").alias("n_agree"),
+            F.round(F.col("n_agree") / F.lit(num_perm), 6).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
 def merge_aggregates(
     prev: DataFrame,
     delta: DataFrame,

@@ -440,3 +440,24 @@ def test_ivf_cell_profile_counts_and_dominant_label(spark):
     assert got[1]["n_vecs"] == 1 and got[1]["top_label"] == 9
     assert got[1]["mean_cos"] == 1.0
     assert 0.99 < got[0]["mean_cos"] <= 1.0
+
+
+def test_source_overlap_sketch_identical_and_disjoint(spark):
+    """Identical sources agree on every MinHash component (est 1.0);
+    disjoint sources agree on none (est 0.0); estimates sit within the
+    MinHash error envelope of the exact Jaccard."""
+    from pw_etl_scrumptious_squad_spark.operators import curation
+
+    same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, same, "A"),
+        (2, same, "B"),
+        (3, "nu xi omicron pi rho sigma tau upsilon phi chi", "C"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    got = {
+        (r["src_a"], r["src_b"]): r["est_jaccard"]
+        for r in curation.source_overlap_sketch(df).collect()
+    }
+    assert got[("A", "B")] == 1.0
+    assert got[("A", "C")] == 0.0 and got[("B", "C")] == 0.0
