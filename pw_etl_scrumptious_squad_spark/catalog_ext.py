@@ -3579,3 +3579,31 @@ def y41(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("src_a", "src_b")
     )
+
+
+@register(
+    "y42_exact_k_sample",
+    "WITH r AS (SELECT doc_id, lang, source,"
+    " row_number() OVER (PARTITION BY lang, source"
+    " ORDER BY md5(concat('v1', '|', CAST(doc_id AS VARCHAR))), doc_id)"
+    " AS sample_rank FROM documents)"
+    " SELECT doc_id, lang, source, CAST(sample_rank AS INTEGER)"
+    " AS sample_rank FROM r WHERE sample_rank <= 3 ORDER BY doc_id",
+    "exactly-k-per-stratum deterministic sample (eval-holdout carve-out):"
+    " md5(seed|id) ranking makes membership a pure function of the row"
+    " id — stable under re-runs and incremental refreshes; one window"
+    " shuffle keyed by the strata."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y42(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import curation
+
+    return (
+        curation.exact_k_sample(
+            _t(spark, sf, "documents").select("doc_id", "lang", "source"),
+            ["lang", "source"],
+            k=3,
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

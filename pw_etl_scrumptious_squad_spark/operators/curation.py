@@ -557,6 +557,36 @@ def source_overlap_sketch(
     )
 
 
+def exact_k_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    seed_tag: str = "v1",
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample — the eval-holdout /
+    human-review carve-out where a RATE sample (``stratified_sample``)
+    is wrong because small strata must still yield exactly ``k`` rows
+    (or all rows, when the stratum is smaller than ``k``).
+
+    The draw is ``md5(seed_tag | id)`` so membership is a pure function
+    of the row id: re-runs, re-partitions, and incremental refreshes
+    pick the SAME rows, and changing ``seed_tag`` rotates the entire
+    sample atomically. One window shuffle keyed by the strata; rank
+    ties are impossible (md5 collisions aside, the id breaks them).
+    """
+    draw = F.md5(
+        F.concat_ws("|", F.lit(seed_tag), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(
+        draw.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def merge_aggregates(
     prev: DataFrame,
     delta: DataFrame,
