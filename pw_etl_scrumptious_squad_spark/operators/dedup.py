@@ -1119,16 +1119,27 @@ def _simhash_words_vectorized(
                 list(dict.fromkeys(t.split(" "))) for t in pdf[text_col]
             ]
             counts = np.array([len(ts) for ts in tok_lists])
-            hx = [
-                hashlib.md5(t.encode()).hexdigest()
-                for ts in tok_lists
-                for t in ts
-            ]
+            # md5 once per DISTINCT token in the batch, then gather by
+            # index: token frequency is Zipfian, so the per-occurrence
+            # hash cost (the profile's hot spot) collapses to the
+            # vocabulary size. Bit-identical — same hashes, indexed.
+            vocab: dict = {}
+            idx = []
+            for ts in tok_lists:
+                for t in ts:
+                    j = vocab.get(t)
+                    if j is None:
+                        j = len(vocab)
+                        vocab[t] = j
+                    idx.append(j)
+            idx_arr = np.array(idx, dtype=np.int64)
+            hx = [hashlib.md5(t.encode()).hexdigest() for t in vocab]
             cols = []
             for lo, hi, width in ((0, 15, 60), (15, 30, 60), (30, 32, 8)):
-                h = np.array(
+                hv = np.array(
                     [int(x[lo:hi], 16) for x in hx], dtype=np.uint64
                 )
+                h = hv[idx_arr]
                 cols.append(
                     (
                         (h[:, None] >> np.arange(width, dtype=np.uint64))
