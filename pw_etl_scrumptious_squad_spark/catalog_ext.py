@@ -3607,3 +3607,102 @@ def y42(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+_Y43_LANG_W = {"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.1, "zh": 0.05}
+_Y43_BUCKET_W = {"head": 0.6, "middle": 0.3, "tail": 0.1, "short": 0.0}
+_Y43_BUDGET = 1_000_000
+
+
+def _y43_oracle() -> str:
+    """y39's bucket CTEs + the ppm-integer mixture-plan arithmetic."""
+    lw = " ".join(
+        f"WHEN '{lang}' THEN {int(round(w * 1_000_000))}"
+        for lang, w in _Y43_LANG_W.items()
+    )
+    bw = " ".join(
+        f"WHEN '{b}' THEN {int(round(w * 1_000_000))}"
+        for b, w in _Y43_BUCKET_W.items()
+    )
+    return (
+        "WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS tk"
+        " FROM documents),"
+        " bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),"
+        " i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS g"
+        " FROM base WHERE len(tk) >= 2),"
+        " db AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM bg),"
+        " bc AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY w1, w2),"
+        " uc AS (SELECT unnest(tk[1:len(tk) - 1]) AS w1 FROM base"
+        " WHERE len(tk) >= 2),"
+        " u AS (SELECT w1, count(*) AS c1 FROM uc GROUP BY w1),"
+        " s AS (SELECT db.doc_id,"
+        " CAST(round(ln(CAST(bc.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE))"
+        " * 1000000000, 0) AS BIGINT) AS slog"
+        " FROM db JOIN bc USING (w1, w2) JOIN u USING (w1)),"
+        " sc AS (SELECT doc_id,"
+        " ROUND(SUM(slog) / count(*) / 1000000000.0, 6) AS avg_logprob"
+        " FROM s GROUP BY doc_id),"
+        " j AS (SELECT b.doc_id, b.lang, len(b.tk) AS n_tokens,"
+        " sc.avg_logprob FROM base b LEFT JOIN sc USING (doc_id)),"
+        " bk AS (SELECT doc_id, lang, n_tokens,"
+        " CASE ntile(3) OVER (PARTITION BY lang"
+        " ORDER BY avg_logprob DESC, doc_id)"
+        " WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket"
+        " FROM j WHERE avg_logprob IS NOT NULL"
+        " UNION ALL SELECT doc_id, lang, n_tokens, 'short' AS bucket"
+        " FROM j WHERE avg_logprob IS NULL),"
+        " strata AS (SELECT lang, bucket,"
+        " CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,"
+        f" CAST(CASE bucket {bw} ELSE 0 END AS BIGINT) AS bwppm,"
+        f" CAST(CASE lang {lw} ELSE 0 END AS BIGINT) AS lwppm"
+        " FROM bk GROUP BY lang, bucket),"
+        " norm AS (SELECT lang, CAST(SUM(bwppm) AS BIGINT) AS bwsum"
+        " FROM strata GROUP BY lang),"
+        " planned AS (SELECT strata.lang, bucket, n_docs, n_tokens,"
+        f" {float(_Y43_BUDGET)}::DOUBLE"
+        " * (CAST(lwppm AS DOUBLE) / 1000000.0::DOUBLE)"
+        " * (CAST(bwppm AS DOUBLE)"
+        " / nullif(CAST(bwsum AS DOUBLE), 0.0::DOUBLE)) AS target"
+        " FROM strata JOIN norm ON norm.lang = strata.lang),"
+        " rated AS (SELECT lang, bucket, n_docs, n_tokens, target,"
+        " least(target / CAST(n_tokens AS DOUBLE), 2.0::DOUBLE) AS rate"
+        " FROM planned)"
+        " SELECT lang, bucket, n_docs, n_tokens,"
+        " CAST(floor(target + 0.5::DOUBLE) AS BIGINT) AS target_tokens,"
+        " CAST(floor(rate * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)"
+        " AS rate_ppm,"
+        " CAST(floor(rate * CAST(n_tokens AS DOUBLE) + 0.5::DOUBLE)"
+        " AS BIGINT) AS expected_tokens"
+        " FROM rated ORDER BY lang, bucket"
+    )
+
+
+@register(
+    "y43_mixture_plan",
+    _y43_oracle(),
+    "token-budget mixture planning (Dolma/CCNet-style): language-weighted"
+    " budget split across quality buckets (weights normalized over the"
+    " buckets PRESENT per language), sampling rates capped at 2 epochs."
+    " Two tiny aggs + literal arithmetic; ppm-integer weights keep the"
+    " normalizer sum exact."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y43(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import curation
+
+    d = _t(spark, sf, "documents")
+    buckets = curation.perplexity_buckets(d)
+    per_doc = buckets.join(
+        d.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+        ),
+        "doc_id",
+    ).select("lang", "bucket", "n_tokens")
+    return (
+        curation.plan_token_mixture(
+            per_doc, _Y43_BUDGET, _Y43_LANG_W, _Y43_BUCKET_W
+        )
+        .repartition(1)
+        .sortWithinPartitions("lang", "bucket")
+    )

@@ -587,6 +587,82 @@ def exact_k_sample(
     )
 
 
+def plan_token_mixture(
+    per_doc: DataFrame,
+    budget_tokens: int,
+    lang_weights: dict[str, float],
+    bucket_weights: dict[str, float],
+    max_epochs: float = 2.0,
+) -> DataFrame:
+    """Token-budget mixture planning (Dolma/CCNet-style): given per-doc
+    (lang, bucket, n_tokens) rows, allocate a total token budget first
+    by language weight, then across quality buckets by bucket weight
+    (normalized over the buckets actually PRESENT in that language), and
+    emit per-stratum sampling rates capped at ``max_epochs`` repeats —
+    the sheet a training-mix pipeline hands to the samplers.
+
+    Two tiny aggregations (stratum totals, per-lang present-bucket
+    normalizer broadcast back); everything else is literal arithmetic.
+    Determinism: counts are exact, and the weights are ppm-scaled
+    INTEGERS internally — a float-weight sum would depend on partition
+    order in its last bit; integer sums cannot — so the target/rate
+    doubles are one fixed expression over exact integers, ppm/floor-
+    scaled before emission.
+    """
+    lw = F.lit(0).cast("bigint")
+    for lang, w in lang_weights.items():
+        lw = F.when(
+            F.col("lang") == lang, F.lit(int(round(w * 1_000_000)))
+        ).otherwise(lw)
+    bw = F.lit(0).cast("bigint")
+    for b, w in bucket_weights.items():
+        bw = F.when(
+            F.col("bucket") == b, F.lit(int(round(w * 1_000_000)))
+        ).otherwise(bw)
+    strata = per_doc.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    ).withColumn("__bwppm", bw)
+    norm = strata.groupBy("lang").agg(
+        F.sum("__bwppm").cast("bigint").alias("__bwsum")
+    )
+    planned = (
+        strata.join(broadcast(norm), "lang")
+        .withColumn("__lwppm", lw)
+        .withColumn(
+            "__target",
+            F.lit(float(budget_tokens))
+            * (F.col("__lwppm").cast("double") / F.lit(1_000_000.0))
+            * (
+                F.col("__bwppm").cast("double")
+                / F.nullif(F.col("__bwsum").cast("double"), F.lit(0.0))
+            ),
+        )
+        .withColumn(
+            "__rate",
+            F.least(
+                F.col("__target") / F.col("n_tokens").cast("double"),
+                F.lit(float(max_epochs)),
+            ),
+        )
+    )
+    return planned.select(
+        "lang",
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        F.floor(F.col("__target") + F.lit(0.5)).cast("bigint").alias(
+            "target_tokens"
+        ),
+        F.floor(F.col("__rate") * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("rate_ppm"),
+        F.floor(F.col("__rate") * F.col("n_tokens").cast("double") + F.lit(0.5))
+        .cast("bigint")
+        .alias("expected_tokens"),
+    )
+
+
 def merge_aggregates(
     prev: DataFrame,
     delta: DataFrame,

@@ -510,3 +510,48 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
         "Update",
         "None",
     )
+
+
+def streaming_quality_screen(
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Streaming twin of the Gopher quality battery (catalog y34): apply
+    the map-side rule screen to an arriving document stream and append
+    kept documents (with their metrics and the keep decision) to a
+    parquet sink.
+
+    The battery is STATELESS — pure per-row expressions — so the
+    streaming plan is the batch plan under a file source: no state
+    store, no watermark, exactly-once via the checkpoint + file-sink
+    log. This is the shape for screening a live crawl before anything
+    stateful (dedup, LM scoring) sees it: drops happen at ingest, so
+    downstream state (signature stores, LM counts) never holds rejected
+    documents. Batch==stream parity is pinned in tests.
+    """
+    from pw_etl_scrumptious_squad_spark.operators.text import gopher_quality
+
+    screened = gopher_quality(docs_stream).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "nonalpha_ratio",
+        "n_stopword_hits",
+        "top_token_ratio",
+        F.col("keep").cast("int").alias("keep"),
+        "drop_reason",
+    )
+    writer = (
+        screened.filter(F.col("keep") == 1)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -461,3 +461,34 @@ def test_source_overlap_sketch_identical_and_disjoint(spark):
     }
     assert got[("A", "B")] == 1.0
     assert got[("A", "C")] == 0.0 and got[("B", "C")] == 0.0
+
+
+def test_plan_token_mixture_allocation_and_caps(spark):
+    """Budget splits by language weight then bucket weight normalized
+    over PRESENT buckets; scarce strata cap at max_epochs."""
+    from pw_etl_scrumptious_squad_spark.operators import curation
+
+    rows = (
+        [("en", "head", 100)] * 50        # 5000 tokens available
+        + [("en", "tail", 100)] * 2       # scarce: 200 tokens
+        + [("de", "head", 100)] * 10      # de has ONLY head
+    )
+    df = spark.createDataFrame(rows, "lang STRING, bucket STRING, n_tokens INT")
+    got = {
+        (r["lang"], r["bucket"]): r
+        for r in curation.plan_token_mixture(
+            df, 10_000, {"en": 0.8, "de": 0.2}, {"head": 0.6, "tail": 0.1}
+        ).collect()
+    }
+    # en budget 8000; present buckets head+tail -> norm 0.7:
+    # head target 8000*6/7=6857, tail target 8000*1/7=1143
+    assert got[("en", "head")]["target_tokens"] == 6857
+    assert got[("en", "tail")]["target_tokens"] == 1143
+    # tail has only 200 tokens -> capped at 2 epochs = 400 expected
+    assert got[("en", "tail")]["rate_ppm"] == 2_000_000
+    assert got[("en", "tail")]["expected_tokens"] == 400
+    # de: only bucket present -> whole de budget, rate 2000/1000 = 2.0 capped
+    assert got[("de", "head")]["target_tokens"] == 2000
+    assert got[("de", "head")]["rate_ppm"] == 2_000_000
+    # en head under-subscribed: rate = 6857.14.../5000
+    assert 1_371_000 < got[("en", "head")]["rate_ppm"] < 1_372_000

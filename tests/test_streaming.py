@@ -471,3 +471,45 @@ def test_stream_to_jdbc_exactly_once(spark, tmp_path):
     assert replay.count() > 0
     sink(replay, batch_ids[0])
     assert J.read_table(spark, cfg, "APP.events_wh").count() == n_src
+
+
+def test_streaming_quality_screen_equals_batch(spark, tmp_path):
+    """The streaming Gopher screen (stateless map-side rules under a
+    file source) emits exactly the batch screen's kept set."""
+    from pw_etl_scrumptious_squad_spark.operators.text import gopher_quality
+    from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+    docs = (
+        read_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"arrival={i}.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/arrival=*.parquet")
+    )
+    q = sp.streaming_quality_screen(
+        stream,
+        out_dir=str(tmp_path / "kept"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["n_words"], r["drop_reason"])
+        for r in spark.read.parquet(str(tmp_path / "kept")).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_words"], r["drop_reason"])
+        for r in gopher_quality(docs).filter(F.col("keep")).collect()
+    }
+    assert got == want
+    assert len(got) > 0
