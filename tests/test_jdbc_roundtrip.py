@@ -138,3 +138,35 @@ def test_end_to_end_etl_between_live_databases(spark, totesys, tmp_path):
         spark, src, str(tmp_path / "staging2"), str(tmp_path / "state")
     )
     assert all(df.count() == 0 for df in deltas2.values())
+
+
+def test_v2_catalog_pushes_watermark_aggregate_into_db(spark, cfg):
+    """The DSv2 JDBC catalog pushes the R5 watermark max-agg INTO the
+    source database: the plan carries PushedAggregates and the scan's
+    external query is the aggregate itself — one row over the wire."""
+    import contextlib
+    import io
+
+    rows = _seed(spark, cfg)
+    J.register_catalog(spark, cfg, name="derbysrc")
+    q = spark.sql(
+        "SELECT max(`created_at`) AS w_created,"
+        " max(`last_updated`) AS w_updated"
+        " FROM derbysrc.APP.customers"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedAggregates" in plan
+    assert "MAX" in plan
+    got = q.collect()[0]
+    assert got["w_created"] == max(r[2] for r in rows)
+    assert got["w_updated"] == max(r[3] for r in rows)
+
+    # LIMIT: Spark's DerbyDialect does not advertise limit pushdown
+    # (no PushedLimit in the plan — the FETCH FIRST rewrite is dialect
+    # work Spark hasn't done for Derby); correctness is unaffected.
+    # Postgres/MySQL dialects DO push it through this same catalog path.
+    lq = spark.sql("SELECT * FROM derbysrc.APP.customers LIMIT 2")
+    assert lq.count() == 2
