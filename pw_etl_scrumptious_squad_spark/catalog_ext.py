@@ -3706,3 +3706,93 @@ def y43(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("lang", "bucket")
     )
+
+
+_Y44_RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+
+
+def _y44_oracle() -> str:
+    """BM25 top-20 (y33's expression tree) fused with dense cosine
+    top-20 for query embedding vec_id=0 (s01's expression tree) by
+    reciprocal-rank fusion; contribution doubles are fixed two-term
+    sums, ppb-floor-scaled."""
+    bm25 = _bm25_oracle()
+    # reuse the y33 oracle as a subquery: strip its trailing ORDER/LIMIT
+    # (we re-rank explicitly to attach rank numbers)
+    bm25_body = bm25[: bm25.rindex(" ORDER BY score_ppb DESC, doc_id LIMIT 20")]
+    return (
+        f"WITH bm AS (SELECT doc_id, score_ppb, CAST(row_number() OVER ("
+        " ORDER BY score_ppb DESC, doc_id) AS INTEGER) AS r_sparse"
+        f" FROM ({bm25_body}) WHERE score_ppb > 0"
+        " ORDER BY score_ppb DESC, doc_id LIMIT 20),"
+        " q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings"
+        " WHERE vec_id = 0),"
+        " dn AS (SELECT e.vec_id AS doc_id, CAST(row_number() OVER ("
+        " ORDER BY list_cosine_similarity(q.qv, CAST(e.embedding AS"
+        " DOUBLE[])) DESC, e.vec_id) AS INTEGER) AS r_dense"
+        " FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0"
+        " ORDER BY r_dense LIMIT 20),"
+        " fused AS (SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id,"
+        " bm.r_sparse, dn.r_dense,"
+        " CAST(floor((COALESCE(1.0::DOUBLE / (60.0::DOUBLE"
+        " + CAST(bm.r_sparse AS DOUBLE)), 0.0::DOUBLE)"
+        " + COALESCE(1.0::DOUBLE / (60.0::DOUBLE"
+        " + CAST(dn.r_dense AS DOUBLE)), 0.0::DOUBLE))"
+        " * 1000000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS rrf_ppb"
+        " FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id)"
+        " SELECT doc_id, r_sparse, r_dense, rrf_ppb FROM fused"
+        " ORDER BY rrf_ppb DESC, doc_id LIMIT 10"
+    )
+
+
+@register(
+    "y44_hybrid_rrf",
+    _y44_oracle(),
+    "hybrid retrieval fusion: BM25 top-20 (sparse, y33's scoring) and"
+    " dense cosine top-20 for a query embedding, combined by reciprocal"
+    " rank fusion 1/(60+rank) — the standard hybrid-search ranker. Each"
+    " leg keeps its one-broadcast/no-corpus-shuffle shape; the fusion"
+    " joins two 20-row lists."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y44(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    w_s = Window.orderBy(F.col("score_ppb").desc(), F.col("doc_id"))
+    sparse = (
+        textops.bm25_topk(docs, _BM25_TERMS, k=20)
+        .filter(F.col("score_ppb") > 0)
+        .withColumn("r_sparse", F.row_number().over(w_s).cast("int"))
+        .select("doc_id", "r_sparse")
+    )
+    dense = (
+        similarity.cosine_topk_bruteforce(
+            emb, emb.filter(F.col("vec_id") == 0), k=20, round_digits=6
+        )
+        .select(F.col("match_id").alias("doc_id"), F.col("rank").alias("r_dense"))
+    )
+    contrib = (
+        F.coalesce(
+            F.lit(1.0) / (F.lit(60.0) + F.col("r_sparse").cast("double")),
+            F.lit(0.0),
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(60.0) + F.col("r_dense").cast("double")),
+            F.lit(0.0),
+        )
+    )
+    return (
+        sparse.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_sparse",
+            "r_dense",
+            F.floor(contrib * F.lit(1_000_000_000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("rrf_ppb"),
+        )
+        .orderBy(F.col("rrf_ppb").desc(), "doc_id")
+        .limit(10)
+    )
