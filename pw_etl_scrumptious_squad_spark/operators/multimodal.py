@@ -876,3 +876,79 @@ def image_dhash(media: DataFrame) -> DataFrame:
     return media.select("asset_id", "payload").mapInPandas(
         batches, IMAGE_DHASH_SCHEMA
     )
+
+
+AUDIO_SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("dominant_hz", T.DoubleType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+        T.StructField("spectral_rolloff_hz", T.DoubleType()),
+        T.StructField("band_energy_low", T.DoubleType()),
+        T.StructField("band_energy_mid", T.DoubleType()),
+        T.StructField("band_energy_high", T.DoubleType()),
+    ]
+)
+
+
+def audio_spectral_features(media: DataFrame) -> DataFrame:
+    """REAL frequency-domain audio features over WAV payloads — the DSP
+    screens an audio-curation pipeline uses to drop tones/hum (a single
+    dominant spike), hiss (high rolloff), and band-limited junk before
+    any model hears a sample: dominant frequency (argmax rFFT magnitude,
+    DC excluded), spectral centroid, 85% energy rolloff, and the
+    low/mid/high (<300 Hz / 300-3400 Hz / >3400 Hz, telephony bands)
+    energy split.
+
+    Decode is the real stdlib WAV codec; the FFT is numpy's rFFT inside
+    the same Arrow batch — one map stage, no shuffle. No SQL oracle (no
+    FFT in the oracle engine): verified closed-form in tests against
+    pure sine and band-mix fixtures, the same standard the WAV/PPM/PNG
+    codecs meet."""
+
+    def batches(parts: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in parts:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                sr, x = decode_wav_pcm(bytes(payload))
+                mono = x.astype("f8").mean(axis=1)
+                mag = np.abs(np.fft.rfft(mono))
+                freqs = np.fft.rfftfreq(len(mono), d=1.0 / sr)
+                power = mag * mag
+                p_ac = power.copy()
+                p_ac[0] = 0.0  # exclude DC from every feature
+                total = p_ac.sum()
+                if total <= 0:
+                    dom = cent = roll = 0.0
+                    lo = mid = hi = 0.0
+                else:
+                    dom = float(freqs[int(p_ac.argmax())])
+                    cent = float((freqs * p_ac).sum() / total)
+                    cum = np.cumsum(p_ac)
+                    roll = float(freqs[int(np.searchsorted(cum, 0.85 * total))])
+                    lo = float(p_ac[freqs < 300.0].sum() / total)
+                    mid = float(
+                        p_ac[(freqs >= 300.0) & (freqs <= 3400.0)].sum() / total
+                    )
+                    hi = float(p_ac[freqs > 3400.0].sum() / total)
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "sample_rate": sr,
+                        "dominant_hz": dom,
+                        "spectral_centroid_hz": cent,
+                        "spectral_rolloff_hz": roll,
+                        "band_energy_low": lo,
+                        "band_energy_mid": mid,
+                        "band_energy_high": hi,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("asset_id", "payload").mapInPandas(
+        batches, AUDIO_SPECTRAL_SCHEMA
+    )

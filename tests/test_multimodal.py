@@ -319,3 +319,40 @@ def test_image_dhash_matches_reference_and_locality(spark):
     h1, h2 = got[1]["dhash"], got[2]["dhash"]
     hamming = bin((h1 ^ h2) & ((1 << 64) - 1)).count("1")
     assert 1 <= hamming <= 2
+
+
+def test_audio_spectral_features_sine_and_bands(spark):
+    """Closed-form DSP checks: a pure 1 kHz sine's dominant frequency,
+    centroid, and mid-band energy; a 100 Hz + 5 kHz mix splits energy
+    across low/high bands and the dominant follows the larger."""
+    import numpy as np
+
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+
+    sr = 8000
+    t = np.arange(sr) / sr  # 1 second
+    sine = (10000 * np.sin(2 * np.pi * 1000 * t)).astype(np.int16)
+    mix = (
+        12000 * np.sin(2 * np.pi * 100 * t)
+        + 6000 * np.sin(2 * np.pi * 3900 * t)
+    ).astype(np.int16)
+    rows = [
+        (0, bytearray(mm.encode_wav_pcm16(sine, sr))),
+        (1, bytearray(mm.encode_wav_pcm16(mix, sr))),
+    ]
+    media = spark.createDataFrame(rows, "asset_id LONG, payload BINARY")
+    got = {r["asset_id"]: r for r in mm.audio_spectral_features(media).collect()}
+
+    s = got[0]
+    assert s["sample_rate"] == sr
+    assert abs(s["dominant_hz"] - 1000.0) <= 1.0   # 1 Hz bins at 1 s
+    assert abs(s["spectral_centroid_hz"] - 1000.0) <= 2.0
+    assert s["band_energy_mid"] > 0.99
+    assert abs(s["spectral_rolloff_hz"] - 1000.0) <= 1.0
+
+    m = got[1]
+    assert abs(m["dominant_hz"] - 100.0) <= 1.0    # larger amplitude wins
+    # energy ratio 144:36 -> 0.8 low / 0.2 high
+    assert abs(m["band_energy_low"] - 0.8) < 0.01
+    assert abs(m["band_energy_high"] - 0.2) < 0.01
+    assert m["band_energy_mid"] < 0.01
