@@ -3796,3 +3796,77 @@ def y44(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("rrf_ppb").desc(), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "y45_cluster_histogram",
+    # y05's recursive-CTE closure, aggregated twice: per-cluster sizes,
+    # then the size histogram — the dedup "how much duplication" report.
+    _cc_cte()
+    + ", sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz"
+    " FROM clusters GROUP BY cluster_id)"
+    " SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,"
+    " CAST(sz * count(*) AS BIGINT) AS n_docs"
+    " FROM sizes GROUP BY sz ORDER BY cluster_size",
+    "near-dup cluster-size histogram: connected-component labels rolled"
+    " up to (size -> #clusters, #docs) — the duplication-mass report a"
+    " dedup run is judged by (size-1 docs per cluster are removable)."
+    " Two cheap aggs on top of y05's labels."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y45(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", "lang", 0.9)
+    labels = dedup.connected_components(
+        pairs.select("doc_a", "doc_b"), d, "doc_id"
+    )
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return (
+        sizes.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            (F.col("cluster_size") * F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("cluster_size")
+    )
+
+
+@register(
+    "z39_filtered_agg",
+    "SELECT o_orderstatus,"
+    " CAST(count(*) AS BIGINT) AS n_orders,"
+    " CAST(count(*) FILTER (WHERE o_totalprice > 250000) AS BIGINT)"
+    " AS n_big,"
+    " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))"
+    " FILTER (WHERE o_orderpriority LIKE '1%') AS DOUBLE) AS urgent_rev,"
+    " ROUND(avg(o_totalprice) FILTER (WHERE o_orderdate >="
+    " DATE '1995-01-01'), 6) AS recent_avg"
+    " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "FILTER-clause aggregates (ANSI aggregate filters): per-status"
+    " conditional counts/sums/averages in ONE pass over the fact — the"
+    " idiom that replaces N self-joins or CASE pyramids; identical SQL"
+    " text runs on both engines. DECIMAL-exact sum projected as DOUBLE"
+    " per the gate contract."
+    " z-prefix: past the gate window by design; tools/check.py covers it",
+)
+def z39(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark import api
+
+    return api.sql(
+        spark,
+        sf,
+        "SELECT o_orderstatus,"
+        " CAST(count(*) AS BIGINT) AS n_orders,"
+        " CAST(count(*) FILTER (WHERE o_totalprice > 250000) AS BIGINT)"
+        " AS n_big,"
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))"
+        " FILTER (WHERE o_orderpriority LIKE '1%') AS DOUBLE) AS urgent_rev,"
+        " ROUND(avg(o_totalprice) FILTER (WHERE o_orderdate >="
+        " DATE '1995-01-01'), 6) AS recent_avg"
+        " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    )

@@ -170,3 +170,35 @@ def test_correlated_exists_decorrelates_to_semi_anti(spark, cat):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_on_dim_filtered_join(spark, tmp_path):
+    """Joining a date-partitioned fact to a FILTERED dim must inject a
+    dynamic-pruning subquery on the partition column: at 100 TB the fact
+    scan reads only the partitions the dim filter selects, discovered at
+    runtime — the star-schema access pattern DPP exists for."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).cast("int").alias("part_key"),
+        (F.col("id") * 2).alias("v"),
+    )
+    fact.write.mode("overwrite").partitionBy("part_key").parquet(
+        str(tmp_path / "fact")
+    )
+    dim = spark.range(10).select(
+        F.col("id").cast("int").alias("part_key"),
+        F.concat(F.lit("g"), F.col("id")).alias("grp"),
+    )
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    d = spark.read.parquet(str(tmp_path / "dim")).filter(
+        F.col("grp").isin("g3", "g7")
+    )
+    q = f.join(d, "part_key").groupBy("grp").agg(F.sum("v").alias("tv"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    got = {r["grp"]: r["tv"] for r in q.collect()}
+    assert set(got) == {"g3", "g7"}
