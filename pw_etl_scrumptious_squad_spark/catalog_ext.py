@@ -3870,3 +3870,32 @@ def z39(spark: SparkSession, sf: str) -> DataFrame:
         " DATE '1995-01-01'), 6) AS recent_avg"
         " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     )
+
+
+_Z40_SQL = (
+    "SELECT o.o_custkey, CAST(count(*) AS BIGINT) AS n_above"
+    " FROM orders o"
+    " WHERE CAST(o.o_totalprice AS DECIMAL(18,2))"
+    " * (SELECT count(*) FROM orders o2"
+    " WHERE o2.o_custkey = o.o_custkey)"
+    " > (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))"
+    " AS DECIMAL(38,2)) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"
+    " GROUP BY o.o_custkey ORDER BY o.o_custkey"
+)
+
+
+@register(
+    "z40_scalar_subqueries",
+    _Z40_SQL,
+    "correlated SCALAR subqueries (TPC-H q17 shape): orders strictly"
+    " above their customer's own average, phrased as exact"
+    " DECIMAL-and-count cross-multiplication (price*cnt > sum) so no"
+    " engine-specific AVG type promotion can perturb the comparison."
+    " Catalyst decorrelates both subqueries into aggregate joins over"
+    " one orders scan; identical SQL text runs on DuckDB."
+    " z-prefix: past the gate window by design; tools/check.py covers it",
+)
+def z40(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark import api
+
+    return api.sql(spark, sf, _Z40_SQL)

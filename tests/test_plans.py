@@ -202,3 +202,14 @@ def test_dynamic_partition_pruning_on_dim_filtered_join(spark, tmp_path):
     assert "dynamicpruning" in plan.lower()
     got = {r["grp"]: r["tv"] for r in q.collect()}
     assert set(got) == {"g3", "g7"}
+
+
+def test_scalar_subqueries_decorrelate_to_aggregate_joins(spark, cat):
+    """z40's two correlated scalar subqueries must decorrelate into
+    aggregate joins over the orders scan — no per-row subquery
+    re-execution, no cartesian."""
+    plan = plan_of(spark, cat, "z40_scalar_subqueries")
+    assert "CartesianProduct" not in plan
+    # decorrelation materializes as hash aggregates joined back
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" in plan
