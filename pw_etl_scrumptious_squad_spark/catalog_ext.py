@@ -3899,3 +3899,44 @@ def z40(spark: SparkSession, sf: str) -> DataFrame:
     from pw_etl_scrumptious_squad_spark import api
 
     return api.sql(spark, sf, _Z40_SQL)
+
+
+@register(
+    "y46_incremental_novelty",
+    # The incremental run must EQUAL the full-corpus novelty restricted
+    # to the batch (df_total = df_batch + df_store) — so the oracle is
+    # y40's full recompute filtered to the arriving batch.
+    "WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk"
+    " FROM documents),"
+    " sh AS (SELECT doc_id, CASE WHEN len(tk) >= 8 THEN"
+    " list_distinct(list_transform(range(1, len(tk) - 6),"
+    " i -> md5(array_to_string(tk[i:i + 7], ' '))))"
+    " ELSE [md5(array_to_string(tk, ' '))] END AS s FROM base),"
+    " e AS (SELECT doc_id, unnest(s) AS h FROM sh),"
+    " dfreq AS (SELECT h, count(*) AS df FROM e GROUP BY h)"
+    " SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,"
+    " CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_novel,"
+    " ROUND(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) / count(*), 6)"
+    " AS novelty_ratio"
+    " FROM e JOIN dfreq USING (h) WHERE e.doc_id % 3 = 0"
+    " GROUP BY e.doc_id ORDER BY e.doc_id",
+    "incremental novelty scoring: an arriving batch (doc_id % 3 = 0)"
+    " scored against the persisted shingle-df store of the historical"
+    " corpus — per-ingest cost ∝ batch, value-identical to the"
+    " full-corpus recompute restricted to the batch (the oracle IS that"
+    " full recompute)."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y46(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    d = _t(spark, sf, "documents")
+    store_docs = d.filter(F.col("doc_id") % 3 != 0)
+    batch = d.filter(F.col("doc_id") % 3 == 0)
+    store = textops.shingle_df_store(store_docs).localCheckpoint()
+    return (
+        textops.incremental_shingle_novelty(batch, store)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -422,6 +422,74 @@ def shingle_novelty(
     )
 
 
+def shingle_df_store(
+    df: DataFrame, text_col: str = "text", shingle_size: int = 8
+) -> DataFrame:
+    """The persisted state behind incremental novelty: corpus-wide
+    ``(h, df)`` document frequencies of distinct k-token shingle md5s.
+    Maintained like any incremental rollup (``curation.merge_aggregates``
+    merges a batch's counts in); at scale write it bucketed by ``h`` so
+    the per-batch join co-locates without shuffling the store."""
+    return (
+        with_shingles(df, text_col, shingle_size)
+        .select(F.explode(F.array_distinct(F.col(_SQL_SHINGLES))).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+
+
+def incremental_shingle_novelty(
+    batch: DataFrame,
+    store_counts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 8,
+) -> DataFrame:
+    """Incremental twin of :func:`shingle_novelty`: score an ARRIVING
+    batch against the persisted corpus shingle-frequency store without
+    touching the historical documents. A batch shingle's corpus df is
+    ``df_batch + df_store``, so the result is IDENTICAL to running the
+    full-corpus novelty restricted to the batch (the equality the
+    catalog oracle checks) — at a per-ingest cost proportional to the
+    batch, not the corpus.
+
+    Shape: batch-side distinct+explode (map-side), one batch-keyed df
+    agg, one join against the store keyed on the shingle hash (store
+    bucketed by ``h`` ⇒ co-located), one doc-keyed count. The store
+    itself is maintained incrementally (see :func:`shingle_df_store`).
+    """
+    shingled = with_shingles(batch, text_col, shingle_size).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(F.col(_SQL_SHINGLES)).alias("__sh"),
+    ).localCheckpoint()
+    ex = shingled.select("doc_id", F.explode("__sh").alias("h"))
+    df_batch = ex.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__dfb")
+    )
+    df_total = df_batch.join(
+        store_counts.select("h", F.col("df").alias("__dfs")), "h", "left"
+    ).select(
+        "h",
+        (F.col("__dfb") + F.coalesce("__dfs", F.lit(0))).alias("__df"),
+    )
+    per_doc = (
+        ex.join(df_total, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("__df") == 1).cast("bigint")).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+            "novelty_ratio"
+        ),
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],
