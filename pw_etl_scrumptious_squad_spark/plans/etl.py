@@ -115,6 +115,7 @@ def extract_jdbc(
     staging_dir: str,
     state_path: str,
     tables: list[str] | None = None,
+    probe: bool = False,
 ) -> dict[str, DataFrame]:
     """Incremental extract from a LIVE JDBC source: the CDC predicate is
     pushed into the database (reference ``src/extract.py:106-119`` —
@@ -135,15 +136,38 @@ def extract_jdbc(
     watermark could diverge — at-least-once duplicates for append-mode
     consumers). Empty deltas return a literal empty frame for the same
     reason: a re-executed "empty" scan may no longer be empty.
+
+    ``probe=True`` prepends a pushed-down source-side watermark probe
+    (``jdbc.probe_watermarks`` — one max-agg ROW per table, evaluated by
+    the database): tables whose source maxima have not advanced past the
+    stored watermark skip the CDC query entirely. The strict-``>``
+    predicate makes the skip exact — a row qualifies only if some audit
+    timestamp exceeds the stored watermark, which the probe would have
+    seen. Most cycles on a rarely-changing source become metadata pings.
     """
     from pw_etl_scrumptious_squad_spark.sources import jdbc
     from pw_etl_scrumptious_squad_spark.sources.state import delta_watermark
 
     names = tables if tables is not None else OLTP_TABLES
     store = WatermarkStore(spark, state_path)
+    probed = jdbc.probe_watermarks(spark, cfg, names) if probe else {}
     deltas: dict[str, DataFrame] = {}
     for name in names:
         wm = store.get(name)
+        if probe:
+            src_c, src_u = probed[name]
+            unchanged_c = src_c is None or src_c <= wm.created_at
+            unchanged_u = src_u is None or src_u <= wm.last_updated
+            if unchanged_c and unchanged_u:
+                # metadata-only schema resolution; no row transfer
+                schema = cfg.apply(spark.read).option(
+                    "dbtable",
+                    jdbc.cdc_subquery(
+                        f"{cfg.schema}.{name}", wm.created_at, wm.last_updated
+                    ),
+                ).load().schema
+                deltas[name] = spark.createDataFrame([], schema)
+                continue
         delta = jdbc.read_incremental(
             spark,
             cfg,

@@ -275,3 +275,32 @@ def register_catalog(
         "true" if push_down_limit else "false",
     )
     return name
+
+
+def probe_watermarks(
+    spark: SparkSession,
+    cfg: JdbcConfig,
+    tables: list[str],
+    catalog_name: str = "wmprobe",
+) -> dict[str, tuple]:
+    """One pushed-down max-agg per table: ``(max(created_at),
+    max(last_updated))`` evaluated INSIDE the source database via the
+    DSv2 catalog (see :func:`register_catalog`) — one row over the wire
+    per table, no table scan through JDBC.
+
+    This is the reference's watermark recovery (R5) turned into a
+    pre-extract change probe: a CDC cycle compares these against its
+    stored watermarks and skips the delta query entirely for unchanged
+    tables. On an 11-table source polled every 3 minutes where most
+    tables change rarely, most cycles become 11 metadata pings.
+    """
+    register_catalog(spark, cfg, catalog_name)
+    out: dict[str, tuple] = {}
+    for t in tables:
+        _check_ident(t.split(".")[-1], "table")
+        row = spark.sql(
+            "SELECT max(`created_at`) AS c, max(`last_updated`) AS u"
+            f" FROM {catalog_name}.{cfg.schema}.{t.split('.')[-1]}"
+        ).collect()[0]
+        out[t] = (row["c"], row["u"])
+    return out

@@ -170,3 +170,46 @@ def test_v2_catalog_pushes_watermark_aggregate_into_db(spark, cfg):
     # Postgres/MySQL dialects DO push it through this same catalog path.
     lq = spark.sql("SELECT * FROM derbysrc.APP.customers LIMIT 2")
     assert lq.count() == 2
+
+
+def test_probe_skips_unchanged_tables(spark, cfg, tmp_path, monkeypatch):
+    """extract_jdbc(probe=True): after a first cycle, an unchanged table
+    must be skipped WITHOUT issuing the CDC delta query (the pushed-down
+    one-row probe decides); after an insert, the delta query runs and
+    picks up exactly the new row."""
+    from pw_etl_scrumptious_squad_spark.plans import etl
+    from pw_etl_scrumptious_squad_spark.sources import jdbc as realjdbc
+
+    _seed(spark, cfg)
+    state = str(tmp_path / "wm")
+    staging = str(tmp_path / "stage")
+    first = etl.extract_jdbc(
+        spark, cfg, staging, state, tables=["customers"]
+    )
+    assert first["customers"].count() == 4
+
+    # cycle 2, nothing changed: the CDC query must NOT run
+    real_incremental = realjdbc.read_incremental
+
+    def _forbidden(*a, **k):
+        raise AssertionError("CDC query issued despite unchanged probe")
+
+    monkeypatch.setattr(realjdbc, "read_incremental", _forbidden)
+    second = etl.extract_jdbc(
+        spark, cfg, staging, state, tables=["customers"], probe=True
+    )
+    assert second["customers"].count() == 0
+
+    # new row arrives: probe sees the advanced max and the CDC query runs
+    monkeypatch.setattr(realjdbc, "read_incremental", real_incremental)
+    realjdbc.execute_update(
+        spark,
+        cfg,
+        'INSERT INTO "APP"."customers" VALUES'
+        " (5, 'eve', {ts '2025-01-01 00:00:00'}, {ts '2025-01-01 00:00:00'})",
+    )
+    third = etl.extract_jdbc(
+        spark, cfg, staging, state, tables=["customers"], probe=True
+    )
+    rows = third["customers"].collect()
+    assert len(rows) == 1 and rows[0]["id"] == 5
