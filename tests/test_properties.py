@@ -371,3 +371,39 @@ def test_gopher_quality_flags_each_rule(spark):
     assert got[3] == (False, "nonalpha")
     assert got[4] == (False, "stopwords")
     assert got[5] == (False, "repetition")
+
+
+def _shingle_set(text, k=5):
+    toks = text.split(" ")
+    if len(toks) >= k:
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    return {" ".join(toks)}
+
+
+def _ground_truth_containment(texts, threshold, k=5):
+    out = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            sa, sb = _shingle_set(texts[i], k), _shingle_set(texts[j], k)
+            inter = len(sa & sb)
+            lo = min(len(sa), len(sb))
+            if inter / lo >= threshold:
+                out[(i, j)] = (inter, round(inter / lo, 6), int(inter == lo))
+    return out
+
+
+@given(texts=docs_strategy, threshold=st.sampled_from([0.5, 0.8, 1.0]))
+@SLOW
+def test_containment_pairs_match_ground_truth(spark, texts, threshold):
+    """containment_pairs == brute-force overlap coefficient over distinct
+    shingle sets, including the short-doc whole-text fallback."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_shared"], r["overlap_coef"], r["contained"]
+        )
+        for r in dedup.containment_pairs(df, threshold=threshold).collect()
+    }
+    assert got == _ground_truth_containment(texts, threshold)
