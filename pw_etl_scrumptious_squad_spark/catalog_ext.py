@@ -3940,3 +3940,28 @@ def y46(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+_Z41_SQL = (
+    "SELECT n_name, o_orderstatus,"
+    " CAST(count(*) AS BIGINT) AS n_orders,"
+    " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue"
+    " FROM orders JOIN customer ON o_custkey = c_custkey"
+    " JOIN nation ON c_nationkey = n_nationkey"
+    " GROUP BY ALL ORDER BY ALL"
+)
+
+
+@register(
+    "z41_group_by_all",
+    _Z41_SQL,
+    "GROUP BY ALL / ORDER BY ALL (the analyst-ergonomics syntax both"
+    " engines added): grouping keys inferred from the non-aggregate"
+    " projection, total order from the full projection. Same text on"
+    " both engines; DECIMAL-exact revenue projected as DOUBLE."
+    " z-prefix: past the gate window by design; tools/check.py covers it",
+)
+def z41(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark import api
+
+    return api.sql(spark, sf, _Z41_SQL)

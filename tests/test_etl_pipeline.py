@@ -288,3 +288,25 @@ def test_schema_evolution_read_and_repair(spark, tmp_path):
     plain = pq.read_table(spark, str(tmp_path), "t_repaired")
     assert sorted(plain.columns) == ["id", "name", "score"]
     assert plain.count() == 3
+
+
+def test_corrupt_parquet_file_quarantined_by_conf(spark, tmp_path):
+    """A garbage file dropped into a lake table directory must not sink
+    the whole read: with ignoreCorruptFiles the valid footers' rows all
+    survive — the parquet-side counterpart of the CSV/JSON dead-letter
+    split (sources/delimited.py)."""
+    from pyspark.sql import functions as F
+
+    good = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    path = tmp_path / "t.parquet"
+    good.coalesce(2).write.mode("overwrite").parquet(str(path))
+    # a file that LOOKS like parquet by name but has no valid footer
+    (path / "part-corrupt.snappy.parquet").write_bytes(b"not a parquet file")
+
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        got = spark.read.parquet(str(path))
+        assert got.count() == 100
+        assert got.agg(F.sum("v")).first()[0] == 9900
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
