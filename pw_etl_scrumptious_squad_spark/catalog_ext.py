@@ -3965,3 +3965,75 @@ def z41(spark: SparkSession, sf: str) -> DataFrame:
     from pw_etl_scrumptious_squad_spark import api
 
     return api.sql(spark, sf, _Z41_SQL)
+
+
+@register(
+    "y47_rule_vs_model_matrix",
+    # Gopher keep-flag crossed with the bigram-LM tercile: the
+    # calibration table that says whether cheap rules and the model
+    # agree on what to drop (reuses y34's and y39's expression trees).
+    "WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS tk"
+    " FROM documents),"
+    " g AS (SELECT doc_id, lang, tk,"
+    " CAST(len(tk) BETWEEN 40 AND 100000"
+    " AND ROUND(list_sum(list_transform(tk, t -> length(t))) / len(tk), 6)"
+    " BETWEEN 2.0 AND 10.0"
+    " AND ROUND(len(list_filter(tk, t -> regexp_matches(t, '[^a-zA-Z]')))"
+    " / len(tk), 6) <= 0.2"
+    " AND len(list_filter(tk, t -> t IN ('the', 'a', 'an', 'and', 'or',"
+    " 'of', 'to', 'in', 'on', 'for', 'is', 'it'))) >= 2"
+    " AND ROUND(list_max(list_transform(list_distinct(tk),"
+    " d -> len(list_filter(tk, t -> t = d)))) / len(tk), 6) <= 0.2"
+    " AS INTEGER) AS keep FROM base),"
+    " bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),"
+    " i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS gr"
+    " FROM base WHERE len(tk) >= 2),"
+    " db AS (SELECT doc_id, gr.w1 AS w1, gr.w2 AS w2 FROM bg),"
+    " bc AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY w1, w2),"
+    " uc AS (SELECT unnest(tk[1:len(tk) - 1]) AS w1 FROM base"
+    " WHERE len(tk) >= 2),"
+    " u AS (SELECT w1, count(*) AS c1 FROM uc GROUP BY w1),"
+    " s AS (SELECT db.doc_id,"
+    " CAST(round(ln(CAST(bc.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE))"
+    " * 1000000000, 0) AS BIGINT) AS slog"
+    " FROM db JOIN bc USING (w1, w2) JOIN u USING (w1)),"
+    " sc AS (SELECT doc_id,"
+    " ROUND(SUM(slog) / count(*) / 1000000000.0, 6) AS avg_logprob"
+    " FROM s GROUP BY doc_id),"
+    " j AS (SELECT g.doc_id, g.lang, g.keep, sc.avg_logprob"
+    " FROM g LEFT JOIN sc USING (doc_id)),"
+    # terciles over SCORED docs only (mirrors perplexity_buckets, which
+    # filters nulls BEFORE the window — a null inside the ntile would
+    # shift the scored docs' tercile boundaries); 'short' unioned after
+    " bk AS (SELECT doc_id, keep,"
+    " CASE ntile(3) OVER (PARTITION BY lang"
+    " ORDER BY avg_logprob DESC, doc_id)"
+    " WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
+    " AS bucket FROM j WHERE avg_logprob IS NOT NULL"
+    " UNION ALL SELECT doc_id, keep, 'short' AS bucket FROM j"
+    " WHERE avg_logprob IS NULL)"
+    " SELECT keep, bucket, CAST(count(*) AS BIGINT) AS n_docs"
+    " FROM bk GROUP BY keep, bucket ORDER BY keep, bucket",
+    "rule-vs-model calibration matrix: Gopher keep-flag crossed with"
+    " the bigram-LM perplexity tercile — the agreement table that"
+    " decides whether cheap rules can pre-filter before model scoring"
+    " (high keep=0/tail agreement) or are killing good data"
+    " (keep=0/head mass). Composes y34 x y39 as one grouped count."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y47(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import curation
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    d = _t(spark, sf, "documents")
+    keep = textops.gopher_quality(d).select(
+        "doc_id", F.col("keep").cast("int").alias("keep")
+    )
+    buckets = curation.perplexity_buckets(d).select("doc_id", "bucket")
+    return (
+        keep.join(buckets, "doc_id")
+        .groupBy("keep", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .repartition(1)
+        .sortWithinPartitions("keep", "bucket")
+    )
