@@ -3153,12 +3153,13 @@ def y35(spark: SparkSession, sf: str) -> DataFrame:
     " i -> c.qv[i] * e.ev[i])) AS BIGINT) AS DOUBLE)"
     " / nullif(sqrt(CAST(c.nn AS DOUBLE)) * sqrt(CAST(e.en AS DOUBLE)),"
     " 0.0::DOUBLE) * 1000000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)"
-    " AS cos_ppb FROM c JOIN e ON c.vec_id <> e.eval_id),"
+    " AS cos_ppb FROM c CROSS JOIN e),"
     " r AS (SELECT vec_id, eval_id, cos_ppb,"
     " row_number() OVER (PARTITION BY vec_id"
     " ORDER BY cos_ppb DESC NULLS LAST, eval_id) AS rn FROM p)"
     " SELECT vec_id, eval_id AS best_eval_id, cos_ppb,"
-    " CAST(cos_ppb >= 950000000 AS INTEGER) AS contaminated"
+    " CAST(COALESCE(cos_ppb >= 950000000, FALSE) AS INTEGER)"
+    " AS contaminated"
     " FROM r WHERE rn = 1 ORDER BY vec_id",
     "semantic benchmark decontamination (SemDeDup-style): corpus"
     " embeddings scored by cosine against a broadcast eval split"
@@ -3660,10 +3661,11 @@ def _y43_oracle() -> str:
         " norm AS (SELECT lang, CAST(SUM(bwppm) AS BIGINT) AS bwsum"
         " FROM strata GROUP BY lang),"
         " planned AS (SELECT strata.lang, bucket, n_docs, n_tokens,"
-        f" {float(_Y43_BUDGET)}::DOUBLE"
+        f" COALESCE({float(_Y43_BUDGET)}::DOUBLE"
         " * (CAST(lwppm AS DOUBLE) / 1000000.0::DOUBLE)"
         " * (CAST(bwppm AS DOUBLE)"
-        " / nullif(CAST(bwsum AS DOUBLE), 0.0::DOUBLE)) AS target"
+        " / nullif(CAST(bwsum AS DOUBLE), 0.0::DOUBLE)), 0.0::DOUBLE)"
+        " AS target"
         " FROM strata JOIN norm ON norm.lang = strata.lang),"
         " rated AS (SELECT lang, bucket, n_docs, n_tokens, target,"
         " least(target / CAST(n_tokens AS DOUBLE), 2.0::DOUBLE) AS rate"
@@ -3727,9 +3729,13 @@ def _y44_oracle() -> str:
         " ORDER BY score_ppb DESC, doc_id LIMIT 20),"
         " q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings"
         " WHERE vec_id = 0),"
+        # dense leg ranks on the cosine rounded at 6 dp — the SAME
+        # quantization the Spark side applies (cosine_topk_bruteforce
+        # round_digits=6) — so rounding-induced ties break identically
+        # on (score, vec_id) in both engines
         " dn AS (SELECT e.vec_id AS doc_id, CAST(row_number() OVER ("
-        " ORDER BY list_cosine_similarity(q.qv, CAST(e.embedding AS"
-        " DOUBLE[])) DESC, e.vec_id) AS INTEGER) AS r_dense"
+        " ORDER BY round(list_cosine_similarity(q.qv, CAST(e.embedding AS"
+        " DOUBLE[])), 6) DESC, e.vec_id) AS INTEGER) AS r_dense"
         " FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0"
         " ORDER BY r_dense LIMIT 20),"
         " fused AS (SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id,"

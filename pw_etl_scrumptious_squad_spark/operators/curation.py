@@ -283,12 +283,23 @@ def embedding_decontaminate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold_ppb: int = 950_000_000,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Semantic benchmark decontamination (SemDeDup-style): flag corpus
     items whose embedding is near-identical to ANY eval/benchmark item
     by cosine similarity — the embedding-space complement of the
     shingle-overlap ``decontaminate``, catching paraphrased leakage that
     exact n-grams miss.
+
+    Every corpus row appears exactly once in the output: rows with no
+    eval match (only possible when ``eval_df`` is empty, or under
+    ``exclude_self`` when the sole eval row shares the corpus id) come
+    back with NULL best_eval_id/cos_ppb and ``contaminated = 0`` rather
+    than vanishing. By default a corpus row IS compared against an eval
+    row with the same id — an exact copy that kept its id is the most
+    blatant contamination case and must flag; pass ``exclude_self=True``
+    only when corpus and eval genuinely share an id space and identity
+    matches are expected (e.g. the eval set is a subset of the corpus).
 
     Exactness: embeddings are integer-quantized per element
     (``floor(x*1e6 + 0.5)``) before any pair math, so dot products and
@@ -326,8 +337,11 @@ def embedding_decontaminate(
         * F.sqrt(F.col("__ne").cast("double")),
         F.lit(0.0),
     )
+    cond = (
+        F.col("vec_id") != F.col("eval_id") if exclude_self else F.lit(True)
+    )
     scored = (
-        c.join(broadcast(e), F.col("vec_id") != F.col("eval_id"))
+        c.join(broadcast(e), cond)
         .withColumn("__dot", dot)
         .select(
             "vec_id",
@@ -340,16 +354,28 @@ def embedding_decontaminate(
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_ppb").desc_nulls_last(), F.col("eval_id").asc()
     )
-    return (
+    best = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             "vec_id",
             F.col("eval_id").alias("best_eval_id"),
             "cos_ppb",
-            (F.col("cos_ppb") >= F.lit(threshold_ppb)).cast("int").alias(
-                "contaminated"
-            ),
+        )
+    )
+    # left-join back so unmatched corpus rows surface as contaminated=0
+    # instead of silently disappearing from the report
+    return (
+        c.select("vec_id")
+        .join(best, "vec_id", "left")
+        .select(
+            "vec_id",
+            "best_eval_id",
+            "cos_ppb",
+            F.coalesce(
+                (F.col("cos_ppb") >= F.lit(threshold_ppb)).cast("int"),
+                F.lit(0),
+            ).alias("contaminated"),
         )
     )
 
@@ -593,6 +619,7 @@ def plan_token_mixture(
     lang_weights: dict[str, float],
     bucket_weights: dict[str, float],
     max_epochs: float = 2.0,
+    emit_unallocated: bool = False,
 ) -> DataFrame:
     """Token-budget mixture planning (Dolma/CCNet-style): given per-doc
     (lang, bucket, n_tokens) rows, allocate a total token budget first
@@ -600,6 +627,14 @@ def plan_token_mixture(
     (normalized over the buckets actually PRESENT in that language), and
     emit per-stratum sampling rates capped at ``max_epochs`` repeats —
     the sheet a training-mix pipeline hands to the samplers.
+
+    A language whose present buckets all carry zero bucket-weight gets
+    explicit ``target_tokens = 0`` rows (not NULLs), and budget aimed at
+    a weighted language that is absent from the data is surfaced when
+    ``emit_unallocated=True`` as one extra row
+    ``(lang='__unallocated__', bucket='')`` whose ``target_tokens`` is
+    the shortfall — so a weight/data mismatch is detectable from the
+    plan itself instead of silently undershooting the budget.
 
     Two tiny aggregations (stratum totals, per-lang present-bucket
     normalizer broadcast back); everything else is literal arithmetic.
@@ -631,11 +666,16 @@ def plan_token_mixture(
         .withColumn("__lwppm", lw)
         .withColumn(
             "__target",
-            F.lit(float(budget_tokens))
-            * (F.col("__lwppm").cast("double") / F.lit(1_000_000.0))
-            * (
-                F.col("__bwppm").cast("double")
-                / F.nullif(F.col("__bwsum").cast("double"), F.lit(0.0))
+            # bwsum = 0 (a language whose present buckets all have zero
+            # weight) allocates 0, explicitly — not NULL
+            F.coalesce(
+                F.lit(float(budget_tokens))
+                * (F.col("__lwppm").cast("double") / F.lit(1_000_000.0))
+                * (
+                    F.col("__bwppm").cast("double")
+                    / F.nullif(F.col("__bwsum").cast("double"), F.lit(0.0))
+                ),
+                F.lit(0.0),
             ),
         )
         .withColumn(
@@ -646,7 +686,7 @@ def plan_token_mixture(
             ),
         )
     )
-    return planned.select(
+    out = planned.select(
         "lang",
         "bucket",
         "n_docs",
@@ -661,6 +701,24 @@ def plan_token_mixture(
         .cast("bigint")
         .alias("expected_tokens"),
     )
+    if not emit_unallocated:
+        return out
+    shortfall = out.agg(
+        F.lit("__unallocated__").alias("lang"),
+        F.lit("").alias("bucket"),
+        F.lit(0).cast("bigint").alias("n_docs"),
+        F.lit(0).cast("bigint").alias("n_tokens"),
+        F.greatest(
+            F.lit(int(budget_tokens))
+            - F.coalesce(F.sum("target_tokens"), F.lit(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("target_tokens"),
+        F.lit(0).cast("bigint").alias("rate_ppm"),
+        F.lit(0).cast("bigint").alias("expected_tokens"),
+    )
+    return out.unionByName(shortfall)
 
 
 def merge_aggregates(

@@ -524,12 +524,27 @@ def bm25_topk(
     base = df.select(
         F.col(id_col).alias("doc_id"), toks.alias("__tk")
     ).withColumn("dl", F.size("__tk"))
-    for i, term in enumerate(query_terms):
-        quoted = term.replace("'", "''")
-        base = base.withColumn(
-            f"__tf{i}",
-            F.expr(f"size(filter(__tk, t -> t = '{quoted}'))"),
+    if not query_terms:
+        # zero query terms => every document scores 0; an empty contrib
+        # sum would otherwise be an unparseable empty expression
+        return (
+            base.select(
+                "doc_id",
+                F.col("dl").cast("int").alias("dl"),
+                F.lit(0).cast("bigint").alias("score_ppb"),
+            )
+            .orderBy(F.col("score_ppb").desc(), "doc_id")
+            .limit(k)
         )
+    def _tf(term: str):
+        # term carried as a literal Column, not spliced into SQL text —
+        # immune to quotes/backslashes in the query vocabulary (the
+        # lambda must stay unary: a second parameter would flip
+        # F.filter into its (element, index) binary form)
+        return F.size(F.filter(F.col("__tk"), lambda t: t == F.lit(term)))
+
+    for i, term in enumerate(query_terms):
+        base = base.withColumn(f"__tf{i}", _tf(term))
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -594,11 +609,19 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     quoted = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
     n_stop = F.expr(f"size(filter({_SQL_TOKS}, t -> t IN ({quoted})))")
-    # most-frequent token count without an explode: aggregate over the
-    # distinct tokens of the count of their occurrences
+    # most-frequent token count without an explode OR a per-distinct
+    # rescan: sort the tokens and fold a run-length max in one pass —
+    # O(n log n) per document instead of O(n_words * n_distinct), which
+    # at the 100k-word rule ceiling is the difference between a sort and
+    # ~10^10 comparisons on an adversarial document
     top_tok = F.expr(
-        f"array_max(transform(array_distinct({_SQL_TOKS}),"
-        f" d -> size(filter({_SQL_TOKS}, t -> t = d))))"
+        f"aggregate(array_sort({_SQL_TOKS}),"
+        " named_struct('prev', cast(null as string), 'run', 0, 'best', 0),"
+        " (s, t) -> named_struct("
+        "   'prev', t,"
+        "   'run', IF(t <=> s.prev, s.run + 1, 1),"
+        "   'best', greatest(s.best, IF(t <=> s.prev, s.run + 1, 1))),"
+        " s -> s.best)"
     )
     out = (
         out.withColumn("n_words", n_words.cast("int"))

@@ -492,3 +492,81 @@ def test_plan_token_mixture_allocation_and_caps(spark):
     assert got[("de", "head")]["rate_ppm"] == 2_000_000
     # en head under-subscribed: rate = 6857.14.../5000
     assert 1_371_000 < got[("en", "head")]["rate_ppm"] < 1_372_000
+
+
+def test_embedding_decontaminate_same_id_exact_copy_flags(spark):
+    """An exact copy that PRESERVED its id must still flag (the most
+    blatant contamination case); exclude_self=True opts back into
+    identity exclusion; an empty eval set yields every corpus row with
+    contaminated=0 instead of an empty frame."""
+    schema = "vec_id LONG, embedding ARRAY<FLOAT>"
+    ev = spark.createDataFrame([(1, [1.0, 0.0, 0.0, 0.0])], schema)
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),  # same id AND same vector as eval
+            (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        ],
+        schema,
+    )
+    got = {
+        r["vec_id"]: r
+        for r in curation.embedding_decontaminate(corpus, ev).collect()
+    }
+    assert got[1]["best_eval_id"] == 1
+    assert got[1]["cos_ppb"] == 1_000_000_000
+    assert got[1]["contaminated"] == 1
+    assert got[2]["contaminated"] == 0
+
+    # opt-in self-exclusion: corpus row 1 is never compared to eval 1,
+    # but it still surfaces (orthogonal best match, contaminated=0)
+    got_ex = {
+        r["vec_id"]: r
+        for r in curation.embedding_decontaminate(
+            corpus, ev, exclude_self=True
+        ).collect()
+    }
+    assert set(got_ex) == {1, 2}
+    assert got_ex[1]["best_eval_id"] is None
+    assert got_ex[1]["cos_ppb"] is None
+    assert got_ex[1]["contaminated"] == 0
+
+    # empty eval set: every corpus row emitted as clean
+    empty = spark.createDataFrame([], schema)
+    got_empty = {
+        r["vec_id"]: r
+        for r in curation.embedding_decontaminate(corpus, empty).collect()
+    }
+    assert set(got_empty) == {1, 2}
+    assert all(r["contaminated"] == 0 for r in got_empty.values())
+    assert all(r["best_eval_id"] is None for r in got_empty.values())
+
+
+def test_plan_token_mixture_zero_weight_normalizer_and_unallocated(spark):
+    """A language whose only present bucket carries zero weight gets an
+    explicit 0 allocation (not NULL), and emit_unallocated=True surfaces
+    budget aimed at a language absent from the data."""
+    rows = [("en", "head", 100)] * 10 + [("zz", "short", 100)] * 5
+    df = spark.createDataFrame(rows, "lang STRING, bucket STRING, n_tokens INT")
+    plan = curation.plan_token_mixture(
+        df,
+        10_000,
+        {"en": 0.5, "zz": 0.2, "fr": 0.3},  # fr absent from the data
+        {"head": 1.0, "short": 0.0},
+        emit_unallocated=True,
+    )
+    got = {(r["lang"], r["bucket"]): r for r in plan.collect()}
+    # zz's only present bucket has weight 0 -> bwsum 0 -> explicit zeros
+    assert got[("zz", "short")]["target_tokens"] == 0
+    assert got[("zz", "short")]["rate_ppm"] == 0
+    assert got[("zz", "short")]["expected_tokens"] == 0
+    # en gets its full language share
+    assert got[("en", "head")]["target_tokens"] == 5000
+    # fr's 3000 + zz's zeroed 2000 surface as the unallocated shortfall
+    assert got[("__unallocated__", "")]["target_tokens"] == 5000
+    # default: no synthetic row
+    plan_def = curation.plan_token_mixture(
+        df, 10_000, {"en": 0.5}, {"head": 1.0, "short": 0.0}
+    )
+    assert not any(
+        r["lang"] == "__unallocated__" for r in plan_def.collect()
+    )

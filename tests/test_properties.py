@@ -407,3 +407,53 @@ def test_containment_pairs_match_ground_truth(spark, texts, threshold):
         for r in dedup.containment_pairs(df, threshold=threshold).collect()
     }
     assert got == _ground_truth_containment(texts, threshold)
+
+
+def test_bm25_hostile_terms_and_empty_query(spark):
+    """Query terms are carried as literal Columns, so quotes and
+    backslashes in the vocabulary match literally instead of breaking
+    the expression; an empty term list scores every doc 0 without a
+    parse error."""
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    rows = [
+        (0, r"path c:\temp\x and more words"),
+        (1, "it's quoted don't worry here now"),
+        (2, "plain words only in this doc here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: r["score_ppb"]
+        for r in textops.bm25_topk(df, [r"c:\temp\x", "it's"], k=10).collect()
+    }
+    assert got[0] > 0          # backslash term matched literally
+    assert got[1] > 0          # apostrophe term matched literally
+    assert got[2] == 0
+    empty = textops.bm25_topk(df, [], k=10).collect()
+    assert len(empty) == 3
+    assert all(r["score_ppb"] == 0 for r in empty)
+
+
+def test_gopher_top_token_ratio_single_pass_matches_naive(spark):
+    """The run-length-over-sorted-array max-frequency equals the naive
+    per-distinct count on every composition, including all-identical
+    and all-distinct extremes."""
+    from collections import Counter
+
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    docs = [
+        (0, " ".join(["same"] * 60)),
+        (1, " ".join(f"w{i}" for i in range(60))),
+        (2, " ".join(["the"] * 10 + ["and"] * 5 + ["word"] * 45)),
+        (3, "interleaved a b a b a b a c c c c c c c c c c c c"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["top_token_ratio"], r["n_words"])
+        for r in textops.gopher_quality(df).collect()
+    }
+    for doc_id, text in docs:
+        toks = text.split()
+        expected = round(Counter(toks).most_common(1)[0][1] / len(toks), 6)
+        assert abs(got[doc_id][0] - expected) < 1e-9, doc_id
