@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from pw_etl_scrumptious_squad_spark.checkpoint import materialize
 from pw_etl_scrumptious_squad_spark.catalog import _t, register
 from pw_etl_scrumptious_squad_spark.operators import (
     curation,
@@ -372,7 +373,7 @@ def d03(spark: SparkSession, sf: str) -> DataFrame:
     # 100 TB, where the checkpoint would be an explicit signatures table.
     sigs = dedup.minhash_signatures(
         _t(spark, sf, "documents"), "doc_id", "text", num_perm=_NUM_PERM
-    ).localCheckpoint()
+    ).transform(materialize)
     return sigs.select(
         "doc_id", F.posexplode("minhash").alias("perm", "minhash_val")
     ).repartition(1).sortWithinPartitions("doc_id", "perm")
@@ -1701,7 +1702,7 @@ def y15(spark: SparkSession, sf: str) -> DataFrame:
         _t(spark, sf, "embeddings"),
         bits=_SRP_BITS,
         scale=_SRP_SCALE,
-    ).localCheckpoint()
+    ).transform(materialize)
     return (
         dedup.hamming_near_pairs(
             sigs,
@@ -1793,7 +1794,7 @@ def y30(spark: SparkSession, sf: str) -> DataFrame:
         _t(spark, sf, "embeddings"),
         bits=_SRPW_BITS,
         scale=_SRP_SCALE,
-    ).localCheckpoint()
+    ).transform(materialize)
     return (
         dedup.hamming_near_pairs_words(
             sigs,
@@ -1881,7 +1882,7 @@ def _simhash_wide_oracle() -> str:
 def y31(spark: SparkSession, sf: str) -> DataFrame:
     sigs = dedup.simhash_words(
         _t(spark, sf, "documents"), "doc_id", "text", bits=_SHW_BITS
-    ).localCheckpoint()
+    ).transform(materialize)
     return (
         dedup.hamming_near_pairs_words(
             sigs,
@@ -3508,12 +3509,12 @@ def x02(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _t(spark, sf, "documents")
     g = textops.gopher_quality(d).filter(F.col("keep"))
-    surv1 = g.select("doc_id", "lang", "text", "n_words").localCheckpoint()
+    surv1 = g.select("doc_id", "lang", "text", "n_words").transform(materialize)
     buckets = curation.perplexity_buckets(surv1)
     surv2 = (
         buckets.filter(F.col("bucket").isin("head", "middle"))
         .join(surv1.select("doc_id", "text", "n_words"), "doc_id")
-        .localCheckpoint()
+        .transform(materialize)
     )
     pairs = dedup.containment_pairs(surv2, threshold=0.8)
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
@@ -3940,7 +3941,7 @@ def y46(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     store_docs = d.filter(F.col("doc_id") % 3 != 0)
     batch = d.filter(F.col("doc_id") % 3 == 0)
-    store = textops.shingle_df_store(store_docs).localCheckpoint()
+    store = textops.shingle_df_store(store_docs).transform(materialize)
     return (
         textops.incremental_shingle_novelty(batch, store)
         .repartition(1)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pw_etl_scrumptious_squad_spark.checkpoint import materialize
 from pw_etl_scrumptious_squad_spark.operators.text import (
     _SQL_SHINGLES,
     with_shingles,
@@ -238,14 +239,15 @@ def minhash_lsh_dedup(
     """End-to-end fuzzy dedup: returns verified near-duplicate pairs
     (doc_a < doc_b, exact-Jaccard >= threshold) found via MinHash LSH.
 
-    Signatures are materialized (localCheckpoint) before banding: the
+    Signatures are materialized (checkpoint.materialize — reliable
+    on a cluster with a checkpoint dir, local otherwise) before banding: the
     bucket self-join scans them twice and the band explode is a generator,
     so an unmaterialized plan re-runs the shingle/md5 pipeline ~2x bands
     times. At cluster scale this checkpoint is the signatures table you
     would persist anyway (8-16 longs per doc vs re-hashing the corpus)."""
     sigs = minhash_signatures(
         df, id_col, text_col, num_perm, shingle_size
-    ).localCheckpoint()
+    ).transform(materialize)
     pairs = lsh_candidate_pairs(sigs, bands)
     return jaccard_verify(pairs, df, id_col, text_col, shingle_size, threshold)
 
@@ -279,7 +281,7 @@ def incremental_lsh_neardup(
     if new_sigs is None:
         new_sigs = minhash_signatures(
             new_docs, id_col, text_col, num_perm, shingle_size
-        ).localCheckpoint()
+        ).transform(materialize)
     if base_sigs is None:
         base_sigs = minhash_signatures(
             base_docs, id_col, text_col, num_perm, shingle_size
@@ -351,7 +353,7 @@ def containment_pairs(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(F.col(_SQL_SHINGLES)).alias("sh"),
     )
-    counts = shingled.select("doc_id", F.size("sh").alias("n")).localCheckpoint()
+    counts = shingled.select("doc_id", F.size("sh").alias("n")).transform(materialize)
     ex = shingled.select("doc_id", F.explode("sh").alias("h"))
     if max_shingle_df is not None:
         light = (
@@ -448,7 +450,7 @@ def _ngram_jaccard_lsh(
             for p in range(num_perm)
         ]
     )
-    sigs = paired.select("doc_id", sig.alias("minhash")).localCheckpoint()
+    sigs = paired.select("doc_id", sig.alias("minhash")).transform(materialize)
     cands = lsh_candidate_pairs(sigs, bands)
     a = toks.select(
         F.col("doc_id").alias("doc_a"),
@@ -580,7 +582,7 @@ def simhash_near_pairs(
     qualifying pair shares a bucket. The bucket self-join is the only
     shuffle; the verify step is two bitwise ops per candidate.
     """
-    sh = simhash(df, id_col, text_col, bits).localCheckpoint()
+    sh = simhash(df, id_col, text_col, bits).transform(materialize)
     return hamming_near_pairs(
         sh, bits, bands, max_hamming, bucket_cap=bucket_cap
     )
@@ -1184,7 +1186,8 @@ def connected_components(
     edges toward local minima, halving component diameter, so a path of
     length n converges in O(log n) rounds — not the O(diameter) of plain
     min-label propagation. Each phase is ONE window shuffle on the edge
-    list (no label join), localCheckpoint-ed per round so lineage stays
+    list (no label join), materialized per round (checkpoint.materialize:
+    reliable checkpoints when a checkpoint dir is set) so lineage stays
     flat. Convergence is detected by a map-side single-row aggregate
     (edge count + xxhash64 bit_xor) instead of a join-and-count over the
     label table — at 100 TB that check is a partial-aggregate pass, not
@@ -1201,7 +1204,7 @@ def connected_components(
         pairs.select(F.greatest(a, b).alias("src"), F.least(a, b).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     node_col = nodes.select(F.col(id_col).alias("node"))
 
@@ -1219,7 +1222,7 @@ def connected_components(
     if prev[0] == 0:
         return node_col.select("node", F.col("node").alias("cluster_id"))
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = _small_star(_large_star(edges)).transform(materialize)
         fp = _fingerprint(edges)
         if fp == prev:
             roots = edges.select(

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pw_etl_scrumptious_squad_spark.checkpoint import materialize
+
 # Marker (function) words per language for the n-gram/stopword language-ID
 # heuristic. Ties and zero scores resolve deterministically (priority order
 # below, 'und' for no evidence).
@@ -401,7 +403,7 @@ def shingle_novelty(
     shingled = with_shingles(df, text_col, shingle_size).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(F.col(_SQL_SHINGLES)).alias("__sh"),
-    ).localCheckpoint()
+    ).transform(materialize)
     ex = shingled.select("doc_id", F.explode("__sh").alias("h"))
     dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
@@ -461,7 +463,7 @@ def incremental_shingle_novelty(
     shingled = with_shingles(batch, text_col, shingle_size).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(F.col(_SQL_SHINGLES)).alias("__sh"),
-    ).localCheckpoint()
+    ).transform(materialize)
     ex = shingled.select("doc_id", F.explode("__sh").alias("h"))
     df_batch = ex.groupBy("h").agg(
         F.count(F.lit(1)).cast("bigint").alias("__dfb")
@@ -692,7 +694,7 @@ def bigram_logprob_scores(
     toks = tokens(text_col)
     base = df.select(
         F.col(id_col).alias("doc_id"), toks.alias("__tk")
-    ).localCheckpoint()
+    ).transform(materialize)
     grams = F.expr(
         "transform(sequence(1, size(__tk) - 1),"
         " i -> struct(element_at(__tk, i) AS w1,"

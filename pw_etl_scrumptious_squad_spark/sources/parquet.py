@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pw_etl_scrumptious_squad_spark.schemas import TESTDATA_SCHEMAS
+from pw_etl_scrumptious_squad_spark.checkpoint import materialize
 
 
 def table_path(base_dir: str, name: str) -> str:
@@ -225,7 +226,7 @@ def upsert_table(
             .drop("__rn", "__src")
         )
     # materialize before overwriting the files being read
-    deduped = deduped.localCheckpoint()
+    deduped = deduped.transform(materialize)
     write_table(deduped, base_dir, name, mode="overwrite")
 
 

