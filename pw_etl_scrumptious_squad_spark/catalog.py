@@ -701,9 +701,11 @@ def d01(spark: SparkSession, sf: str) -> DataFrame:
     "n-gram (token-set) Jaccard near-dup pairs with language blocking",
 )
 def d02(spark: SparkSession, sf: str) -> DataFrame:
+    # pair output grows with the corpus: no single-task presentation
+    # funnel (the gate canonicalizer sorts rows itself)
     return dedup.ngram_jaccard_pairs(
         _t(spark, sf, "documents"), "doc_id", "text", "lang", 0.9
-    ).repartition(1).sortWithinPartitions("doc_a", "doc_b")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1089,10 +1089,12 @@ def z28(spark: SparkSession, sf: str) -> DataFrame:
     " candidate join provably finds every pair the brute-force oracle does",
 )
 def d07(spark: SparkSession, sf: str) -> DataFrame:
+    # 2.1M pairs at sf0.1: a repartition(1) presentation sort would be a
+    # single-task funnel; the gate canonicalizer sorts rows itself
     return dedup.simhash_near_pairs(
         _t(spark, sf, "documents"), "doc_id", "text",
         bits=_SIMHASH_BITS, bands=8, max_hamming=3,
-    ).repartition(1).sortWithinPartitions("doc_a", "doc_b")
+    )
 
 
 @register(
@@ -1652,9 +1654,10 @@ def y14(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
     base = docs.filter(F.col("doc_id") % 5 != 0)
     new = docs.filter(F.col("doc_id") % 5 == 0)
+    # pair output: no single-task presentation funnel
     return dedup.incremental_lsh_neardup(
         base, new, "doc_id", "text", num_perm=16, bands=8, threshold=0.5
-    ).repartition(1).sortWithinPartitions("doc_a", "doc_b")
+    )
 
 
 _SRP_BITS = 32
@@ -1717,7 +1720,6 @@ def y15(spark: SparkSession, sf: str) -> DataFrame:
             F.col("doc_b").alias("vec_b"),
             "hamming",
         )
-        .repartition(1).sortWithinPartitions("vec_a", "vec_b")
     )
 
 
@@ -1809,7 +1811,6 @@ def y30(spark: SparkSession, sf: str) -> DataFrame:
             F.col("doc_b").alias("vec_b"),
             "hamming",
         )
-        .repartition(1).sortWithinPartitions("vec_a", "vec_b")
     )
 
 
@@ -1891,7 +1892,6 @@ def y31(spark: SparkSession, sf: str) -> DataFrame:
             max_hamming=_SHW_MAX_H,
             sig_col="simhash_words",
         )
-        .repartition(1).sortWithinPartitions("doc_a", "doc_b")
     )
 
 

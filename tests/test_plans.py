@@ -213,3 +213,21 @@ def test_scalar_subqueries_decorrelate_to_aggregate_joins(spark, cat):
     # decorrelation materializes as hash aggregates joined back
     assert plan.count("HashAggregate") >= 2
     assert "Join" in plan
+
+
+def test_pair_outputs_have_no_single_partition_funnel(spark, cat):
+    """Entries whose output grows with the corpus (near-dup pair lists:
+    2.1M rows for d07 at sf0.1 alone) must not end in a
+    repartition(1)+sort presentation funnel — the gate canonicalizer
+    sorts rows itself, and a single-task sort of a corpus-sized result
+    is exactly the straggler a 100x scale-up can't absorb."""
+    for name in [
+        "d02_ngram_jaccard",
+        "d07_simhash_neardup",
+        "y14_incremental_neardup",
+        "y15_embedding_srp",
+        "y30_srp_wide",
+        "y31_simhash_wide",
+    ]:
+        simple = plan_of(spark, cat, name, "simple")
+        assert "SinglePartition" not in simple, name
