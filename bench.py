@@ -72,6 +72,8 @@ HEADLINE = [
     "y40_shingle_novelty",
     "m04_image_dhash",
     "x02_fineweb_pipeline",
+    # round-4 additions
+    "y48_semdedup_prune",
 ]
 
 
@@ -107,12 +109,17 @@ def main() -> None:
     ).save()
     # train-and-memoize the IVF centroids outside the timed loop: training
     # is the data-preparation step (the s02/y37 queries measure cell
-    # assignment, probe routing, and rank math — not Spark ML fitting)
+    # assignment, probe routing, and rank math — not Spark ML fitting).
+    # The fit cost is real, though, so it is timed and reported as its own
+    # metric rather than hidden: at 100 TB you train on a sample once and
+    # amortize it over every probe.
     from pw_etl_scrumptious_squad_spark.catalog_ext import (
         ivf_centroid_literals,
     )
 
+    train_start = time.perf_counter()
     ivf_centroid_literals(sf_dir, spark)
+    ivf_train_seconds = round(time.perf_counter() - train_start, 3)
 
     # adaptive best-of-N per query: a single pass is dominated by JVM/GC
     # noise from neighboring queries (observed +-7s swings on a 23-query
@@ -146,6 +153,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # one-time data-prep cost excluded from the headline (the
+                # queries time assignment/probe/rank math, not ML fitting)
+                "ivf_train_seconds": ivf_train_seconds,
             }
         )
     )

@@ -4044,3 +4044,88 @@ def y47(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("keep", "bucket")
     )
+
+
+# 0.40: the synthetic embeddings' pairwise-cosine ceiling is ~0.51 (no
+# planted twins), so a paper-typical 0.9+ threshold would prune nothing —
+# 0.40 exercises the keep-low policy on ~5% of the corpus at sf0.01
+_Y48_THRESHOLD_PPB = 400_000_000
+
+
+def _y48_oracle(sf_dir: str) -> str:
+    """DuckDB twin of curation.semdedup_prune with the trained centroids
+    embedded as literals (same machinery as _y37_oracle). Every cosine —
+    assignment, centroid-tightness, pair — is the quantized-BIGINT dot /
+    sqrt form, ppb-floored, so assignment, priority and the prune
+    decision compare exact integers on both engines."""
+    lits = ivf_centroid_literals(sf_dir)
+    vals = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (c, ", ".join(repr(x) for x in v))
+        for c, v in lits
+    )
+    qdot = (
+        "CAST(floor(CAST(CAST(list_sum(list_transform(range(1, len({a}) + 1),"
+        " i -> {a}[i] * {b}[i])) AS BIGINT) AS DOUBLE)"
+        " / nullif(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)),"
+        " 0.0::DOUBLE) * 1000000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)"
+    )
+    cent_cos = qdot.format(a="en.qv", b="nc.qcv", na="en.nv", nb="nc.ncnt")
+    pair_cos = qdot.format(a="u.qv", b="v.qv", na="u.nv", nb="v.nv")
+    return (
+        f"WITH cent AS (SELECT * FROM (VALUES {vals}) AS t(cell, centv)),"
+        " qc AS (SELECT cell, list_transform(centv,"
+        " x -> CAST(floor(x * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT))"
+        " AS qcv FROM cent),"
+        " nc AS (SELECT cell, qcv,"
+        " CAST(list_sum(list_transform(qcv, v -> v * v)) AS BIGINT) AS ncnt"
+        " FROM qc),"
+        " e AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0::DOUBLE"
+        " + 0.5::DOUBLE) AS BIGINT)) AS qv FROM embeddings),"
+        " en AS (SELECT vec_id, qv,"
+        " CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS nv"
+        " FROM e),"
+        f" s AS (SELECT vec_id, qv, nv, cell, {cent_cos} AS cent_ppb"
+        " FROM en CROSS JOIN nc),"
+        " a AS (SELECT vec_id, qv, nv, cell, cent_ppb FROM ("
+        " SELECT *, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY cent_ppb DESC NULLS LAST, cell) AS rn FROM s)"
+        " WHERE rn = 1),"
+        " drp AS (SELECT DISTINCT v.vec_id FROM a u JOIN a v"
+        " ON u.cell = v.cell AND u.vec_id <> v.vec_id"
+        " AND (u.cent_ppb < v.cent_ppb"
+        " OR (u.cent_ppb = v.cent_ppb AND u.vec_id < v.vec_id))"
+        f" WHERE {pair_cos} >= {_Y48_THRESHOLD_PPB})"
+        " SELECT a.vec_id, a.cell, a.cent_ppb,"
+        " CAST(drp.vec_id IS NULL AS INTEGER) AS kept"
+        " FROM a LEFT JOIN drp ON a.vec_id = drp.vec_id ORDER BY a.vec_id"
+    )
+
+
+@register(
+    "y48_semdedup_prune",
+    _y48_oracle,  # data-dependent: trained centroids embedded as literals
+    "SemDeDup cluster-then-prune (Abbas et al. 2023): vectors assigned to"
+    " their nearest trained centroid, near-dup pairs found WITHIN each"
+    " cell (cosine >= 0.4 — calibrated to the twin-free synthetic corpus), and per duplicate relationship the member"
+    " with the LOWEST cosine-to-centroid kept (the paper's"
+    " keep-low-similarity policy). Centroids broadcast; the quadratic"
+    " stage is bounded by cell size (the SemDeDup design); quantized"
+    " integer pair math keeps the prune decision value-exact."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y48(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import curation
+
+    emb = _t(spark, sf, "embeddings")
+    lits = ivf_centroid_literals(sf, spark)
+    centroids = spark.createDataFrame(
+        lits, "centroid_id INT, embedding ARRAY<FLOAT>"
+    )
+    return (
+        curation.semdedup_prune(
+            emb, centroids, threshold_ppb=_Y48_THRESHOLD_PPB
+        )
+        .repartition(1)
+        .sortWithinPartitions("vec_id")
+    )

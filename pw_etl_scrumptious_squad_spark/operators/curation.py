@@ -806,3 +806,135 @@ def assign_shards(
         )
         .drop("__bucket")
     )
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold_ppb: int = 950_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """SemDeDup cluster-then-prune (Abbas et al. 2023): assign every
+    vector to its nearest centroid, find near-duplicate pairs WITHIN
+    each cell (cosine >= threshold), and keep, per duplicate
+    relationship, the member with the LOWEST cosine-to-centroid (the
+    paper's keep-low-similarity policy — boundary examples carry more
+    signal than cluster-core boilerplate). Returns one row per corpus
+    vector: (vec_id, cell, cent_ppb, kept).
+
+    Drop rule (single-pass, chain-free, deterministic): a vector v is
+    dropped iff some same-cell u has pair-cosine >= threshold and
+    priority over v — priority = lower cent_ppb, ties by lower id. No
+    iterative clustering: each vector checks only its own neighbors, so
+    the rule is one within-cell join, not a fixpoint.
+
+    Scale shape: centroids broadcast (tiny), assignment is one map-side
+    pass, and the pair join shuffles on the CELL key only — the
+    quadratic stage is bounded by cell size, which is the SemDeDup
+    design (cells ~ corpus/n_cells; size n_cells so cells fit). Nothing
+    corpus-sized is broadcast.
+
+    Exactness: per-element ``floor(x*1e6+0.5)`` quantization makes every
+    dot product / squared norm an exact BIGINT (order-free) on both
+    engines; each cosine is then ONE double expression ppb-floored, and
+    assignment/priority compare those integers — bit-identical
+    cross-engine, so the full prune decision is value-exact.
+    """
+    quant_v = F.expr(
+        f"transform({vec_col}, x -> cast(floor(cast(x as double)"
+        " * 1000000.0d + 0.5d) as bigint))"
+    )
+    sq = "aggregate({0}, 0L, (acc, v) -> acc + v * v)"
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), quant_v.alias("__qv")
+    ).withColumn("__nv", F.expr(sq.format("__qv")))
+    cent = centroids.select(
+        F.col(centroid_id).alias("cell"), quant_v.alias("__qc")
+    ).withColumn("__ncnt", F.expr(sq.format("__qc")))
+    dotc = F.expr(
+        "aggregate(zip_with(__qv, __qc, (x, y) -> x * y),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    cosc = F.col("__dc").cast("double") / F.nullif(
+        F.sqrt(F.col("__nv").cast("double"))
+        * F.sqrt(F.col("__ncnt").cast("double")),
+        F.lit(0.0),
+    )
+    scored = (
+        c.crossJoin(broadcast(cent))
+        .withColumn("__dc", dotc)
+        .select(
+            "vec_id",
+            "__qv",
+            "__nv",
+            "cell",
+            F.floor(cosc * F.lit(1_000_000_000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("cent_ppb"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_ppb").desc_nulls_last(), F.col("cell").asc()
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    u = assigned.select(
+        F.col("vec_id").alias("u_id"),
+        F.col("__qv").alias("u_qv"),
+        F.col("__nv").alias("u_nv"),
+        "cell",
+        F.col("cent_ppb").alias("u_cent"),
+    )
+    v = assigned.select(
+        F.col("vec_id").alias("v_id"),
+        F.col("__qv").alias("v_qv"),
+        F.col("__nv").alias("v_nv"),
+        "cell",
+        F.col("cent_ppb").alias("v_cent"),
+    )
+    pair_dot = F.expr(
+        "aggregate(zip_with(u_qv, v_qv, (x, y) -> x * y),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    pair_cos = F.col("__pd").cast("double") / F.nullif(
+        F.sqrt(F.col("u_nv").cast("double"))
+        * F.sqrt(F.col("v_nv").cast("double")),
+        F.lit(0.0),
+    )
+    priority = (F.col("u_cent") < F.col("v_cent")) | (
+        (F.col("u_cent") == F.col("v_cent"))
+        & (F.col("u_id") < F.col("v_id"))
+    )
+    dropped = (
+        u.join(v, "cell")
+        .filter(F.col("u_id") != F.col("v_id"))
+        .withColumn("__pd", pair_dot)
+        .withColumn(
+            "__pc",
+            F.floor(pair_cos * F.lit(1_000_000_000.0) + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        )
+        .filter((F.col("__pc") >= F.lit(threshold_ppb)) & priority)
+        .select(F.col("v_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__drop", F.lit(1))
+    )
+    return (
+        assigned.select("vec_id", "cell", "cent_ppb")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "cent_ppb",
+            F.when(F.col("__drop").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("kept"),
+        )
+    )

@@ -872,14 +872,18 @@ def embedding_neardup_pairs(
     counts are usually tiny, which would starve a shuffle join). Above the
     cap the corpus is first routed through IVF cell assignment
     (deterministically sampled centroids; ``n_cells`` defaults to
-    rows/10k) and the pair join shuffles on (block, cell) — block sizes
+    rows/2k — cells sized for the O(cell^2) pair stage, see inline
+    note) and the pair join shuffles on (block, cell) — block sizes
     stay bounded and nothing is broadcast except the tiny centroid set.
     The cell path is approximate (cross-cell pairs are not compared), the
     standard IVF trade; emitted pairs remain value-exact.
 
     ``n_rows_hint`` skips the path-picking ``count()`` (a full extra pass
     over a derived input at scale) and also sizes the default cell count;
-    a wrong hint degrades performance, never pair values.
+    a wrong hint degrades performance, never pair values. The cell route
+    additionally materializes the sampled centroid set at BUILD time
+    (one tiny sort+limit+collect job — k x dim floats to the driver);
+    the exact tier stays fully lazy.
     """
     # hoist the norm into its own column — computing it inside the
     # transform() lambda would redo the O(dim) sum for every element
@@ -909,7 +913,15 @@ def embedding_neardup_pairs(
     if n_rows > max_exact_rows:
         from pw_etl_scrumptious_squad_spark.operators import similarity
 
-        k = n_cells or max(16, n_rows // 10_000)
+        # cell size ~2k vectors: the pair stage does O(cell^2) work PER
+        # CELL and parallelizes across cells only (the join key is the
+        # cell id, and AQE coalesces by shuffle BYTES, blind to join
+        # fan-out) — measured at 200k vectors, rows/10k cells gave a
+        # 20-key join that ran 14 tasks for 10^9 pair-dots while 30
+        # cores idled. rows/2k gives 25x less pair work per cell and
+        # 5x more cells to spread it over; recall trades down the
+        # standard IVF way (more cells = more cross-cell misses).
+        k = n_cells or max(16, n_rows // 2_000)
         # deterministic pseudo-random centroid sample: order by md5 of the
         # id so the choice is stable across runs and engines
         cents = (
@@ -924,16 +936,67 @@ def embedding_neardup_pairs(
                 F.col(vec_col),
             )
         )
-        assigned = similarity.assign_ivf_cells(
-            df.select(id_col, vec_col), cents, id_col, vec_col
-        ).select(F.col(id_col).alias("doc_id"), "cell")
-        side = unit.join(assigned, "doc_id")
-        a = side.alias("a")
-        b = side.alias("b")  # NOT broadcast: shuffle join on (blk, cell)
-        cond = (
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # assignment is BLAS too: the expression-fold form
+        # (assign_ivf_cells) is O(n * k) interpreted folds, and with
+        # k ~ n/2000 that is O(n^2/2000) — measured alpha 1.76 on the
+        # x10→x100 scaling curve before this. The centroid matrix is
+        # driver-tiny (k x dim floats); broadcast it into a mapInPandas
+        # argmax over one normalized matmul per Arrow batch. np.argmax
+        # takes the FIRST max, and rows are ordered by ascending cell
+        # id, so ties break to the lowest cell — same rule as the fold.
+        import numpy as np
+
+        cent_rows = cents.orderBy("centroid_id").collect()
+        cmat = np.stack(
+            [np.asarray(r[1], dtype="f8") for r in cent_rows]
+        )
+        cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+        cnorm[cnorm == 0.0] = 1.0
+        cmat = cmat / cnorm[:, None]
+        cell_ids = np.asarray([r[0] for r in cent_rows], dtype="i4")
+
+        def _assign(parts):
+            for pdf in parts:
+                m = np.stack(pdf["uv"].to_numpy())
+                pdf = pdf.assign(cell=cell_ids[np.argmax(m @ cmat.T, axis=1)])
+                yield pdf
+
+        from pyspark.sql import types as T
+
+        side_schema = T.StructType(
+            list(unit.schema.fields)
+            + [T.StructField("cell", T.IntegerType())]
+        )
+        side = unit.mapInPandas(_assign, side_schema)
+        # dense within-cell all-pairs is the textbook BLAS case: one
+        # Arrow batch per (blk, cell) group, one numpy matmul for the
+        # whole cell's cosine matrix. The SQL-fold alternative (zip_with
+        # + aggregate per pair) measured ~32 us/pair/core — a 2k-vector
+        # cell is 2e6 pairs, ~0.02 s as a matmul vs ~60 core-seconds as
+        # folds. Cells are sized ~2k (see above), so the S matrix is
+        # ~32 MB peak per group — bounded, executor-friendly.
+        thr = float(threshold)
+
+        def _cell_pairs(pdf):
+            import numpy as np
+            import pandas as pd
+
+            pdf = pdf.sort_values("doc_id")
+            ids = pdf["doc_id"].to_numpy()
+            m = np.stack(pdf["uv"].to_numpy())
+            s = np.round(m @ m.T, 6)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = s[iu, ju] >= thr
+            return pd.DataFrame(
+                {
+                    "doc_a": ids[iu[keep]],
+                    "doc_b": ids[ju[keep]],
+                    "cosine_sim": s[iu, ju][keep],
+                }
+            )
+
+        return side.groupBy("blk", "cell").applyInPandas(
+            _cell_pairs, "doc_a long, doc_b long, cosine_sim double"
         )
     else:
         n_parts = df.sparkSession.sparkContext.defaultParallelism

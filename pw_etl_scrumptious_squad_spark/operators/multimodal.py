@@ -73,11 +73,17 @@ def _decode_media_stub(payload: bytes, media_type: str) -> list[float]:
 
 
 def decode_unavailable(payload: bytes, media_type: str):
-    """The real-codec entry point, kept as an explicit NotImplementedError so
-    callers choosing ``stub=False`` fail loudly rather than silently faking."""
+    """The real-codec entry point for formats WITHOUT an in-repo codec,
+    kept as an explicit NotImplementedError so callers choosing
+    ``stub=False`` fail loudly rather than silently faking. In-repo REAL
+    codecs cover WAV PCM (decode_wav_pcm), PPM (decode_ppm), PNG
+    (decode_png) and baseline JPEG (decode_jpeg_baseline); what remains
+    stubbed is video pixel decode (MP4/H.26x needs ffmpeg-class
+    machinery — metadata walks are real, see parse_mp4_metadata)."""
     raise NotImplementedError(
         f"real {media_type} decode needs native codec libraries "
-        "(Pillow/ffmpeg) not present in this environment; use stub=True"
+        "(ffmpeg) not present in this environment; use stub=True or one "
+        "of the in-repo codecs (WAV/PPM/PNG/baseline JPEG)"
     )
 
 
@@ -951,4 +957,608 @@ def audio_spectral_features(media: DataFrame) -> DataFrame:
 
     return media.select("asset_id", "payload").mapInPandas(
         batches, AUDIO_SPECTRAL_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG codec (pure numpy + stdlib — no Pillow/libjpeg)
+# ---------------------------------------------------------------------------
+# Closes the last loud pixel-decode stub: baseline sequential DCT JPEG
+# (SOF0), the dominant crawl-image format. The decoder is fully
+# stream-driven — quant tables, Huffman tables, sampling factors and
+# restart intervals all come from the file's own segments — so it reads
+# any 8-bit baseline JPEG (4:4:4 and subsampled 4:2:0/4:2:2 included).
+# Progressive (SOF2), arithmetic and 12-bit streams raise loudly.
+# Reference surface parity: the reference treats media as opaque S3
+# objects (src/extract.py:122-156); pixel analytics are a north-star
+# extension like the PNG/WAV codecs above.
+
+# zigzag scan: ZIGZAG[i] = raster index of the i-th zigzag position
+JPEG_ZIGZAG = [
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K quantization tables (luma K.1 / chroma K.2), raster order
+JPEG_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+JPEG_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K typical Huffman specs: (bits[1..16], values). The DECODER never
+# uses these — it builds tables from the stream's DHT segments; they are
+# the encoder's tables (and are written into its DHT segments).
+JPEG_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+JPEG_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+JPEG_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+JPEG_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    C = np.zeros((8, 8))
+    for u in range(8):
+        a = (1.0 / 8.0) ** 0.5 if u == 0 else (2.0 / 8.0) ** 0.5
+        for x in range(8):
+            C[u, x] = a * __import__("math").cos((2 * x + 1) * u * __import__("math").pi / 16.0)
+    return C
+
+
+def _huff_encode_table(bits, vals):
+    """Canonical JPEG Huffman assignment: val -> (code, length)."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals):
+    """(length, code) -> symbol, plus the max code per length for fast
+    invalid-stream detection."""
+    enc = _huff_encode_table(bits, vals)
+    return {(ln, code): v for v, (code, ln) in enc.items()}
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def align_marker(self, marker_byte: int) -> None:
+        """Byte-align (1-bit padding) and emit a raw RSTn marker —
+        markers are never byte-stuffed."""
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)
+        self.out.append(0xFF)
+        self.out.append(marker_byte)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)  # pad with 1-bits
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    """Bit reader over the entropy-coded segment with 0xFF00 destuffing;
+    RSTn markers byte-align the stream and are consumed by restart()."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _JpegRestart()
+            else:
+                raise ValueError("marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_huff(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+    def restart(self) -> None:
+        # drop partial bits, consume the RSTn marker
+        self.acc = 0
+        self.nbits = 0
+        assert self.data[self.pos] == 0xFF
+        self.pos += 2
+
+
+class _JpegRestart(Exception):
+    pass
+
+
+def _jpeg_scaled_qt(base, quality: int):
+    import numpy as np
+
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (np.array(base, dtype="i8") * scale + 50) // 100
+    return np.clip(t, 1, 255).astype("i8")
+
+
+def encode_jpeg_baseline(
+    img,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a uint8 array (H x W grey or H x W x 3 RGB) as a REAL
+    baseline JPEG: JFIF YCbCr, Annex K tables scaled by the libjpeg
+    quality formula, standard Huffman coding, byte stuffing. 4:4:4 by
+    default; ``subsample=True`` emits 4:2:0 (box-averaged chroma, the
+    dominant crawl-JPEG layout), ``restart_interval=N`` emits DRI + RSTn
+    markers every N MCUs. The test-side inverse of
+    :func:`decode_jpeg_baseline` — and any standard viewer reads its
+    output."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(img, dtype="u1")
+    grey = arr.ndim == 2
+    if not grey and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("expected grey (HxW) or RGB (HxWx3) uint8 array")
+    h, w = arr.shape[:2]
+    f = arr.astype("f8")
+    if grey:
+        planes = [f]
+    else:
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b,
+        ]
+    qts = [_jpeg_scaled_qt(JPEG_QT_LUMA, quality)]
+    if not grey:
+        qts.append(_jpeg_scaled_qt(JPEG_QT_CHROMA, quality))
+    C = _jpeg_dct_matrix()
+    zz = np.array(JPEG_ZIGZAG)
+
+    dc_tabs = [_huff_encode_table(*JPEG_HUFF_DC_LUMA)]
+    ac_tabs = [_huff_encode_table(*JPEG_HUFF_AC_LUMA)]
+    if not grey:
+        dc_tabs.append(_huff_encode_table(*JPEG_HUFF_DC_CHROMA))
+        ac_tabs.append(_huff_encode_table(*JPEG_HUFF_AC_CHROMA))
+
+    # sampling factors per component; 4:2:0 box-averages the chroma
+    if subsample and not grey:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        cb, cr = planes[1], planes[2]
+        ch2, cw2 = -(-h // 2), -(-w // 2)
+        # pad to even dims with edge replication, then 2x2 box average
+        cbp = np.pad(cb, ((0, 2 * ch2 - h), (0, 2 * cw2 - w)), mode="edge")
+        crp = np.pad(cr, ((0, 2 * ch2 - h), (0, 2 * cw2 - w)), mode="edge")
+        planes = [
+            planes[0],
+            cbp.reshape(ch2, 2, cw2, 2).mean(axis=(1, 3)),
+            crp.reshape(ch2, 2, cw2, 2).mean(axis=(1, 3)),
+        ]
+    else:
+        samp = [(1, 1)] * len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    padded = []
+    for p, (si, sv) in zip(planes, samp):
+        tw, th = mcus_x * 8 * si, mcus_y * 8 * sv
+        padded.append(
+            np.pad(
+                p,
+                ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                mode="edge",
+            )
+            - 128.0
+        )
+    wr = _JpegBitWriter()
+    preds = [0] * len(planes)
+
+    def emit_block(ci: int, by: int, bx: int) -> None:
+        qt = qts[min(ci, len(qts) - 1)]
+        dct = dc_tabs[min(ci, len(dc_tabs) - 1)]
+        act = ac_tabs[min(ci, len(ac_tabs) - 1)]
+        blk = padded[ci][by : by + 8, bx : bx + 8]
+        coef = C @ blk @ C.T
+        q = np.floor(coef.reshape(64) / qt + 0.5).astype("i8")[zz]
+        diff = int(q[0]) - preds[ci]
+        preds[ci] = int(q[0])
+        s = abs(diff).bit_length()
+        code, ln = dct[s]
+        wr.put(code, ln)
+        if s:
+            wr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if q[i]), default=0)
+        for k in range(1, last_nz + 1):
+            v = int(q[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = act[0xF0]
+                wr.put(code, ln)
+                run -= 16
+            s = abs(v).bit_length()
+            code, ln = act[(run << 4) | s]
+            wr.put(code, ln)
+            wr.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            code, ln = act[0x00]
+            wr.put(code, ln)
+
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                wr.align_marker(0xD0 + rst_n % 8)
+                rst_n += 1
+                preds = [0] * len(planes)
+            for ci, (si, sv) in enumerate(samp):
+                for byi in range(sv):
+                    for bxi in range(si):
+                        emit_block(
+                            ci,
+                            (my * sv + byi) * 8,
+                            (mx * si + bxi) * 8,
+                        )
+            mcu_count += 1
+    entropy = wr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    for tid, qt in enumerate(qts):
+        ztab = bytes(int(qt[JPEG_ZIGZAG[i]]) for i in range(64))
+        out += seg(0xFFDB, bytes([tid]) + ztab)
+    ncomp = 1 if grey else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hv = (samp[ci][0] << 4) | samp[ci][1]
+        sof += bytes([ci + 1, hv, min(ci, len(qts) - 1)])
+    out += seg(0xFFC0, sof)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    specs = [(0x00, JPEG_HUFF_DC_LUMA), (0x10, JPEG_HUFF_AC_LUMA)]
+    if not grey:
+        specs += [(0x01, JPEG_HUFF_DC_CHROMA), (0x11, JPEG_HUFF_AC_CHROMA)]
+    for tc_th, (bits, vals) in specs:
+        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    return out + entropy + b"\xff\xd9"
+
+
+def decode_jpeg_baseline(payload: bytes):
+    """REAL baseline JPEG decode — stdlib + numpy: stream-driven DQT /
+    DHT / SOF0 / SOS / DRI parsing, Huffman + run-length entropy decode
+    with restart-marker support, dequantize, IDCT, chroma upsampling for
+    subsampled scans (4:2:0 / 4:2:2), YCbCr -> RGB. Returns an
+    (H x W x channels) uint8 array (channels 1 for greyscale scans, 3
+    otherwise). Progressive (SOF2), arithmetic-coded, hierarchical and
+    12-bit streams raise loudly rather than mis-decode."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("no SOI marker: not a JPEG payload")
+    qts: dict[int, object] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    scan: list[tuple[int, int, int]] = []  # (comp index, td, ta)
+    height = width = 0
+    restart_interval = 0
+    pos = 2
+    zz = np.array(JPEG_ZIGZAG)
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("desynchronized JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        data = payload[pos + 4 : pos + 2 + length]
+        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise ValueError("progressive JPEG not supported (baseline only)")
+        if marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
+            raise ValueError("non-baseline JPEG frame not supported")
+        if marker in (0xC0, 0xC1):
+            precision, height, width, ncomp = struct.unpack(">BHHB", data[:6])
+            if precision != 8:
+                raise ValueError("only 8-bit baseline JPEG supported")
+            for i in range(ncomp):
+                cid, hv, tq = data[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker == 0xDB:
+            p = 0
+            while p < len(data):
+                pq_tq = data[p]
+                if pq_tq >> 4:
+                    raise ValueError("16-bit quant tables not supported")
+                tbl = np.zeros(64, dtype="i8")
+                for i in range(64):
+                    tbl[JPEG_ZIGZAG[i]] = data[p + 1 + i]
+                qts[pq_tq & 0xF] = tbl
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(data):
+                tc_th = data[p]
+                bits = list(data[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(data[p + 17 : p + 17 + n])
+                huff[(tc_th >> 4, tc_th & 0xF)] = _huff_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:
+            ns = data[0]
+            for i in range(ns):
+                cs, tda = data[1 + 2 * i : 3 + 2 * i]
+                ci = next(
+                    j for j, c in enumerate(comps) if c[0] == cs
+                )
+                scan.append((ci, tda >> 4, tda & 0xF))
+            pos = pos + 2 + length
+            break
+        pos += 2 + length
+    if not comps or not scan:
+        raise ValueError("JPEG missing frame/scan headers")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-width // mcu_w)
+    mcus_y = -(-height // mcu_h)
+    planes = [
+        np.zeros((mcus_y * 8 * c[2], mcus_x * 8 * c[1]), dtype="f8")
+        for c in comps
+    ]
+    C = _jpeg_dct_matrix()
+    reader = _JpegBitReader(payload, pos)
+    preds = [0] * len(comps)
+
+    def extend(v: int, s: int) -> int:
+        return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+    def decode_block(ci: int, td: int, ta: int, by: int, bx: int) -> None:
+        dc_tab = huff[(0, td)]
+        ac_tab = huff[(1, ta)]
+        qt = qts[comps[ci][3]]
+        coef = np.zeros(64, dtype="i8")
+        s = reader.read_huff(dc_tab)
+        diff = extend(reader.read(s), s) if s else 0
+        preds[ci] += diff
+        coef[0] = preds[ci]
+        k = 1
+        while k < 64:
+            sym = reader.read_huff(ac_tab)
+            if sym == 0x00:
+                break
+            if sym == 0xF0:
+                k += 16
+                continue
+            k += sym >> 4
+            size = sym & 0xF
+            if k > 63:
+                raise ValueError("AC coefficient index out of range")
+            coef[k] = extend(reader.read(size), size)
+            k += 1
+        block = np.zeros(64, dtype="f8")
+        block[zz] = coef * qt[zz]
+        pix = C.T @ block.reshape(8, 8) @ C
+        planes[ci][by : by + 8, bx : bx + 8] = pix
+
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.restart()
+                preds = [0] * len(comps)
+            try:
+                for ci, td, ta in scan:
+                    _, ch, cv, _tq = comps[ci]
+                    for byi in range(cv):
+                        for bxi in range(ch):
+                            decode_block(
+                                ci, td, ta,
+                                (my * cv + byi) * 8,
+                                (mx * ch + bxi) * 8,
+                            )
+            except _JpegRestart:
+                # tolerated only exactly at a restart boundary
+                raise ValueError("unexpected restart marker mid-MCU")
+            mcu_count += 1
+
+    out_planes = []
+    for ci, (cid, ch, cv, _tq) in enumerate(comps):
+        p = planes[ci]
+        if ch != hmax or cv != vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        out_planes.append(p[:height, :width] + 128.0)
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype("u1")[
+            :, :, None
+        ]
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype("u1")
+
+
+def image_jpeg_stats(media: DataFrame) -> DataFrame:
+    """Real image stats over baseline-JPEG payload columns (same screens
+    as :func:`image_png_stats`): dimensions, channel means, Rec.601 luma.
+    Greyscale scans broadcast their single channel."""
+
+    def batches(parts: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in parts:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_jpeg_baseline(bytes(payload)).astype("f8")
+                rgb = (
+                    np.repeat(img, 3, axis=2)
+                    if img.shape[2] == 1
+                    else img[:, :, :3]
+                )
+                means = rgb.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "width": img.shape[1],
+                        "height": img.shape[0],
+                        "mean_r": float(means[0]),
+                        "mean_g": float(means[1]),
+                        "mean_b": float(means[2]),
+                        "luma_mean": float(
+                            0.299 * means[0]
+                            + 0.587 * means[1]
+                            + 0.114 * means[2]
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("asset_id", "payload").mapInPandas(
+        batches, IMAGE_STATS_SCHEMA
     )

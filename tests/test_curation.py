@@ -570,3 +570,42 @@ def test_plan_token_mixture_zero_weight_normalizer_and_unallocated(spark):
     assert not any(
         r["lang"] == "__unallocated__" for r in plan_def.collect()
     )
+
+
+def test_semdedup_prune_keep_low_centroid_similarity(spark):
+    """SemDeDup prune: within a cell, of a near-dup pair the member with
+    the LOWER cosine-to-centroid is kept (paper's keep-low policy),
+    exact duplicates tie-break to the lowest id, sub-threshold neighbors
+    and singleton cells are untouched."""
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id INT, embedding ARRAY<FLOAT>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),    # cell 0, cent_cos = 1.0
+            (2, [0.99, 0.02, 0.0, 0.0]),  # near-dup of 1, cent_cos < 1
+            (3, [0.0, 1.0, 0.0, 0.0]),    # alone in cell 1
+            (4, [0.6, 0.0, 0.8, 0.0]),    # cell 0 but cos(1,4)=0.6 < 0.9
+            (5, [1.0, 0.0, 0.0, 0.0]),    # exact duplicate of 1, higher id
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    from pw_etl_scrumptious_squad_spark.operators import curation
+
+    got = {
+        r["vec_id"]: r
+        for r in curation.semdedup_prune(
+            corpus, cents, threshold_ppb=900_000_000
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1]["cell"] == 0 and got[1]["cent_ppb"] == 1_000_000_000
+    # 2 has the lowest cent-cos of the {1,2,5} dup group -> kept
+    assert got[2]["kept"] == 1
+    # 1 dropped by 2 (lower cent); 5 dropped by both 2 and the id-tie
+    assert got[1]["kept"] == 0
+    assert got[5]["kept"] == 0
+    # singleton cell and sub-threshold neighbor keep
+    assert got[3]["kept"] == 1 and got[3]["cell"] == 1
+    assert got[4]["kept"] == 1

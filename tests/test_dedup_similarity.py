@@ -222,8 +222,10 @@ def test_ngram_guard_routes_to_lsh_no_broadcast(spark):
 
 
 def test_embedding_guard_routes_to_cells_no_full_broadcast(spark):
-    """Above max_exact_rows the cosine pair join must shuffle on
-    (block, cell) — only the tiny centroid set may broadcast."""
+    """Above max_exact_rows the quadratic stage must be the within-cell
+    Arrow matmul (one FlatMapGroupsInPandas per (blk, cell) group) —
+    never a corpus-side broadcast or a cartesian join. Assignment is a
+    map-side argmax against the driver-collected centroid matrix."""
     import math
 
     rows = [
@@ -240,9 +242,10 @@ def test_embedding_guard_routes_to_cells_no_full_broadcast(spark):
     )
     rows_out = guarded.collect()
     plan = _plan_str(guarded)
-    # the corpus-pair join must be a shuffle join; broadcasts in the plan
-    # may only come from the centroid assignment (tiny side)
-    assert "SortMergeJoin" in plan
+    # the quadratic stage is the grouped Arrow matmul, keyed on (blk, cell)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     found = {(r["doc_a"], r["doc_b"]) for r in rows_out}
     assert (900, 901) in found  # same-direction vectors share a cell
     for a, b in found:

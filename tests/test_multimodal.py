@@ -356,3 +356,85 @@ def test_audio_spectral_features_sine_and_bands(spark):
     assert abs(m["band_energy_low"] - 0.8) < 0.01
     assert abs(m["band_energy_high"] - 0.2) < 0.01
     assert m["band_energy_mid"] < 0.01
+
+
+def test_jpeg_baseline_round_trip_444_420_restart():
+    """encode_jpeg_baseline -> decode_jpeg_baseline closes within JPEG
+    quantization error on smooth images for 4:4:4, 4:2:0 and
+    restart-marker streams; flat-color images round-trip exactly; the
+    header walk (parse_jpeg_metadata) agrees on dimensions."""
+    import numpy as np
+
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+
+    # flat color: every block is a lone DC coefficient — exact recovery
+    flat = np.full((24, 33, 3), (120, 64, 200), dtype=np.uint8)
+    enc = mm.encode_jpeg_baseline(flat, quality=90)
+    assert (mm.decode_jpeg_baseline(enc) == flat).all()
+    meta = mm.parse_jpeg_metadata(enc)
+    assert (meta["width"], meta["height"], meta["progressive"]) == (
+        33, 24, False,
+    )
+
+    # smooth gradient (bounded, no uint8 wrap), odd dimensions
+    x, y = np.linspace(0, 120, 70), np.linspace(0, 70, 45)
+    grad = (np.add.outer(y, x)[:, :, None] + np.array([0, 20, 40])).astype(
+        np.uint8
+    )
+    for kwargs in (
+        {},
+        {"subsample": True},
+        {"restart_interval": 3},
+        {"subsample": True, "restart_interval": 2},
+    ):
+        dec = mm.decode_jpeg_baseline(
+            mm.encode_jpeg_baseline(grad, quality=90, **kwargs)
+        )
+        assert dec.shape == grad.shape, kwargs
+        err = np.abs(dec.astype(int) - grad.astype(int))
+        assert err.mean() < 1.5 and err.max() <= 6, (kwargs, err.max())
+
+
+def test_jpeg_baseline_grayscale_and_guards():
+    """Greyscale scans decode to HxWx1; progressive and non-JPEG
+    payloads raise loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+
+    g = (np.add.outer(np.arange(40), np.arange(56)) % 200).astype(np.uint8)
+    dec = mm.decode_jpeg_baseline(mm.encode_jpeg_baseline(g, quality=92))
+    assert dec.shape == (40, 56, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).mean() < 1.5
+
+    with _pytest.raises(ValueError, match="progressive"):
+        mm.decode_jpeg_baseline(mm.encode_jpeg_skeleton(8, 8, progressive=True))
+    with _pytest.raises(ValueError, match="SOI"):
+        mm.decode_jpeg_baseline(b"not a jpeg")
+
+
+def test_jpeg_stats_operator(spark):
+    """image_jpeg_stats over real encoded JPEGs matches closed-form
+    channel means within quantization tolerance (exactly for flats)."""
+    import numpy as np
+
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+
+    imgs = {
+        1: np.full((16, 16, 3), (10, 20, 30), dtype=np.uint8),
+        2: np.full((8, 24, 3), (200, 100, 0), dtype=np.uint8),
+    }
+    media = spark.createDataFrame(
+        [
+            (k, bytearray(mm.encode_jpeg_baseline(v, quality=90)))
+            for k, v in imgs.items()
+        ],
+        "asset_id LONG, payload BINARY",
+    )
+    got = {r["asset_id"]: r for r in mm.image_jpeg_stats(media).collect()}
+    assert got[1]["width"] == 16 and got[1]["height"] == 16
+    assert got[1]["mean_r"] == 10.0 and got[1]["mean_b"] == 30.0
+    assert got[2]["mean_r"] == 200.0 and got[2]["mean_g"] == 100.0
+    expected_luma = 0.299 * 200 + 0.587 * 100
+    assert abs(got[2]["luma_mean"] - expected_luma) < 1e-9

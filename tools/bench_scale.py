@@ -1,0 +1,202 @@
+"""Scaling-curve bench: run a battery of headline queries and the
+approximate-mode dedup/ANN operator paths at x1 / x10 / x100 of the
+sf0.1 corpus (tools/gen_scale.py output) and record per-query scaling
+exponents — the empirical backing for every "would survive 100 TB"
+claim that previously rested on plan inspection over 17 MB.
+
+Usage:  python tools/bench_scale.py [--sizes 1,10,100] [--out BENCH_scale.json]
+
+For each query and size the job runs twice (the min reports steady-state
+plan cost, discarding first-run codegen); execution is forced with a
+noop-format write. The scaling exponent between consecutive sizes is
+``alpha = log(t_b/t_a) / log(b/a)``:
+
+- alpha <= ~1.1  -> linear (ideal: data grew 10x, time grew 10x)
+- 1.1 < alpha <= ~1.3 -> n log n-ish (acceptable: sorts/shuffles)
+- alpha > 1.3 sustained at the largest step -> super-linear; the plan
+  needs a diff (recorded as "flag": true in the output)
+
+x1 times are dominated by fixed session/stage overheads (~0.2-0.5 s),
+which DEFLATES alpha_1_10; alpha_10_100 is the honest signal and is
+what the flag is computed from.
+
+The dedup/ANN entries measure the SCALE routes explicitly (LSH tier
+forced for token-Jaccard, IVF-cell route forced for embedding near-dup,
+sample-trained centroids assigned over the full corpus for ANN), not the
+exact tiers the small-sf catalog pins for oracle checking.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pw_etl_scrumptious_squad_spark import catalog as catmod
+from pw_etl_scrumptious_squad_spark.operators import dedup, similarity
+from pw_etl_scrumptious_squad_spark.session import get_spark
+from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+# catalog entries that already express the 100 TB shape (map-side /
+# one-shuffle / broadcast-dim queries) — timed as-is over the scaled dirs
+CATALOG_QUERIES = [
+    "q01_pricing_summary",     # lineitem agg (60M rows at x100)
+    "q09_events_hourly",       # events window agg (10M rows at x100)
+    "q10_sessionize",          # session windows per user
+    "d01_exact_dedup",         # hash-groupBy dedup
+    "d03_minhash_signatures",  # signature generation
+    "d05_minhash_lsh_pairs",   # banded LSH + verify
+    "t01_token_stats",         # map-side token stats
+    "t06_tfidf_topk",          # explode + two hash aggs
+    "y08_decontamination",     # broadcast eval side
+    "y34_quality_rules",       # map-side rule battery
+    "m04_image_dhash",         # mapInPandas Arrow path
+    "s01_cosine_topk",         # broadcast-query brute force
+    "y30_srp_wide",            # wide SRP banding (embeddings)
+    "y31_simhash_wide",        # wide text SimHash banding (EXACT tier)
+    "y14_incremental_neardup", # store+batch incremental LSH
+    "x02_fineweb_pipeline",    # staged curation pipeline
+]
+
+# Entries measured only up to a size: y31's EXACT tier is uncapped by its
+# documented mode rule, and at 500k docs its 16-bit band buckets cross
+# the birthday bound (expected random band collisions ~ n^2/2^17 per
+# band), so the exact regime is measured to x10 and the production
+# APPROXIMATE tier (op_simhash_wide_approx: identical-signature
+# star-collapse + capped band buckets) carries the x100 point — exactly
+# the regime documented as the scale path.
+MAX_SIZE = {"y31_simhash_wide": 10}
+
+
+def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
+    """Scale-route operator battery: name -> thunk building the frame."""
+    docs = lambda: read_table(spark, d, "documents")  # noqa: E731
+    emb = lambda: read_table(spark, d, "embeddings")  # noqa: E731
+    return {
+        # forced LSH tier (the >100k-rows route) at every size
+        "op_jaccard_lsh_route": lambda: dedup.ngram_jaccard_pairs(
+            docs(), "doc_id", "text", "lang", 0.9,
+            max_exact_rows=0, n_rows_hint=n_docs,
+        ),
+        # forced IVF-cell route for embedding near-dup at every size
+        "op_embed_ivf_route": lambda: dedup.embedding_neardup_pairs(
+            emb(), threshold=0.95, max_exact_rows=0, n_rows_hint=n_vecs,
+        ),
+        # duplicate-cluster labeling over the LSH pair graph (iterative
+        # large-star/small-star with per-round materialization)
+        "op_connected_components": lambda: dedup.connected_components(
+            dedup.minhash_lsh_dedup(
+                docs(), "doc_id", "text", num_perm=16, bands=8, threshold=0.5
+            ),
+            docs().select("doc_id"),
+        ),
+        # the production wide-SimHash regime: star-collapse + capped
+        # buckets (exact=False) — the tier a 100 TB corpus actually runs
+        "op_simhash_wide_approx": lambda: dedup.hamming_near_pairs_words(
+            dedup.simhash_words(docs(), "doc_id", "text", bits=128),
+            bits=128, bands=8, max_hamming=7,
+            sig_col="simhash_words", exact=False,
+        ),
+        # ANN at scale: centroids trained ONCE on the x1 sample (untimed,
+        # amortized), timed portion = full-corpus cell assignment + probe
+        "op_ivf_assign_probe": lambda: similarity.ivf_topk(
+            similarity.assign_ivf_cells(emb(), cents),
+            cents,
+            emb().filter(F.col("vec_id") < 5),
+            k=5,
+            n_probe=3,
+        ),
+    }
+
+
+def time_noop(thunk) -> float:
+    """Time BUILD + EXECUTE: several pipelines materialize eagerly while
+    the frame is being built (checkpoint rounds, collected fingerprints),
+    so timing only the final write would miss most of their work."""
+    start = time.perf_counter()
+    thunk().write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - start
+
+
+def main() -> None:
+    sizes = [1, 10, 100]
+    out_path = "BENCH_scale.json"
+    args = sys.argv[1:]
+    if "--sizes" in args:
+        sizes = [int(s) for s in args[args.index("--sizes") + 1].split(",")]
+    if "--out" in args:
+        out_path = args[args.index("--out") + 1]
+    base = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/root/repo/scale_data")
+
+    spark = get_spark(app_name="bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    cat = catmod.catalog()
+
+    # one-time sample training for the ANN entry (the 100 TB posture:
+    # k-means cost is per-row x k, so you fit on a sample and assign all)
+    cents = similarity.train_ivf_centroids(
+        read_table(spark, f"{base}/x1", "embeddings"), k=16
+    )
+    cents = spark.createDataFrame(
+        cents.collect(), "centroid_id INT, embedding ARRAY<FLOAT>"
+    )
+
+    results: dict[str, dict] = {}
+    meta: dict[str, dict] = {}
+    for k in sizes:
+        d = f"{base}/x{k}"
+        # warm the footers + JVM; record table sizes once per size
+        counts = {}
+        for t in ("documents", "embeddings", "events", "lineitem"):
+            counts[t] = read_table(spark, d, t).count()
+        meta[f"x{k}"] = counts
+        n_docs, n_vecs = counts["documents"], counts["embeddings"]
+
+        batt: dict[str, object] = {
+            name: (lambda name=name, d=d: cat[name].build(spark, d))
+            for name in CATALOG_QUERIES
+        }
+        batt.update(operator_queries(spark, d, n_docs, n_vecs, cents))
+
+        for name, thunk in batt.items():
+            if k > MAX_SIZE.get(name, 10**9):
+                continue
+            runs = [time_noop(thunk) for _ in range(2)]
+            t = round(min(runs), 3)
+            results.setdefault(name, {})[f"t{k}"] = t
+            print(f"x{k:<4} {name:<28} {t:8.3f} s", flush=True)
+
+    # scaling exponents between consecutive measured sizes
+    for name, r in results.items():
+        for a, b in zip(sizes, sizes[1:]):
+            ta, tb = r.get(f"t{a}"), r.get(f"t{b}")
+            if ta and tb and ta > 0:
+                r[f"alpha_{a}_{b}"] = round(
+                    math.log(tb / ta) / math.log(b / a), 3
+                )
+        if len(sizes) >= 2:
+            last = f"alpha_{sizes[-2]}_{sizes[-1]}"
+            r["flag"] = bool(r.get(last, 0) and r[last] > 1.3)
+        else:
+            r["flag"] = False
+
+    payload = {
+        "metric": "scaling_curves",
+        "unit": "sec",
+        "sizes": meta,
+        "queries": results,
+        "flagged": sorted(n for n, r in results.items() if r["flag"]),
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({k: v for k, v in payload.items() if k != "sizes"}))
+
+
+if __name__ == "__main__":
+    main()
