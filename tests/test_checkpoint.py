@@ -76,6 +76,36 @@ def test_checkpoint_policy_modes_and_cc_parity(spark, tmp_path_factory):
         assert reliable_labels == expected
         assert len(_ckpt_files(ckpt_dir)) > before
 
+        # incremental dedup (signature materialization) also goes
+        # reliable, values unchanged vs the local-mode run
+        docs = spark.createDataFrame(
+            [
+                (i, "alpha beta gamma delta epsilon zeta " + suffix)
+                for i, suffix in [
+                    (1, "one"), (2, "one"), (5, "two"), (10, "one"),
+                ]
+            ],
+            "doc_id LONG, text STRING",
+        )
+        base = docs.filter(F.col("doc_id") % 5 != 0)
+        new = docs.filter(F.col("doc_id") % 5 == 0)
+
+        def run_inc():
+            return sorted(
+                (r["doc_a"], r["doc_b"])
+                for r in dedup.incremental_lsh_neardup(
+                    base, new, "doc_id", threshold=0.5
+                ).collect()
+            )
+
+        before = len(_ckpt_files(ckpt_dir))
+        reliable_pairs = run_inc()
+        assert len(_ckpt_files(ckpt_dir)) > before
+        spark.conf.set(MODE_CONF, "local")
+        assert run_inc() == reliable_pairs
+        assert (1, 10) in reliable_pairs  # cross base/new near-dup found
+        spark.conf.set(MODE_CONF, "auto")
+
         # explicit local pin ignores the dir
         spark.conf.set(MODE_CONF, "local")
         before = len(_ckpt_files(ckpt_dir))
