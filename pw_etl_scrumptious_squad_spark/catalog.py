@@ -95,7 +95,6 @@ def r01(spark: SparkSession, sf: str) -> DataFrame:
     return (
         _t(spark, sf, "orders")
         .select(F.col("o_orderkey").alias("id"), "o_totalprice")
-        .repartition(1).sortWithinPartitions("id")
     )
 
 
@@ -112,7 +111,6 @@ def r02(spark: SparkSession, sf: str) -> DataFrame:
     return (
         c.join(broadcast(n), c["c_nationkey"] == n["n_nationkey"], "inner")
         .select("c_custkey", "n_name")
-        .repartition(1).sortWithinPartitions("c_custkey")
     )
 
 
@@ -174,7 +172,6 @@ def r06(spark: SparkSession, sf: str) -> DataFrame:
             | (F.col("o_totalprice") > 400000)
         )
         .select("o_orderkey")
-        .repartition(1).sortWithinPartitions("o_orderkey")
     )
 
 
@@ -210,7 +207,7 @@ def r08(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         F.to_date("ts").alias("created_date"),
         F.date_format("ts", "HH:mm:ss").alias("created_time"),
-    ).repartition(1).sortWithinPartitions("event_id")
+    )
 
 
 @register(
@@ -251,7 +248,7 @@ def r11(spark: SparkSession, sf: str) -> DataFrame:
             F.col("o_totalprice").cast("decimal(18,2)").cast("double"), 2
         ).alias("unit price"),
         F.col("o_orderpriority").alias("priority"),
-    ).repartition(1).sortWithinPartitions("sales_order_id")
+    )
 
 
 @register(
@@ -523,7 +520,6 @@ def q09(spark: SparkSession, sf: str) -> DataFrame:
                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
             ).alias("total_value"),
         )
-        .repartition(1).sortWithinPartitions("hour_start", "event_type")
     )
 
 
@@ -565,7 +561,6 @@ def q10(spark: SparkSession, sf: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
         )
-        .repartition(1).sortWithinPartitions("user_id", "session_idx")
     )
 
 
@@ -592,7 +587,7 @@ def t01(spark: SparkSession, sf: str) -> DataFrame:
         text.token_count("text").alias("n_tokens"),
         text.distinct_token_count("text").alias("n_distinct"),
         F.length("text").alias("n_chars_calc"),
-    ).repartition(1).sortWithinPartitions("doc_id")
+    )
 
 
 @register(
@@ -608,7 +603,7 @@ def t02(spark: SparkSession, sf: str) -> DataFrame:
     d = text.quality_columns(_t(spark, sf, "documents"))
     return d.select(
         "doc_id", "distinct_ratio", "alpha_ratio", "stopword_ratio"
-    ).repartition(1).sortWithinPartitions("doc_id")
+    )
 
 
 @register(
@@ -625,7 +620,6 @@ def t03(spark: SparkSession, sf: str) -> DataFrame:
     return (
         text.fingerprint(_t(spark, sf, "documents"), "text", 5)
         .select("doc_id", "content_md5", "shingle_fingerprint")
-        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -638,7 +632,7 @@ def t04(spark: SparkSession, sf: str) -> DataFrame:
     d = text.lang_id(_t(spark, sf, "documents"))
     return d.select(
         "doc_id", *[f"score_{lang}" for lang in text.LANG_PRIORITY], "lang_pred"
-    ).repartition(1).sortWithinPartitions("doc_id")
+    )
 
 
 def _lang_id_oracle() -> str:
@@ -683,7 +677,6 @@ _REGISTRY["t04_lang_id"] = CatalogEntry(
 def d01(spark: SparkSession, sf: str) -> DataFrame:
     return (
         dedup.dedup_exact(_t(spark, sf, "documents"), ["text"], "doc_id")
-        .repartition(1).sortWithinPartitions("keep_id")
     )
 
 

@@ -53,7 +53,6 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("total_spend"),
             F.countDistinct("o_orderpriority").alias("n_priorities"),
         )
-        .repartition(1).sortWithinPartitions("c_custkey")
     )
 
 
@@ -89,7 +88,7 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
         F.when(missing.isNull(), F.lit("absent"))
         .otherwise(F.lit("present"))
         .alias("presence"),
-    ).repartition(1).sortWithinPartitions("event_id")
+    )
 
 
 @register(
@@ -122,7 +121,7 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
         F.col("c_name").rlike("[0-9]{3}").alias("has_3digits"),
         F.regexp_replace(F.col("c_name"), "[0-9]", "#").alias("masked"),
-    ).repartition(1).sortWithinPartitions("c_custkey")
+    )
 
 
 @register(
@@ -163,7 +162,7 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
         F.month("o_orderdate").cast("int").alias("mo"),
         F.dayofmonth(d).cast("int").alias("dom"),
         F.last_day(d).alias("month_end"),
-    ).repartition(1).sortWithinPartitions("o_orderkey")
+    )
 
 
 @register(
@@ -290,7 +289,6 @@ def r14(spark: SparkSession, sf: str) -> DataFrame:
         c.unionByName(o)
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"))
-        .repartition(1).sortWithinPartitions("k")
     )
 
 
@@ -323,7 +321,6 @@ def r15(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts", "last_view_ts")
-        .repartition(1).sortWithinPartitions("event_id")
     )
 
 
@@ -376,7 +373,7 @@ def d03(spark: SparkSession, sf: str) -> DataFrame:
     ).transform(materialize)
     return sigs.select(
         "doc_id", F.posexplode("minhash").alias("perm", "minhash_val")
-    ).repartition(1).sortWithinPartitions("doc_id", "perm")
+    )
 
 
 def _simhash_oracle() -> str:
@@ -405,7 +402,7 @@ def _simhash_oracle() -> str:
 def d04(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash(
         _t(spark, sf, "documents"), "doc_id", "text", bits=_SIMHASH_BITS
-    ).repartition(1).sortWithinPartitions("doc_id")
+    )
 
 
 def _lsh_pairs_oracle(
@@ -604,7 +601,7 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)),
             6,
         ).alias("running_total"),
-    ).repartition(1).sortWithinPartitions("event_id")
+    )
 
 
 @register(
@@ -746,7 +743,7 @@ def t05(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_bpe"),
         F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
-    ).repartition(1).sortWithinPartitions("doc_id")
+    )
 
 
 @register(
@@ -819,7 +816,7 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
         "payload_md5",
         "n_bytes",
         _fmt_double_array(F.col("features")).alias("features"),
-    ).repartition(1).sortWithinPartitions("asset_id")
+    )
 
 
 @register(
@@ -842,7 +839,7 @@ def m02(spark: SparkSession, sf: str) -> DataFrame:
         "frame_idx",
         "frame_ms",
         _fmt_double_array(F.col("frame_features")).alias("frame_features"),
-    ).repartition(1).sortWithinPartitions("asset_id", "frame_idx")
+    )
 
 
 @register(
@@ -875,7 +872,6 @@ def p01(spark: SparkSession, sf: str) -> DataFrame:
     return (
         e.groupBy("user_id")
         .applyInPandas(norm, "event_id long, user_id long, z double")
-        .repartition(1).sortWithinPartitions("event_id")
     )
 
 
@@ -968,7 +964,7 @@ def t06(spark: SparkSession, sf: str) -> DataFrame:
 
     return textops.tfidf_top_terms(
         _t(spark, sf, "documents"), "doc_id", "text", k=5
-    ).repartition(1).sortWithinPartitions("doc_id", "rk")
+    )
 
 
 def _curation_oracle() -> str:
@@ -1038,7 +1034,6 @@ def x01(spark: SparkSession, sf: str) -> DataFrame:
         fp.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -1117,7 +1112,7 @@ def m03(spark: SparkSession, sf: str) -> DataFrame:
         F.col("meta.height").alias("height"),
         F.col("meta.codec").alias("codec"),
         F.length("payload").cast("int").alias("n_bytes"),
-    ).repartition(1).sortWithinPartitions("asset_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2958,8 +2953,6 @@ def y32(spark: SparkSession, sf: str) -> DataFrame:
 
     return (
         textops.bigram_logprob_scores(_t(spark, sf, "documents"))
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
     )
 
 
@@ -3091,8 +3084,6 @@ def y34(spark: SparkSession, sf: str) -> DataFrame:
             F.col("keep").cast("int").alias("keep"),
             "drop_reason",
         )
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
     )
 
 
@@ -3176,8 +3167,6 @@ def y36(spark: SparkSession, sf: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") % 97 != 0)
     return (
         curation.embedding_decontaminate(corpus, eval_df)
-        .repartition(1)
-        .sortWithinPartitions("vec_id")
     )
 
 
@@ -3391,8 +3380,6 @@ def m04(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.synthetic_ppm_from_documents(_t(spark, sf, "documents"))
     return (
         multimodal.image_dhash(media)
-        .repartition(1)
-        .sortWithinPartitions("asset_id")
     )
 
 
@@ -3426,8 +3413,6 @@ def y40(spark: SparkSession, sf: str) -> DataFrame:
 
     return (
         textops.shingle_novelty(_t(spark, sf, "documents"))
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
     )
 
 
@@ -4126,6 +4111,4 @@ def y48(spark: SparkSession, sf: str) -> DataFrame:
         curation.semdedup_prune(
             emb, centroids, threshold_ppb=_Y48_THRESHOLD_PPB
         )
-        .repartition(1)
-        .sortWithinPartitions("vec_id")
     )

@@ -222,12 +222,20 @@ def test_pair_outputs_have_no_single_partition_funnel(spark, cat):
     sorts rows itself, and a single-task sort of a corpus-sized result
     is exactly the straggler a 100x scale-up can't absorb."""
     for name in [
+        "d01_exact_dedup",
         "d02_ngram_jaccard",
+        "d03_minhash_signatures",
         "d07_simhash_neardup",
+        "m04_image_dhash",
+        "t01_token_stats",
+        # t06 excluded: its 1-row corpus-stats aggregate is a legitimate
+        # SinglePartition exchange (broadcast scalar), not a funnel
         "y14_incremental_neardup",
         "y15_embedding_srp",
         "y30_srp_wide",
         "y31_simhash_wide",
+        "y34_quality_rules",
+        "y48_semdedup_prune",
     ]:
         simple = plan_of(spark, cat, name, "simple")
         assert "SinglePartition" not in simple, name
