@@ -126,7 +126,6 @@ def r03(spark: SparkSession, sf: str) -> DataFrame:
     return (
         s.join(broadcast(n), s["s_nationkey"] == n["n_nationkey"], "inner")
         .select("s_suppkey", "s_name", "n_name")
-        .repartition(1).sortWithinPartitions("s_suppkey")
     )
 
 
@@ -139,7 +138,10 @@ def r04(spark: SparkSession, sf: str) -> DataFrame:
     return (
         _t(spark, sf, "supplier")
         .select("s_suppkey", "s_name", "s_acctbal")
-        .repartition(1).sortWithinPartitions("s_name", "s_suppkey")
+        # the entry's SEMANTIC is the sort: a distributed range-partition
+        # orderBy (samples boundaries, sorts within ranges) is the shape
+        # that survives a table 1000x this size — not a one-task funnel
+        .orderBy("s_name", "s_suppkey")
     )
 
 
@@ -259,11 +261,16 @@ def r11(spark: SparkSession, sf: str) -> DataFrame:
     " (reference leaves it to SERIAL, setup_test_warehouse.sql:65)",
 )
 def r12(spark: SparkSession, sf: str) -> DataFrame:
-    s = _t(spark, sf, "supplier")
-    w = Window.orderBy("s_suppkey")
-    return s.select(
-        F.row_number().over(w).alias("record_id"), "s_suppkey", "s_name"
-    ).repartition(1).sortWithinPartitions("record_id")
+    from pw_etl_scrumptious_squad_spark.operators.facts import (
+        ranked_surrogate_key,
+    )
+
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return ranked_surrogate_key(s, "s_suppkey", "record_id").select(
+        F.col("record_id").cast("int").alias("record_id"),
+        "s_suppkey",
+        "s_name",
+    )
 
 
 @register(
@@ -283,7 +290,6 @@ def r13(spark: SparkSession, sf: str) -> DataFrame:
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts")
-        .repartition(1).sortWithinPartitions("user_id")
     )
 
 

@@ -467,7 +467,7 @@ def d05(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_dedup(
         _t(spark, sf, "documents"), "doc_id", "text",
         num_perm=16, bands=8, threshold=0.5,
-    ).repartition(1).sortWithinPartitions("doc_a", "doc_b")
+    )
 
 
 _IVF_K, _IVF_SEED, _IVF_NPROBE = 10, 7, 3
@@ -763,7 +763,7 @@ def t05(spark: SparkSession, sf: str) -> DataFrame:
 def d06(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(
         _t(spark, sf, "embeddings"), "vec_id", "embedding", "label", 0.3
-    ).repartition(1).sortWithinPartitions("doc_a", "doc_b")
+    )
 
 
 def _md5_features_sql(seed_expr: str) -> str:
@@ -908,7 +908,6 @@ def z22(spark: SparkSession, sf: str) -> DataFrame:
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
         .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
         .select("c_custkey", "c_name", "o_orderkey", "total_qty")
-        .repartition(1).sortWithinPartitions("o_orderkey")
     )
 
 
@@ -1068,7 +1067,7 @@ def z28(spark: SparkSession, sf: str) -> DataFrame:
             ),
             6,
         ).alias("sum_v"),
-    ).repartition(1).sortWithinPartitions("vec_id")
+    )
 
 
 @register(
@@ -1141,7 +1140,7 @@ def y01(spark: SparkSession, sf: str) -> DataFrame:
 
     return textops.chunk_documents(
         _t(spark, sf, "documents"), "doc_id", "text", _CHUNK, _STRIDE
-    ).repartition(1).sortWithinPartitions("doc_id", "chunk_idx")
+    )
 
 
 def _pii_oracle() -> str:
@@ -1200,7 +1199,7 @@ def y02(spark: SparkSession, sf: str) -> DataFrame:
     )
     return textops.mask_pii(injected, "text").select(
         "doc_id", "n_email", "n_phone", "n_digit_run", "masked_text"
-    ).repartition(1).sortWithinPartitions("doc_id")
+    )
 
 
 @register(
@@ -1284,7 +1283,6 @@ def y05(spark: SparkSession, sf: str) -> DataFrame:
     return (
         dedup.connected_components(pairs.select("doc_a", "doc_b"), d, "doc_id")
         .select(F.col("node").alias("doc_id"), "cluster_id")
-        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -1391,7 +1389,7 @@ def y08(spark: SparkSession, sf: str) -> DataFrame:
         "text",
         shingle_size=_DECON_K,
         min_overlap=1,
-    ).repartition(1).sortWithinPartitions("doc_id")
+    )
 
 
 _MIX_RATES = {"en": 0.9, "de": 0.5, "es": 0.25, "fr": 0.1, "zh": 0.75}
@@ -1428,9 +1426,7 @@ def y09(spark: SparkSession, sf: str) -> DataFrame:
         _MIX_RATES,
         "doc_id",
         _MIX_SEED,
-    ).select("doc_id", "lang", "source").repartition(1).sortWithinPartitions(
-        "doc_id"
-    )
+    ).select("doc_id", "lang", "source")
 
 
 def _rep_oracle() -> str:
@@ -1474,7 +1470,7 @@ def _rep_oracle() -> str:
 def y10(spark: SparkSession, sf: str) -> DataFrame:
     return curation.repetition_metrics(
         _t(spark, sf, "documents"), "doc_id", "text", ns=(2, 3)
-    ).repartition(1).sortWithinPartitions("doc_id")
+    )
 
 
 def _quant_oracle() -> str:
@@ -1511,7 +1507,7 @@ def y11(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("scale_ppb"),
         "codes_csv",
-    ).repartition(1).sortWithinPartitions("vec_id")
+    )
 
 
 _PACK_BUDGET = 80  # tokens per packed sequence (chunks are <=32 tokens)
@@ -1565,7 +1561,7 @@ def y12(spark: SparkSession, sf: str) -> DataFrame:
         budget=_PACK_BUDGET,
         stream_col="doc_id",
         order_cols=("chunk_idx",),
-    ).repartition(1).sortWithinPartitions("doc_id", "chunk_idx")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1629,7 +1625,6 @@ def y13(spark: SparkSession, sf: str) -> DataFrame:
     return (
         cdc.snapshot_diff(old, new, ["o_orderkey"])
         .withColumn("o_totalprice", F.round("o_totalprice", 2))
-        .repartition(1).sortWithinPartitions("o_orderkey")
     )
 
 
@@ -2026,7 +2021,6 @@ def y17(spark: SparkSession, sf: str) -> DataFrame:
             .cast("int")
             .alias("stage"),
         )
-        .repartition(1).sortWithinPartitions("user_id")
     )
 
 
@@ -2153,7 +2147,7 @@ def y20(spark: SparkSession, sf: str) -> DataFrame:
         "total_qty",
         "n_lines",
         F.round("max_price", 2).alias("max_price"),
-    ).repartition(1).sortWithinPartitions("l_orderkey")
+    )
 
 
 @register(
@@ -2229,7 +2223,7 @@ def y22(spark: SparkSession, sf: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("net_cents"),
-    ).repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber")
+    )
 
 
 @register(
@@ -2322,7 +2316,7 @@ def y24(spark: SparkSession, sf: str) -> DataFrame:
 
     return dims.scd2_from_history(
         h, "custkey", ["priority"], "ts", tiebreak_cols=["o_orderkey"]
-    ).repartition(1).sortWithinPartitions("custkey", "version")
+    )
 
 
 @register(
@@ -2366,7 +2360,6 @@ def z29(spark: SparkSession, sf: str) -> DataFrame:
                 F.sum(price * (F.lit(1) - disc)).cast("double"), 4
             ).alias("revenue"),
         )
-        .repartition(1).sortWithinPartitions("l_orderkey")
     )
 
 
@@ -2442,7 +2435,6 @@ def y25(spark: SparkSession, sf: str) -> DataFrame:
             .alias("score_ppb"),
             "is_canonical",
         )
-        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -2491,7 +2483,6 @@ def z30(spark: SparkSession, sf: str) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .repartition(1).sortWithinPartitions("user_id", "session_start")
     )
 
 
@@ -2533,7 +2524,6 @@ def y26(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
         )
-        .repartition(1).sortWithinPartitions("shard")
     )
 
 
@@ -2602,7 +2592,6 @@ def z31(spark: SparkSession, sf: str) -> DataFrame:
                 2,
             ).alias("value_prev_hour"),
         )
-        .repartition(1).sortWithinPartitions("event_id")
     )
 
 
@@ -2632,10 +2621,7 @@ def z31(spark: SparkSession, sf: str) -> DataFrame:
 def z32(spark: SparkSession, sf: str) -> DataFrame:
     from pw_etl_scrumptious_squad_spark.operators import text as textops
 
-    return (
-        textops.encode_token_ids(_t(spark, sf, "documents"))
-        .repartition(1).sortWithinPartitions("doc_id")
-    )
+    return textops.encode_token_ids(_t(spark, sf, "documents"))
 
 
 @register(
@@ -2679,7 +2665,6 @@ def y28(spark: SparkSession, sf: str) -> DataFrame:
         dedup.drop_duplicate_spans(
             _t(spark, sf, "documents"), "doc_id", "text", 10
         )
-        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -2758,8 +2743,6 @@ def z34(spark: SparkSession, sf: str) -> DataFrame:
             "schema_of_variant(v) AS vschema",
         )
         .filter(F.col("k_val") >= 50)
-        .repartition(1)
-        .sortWithinPartitions("event_id")
     )
 
 
@@ -3121,8 +3104,6 @@ def y35(spark: SparkSession, sf: str) -> DataFrame:
         dedup.containment_pairs(
             _t(spark, sf, "documents"), "doc_id", "text", 5, 0.8
         )
-        .repartition(1)
-        .sortWithinPartitions("doc_a", "doc_b")
     )
 
 
@@ -3260,8 +3241,6 @@ def y38(spark: SparkSession, sf: str) -> DataFrame:
 
     return (
         curation.source_overlap_matrix(_t(spark, sf, "documents"))
-        .repartition(1)
-        .sortWithinPartitions("src_a", "src_b")
     )
 
 
@@ -3307,8 +3286,6 @@ def y39(spark: SparkSession, sf: str) -> DataFrame:
 
     return (
         curation.perplexity_buckets(_t(spark, sf, "documents"))
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
     )
 
 
@@ -3506,8 +3483,6 @@ def x02(spark: SparkSession, sf: str) -> DataFrame:
     return (
         surv2.join(dropped, "doc_id", "left_anti")
         .select("doc_id", "lang", "bucket", "n_words")
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
     )
 
 
@@ -3929,8 +3904,6 @@ def y46(spark: SparkSession, sf: str) -> DataFrame:
     store = textops.shingle_df_store(store_docs).transform(materialize)
     return (
         textops.incremental_shingle_novelty(batch, store)
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
     )
 
 

@@ -94,9 +94,73 @@ def deterministic_record_id(df: DataFrame, natural_key: str, name: str) -> DataF
     """Optional Spark-side surrogate key: dense sequence by natural key.
 
     ``row_number`` over an un-partitioned window serializes through one task;
-    acceptable for dimension-sized frames, NOT for 100 TB facts — facts
-    should let the warehouse sink assign (parity with the reference) or use
-    the natural key directly.
+    acceptable for dimension-sized frames, NOT for 100 TB facts — use
+    :func:`ranked_surrogate_key` for anything that grows with the data,
+    or let the warehouse sink assign (parity with the reference).
     """
     w = Window.orderBy(natural_key)
     return df.select(F.row_number().over(w).alias(name), "*")
+
+
+def ranked_surrogate_key(
+    df: DataFrame,
+    natural_key: str | list[str],
+    name: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense global-rank surrogate key WITHOUT the single-task window.
+
+    ``row_number() OVER (ORDER BY key)`` funnels every row through one
+    task — the textbook scale cliff for a key that must be dense AND
+    ordered. The distributed equivalent is the zipWithIndex shape, kept
+    declarative:
+
+    1. range-repartition on the natural key (sampled boundaries; all rows
+       with equal keys land in one partition, partitions are globally
+       ordered), then MATERIALIZE so the sampled boundaries are frozen —
+       the counting pass and the numbering pass must see the same
+       assignment;
+    2. count rows per partition — a tiny aggregate whose result is one row
+       per partition (bounded by the partition count, never the data),
+       collected and turned into cumulative offsets;
+    3. ``row_number`` within each partition (ordered by the key) plus the
+       partition's offset = the exact global rank.
+
+    Value-identical to the global window when the key is unique (ties
+    get arbitrary order in BOTH forms). Output is ``bigint`` — a dense id
+    over 100 TB of rows overflows int32.
+    """
+    keys = [natural_key] if isinstance(natural_key, str) else list(natural_key)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    from pw_etl_scrumptious_squad_spark.checkpoint import materialize
+
+    part = materialize(
+        df.repartitionByRange(n, *keys).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    counts = {
+        r["__pid"]: r["c"]
+        for r in part.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    pids = sorted(counts)
+    offsets, acc = [], 0
+    for pid in pids:
+        offsets.append(acc)
+        acc += counts[pid]
+    omap = F.map_from_arrays(
+        F.array(*[F.lit(p) for p in pids]),
+        F.array(*[F.lit(o).cast("bigint") for o in offsets]),
+    )
+    w = Window.partitionBy("__pid").orderBy(*keys)
+    return (
+        part.select(
+            (F.row_number().over(w) + omap[F.col("__pid")])
+            .cast("bigint")
+            .alias(name),
+            "*",
+        )
+        .drop("__pid")
+    )

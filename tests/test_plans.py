@@ -225,17 +225,51 @@ def test_pair_outputs_have_no_single_partition_funnel(spark, cat):
         "d01_exact_dedup",
         "d02_ngram_jaccard",
         "d03_minhash_signatures",
+        "d05_minhash_lsh_pairs",
+        "d06_embedding_neardup",
         "d07_simhash_neardup",
         "m04_image_dhash",
+        "r03_equi_join_shared_key",
+        "r12_surrogate_key",
+        "r13_keep_newest",
         "t01_token_stats",
         # t06 excluded: its 1-row corpus-stats aggregate is a legitimate
-        # SinglePartition exchange (broadcast scalar), not a funnel
+        # SinglePartition exchange (broadcast scalar), not a funnel.
+        # z29 excluded: its one SinglePartition is the 1-row Bloom-filter
+        # bit_or reduce (a broadcast scalar by design). z32 excluded: the
+        # vocab-ranking window runs over token TYPES (bounded), not docs.
+        "x02_fineweb_pipeline",
+        "y01_doc_chunks",
+        "y02_pii_mask",
+        "y05_dup_clusters",
+        "y08_decontamination",
+        "y09_mix_sample",
+        "y10_repetition_metrics",
+        "y11_embedding_quant",
+        "y12_sequence_packing",
+        "y13_snapshot_diff",
         "y14_incremental_neardup",
         "y15_embedding_srp",
+        "y17_funnel",
+        "y20_salted_agg",
+        "y22_salted_join",
+        "y24_scd2_dim",
+        "y25_cluster_canon",
+        "y26_shard_assign",
+        "y28_dup_span_removal",
         "y30_srp_wide",
         "y31_simhash_wide",
         "y34_quality_rules",
+        "y35_containment_pairs",
+        "y38_source_overlap",
+        "y39_ppl_buckets",
+        "y46_incremental_novelty",
         "y48_semdedup_prune",
+        "z22_big_orders",
+        "z28_array_funcs",
+        "z30_session_window",
+        "z31_time_range_rolling",
+        "z34_variant_json",
     ]:
         simple = plan_of(spark, cat, name, "simple")
         assert "SinglePartition" not in simple, name
