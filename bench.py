@@ -8,6 +8,17 @@ Prints ONE JSON line:
 Execution is forced with a noop-format write (full computation, no sink
 cost, nothing collected to the driver). Each query runs once after a small
 warm-up query primes the JVM/codegen.
+
+MEASUREMENT PROTOCOL (round 5): this host is shared — identical code has
+measured >4x run-to-run swings on the slowest queries, which made
+cross-round comparisons unfalsifiable. So the output now records, next
+to the per-query min ("queries", the steady-state plan cost and the
+cross-round continuity series), the FULL run list per query
+("query_runs"), the host 1-minute load average before and after the
+suite ("load_avg_start"/"load_avg_end"), and a per-query relative
+spread ("spread" = (max-min)/min over its runs). A recorded swing can
+then be adjudicated from the artifact itself: high spread or high load
+=> noise, low spread at low load => a real plan change.
 """
 
 from __future__ import annotations
@@ -127,7 +138,12 @@ def main() -> None:
     # back-to-back runs (observed q01 4.2s/3.9s cold vs 1.2s steady). Run
     # twice; if the two disagree by >20%, a third run breaks the tie. The
     # min reports the steady-state cost of the plan itself.
+    try:
+        load_start = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - non-unix
+        load_start = None
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         runs = []
         for _ in range(2):
@@ -143,8 +159,18 @@ def main() -> None:
             ).save()
             runs.append(time.perf_counter() - start)
         timings[name] = round(min(runs), 3)
+        all_runs[name] = [round(r, 3) for r in runs]
+    try:
+        load_end = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - non-unix
+        load_end = None
 
     total = round(sum(timings.values()), 3)
+    spread = {
+        name: round((max(rs) - min(rs)) / min(rs), 3)
+        for name, rs in all_runs.items()
+        if min(rs) > 0
+    }
     print(
         json.dumps(
             {
@@ -156,6 +182,12 @@ def main() -> None:
                 # one-time data-prep cost excluded from the headline (the
                 # queries time assignment/probe/rank math, not ML fitting)
                 "ivf_train_seconds": ivf_train_seconds,
+                # noise-adjudication evidence (see module docstring): all
+                # raw runs, per-query relative spread, and host load
+                "query_runs": all_runs,
+                "spread": spread,
+                "load_avg_start": load_start,
+                "load_avg_end": load_end,
             }
         )
     )

@@ -1881,6 +1881,10 @@ def y31(spark: SparkSession, sf: str) -> DataFrame:
             bands=_SHW_BANDS,
             max_hamming=_SHW_MAX_H,
             sig_col="simhash_words",
+            # signatures are materialized, so this count is a metadata-
+            # cheap pass; past the 16-bit birthday bound it switches the
+            # exact tier to the wide combinatorial band geometry
+            n_rows_hint=sigs.count(),
         )
     )
 

@@ -32,6 +32,16 @@ conf:
 
 All call sites chain it as ``df.transform(materialize)`` so the policy
 is one function, injectable per session, with zero signature churn.
+
+CLUSTER POSTURE — checkpoint cleanup: reliable ``checkpoint()`` files
+are NOT deleted when the DataFrame is garbage-collected unless
+``spark.cleaner.referenceTracking.cleanCheckpoints=true`` is set, so a
+long-running cluster job that materializes per iteration (connected
+components' star rounds, incremental dedup) accumulates checkpoint-dir
+data unboundedly. A cluster submit script should set that conf alongside
+``setCheckpointDir`` (the engine's :func:`get_spark` does not force it:
+cleanup semantics — keep-for-restart vs reclaim-eagerly — are a
+deployment decision).
 """
 
 from __future__ import annotations

@@ -749,6 +749,76 @@ def _capped_band_pairs(buckets: DataFrame, bucket_cap: int) -> DataFrame:
     return all_pairs.unionByName(star_pairs).distinct()
 
 
+def _word_slice_expr(start: int, width: int) -> str:
+    """SQL expression extracting bits ``[start, start+width)`` of an
+    ``array<bigint>`` column ``sw`` (little-endian words: bit j lives in
+    word ``j // 64`` at offset ``j % 64``) as a non-negative bigint.
+    Handles slices that straddle a word boundary; the mask after each
+    shift neutralizes bigint sign-extension."""
+    lo_word, lo_off = start // 64 + 1, start % 64
+    if lo_off + width <= 64:
+        return (
+            f"((element_at(sw, {lo_word}) >> {lo_off})"
+            f" & {(1 << width) - 1}L)"
+        )
+    lo_bits = 64 - lo_off
+    hi_bits = width - lo_bits
+    lo = (
+        f"((element_at(sw, {lo_word}) >> {lo_off})"
+        f" & {(1 << lo_bits) - 1}L)"
+    )
+    hi = (
+        f"((element_at(sw, {lo_word + 1}) & {(1 << hi_bits) - 1}L)"
+        f" << {lo_bits})"
+    )
+    return f"({lo} | {hi})"
+
+
+# past roughly this many docs, 16-bit band values cross the birthday
+# bound (expected random same-band collisions ~ n^2 / 2^17 per band
+# exceed the real pair count) and the exact tier must widen its band
+# values via the combinatorial geometry below
+_COMBO_GEOMETRY_MIN_ROWS = 60_000
+
+
+def _combo_band_structs(bits: int, max_hamming: int) -> tuple:
+    """Wide-value EXACT band geometry: Manku-style multi-index over piece
+    pairs. Split the signature into ``p = max_hamming + 2`` pieces; a
+    band is the concatenation of one piece PAIR, one band per C(p, 2)
+    combination. Any pair of signatures within ``max_hamming`` differs
+    in at most ``p - 2`` pieces, leaving >= 2 clean pieces — and the
+    band for that exact piece pair matches, so recall stays 1.0
+    (generalized pigeonhole). Band values are ~``2 * bits / p`` wide
+    (128-bit sigs at h=7: 9 pieces, 36 bands of ~28-bit values), so
+    random band collisions drop by ~2^12 vs 16-bit slices at the cost
+    of 36 vs 8 explode rows per doc — the right trade past
+    ``_COMBO_GEOMETRY_MIN_ROWS``.
+
+    Returns ``(n_bands, band_structs_column)``.
+    """
+    p = max_hamming + 2
+    widths = [bits // p + (1 if i < bits % p else 0) for i in range(p)]
+    starts = [sum(widths[:i]) for i in range(p)]
+    slices = [_word_slice_expr(starts[i], widths[i]) for i in range(p)]
+    structs = []
+    for i in range(p):
+        for j in range(i + 1, p):
+            if widths[i] + widths[j] > 63:
+                raise ValueError(
+                    "combo band value would overflow a positive bigint;"
+                    " raise max_hamming (more, narrower pieces)"
+                )
+            structs.append(
+                F.struct(
+                    F.lit(len(structs)).alias("band"),
+                    F.expr(
+                        f"{slices[i]} | ({slices[j]} << {widths[i]})"
+                    ).alias("val"),
+                )
+            )
+    return len(structs), F.array(*structs)
+
+
 def hamming_near_pairs_words(
     sig_df: DataFrame,
     bits: int,
@@ -758,6 +828,7 @@ def hamming_near_pairs_words(
     sig_col: str = "srp_words",
     bucket_cap: int = _LSH_BUCKET_CAP,
     exact: bool = True,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Banded hamming-distance pairs over an ``array<bigint>`` word
     signature (>=128-bit SRP, wide SimHash): the cluster-scale variant of
@@ -789,37 +860,58 @@ def hamming_near_pairs_words(
 
     Band ``b`` is the ``width``-bit slice starting at bit ``b*width``;
     ``width`` must divide 64 so a band never straddles a word boundary.
+
+    GEOMETRY AUTO-WIDENING (exact tier): the disjoint-slice geometry's
+    band values are ``bits/bands`` wide (16 bits at the 128/8 default),
+    and random same-band collisions grow as ``n^2 / 2^(width+1)`` per
+    band — collision-quadratic past ~1e5 docs. When ``n_rows_hint``
+    (same contract as :func:`embedding_neardup_pairs`: a wrong hint
+    degrades performance, never values) exceeds the birthday bound
+    ``_COMBO_GEOMETRY_MIN_ROWS``, the exact tier switches to the
+    combinatorial piece-pair geometry (:func:`_combo_band_structs`),
+    whose ~28-bit band values push the collision quadratic past 1e7
+    docs while keeping recall 1.0 by generalized pigeonhole. The
+    emitted pair set is IDENTICAL either way — only candidate
+    generation changes.
     """
     if exact and max_hamming >= bands:
         raise ValueError(
             "exactness needs max_hamming < bands (pigeonhole guarantee);"
             " pass exact=False for the approximate wide-band LSH regime"
         )
-    if bits % bands != 0:
-        raise ValueError("bits must divide evenly into bands")
-    width = bits // bands
-    if 64 % width != 0:
-        raise ValueError("band width (bits // bands) must divide 64")
-    mask = (1 << width) - 1
     sh = sig_df.select(
         F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sw")
     )
+    use_combo = (
+        exact
+        and n_rows_hint is not None
+        and n_rows_hint > _COMBO_GEOMETRY_MIN_ROWS
+    )
+    if use_combo:
+        _, band_structs = _combo_band_structs(bits, max_hamming)
+    else:
+        if bits % bands != 0:
+            raise ValueError("bits must divide evenly into bands")
+        width = bits // bands
+        if 64 % width != 0:
+            raise ValueError("band width (bits // bands) must divide 64")
+        mask = (1 << width) - 1
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(
+                        f"(element_at(sw, {(b * width) // 64 + 1})"
+                        f" >> {(b * width) % 64}) & {mask}L"
+                    ).alias("val"),
+                )
+                for b in range(bands)
+            ]
+        )
     if exact:
         star, survivors = None, sh
     else:
         star, survivors = _signature_group_containment(sh, "sw", bucket_cap)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.expr(
-                    f"(element_at(sw, {(b * width) // 64 + 1})"
-                    f" >> {(b * width) % 64}) & {mask}L"
-                ).alias("val"),
-            )
-            for b in range(bands)
-        ]
-    )
     buckets = survivors.select(
         "doc_id", F.explode(band_structs).alias("bb")
     ).select(
@@ -876,7 +968,11 @@ def embedding_neardup_pairs(
     note) and the pair join shuffles on (block, cell) — block sizes
     stay bounded and nothing is broadcast except the tiny centroid set.
     The cell path is approximate (cross-cell pairs are not compared), the
-    standard IVF trade; emitted pairs remain value-exact.
+    standard IVF trade; emitted pairs remain value-exact — its numpy
+    rounding is HALF_UP like the exact tier's ``F.round`` (valid for the
+    positive thresholds near-dup uses; see inline note), and degenerate
+    vectors (NULL / zero-norm) are filtered before the tier split so
+    both routes agree on them.
 
     ``n_rows_hint`` skips the path-picking ``count()`` (a full extra pass
     over a derived input at scale) and also sizes the default cell count;
@@ -903,6 +999,13 @@ def embedding_neardup_pairs(
                 )
             ),
         )
+        # degenerate guard, applied BEFORE the tier split so both routes
+        # agree: a NULL embedding or zero-norm vector has no defined
+        # cosine (Spark's div-by-zero yields NaN, which its comparators
+        # treat as greater-than-everything, while numpy's NaN >= thr is
+        # False — the tiers would diverge). Neither can be a near-dup;
+        # drop them from pairing. (NULL nrm fails the > 0 predicate.)
+        .filter(F.col("nrm") > 0)
         .select(
             "doc_id",
             "blk",
@@ -925,7 +1028,12 @@ def embedding_neardup_pairs(
         # deterministic pseudo-random centroid sample: order by md5 of the
         # id so the choice is stable across runs and engines
         cents = (
+            # NULL embeddings are excluded from pairing by the guard
+            # above; they must not become centroids either (np.stack
+            # can't hold them). Zero-norm centroids are harmless — the
+            # norm clamp below keeps their unit rows finite.
             df.select(F.col(id_col), F.col(vec_col))
+            .where(F.col(vec_col).isNotNull())
             .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
             .limit(k)
             .select(
@@ -957,6 +1065,8 @@ def embedding_neardup_pairs(
 
         def _assign(parts):
             for pdf in parts:
+                if len(pdf) == 0:
+                    continue
                 m = np.stack(pdf["uv"].to_numpy())
                 pdf = pdf.assign(cell=cell_ids[np.argmax(m @ cmat.T, axis=1)])
                 yield pdf
@@ -984,7 +1094,12 @@ def embedding_neardup_pairs(
             pdf = pdf.sort_values("doc_id")
             ids = pdf["doc_id"].to_numpy()
             m = np.stack(pdf["uv"].to_numpy())
-            s = np.round(m @ m.T, 6)
+            # HALF_UP 6-dp rounding to match the exact tier's F.round
+            # (np.round is half-to-even; a cosine on a 5e-7 midpoint
+            # would flip keep/drop between tiers). floor(x*1e6+0.5)/1e6
+            # equals HALF_UP for the non-negative cosines that can reach
+            # a positive threshold; sub-threshold negatives never emit.
+            s = np.floor((m @ m.T) * 1e6 + 0.5) / 1e6
             iu, ju = np.triu_indices(len(ids), k=1)
             keep = s[iu, ju] >= thr
             return pd.DataFrame(

@@ -1145,17 +1145,22 @@ class _JpegBitReader:
 
     def _fill(self) -> None:
         d = self.data
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                raise _JpegRestart()
+        try:
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    raise _JpegRestart()
+                else:
+                    raise ValueError("marker inside entropy data")
             else:
-                raise ValueError("marker inside entropy data")
-        else:
-            self.pos += 1
+                self.pos += 1
+        except IndexError:
+            # a truncated payload must fail loudly as a decode error, not
+            # leak the reader's internal IndexError
+            raise ValueError("truncated JPEG entropy stream") from None
         self.acc = (self.acc << 8) | b
         self.nbits += 8
 
@@ -1177,10 +1182,13 @@ class _JpegBitReader:
         raise ValueError("invalid Huffman code in JPEG stream")
 
     def restart(self) -> None:
-        # drop partial bits, consume the RSTn marker
+        # drop partial bits, consume the RSTn marker (explicit raise, not
+        # assert — asserts vanish under python -O and a corrupt stream
+        # must fail loudly, not misparse)
         self.acc = 0
         self.nbits = 0
-        assert self.data[self.pos] == 0xFF
+        if self.pos >= len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError("expected RSTn marker in JPEG entropy stream")
         self.pos += 2
 
 
@@ -1386,6 +1394,11 @@ def decode_jpeg_baseline(payload: bytes):
         if payload[pos] != 0xFF:
             raise ValueError("desynchronized JPEG marker stream")
         marker = payload[pos + 1]
+        if marker == 0xFF:
+            # spec-permitted 0xFF fill bytes before a marker (B.1.1.2):
+            # skip padding rather than reject the stream
+            pos += 1
+            continue
         if marker == 0xD9:
             break
         if 0xD0 <= marker <= 0xD7 or marker == 0x01:

@@ -414,6 +414,25 @@ def test_jpeg_baseline_grayscale_and_guards():
         mm.decode_jpeg_baseline(b"not a jpeg")
 
 
+def test_jpeg_fill_bytes_and_truncation():
+    """Spec-permitted 0xFF fill bytes before markers decode fine
+    (B.1.1.2 padding, emitted by some encoders); truncated payloads
+    raise ValueError, never a bare IndexError from the bit reader."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+
+    flat = np.full((16, 16, 3), (10, 200, 90), dtype=np.uint8)
+    enc = mm.encode_jpeg_baseline(flat, quality=90)
+    # inject fill bytes before the first post-SOI marker (after 0xFFD8)
+    padded = enc[:2] + b"\xff\xff\xff" + enc[2:]
+    assert (mm.decode_jpeg_baseline(padded) == flat).all()
+    # truncate mid-entropy-stream: loud ValueError, not IndexError
+    with _pytest.raises(ValueError):
+        mm.decode_jpeg_baseline(enc[: len(enc) - 10])
+
+
 def test_jpeg_stats_operator(spark):
     """image_jpeg_stats over real encoded JPEGs matches closed-form
     channel means within quantization tolerance (exactly for flats)."""
