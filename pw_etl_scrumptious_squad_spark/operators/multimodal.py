@@ -968,7 +968,8 @@ def audio_spectral_features(media: DataFrame) -> DataFrame:
 # stream-driven — quant tables, Huffman tables, sampling factors and
 # restart intervals all come from the file's own segments — so it reads
 # any 8-bit baseline JPEG (4:4:4 and subsampled 4:2:0/4:2:2 included).
-# Progressive (SOF2), arithmetic and 12-bit streams raise loudly.
+# Progressive (SOF2) streams decode through the dedicated progressive
+# codec further below; arithmetic and 12-bit streams raise loudly.
 # Reference surface parity: the reference treats media as opaque S3
 # objects (src/extract.py:122-156); pixel analytics are a north-star
 # extension like the PNG/WAV codecs above.
@@ -1536,9 +1537,625 @@ def decode_jpeg_baseline(payload: bytes):
     return np.clip(np.round(rgb), 0, 255).astype("u1")
 
 
+# ---------------------------------------------------------------------------
+# REAL progressive JPEG codec (spectral selection + successive approximation)
+# ---------------------------------------------------------------------------
+# Extends the baseline codec to SOF2 progressive streams — a large share
+# of real crawl JPEGs. Both progressive dimensions of T.81 Annex G are
+# implemented: spectral selection (AC coefficients split across scans by
+# zigzag band) and successive approximation (coefficients delivered
+# high-order-bits-first across first/refinement scans, with EOB-run
+# coding and buffered correction bits). The encoder emits the standard
+# libjpeg-style scan script so its output exercises BOTH modes, giving
+# the decoder a closed-form round-trip oracle: a progressive stream
+# reconstructs the exact same quantized coefficients as the baseline
+# stream of the same image, so decode(progressive) == decode(baseline)
+# bit-for-bit.
+
+# Fixed Huffman table for progressive AC scans: all 176 symbols
+# (r<<4)|s for r 0..15, s 0..10 — covering every EOBn (s=0, r<15), ZRL
+# (0xF0) and run/size code a progressive AC scan can emit — assigned
+# 9-bit canonical codes (176 < 2^9, all-ones code unused as T.81
+# requires). Annex K's sequential AC tables lack the EOBn symbols, so
+# progressive scans need their own table; a fixed table trades a few %
+# of compression for a deterministic single-pass encoder.
+JPEG_HUFF_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+# libjpeg's standard progressive scan script (jcparam.c): tuples of
+# (component indices, Ss, Se, Ah, Al). DC first at Al=1, luma AC split
+# 1-5 / 6-63 at Al=2, then successive-approximation refinements down to
+# Al=0. Single-component variant for greyscale.
+_JPEG_PROG_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_JPEG_PROG_SCRIPT_GREY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+class _ProgAcWriter:
+    """Entropy state for one progressive AC scan: EOB-run accumulation
+    plus the successive-approximation correction-bit buffer (T.81
+    G.1.2.3 / figure G.7 semantics: correction bits buffered during an
+    EOB run are emitted immediately after the symbol that ends it)."""
+
+    def __init__(self, wr: "_JpegBitWriter", act: dict):
+        self.wr = wr
+        self.act = act
+        self.eobrun = 0
+        self.bebuf: list[int] = []  # correction bits riding the EOB run
+
+    def emit_symbol(self, sym: int) -> None:
+        code, ln = self.act[sym]
+        self.wr.put(code, ln)
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.emit_symbol(nbits << 4)
+            if nbits:
+                self.wr.put(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for bit in self.bebuf:
+            self.wr.put(bit, 1)
+        self.bebuf = []
+
+    def end_block_eob(self, brbuf: list[int]) -> None:
+        self.eobrun += 1
+        self.bebuf.extend(brbuf)
+        # force-flush before the EOBn value or the bit buffer can
+        # overflow (T.81 caps EOBn extension at 14 bits)
+        if self.eobrun == 0x7FFF or len(self.bebuf) > 930:
+            self.emit_eobrun()
+
+
+def _encode_ac_first(st: _ProgAcWriter, q, ss: int, se: int, al: int) -> None:
+    """One block of an Ah=0 progressive AC scan (T.81 G.1.2.2): run/size
+    coding of the point-transformed band, zero tails folded into the
+    scan-wide EOB run. ``q`` is the block's 64 coefficients in natural
+    order, indexed via zigzag."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(q[JPEG_ZIGZAG[k]])
+        t = abs(v) >> al  # AC point transform: magnitude shift
+        if t == 0:
+            r += 1
+            continue
+        if st.eobrun > 0:
+            st.emit_eobrun()
+        while r > 15:
+            st.emit_symbol(0xF0)
+            r -= 16
+        s = t.bit_length()
+        st.emit_symbol((r << 4) | s)
+        st.wr.put(t if v >= 0 else (t ^ ((1 << s) - 1)), s)
+        r = 0
+    if r > 0:
+        st.end_block_eob([])
+
+
+def _encode_ac_refine(st: _ProgAcWriter, q, ss: int, se: int, al: int) -> None:
+    """One block of an Ah>0 progressive AC refinement scan (T.81
+    G.1.2.3): newly-nonzero coefficients get run/size-1 codes + a sign
+    bit; previously-nonzero ones contribute one buffered correction bit
+    each, emitted after the symbol they ride behind."""
+    absval = [abs(int(q[JPEG_ZIGZAG[k]])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1  # index of the LAST newly-nonzero coefficient
+    for i, t in enumerate(absval):
+        if t == 1:
+            eob = ss + i
+    r = 0
+    brbuf: list[int] = []
+    for k in range(ss, se + 1):
+        t = absval[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        # ZRLs that cannot fold into the EOB run (still codes to come)
+        while r > 15 and k <= eob:
+            st.emit_eobrun()
+            st.emit_symbol(0xF0)
+            r -= 16
+            for bit in brbuf:
+                st.wr.put(bit, 1)
+            brbuf = []
+        if t > 1:
+            # nonzero history: just the next magnitude bit, buffered
+            brbuf.append(t & 1)
+            continue
+        st.emit_eobrun()
+        st.emit_symbol((r << 4) | 1)
+        st.wr.put(1 if int(q[JPEG_ZIGZAG[k]]) >= 0 else 0, 1)
+        for bit in brbuf:
+            st.wr.put(bit, 1)
+        brbuf = []
+        r = 0
+    if r > 0 or brbuf:
+        st.end_block_eob(brbuf)
+
+
+def encode_jpeg_progressive(
+    img, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """Encode a uint8 array (H x W grey or H x W x 3 RGB) as a REAL
+    progressive JPEG (SOF2): same JFIF/YCbCr/quantization front end as
+    :func:`encode_jpeg_baseline`, entropy-coded with the standard
+    libjpeg progressive scan script — interleaved DC first scan at
+    Al=1, spectral-selection AC scans, then successive-approximation
+    refinement scans down to Al=0. The quantized coefficients are
+    IDENTICAL to the baseline encoding at the same quality, so
+    ``decode_jpeg(progressive) == decode_jpeg(baseline)`` exactly —
+    the closed-form round-trip oracle for the progressive decoder."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(img, dtype="u1")
+    grey = arr.ndim == 2
+    if not grey and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("expected grey (HxW) or RGB (HxWx3) uint8 array")
+    h, w = arr.shape[:2]
+    f = arr.astype("f8")
+    if grey:
+        planes = [f]
+    else:
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b,
+        ]
+    qts = [_jpeg_scaled_qt(JPEG_QT_LUMA, quality)]
+    if not grey:
+        qts.append(_jpeg_scaled_qt(JPEG_QT_CHROMA, quality))
+    if subsample and not grey:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        cb, cr = planes[1], planes[2]
+        ch2, cw2 = -(-h // 2), -(-w // 2)
+        cbp = np.pad(cb, ((0, 2 * ch2 - h), (0, 2 * cw2 - w)), mode="edge")
+        crp = np.pad(cr, ((0, 2 * ch2 - h), (0, 2 * cw2 - w)), mode="edge")
+        planes = [
+            planes[0],
+            cbp.reshape(ch2, 2, cw2, 2).mean(axis=(1, 3)),
+            crp.reshape(ch2, 2, cw2, 2).mean(axis=(1, 3)),
+        ]
+    else:
+        samp = [(1, 1)] * len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    C = _jpeg_dct_matrix()
+
+    # quantize EVERY block up front (batched matmul DCT) — progressive
+    # scans revisit blocks, so per-scan recompute would be quadratic
+    qcomps = []  # per comp: (nby_pad, nbx_pad, 64) int64, natural order
+    nat_blocks = []  # per comp: (nby, nbx) block dims WITHOUT MCU padding
+    for ci, (p, (si, sv)) in enumerate(zip(planes, samp)):
+        tw, th = mcus_x * 8 * si, mcus_y * 8 * sv
+        pp = (
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+            - 128.0
+        )
+        nby, nbx = th // 8, tw // 8
+        blocks = pp.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        coef = np.matmul(np.matmul(C, blocks), C.T)
+        qt = qts[min(ci, len(qts) - 1)].reshape(8, 8).astype("f8")
+        q = np.floor(coef / qt + 0.5).astype("i8").reshape(nby, nbx, 64)
+        qcomps.append(q)
+        cw = -(-w * si // hmax)
+        chh = -(-h * sv // vmax)
+        nat_blocks.append((-(-chh // 8), -(-cw // 8)))
+
+    dc_tabs = [_huff_encode_table(*JPEG_HUFF_DC_LUMA)]
+    if not grey:
+        dc_tabs.append(_huff_encode_table(*JPEG_HUFF_DC_CHROMA))
+    ac_prog = _huff_encode_table(*JPEG_HUFF_AC_PROG)
+
+    script = _JPEG_PROG_SCRIPT_GREY if grey else _JPEG_PROG_SCRIPT_COLOR
+    scans = []  # (comp_ids, Ss, Se, Ah, Al, entropy bytes)
+    for comp_ids, ss, se, ah, al in script:
+        wr = _JpegBitWriter()
+        if ss == 0:  # DC scan (interleaved over comp_ids, MCU order)
+            if ah == 0:
+                preds = {ci: 0 for ci in comp_ids}
+            if len(comp_ids) == 1:
+                # non-interleaved single-component scan: natural order
+                ci = comp_ids[0]
+                nby, nbx = nat_blocks[ci]
+                walk = [(ci, by, bx) for by in range(nby) for bx in range(nbx)]
+            else:
+                walk = [
+                    (ci, my * samp[ci][1] + byi, mx * samp[ci][0] + bxi)
+                    for my in range(mcus_y)
+                    for mx in range(mcus_x)
+                    for ci in comp_ids
+                    for byi in range(samp[ci][1])
+                    for bxi in range(samp[ci][0])
+                ]
+            for ci, by, bx in walk:
+                dc = int(qcomps[ci][by, bx, 0])
+                if ah == 0:  # first pass: arithmetic-shift point transform
+                    v = dc >> al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    s = abs(diff).bit_length()
+                    code, ln = dc_tabs[min(ci, len(dc_tabs) - 1)][s]
+                    wr.put(code, ln)
+                    if s:
+                        wr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                else:  # refinement: one raw bit per block
+                    wr.put((dc >> al) & 1, 1)
+        else:  # AC scan: always single component, natural block order
+            ci = comp_ids[0]
+            st = _ProgAcWriter(wr, ac_prog)
+            nby, nbx = nat_blocks[ci]
+            enc = _encode_ac_first if ah == 0 else _encode_ac_refine
+            for by in range(nby):
+                for bx in range(nbx):
+                    enc(st, qcomps[ci][by, bx], ss, se, al)
+            st.emit_eobrun()
+        scans.append((comp_ids, ss, se, ah, al, wr.flush()))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    for tid, qt in enumerate(qts):
+        ztab = bytes(int(qt[JPEG_ZIGZAG[i]]) for i in range(64))
+        out += seg(0xFFDB, bytes([tid]) + ztab)
+    ncomp = 1 if grey else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hv = (samp[ci][0] << 4) | samp[ci][1]
+        sof += bytes([ci + 1, hv, min(ci, len(qts) - 1)])
+    out += seg(0xFFC2, sof)
+    specs = [(0x00, JPEG_HUFF_DC_LUMA), (0x10, JPEG_HUFF_AC_PROG)]
+    if not grey:
+        specs.append((0x01, JPEG_HUFF_DC_CHROMA))
+    for tc_th, (bits, vals) in specs:
+        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    for comp_ids, ss, se, ah, al, entropy in scans:
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            td = min(ci, 1)  # DC table 0 luma / 1 chroma
+            ta = 0  # one shared progressive AC table
+            sos += bytes([ci + 1, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos) + entropy
+    return out + b"\xff\xd9"
+
+
+def _decode_ac_first(reader, coef, huff_ac, ss, se, al, eobrun):
+    """One block of an Ah=0 progressive AC scan (T.81 G.2 / libjpeg
+    decode_mcu_AC_first shape). Returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = reader.read_huff(huff_ac)
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index out of range")
+        v = reader.read(s)
+        v = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+        coef[JPEG_ZIGZAG[k]] = v << al
+        k += 1
+    return eobrun
+
+
+def _decode_ac_refine(reader, coef, huff_ac, ss, se, al, eobrun):
+    """One block of an Ah>0 progressive AC refinement scan (T.81 G.2 /
+    libjpeg decode_mcu_AC_refine shape): place newly-nonzero
+    coefficients, apply one correction bit to each already-nonzero one.
+    Returns the updated EOB run."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(pos: int) -> None:
+        if reader.read(1) and not (int(coef[pos]) & p1):
+            coef[pos] += p1 if coef[pos] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = reader.read_huff(huff_ac)
+            r, s = sym >> 4, sym & 0xF
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError(
+                        "refinement scan symbol with size > 1"
+                    )
+                newval = p1 if reader.read(1) else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read(r)
+                break
+            # advance over r still-zero coefs, correcting nonzero ones
+            while k <= se:
+                pos = JPEG_ZIGZAG[k]
+                if coef[pos] != 0:
+                    correct(pos)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("refinement ran past the band end")
+                coef[JPEG_ZIGZAG[k]] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            pos = JPEG_ZIGZAG[k]
+            if coef[pos] != 0:
+                correct(pos)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def decode_jpeg_progressive(payload: bytes):
+    """REAL progressive JPEG decode (SOF2) — stdlib + numpy: multi-scan
+    parse accumulating quantized coefficients per block across DC/AC
+    first and refinement scans (spectral selection AND successive
+    approximation, with EOB-run and correction-bit handling per T.81
+    Annex G), then one dequantize + IDCT + upsample + YCbCr->RGB pass.
+    Restart markers reset DC predictors and the EOB run. Returns an
+    (H x W x channels) uint8 array like :func:`decode_jpeg_baseline`."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("no SOI marker: not a JPEG payload")
+    qts: dict[int, object] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    height = width = 0
+    restart_interval = 0
+    frame_seen = False
+    coefs: list = []  # per comp: (nby_pad, nbx_pad, 64) int64
+    nat_blocks: list[tuple[int, int]] = []
+    samp: list[tuple[int, int]] = []
+    mcus_x = mcus_y = hmax = vmax = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("desynchronized JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1  # spec-permitted fill byte
+            continue
+        if marker == 0xD9:
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        data = payload[pos + 4 : pos + 2 + length]
+        if marker in (0xC0, 0xC1):
+            raise ValueError(
+                "sequential JPEG frame: use decode_jpeg_baseline"
+                " (or the decode_jpeg dispatcher)"
+            )
+        if marker in (
+            0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+        ):
+            raise ValueError("non-DCT/arithmetic JPEG frame not supported")
+        if marker == 0xC2:
+            precision, height, width, ncomp = struct.unpack(">BHHB", data[:6])
+            if precision != 8:
+                raise ValueError("only 8-bit progressive JPEG supported")
+            for i in range(ncomp):
+                cid, hv, tq = data[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            for _, ch, cv, _tq in comps:
+                samp.append((ch, cv))
+                coefs.append(
+                    np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype="i8")
+                )
+                cw = -(-width * ch // hmax)
+                chh = -(-height * cv // vmax)
+                nat_blocks.append((-(-chh // 8), -(-cw // 8)))
+            frame_seen = True
+        elif marker == 0xDB:
+            p = 0
+            while p < len(data):
+                pq_tq = data[p]
+                if pq_tq >> 4:
+                    raise ValueError("16-bit quant tables not supported")
+                tbl = np.zeros(64, dtype="i8")
+                for i in range(64):
+                    tbl[JPEG_ZIGZAG[i]] = data[p + 1 + i]
+                qts[pq_tq & 0xF] = tbl
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(data):
+                tc_th = data[p]
+                bits = list(data[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(data[p + 17 : p + 17 + n])
+                huff[(tc_th >> 4, tc_th & 0xF)] = _huff_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:
+            if not frame_seen:
+                raise ValueError("SOS before SOF2 frame header")
+            ns = data[0]
+            scan = []  # (comp index, td, ta)
+            for i in range(ns):
+                cs, tda = data[1 + 2 * i : 3 + 2 * i]
+                ci = next(j for j, c in enumerate(comps) if c[0] == cs)
+                scan.append((ci, tda >> 4, tda & 0xF))
+            ss, se, ahal = data[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            reader = _JpegBitReader(payload, pos + 2 + length)
+            pos = _decode_progressive_scan(
+                reader, payload, coefs, comps, samp, nat_blocks,
+                mcus_x, mcus_y, huff, scan, ss, se, ah, al,
+                restart_interval,
+            )
+            continue
+        pos += 2 + length
+    if not frame_seen:
+        raise ValueError("JPEG missing SOF2 frame header")
+
+    C = _jpeg_dct_matrix()
+    out_planes = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        qt = qts[tq]
+        q = coefs[ci]  # (nby, nbx, 64) natural order
+        deq = (q * qt[None, None, :]).astype("f8").reshape(
+            q.shape[0], q.shape[1], 8, 8
+        )
+        pix = np.matmul(np.matmul(C.T, deq), C)
+        plane = pix.transpose(0, 2, 1, 3).reshape(
+            q.shape[0] * 8, q.shape[1] * 8
+        )
+        if ch != hmax or cv != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+            )
+        out_planes.append(plane[:height, :width] + 128.0)
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype("u1")[
+            :, :, None
+        ]
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype("u1")
+
+
+def _decode_progressive_scan(
+    reader, payload, coefs, comps, samp, nat_blocks,
+    mcus_x, mcus_y, huff, scan, ss, se, ah, al, restart_interval,
+):
+    """Decode one progressive scan's entropy data and return the byte
+    offset of the next marker segment. DC scans may be interleaved
+    (MCU walk); AC scans are single-component over the component's
+    NATURAL block grid (no MCU padding — T.81 A.2.2)."""
+    preds = {ci: 0 for ci, _, _ in scan}
+    eobrun = 0
+    if ss == 0 and len(scan) > 1:
+        units = [
+            (ci, my * samp[ci][1] + byi, mx * samp[ci][0] + bxi, td)
+            for my in range(mcus_y)
+            for mx in range(mcus_x)
+            for ci, td, _ta in scan
+            for byi in range(samp[ci][1])
+            for bxi in range(samp[ci][0])
+        ]
+        # restart boundaries count MCUs, not blocks
+        blocks_per_ri = restart_interval * sum(
+            samp[ci][0] * samp[ci][1] for ci, _, _ in scan
+        )
+    else:
+        ci, td, ta = scan[0]
+        nby, nbx = nat_blocks[ci]
+        units = [
+            (ci, by, bx, td)
+            for by in range(nby)
+            for bx in range(nbx)
+        ]
+        blocks_per_ri = restart_interval
+    done = 0
+    for ci, by, bx, td in units:
+        if blocks_per_ri and done and done % blocks_per_ri == 0:
+            reader.restart()
+            preds = {c: 0 for c in preds}
+            eobrun = 0
+        coef = coefs[ci][by, bx]
+        try:
+            if ss == 0:
+                dc = int(coef[0])
+                if ah == 0:
+                    s = reader.read_huff(huff[(0, td)])
+                    if s:
+                        v = reader.read(s)
+                        v = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+                    else:
+                        v = 0
+                    preds[ci] += v
+                    coef[0] = preds[ci] << al
+                else:
+                    if reader.read(1):
+                        coef[0] = dc | (1 << al)
+            else:
+                ta = scan[0][2]
+                dec = _decode_ac_first if ah == 0 else _decode_ac_refine
+                eobrun = dec(reader, coef, huff[(1, ta)], ss, se, al, eobrun)
+        except _JpegRestart:
+            # tolerated only exactly at a restart boundary
+            raise ValueError("unexpected restart marker mid-block") from None
+        done += 1
+    # find the next marker after this scan's entropy bytes
+    p = reader.pos
+    n = len(payload)
+    while p + 1 < n:
+        if payload[p] == 0xFF and payload[p + 1] != 0x00:
+            if 0xD0 <= payload[p + 1] <= 0xD7:
+                p += 2  # trailing restart marker
+                continue
+            return p
+        p += 1
+    return n
+
+
+def decode_jpeg(payload: bytes):
+    """Decode an 8-bit DCT JPEG, dispatching on the stream's own SOFn:
+    baseline/extended sequential (SOF0/SOF1) through
+    :func:`decode_jpeg_baseline`, progressive (SOF2) through
+    :func:`decode_jpeg_progressive`. Returns (H x W x channels) uint8."""
+    meta = parse_jpeg_metadata(payload)
+    if meta["progressive"]:
+        return decode_jpeg_progressive(payload)
+    return decode_jpeg_baseline(payload)
+
+
 def image_jpeg_stats(media: DataFrame) -> DataFrame:
-    """Real image stats over baseline-JPEG payload columns (same screens
-    as :func:`image_png_stats`): dimensions, channel means, Rec.601 luma.
+    """Real image stats over JPEG payload columns — baseline AND
+    progressive streams (dispatch by SOFn) — same screens as
+    :func:`image_png_stats`: dimensions, channel means, Rec.601 luma.
     Greyscale scans broadcast their single channel."""
 
     def batches(parts: Iterator) -> Iterator:
@@ -1548,7 +2165,7 @@ def image_jpeg_stats(media: DataFrame) -> DataFrame:
         for pdf in parts:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                img = decode_jpeg_baseline(bytes(payload)).astype("f8")
+                img = decode_jpeg(bytes(payload)).astype("f8")
                 rgb = (
                     np.repeat(img, 3, axis=2)
                     if img.shape[2] == 1

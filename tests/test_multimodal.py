@@ -457,3 +457,90 @@ def test_jpeg_stats_operator(spark):
     assert got[2]["mean_r"] == 200.0 and got[2]["mean_g"] == 100.0
     expected_luma = 0.299 * 200 + 0.587 * 100
     assert abs(got[2]["luma_mean"] - expected_luma) < 1e-9
+
+
+def test_jpeg_progressive_round_trip_exact_vs_baseline():
+    """decode_jpeg(encode_jpeg_progressive(img)) == decode_jpeg_baseline(
+    encode_jpeg_baseline(img)) BIT-EXACTLY: both encoders quantize the
+    same coefficients, so the progressive multi-scan reconstruction
+    (spectral selection + successive approximation, EOB runs,
+    correction bits) must rebuild the identical coefficient array.
+    Covers grey, 4:4:4 and 4:2:0 with odd dims (natural vs MCU-padded
+    block grids differ)."""
+    import numpy as np
+
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (np.full((16, 16), 100, dtype=np.uint8), {}),
+        (
+            (np.arange(23)[:, None] * 11 + np.arange(19)[None, :] * 7)
+            .astype(np.uint8),
+            {},
+        ),
+        (rng.integers(0, 256, (24, 32, 3), dtype=np.uint8), {}),
+        (
+            rng.integers(0, 256, (37, 29, 3), dtype=np.uint8),
+            {"subsample": True},
+        ),
+        (
+            rng.integers(0, 256, (40, 40, 3), dtype=np.uint8),
+            {"subsample": True, "quality": 60},
+        ),
+    ]
+    for img, kw in cases:
+        q = kw.get("quality", 85)
+        base = mm.decode_jpeg_baseline(
+            mm.encode_jpeg_baseline(
+                img, quality=q, subsample=kw.get("subsample", False)
+            )
+        )
+        enc = mm.encode_jpeg_progressive(img, **kw)
+        meta = mm.parse_jpeg_metadata(enc)
+        assert meta["progressive"] is True
+        prog = mm.decode_jpeg(enc)
+        assert prog.shape == base.shape
+        assert (prog == base).all(), (img.shape, kw)
+
+
+def test_jpeg_progressive_guards_and_dispatch():
+    """The dispatcher routes by SOFn; the progressive decoder rejects
+    sequential frames, truncated streams fail as ValueError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+
+    flat = np.full((16, 16, 3), (120, 64, 200), dtype=np.uint8)
+    seq = mm.encode_jpeg_baseline(flat, quality=90)
+    # dispatcher sends sequential streams through the baseline decoder
+    assert (mm.decode_jpeg(seq) == flat).all()
+    with _pytest.raises(ValueError, match="sequential"):
+        mm.decode_jpeg_progressive(seq)
+    prog = mm.encode_jpeg_progressive(flat, quality=90)
+    assert (mm.decode_jpeg(prog) == flat).all()
+    with _pytest.raises(ValueError):
+        mm.decode_jpeg_progressive(prog[: len(prog) - 8])
+
+
+def test_jpeg_stats_operator_mixed_modes(spark):
+    """image_jpeg_stats handles baseline AND progressive payloads in the
+    same batch (SOFn dispatch inside the Arrow decode loop)."""
+    import numpy as np
+
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+
+    flat1 = np.full((16, 16, 3), (10, 20, 30), dtype=np.uint8)
+    flat2 = np.full((8, 24, 3), (200, 100, 0), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(mm.encode_jpeg_baseline(flat1, quality=90))),
+            (2, bytearray(mm.encode_jpeg_progressive(flat2, quality=90))),
+        ],
+        "asset_id LONG, payload BINARY",
+    )
+    got = {r["asset_id"]: r for r in mm.image_jpeg_stats(media).collect()}
+    assert got[1]["mean_r"] == 10.0 and got[1]["mean_b"] == 30.0
+    assert got[2]["width"] == 24 and got[2]["height"] == 8
+    assert got[2]["mean_r"] == 200.0 and got[2]["mean_g"] == 100.0

@@ -39,7 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from pw_etl_scrumptious_squad_spark import catalog as catmod
-from pw_etl_scrumptious_squad_spark.operators import dedup, similarity
+from pw_etl_scrumptious_squad_spark.operators import curation, dedup, similarity
 from pw_etl_scrumptious_squad_spark.session import get_spark
 from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
 
@@ -47,31 +47,87 @@ from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
 # one-shuffle / broadcast-dim queries) — timed as-is over the scaled dirs
 CATALOG_QUERIES = [
     "q01_pricing_summary",     # lineitem agg (60M rows at x100)
+    "q03_window_topn_per_group",  # join + window top-n (join-heavy)
     "q09_events_hourly",       # events window agg (10M rows at x100)
     "q10_sessionize",          # session windows per user
+    "q16_local_supplier_volume",  # multi-table join-heavy
+    "z29_bloom_semi_join",     # bloom-pruned semi join
     "d01_exact_dedup",         # hash-groupBy dedup
     "d03_minhash_signatures",  # signature generation
     "d05_minhash_lsh_pairs",   # banded LSH + verify
     "t01_token_stats",         # map-side token stats
     "t06_tfidf_topk",          # explode + two hash aggs
     "y08_decontamination",     # broadcast eval side
+    "y16_source_quota",        # per-source quota sampling
     "y34_quality_rules",       # map-side rule battery
+    "y42_exact_k_sample",      # deterministic exact-k sample
+    "m01_media_features",      # codec-bound mapInPandas decode
     "m04_image_dhash",         # mapInPandas Arrow path
     "s01_cosine_topk",         # broadcast-query brute force
+    "x01_curation_pipeline",   # staged curation composition
     "y30_srp_wide",            # wide SRP banding (embeddings)
-    "y31_simhash_wide",        # wide text SimHash banding (EXACT tier)
+    "y31_simhash_wide",        # wide text SimHash banding (EXACT tier;
+                               # auto-widens to the combinatorial
+                               # piece-pair geometry past ~60k docs)
     "y14_incremental_neardup", # store+batch incremental LSH
     "x02_fineweb_pipeline",    # staged curation pipeline
 ]
 
-# Entries measured only up to a size: y31's EXACT tier is uncapped by its
-# documented mode rule, and at 500k docs its 16-bit band buckets cross
-# the birthday bound (expected random band collisions ~ n^2/2^17 per
-# band), so the exact regime is measured to x10 and the production
-# APPROXIMATE tier (op_simhash_wide_approx: identical-signature
-# star-collapse + capped band buckets) carries the x100 point — exactly
-# the regime documented as the scale path.
-MAX_SIZE = {"y31_simhash_wide": 10}
+# Entries measured only up to a size. (Round-4 capped y31 at x10 because
+# its 16-bit exact-tier bands crossed the birthday bound at 500k docs;
+# the combinatorial piece-pair geometry removed that term, so y31 now
+# carries its own x100 point and the cap list is empty. Kept as a
+# mechanism for future entries.)
+MAX_SIZE: dict[str, int] = {}
+
+# Headline bench entries NOT in the curve, each with its exclusion
+# reason — a curve entry already measures the identical physical shape,
+# or the cost is constant-size by construction. Emitted into the
+# payload so coverage gaps are explicit, not silent.
+EXCLUDED = {
+    "z02_topk_pagination": "constant-k TakeOrderedAndProject over one "
+        "scan; q03 curves the window/top-n shape",
+    "q04_rollup": "single hash-agg shuffle over lineitem — q01's exact "
+        "physical shape with rollup grouping sets",
+    "q11_outer_join_agg": "broadcast-dim outer join + one hash agg; "
+        "q16 curves the multi-join shape",
+    "q15_shipping_priority": "broadcast-dim join + agg + constant-k "
+        "top-n; q03/q16 cover both stages",
+    "q18_lead_lag": "single window shuffle over events; q09/q10 curve "
+        "the events window shape",
+    "z22_big_orders": "hash-agg + same-key join on l_orderkey; q01 "
+        "(agg) + q16 (join) cover both stages",
+    "r06_cdc_filter": "map-side disjunctive filter, no shuffle; linear "
+        "by construction (t01 curves the map-side scan)",
+    "r11_fact_build": "map-side projection/rename, no shuffle",
+    "r13_keep_newest": "one window shuffle on the CDC key; q10 curves "
+        "the per-key window shape",
+    "t03_fingerprint": "map-side rolling hash, no shuffle; t01 curves",
+    "t05_bpe_tokens": "map-side regex tokenize, no shuffle; t01 curves",
+    "y12_sequence_packing": "pack-id agg after map-side chunking; t06 "
+        "curves the explode+agg shape",
+    "y13_snapshot_diff": "full-outer join on doc_id between two "
+        "snapshots; q16 curves the shuffle-join shape",
+    "y15_embedding_srp": "banded hamming over SRP signatures — y30 is "
+        "the same operator on the same table at wider bits",
+    "y28_dup_span_removal": "anchor explode + hash agg + semi join; "
+        "t06 + z29 cover the stages",
+    "y32_bigram_logprob": "explode + two hash aggs + broadcast model "
+        "row; t06 curves the shape",
+    "y33_bm25_topk": "explode + hash agg + broadcast stats + "
+        "TakeOrdered; t06 curves",
+    "y40_shingle_novelty": "shingle explode + min-agg + broadcast "
+        "join; y08 curves the shingle shape",
+    "y48_semdedup_prune": "catalog entry pins the oracle-matched "
+        "expression path; op_semdedup_matmul curves the scale route",
+    "d02_ngram_jaccard": "catalog entry pins the exact tier; "
+        "op_jaccard_lsh_route curves the scale route",
+    "d06_embedding_neardup": "catalog entry pins tier by size; "
+        "op_embed_ivf_route forces the IVF scale route",
+    "s02_ivf_topk": "catalog entry trains in-query; "
+        "op_ivf_assign_probe curves assignment+probe with amortized "
+        "training",
+}
 
 
 def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
@@ -111,6 +167,14 @@ def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
             emb().filter(F.col("vec_id") < 5),
             k=5,
             n_probe=3,
+        ),
+        # SemDeDup scale route: int64 numpy matmul assignment + within-
+        # cell prune (forced via the n_rows_hint > max_exact_rows rule),
+        # decision-identical to y48's oracle-matched expression path
+        # (parity pinned in tests/test_geometry_routes.py)
+        "op_semdedup_matmul": lambda: curation.semdedup_prune(
+            emb(), cents, threshold_ppb=400_000_000,
+            max_exact_rows=0, n_rows_hint=n_vecs,
         ),
     }
 
@@ -192,6 +256,7 @@ def main() -> None:
         "sizes": meta,
         "queries": results,
         "flagged": sorted(n for n, r in results.items() if r["flag"]),
+        "excluded": EXCLUDED,
     }
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
