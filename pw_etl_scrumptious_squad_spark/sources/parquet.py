@@ -88,15 +88,36 @@ def load_tables(
     return {name: read_table(spark, base_dir, name) for name in names}
 
 
-def table_exists(base_dir: str, name: str) -> bool:
+def table_exists(
+    base_dir: str, name: str, spark: SparkSession | None = None
+) -> bool:
     """Existence probe (reference ``check_table_in_bucket``,
-    ``src/extract.py:148-156``). Local-path fast check; for object stores the
-    caller should catch AnalysisException from read instead of listing."""
+    ``src/extract.py:148-156``).
+
+    Plain local paths short-circuit to ``os.path.exists``. Any
+    URI-schemed path (``file://``, ``s3a://``, ``hdfs://``) probes
+    through the Hadoop FileSystem API via the JVM gateway — the SAME
+    code path a real deployment uses against an object store, exercised
+    locally through ``file://`` (``Path.getFileSystem`` resolves the
+    scheme from the session's Hadoop conf, so s3a credentials/endpoints
+    configure exactly like any Spark job's). Passing ``spark``
+    explicitly also forces the Hadoop route for local paths (used by
+    the tests to pin the probe's behavior without an object store)."""
     path = table_path(base_dir, name)
-    local = path.removeprefix("file://")
-    if "://" not in local:
-        return os.path.exists(local)
-    raise NotImplementedError("object-store existence probe: use read+catch")
+    if "://" not in path and spark is None:
+        return os.path.exists(path)
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError(
+            "object-store existence probe needs an active SparkSession"
+            " (Hadoop FileSystem API rides the JVM gateway)"
+        )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    return bool(fs.exists(jpath))
 
 
 def write_table(

@@ -310,3 +310,24 @@ def test_corrupt_parquet_file_quarantined_by_conf(spark, tmp_path):
         assert got.agg(F.sum("v")).first()[0] == 9900
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+
+
+def test_table_exists_hadoop_fs_probe(spark, tmp_path):
+    """The existence probe routes URI-schemed paths (and any call with an
+    explicit SparkSession) through the Hadoop FileSystem API — the same
+    code path an s3a:// deployment uses, exercised here via file:// —
+    and agrees with the os.path fast path for plain local paths."""
+    from pw_etl_scrumptious_squad_spark.sources import parquet as lake
+
+    base = str(tmp_path)
+    spark.range(3).write.parquet(lake.table_path(base, "probe_tbl"))
+
+    # plain local path: os.path fast path
+    assert lake.table_exists(base, "probe_tbl") is True
+    assert lake.table_exists(base, "missing_tbl") is False
+    # forced Hadoop route on a plain path
+    assert lake.table_exists(base, "probe_tbl", spark=spark) is True
+    assert lake.table_exists(base, "missing_tbl", spark=spark) is False
+    # URI-schemed path: Hadoop route resolves the scheme from the conf
+    assert lake.table_exists(f"file://{base}", "probe_tbl") is True
+    assert lake.table_exists(f"file://{base}", "missing_tbl") is False
