@@ -4089,3 +4089,103 @@ def y48(spark: SparkSession, sf: str) -> DataFrame:
             emb, centroids, threshold_ppb=_Y48_THRESHOLD_PPB
         )
     )
+
+
+# DSIR target domain: a fixed source subset standing in for the
+# "in-domain" corpus (a quarter of the 20 synthetic sources)
+_Y49_TARGET_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_Y49_BUCKETS = 4096
+
+
+def _dsir_oracle() -> str:
+    srcs = ", ".join(f"'{s}'" for s in _Y49_TARGET_SOURCES)
+    b = _Y49_BUCKETS
+    return (
+        f"WITH tk AS (SELECT doc_id,"
+        f" CAST(source IN ({srcs}) AS INTEGER) AS is_t,"
+        " string_split(text, ' ') AS t FROM documents"
+        " WHERE len(string_split(text, ' ')) >= 2),"
+        " bg AS (SELECT doc_id, is_t,"
+        " unnest(list_transform(range(1, len(t)),"
+        " i -> concat(t[i], ' ', t[i + 1]))) AS g FROM tk),"
+        " bk AS (SELECT doc_id, is_t,"
+        f" CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % {b} AS bkt"
+        " FROM bg),"
+        " cnt AS (SELECT bkt, SUM(is_t) AS ct,"
+        " count(*) - SUM(is_t) AS cr FROM bk GROUP BY bkt),"
+        " tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM cnt),"
+        " w AS (SELECT bkt, CAST(round(ln((CAST(ct + 1 AS DOUBLE)"
+        f" / CAST(nt + {b} AS DOUBLE)) * (CAST(nr + {b} AS DOUBLE)"
+        " / CAST(cr + 1 AS DOUBLE))) * 1000000000.0, 0) AS BIGINT) AS wq"
+        " FROM cnt, tot)"
+        " SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,"
+        " ROUND(SUM(wq) / count(*) / 1000000000.0, 6) AS score"
+        " FROM bk JOIN w USING (bkt) GROUP BY bk.doc_id ORDER BY doc_id"
+    )
+
+
+@register(
+    "y49_dsir_weights",
+    _dsir_oracle(),
+    "DSIR importance weights (Xie et al. 2023): per-doc average"
+    " log-ratio of target-vs-raw hashed-bigram bucket probabilities"
+    " (add-1 smoothed, 4096 buckets, target = 5 of 20 sources)."
+    " Bucket stats are ONE bounded hash-agg, weights broadcast,"
+    " per-bucket log-ratio ppb-quantized to BIGINT so the score is"
+    " value-exact cross-engine (the x02 quantization pattern)."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y49(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import curation
+
+    return curation.dsir_importance(
+        _t(spark, sf, "documents"),
+        F.col("source").isin(*_Y49_TARGET_SOURCES),
+        n_buckets=_Y49_BUCKETS,
+    )
+
+
+_Y50_SEG_TOKENS = 10
+
+
+def _segment_dedup_oracle() -> str:
+    s = _Y50_SEG_TOKENS
+    return (
+        "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t"
+        " FROM documents),"
+        " st AS (SELECT doc_id, t,"
+        f" unnest(range(1, greatest(len(t), 1) + 1, {s})) AS cs FROM tk),"
+        f" seg AS (SELECT doc_id, CAST((cs - 1) // {s} AS INTEGER)"
+        " AS seg_idx,"
+        f" array_to_string(t[cs:cs + {s - 1}], ' ') AS seg_text FROM st),"
+        " hh AS (SELECT doc_id, seg_idx, seg_text, md5(seg_text) AS h,"
+        " doc_id * 1000000 + seg_idx AS ek FROM seg),"
+        " firsts AS (SELECT h, min(ek) AS first_ek FROM hh GROUP BY h),"
+        " mk AS (SELECT hh.doc_id, hh.seg_idx, hh.seg_text,"
+        " CAST(hh.ek = firsts.first_ek AS INTEGER) AS kept"
+        " FROM hh JOIN firsts USING (h))"
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,"
+        " CAST(SUM(kept) AS BIGINT) AS n_kept,"
+        " md5(coalesce(array_to_string(list(seg_text ORDER BY seg_idx)"
+        " FILTER (WHERE kept = 1), ' '), '')) AS dedup_md5"
+        " FROM mk GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+@register(
+    "y50_segment_dedup",
+    _segment_dedup_oracle(),
+    "CCNet-style cross-document segment dedup (Wenzek et al. 2020):"
+    " 10-token segments stand in for paragraphs; an instance is kept"
+    " iff it is the corpus-wide first occurrence of its hash (argmin"
+    " over an encoded (doc_id, seg_idx) BIGINT — one combiner-friendly"
+    " hash-agg, no corpus window). dedup_md5 fingerprints the kept"
+    " text order-exactly."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y50(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import curation
+
+    return curation.segment_dedup(
+        _t(spark, sf, "documents"), seg_tokens=_Y50_SEG_TOKENS
+    )

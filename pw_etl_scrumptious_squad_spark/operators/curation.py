@@ -1100,3 +1100,146 @@ def _semdedup_prune_matmul(
     return assigned.groupBy("cell").applyInPandas(
         _cell_prune, "vec_id long, cell int, cent_ppb bigint, kept int"
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score each document
+    by the average log-ratio of target-vs-raw hashed-bigram bucket
+    probabilities (add-1 smoothed). ``target`` is a boolean Column
+    marking the in-domain subset; the raw distribution is the REST of
+    the corpus. Output: (doc_id, n_bigrams, score) for docs with >= 2
+    tokens; positive scores read "more target-like".
+
+    100 TB shape: bigrams explode map-side into ``n_buckets`` hashed
+    buckets, both distributions come from ONE hash-agg over the bucket
+    key (bounded at n_buckets rows — driver-tiny), totals ride a
+    broadcast cross join, and the per-doc score is one more hash-agg on
+    doc_id. Nothing corpus-sized is broadcast or collected.
+
+    Exactness: each bucket's log-ratio is ONE double expression
+    ppb-quantized to BIGINT (same operand order in the DuckDB oracle),
+    so per-doc sums are integer-exact and the final 6-dp rounding is
+    engine-independent (the x02 bigram-LM quantization pattern)."""
+    b = n_buckets
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target.cast("int").alias("is_t"),
+        F.split(F.col(text_col), " ").alias("t"),
+    ).filter(F.size("t") >= 2)
+    bg = tk.select(
+        "doc_id",
+        "is_t",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("g"),
+    ).withColumn(
+        "bkt",
+        F.expr(
+            f"cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % {b}"
+        ),
+    )
+    counts = bg.groupBy("bkt").agg(
+        F.sum("is_t").alias("ct"),
+        (F.count(F.lit(1)) - F.sum("is_t")).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    weights = counts.crossJoin(broadcast(totals)).select(
+        "bkt",
+        F.expr(
+            "cast(round(ln((cast(ct + 1 as double)"
+            f" / cast(nt + {b} as double))"
+            f" * (cast(nr + {b} as double)"
+            " / cast(cr + 1 as double))) * 1000000000.0, 0) as bigint)"
+        ).alias("wq"),
+    )
+    return (
+        bg.join(broadcast(weights), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("wq") / F.count(F.lit(1)) / 1000000000.0, 6
+            ).alias("score"),
+        )
+    )
+
+
+# (doc_id, seg_idx) pairs encode into one orderable BIGINT for the
+# first-occurrence argmin; segments per document stay far below this
+# (10-token segments -> 1e6 segments = a 10M-token single document)
+_SEG_ENCODE = 1_000_000
+
+
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 10,
+) -> DataFrame:
+    """CCNet-style cross-document segment dedup (Wenzek et al. 2020
+    dedupe paragraphs by hash; here fixed ``seg_tokens``-token
+    non-overlapping segments stand in for paragraphs — the synthetic
+    corpus has no newlines): a segment INSTANCE is kept iff it is the
+    corpus-wide FIRST occurrence of its hash (minimal (doc_id,
+    seg_idx)). Output per doc: (doc_id, n_segs, n_kept, dedup_md5) with
+    dedup_md5 = md5 of the kept segments joined in order — a value-exact
+    fingerprint of the deduplicated text.
+
+    100 TB shape: segmentation is the y01 map-side explode; the
+    first-occurrence argmin is ONE hash-agg on the segment hash (min of
+    an encoded BIGINT — combiner-friendly, duplicate mass absorbed
+    map-side); the join back shuffles on the same hash key; the rebuild
+    is one hash-agg on doc_id. No window over the corpus, nothing
+    collected."""
+    from pw_etl_scrumptious_squad_spark.operators.text import (
+        chunk_documents,
+    )
+
+    segs = (
+        chunk_documents(docs, id_col, text_col, seg_tokens, seg_tokens)
+        .select(
+            "doc_id",
+            F.col("chunk_idx").alias("seg_idx"),
+            F.col("chunk_text").alias("seg_text"),
+        )
+        .withColumn("h", F.md5("seg_text"))
+        .withColumn(
+            "ek", F.col("doc_id") * _SEG_ENCODE + F.col("seg_idx")
+        )
+    )
+    firsts = segs.groupBy("h").agg(F.min("ek").alias("first_ek"))
+    marked = segs.join(firsts, "h").withColumn(
+        "kept", (F.col("ek") == F.col("first_ek")).cast("int")
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept") == 1,
+                                F.struct("seg_idx", "seg_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg_text"],
+                ),
+                " ",
+            )
+        ).alias("dedup_md5"),
+    )

@@ -609,3 +609,57 @@ def test_semdedup_prune_keep_low_centroid_similarity(spark):
     # singleton cell and sub-threshold neighbor keep
     assert got[3]["kept"] == 1 and got[3]["cell"] == 1
     assert got[4]["kept"] == 1
+
+
+def test_dsir_importance_orders_target_like_docs(spark):
+    """A doc sharing the target subset's distinctive bigrams scores
+    above a doc made of raw-only bigrams; per-doc counts are exact and
+    sub-2-token docs are excluded."""
+    rows = [
+        (1, "alpha beta alpha beta", 1),     # target
+        (2, "alpha beta gamma", 1),          # target
+        (3, "delta epsilon delta epsilon", 0),
+        (4, "alpha beta alpha", 0),          # raw but target-like
+        (5, "delta epsilon zeta", 0),        # raw-like
+        (6, "solo", 0),                      # 1 token -> excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, t INT")
+    got = {
+        r["doc_id"]: r
+        for r in curation.dsir_importance(
+            docs, F.col("t") == 1, n_buckets=64
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1]["n_bigrams"] == 3 and got[5]["n_bigrams"] == 2
+    # target-like raw doc outranks the raw-like one
+    assert got[4]["score"] > got[5]["score"]
+    # 'alpha beta'-heavy target doc scores positive, raw-only negative
+    assert got[1]["score"] > 0 > got[3]["score"]
+
+
+def test_segment_dedup_keeps_first_occurrence_only(spark):
+    """With 2-token segments: a segment repeated across docs survives
+    only at its minimal (doc_id, seg_idx); the md5 fingerprints the
+    kept text in segment order; an all-duplicate doc hashes ''."""
+    import hashlib
+
+    rows = [
+        (1, "a b c d"),       # segs: 'a b', 'c d'
+        (2, "a b e f"),       # 'a b' dups doc 1 -> keeps 'e f'
+        (3, "c d a b"),       # both dup doc 1 -> keeps nothing
+        (4, "c d c d"),       # seg 0 dups doc1; seg 1 dups its own seg 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: r
+        for r in curation.segment_dedup(docs, seg_tokens=2).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert (got[1]["n_segs"], got[1]["n_kept"]) == (2, 2)
+    assert got[1]["dedup_md5"] == md5("a b c d")
+    assert (got[2]["n_segs"], got[2]["n_kept"]) == (2, 1)
+    assert got[2]["dedup_md5"] == md5("e f")
+    assert (got[3]["n_segs"], got[3]["n_kept"]) == (2, 0)
+    assert got[3]["dedup_md5"] == md5("")
+    assert (got[4]["n_segs"], got[4]["n_kept"]) == (2, 0)
