@@ -85,6 +85,9 @@ HEADLINE = [
     "x02_fineweb_pipeline",
     # round-4 additions
     "y48_semdedup_prune",
+    # round-5 additions
+    "y49_dsir_weights",
+    "y50_segment_dedup",
 ]
 
 

@@ -776,9 +776,14 @@ def _word_slice_expr(start: int, width: int) -> str:
 
 # past roughly this many docs, 16-bit band values cross the birthday
 # bound (expected random same-band collisions ~ n^2 / 2^17 per band
-# exceed the real pair count) and the exact tier must widen its band
-# values via the combinatorial geometry below
-_COMBO_GEOMETRY_MIN_ROWS = 60_000
+# come to dominate the real pair count) and the exact tier switches to
+# the combinatorial geometry below PLUS the lossless identical-
+# signature collapse. Threshold bracketed by measurement on the scale
+# corpus: at 5k docs the direct plan wins (8.6 s vs 23 s — the
+# collapse's two extra shuffles dominate), at 50k the combo+collapse
+# plan wins 3x (21 s vs 66 s); the crossover interpolates to ~16k,
+# rounded up for the fixed-overhead side.
+_COMBO_GEOMETRY_MIN_ROWS = 20_000
 
 
 def _combo_band_structs(bits: int, max_hamming: int) -> tuple:
@@ -843,11 +848,18 @@ def hamming_near_pairs_words(
     and NO output-changing containment runs — a dense natural near-dup
     cluster can push a band bucket past any fixed cap (observed on real
     text at sf0.1: a capped bucket silently dropped 765 qualifying
-    pairs), and "exact minus whatever the guard ate" is not exact. With
-    ``exact=False`` (the production wide-band regime, already trading
-    recall) both guards run: oversized IDENTICAL-signature groups
-    star-collapse before banding (lossless — hamming-0 classes), and
-    band buckets above ``bucket_cap`` are star-capped.
+    pairs), and "exact minus whatever the guard ate" is not exact. The
+    exact tier DOES collapse identical signatures losslessly before
+    banding (band-join over DISTINCT signatures, expand qualifying
+    signature pairs back to doc pairs): identical signatures match in
+    every band, so raw banding multiplies each dup group's quadratic
+    join work by the band count — the distinct-first plan pays it once
+    per signature pair, and the expansion cost is the emitted output
+    itself. With ``exact=False`` (the production wide-band regime,
+    already trading recall) both guards run: oversized
+    IDENTICAL-signature groups star-collapse before banding (lossless —
+    hamming-0 classes), and band buckets above ``bucket_cap`` are
+    star-capped.
 
     With ``exact=True`` (default) the pigeonhole guarantee applies:
     ``max_hamming < bands`` is enforced and EVERY qualifying pair is
@@ -908,40 +920,115 @@ def hamming_near_pairs_words(
                 for b in range(bands)
             ]
         )
-    if exact:
-        star, survivors = None, sh
-    else:
-        star, survivors = _signature_group_containment(sh, "sw", bucket_cap)
-    buckets = survivors.select(
-        "doc_id", F.explode(band_structs).alias("bb")
-    ).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
-    )
-    cands = (
-        _band_pairs(buckets)
-        if exact
-        else _capped_band_pairs(buckets, bucket_cap)
-    )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sw").alias("wa"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sw").alias("wb"))
     ham = F.expr(
         "aggregate(zip_with(wa, wb,"
         " (x, y) -> cast(bit_count(x ^ y) as bigint)),"
         " 0L, (acc, v) -> acc + v)"
     )
-    out = (
+    if exact and use_combo:
+        # LOSSLESS identical-signature collapse (the exact twin of the
+        # approximate tier's star-cover), gated by the SAME n_rows_hint
+        # threshold as the combo geometry: band the DISTINCT signatures
+        # only, then expand qualifying signature pairs back to doc
+        # pairs. Identical signatures match in EVERY band, so banding
+        # the raw corpus multiplies each dup group's quadratic join
+        # work by the band count (36 under the combo geometry) and
+        # pushes the 36x-redundant candidate mass through
+        # _band_pairs' distinct() — the dominant x100 cost the scaling
+        # curve exposed; distinct-first does that work once per
+        # signature PAIR, and the expansion is proportional to the
+        # emitted output, which exact mode owes anyway. Below the
+        # threshold the two extra shuffles (groupBy + members join)
+        # cost more than the redundancy they remove, so small corpora
+        # keep the direct plan. Values are identical either way:
+        # hamming depends only on the signatures, and within-group
+        # pairs are hamming-0 by definition.
+        reps = sh.groupBy("sw").agg(F.min("doc_id").alias("doc_id"))
+        members = sh.join(
+            reps.select(F.col("doc_id").alias("rep"), "sw"), "sw"
+        ).select("rep", "doc_id")
+        buckets = reps.select(
+            "doc_id", F.explode(band_structs).alias("bb")
+        ).select(
+            "doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.val").alias("val"),
+        )
+        cands = _band_pairs(buckets)
+        a = reps.select(F.col("doc_id").alias("doc_a"), F.col("sw").alias("wa"))
+        b = reps.select(F.col("doc_id").alias("doc_b"), F.col("sw").alias("wb"))
+        rep_pairs = (
+            cands.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+        )
+        ma = members.select(
+            F.col("rep").alias("doc_a"), F.col("doc_id").alias("ida")
+        )
+        mb = members.select(
+            F.col("rep").alias("doc_b"), F.col("doc_id").alias("idb")
+        )
+        cross = (
+            rep_pairs.join(ma, "doc_a")
+            .join(mb, "doc_b")
+            .select(
+                F.least("ida", "idb").alias("doc_a"),
+                F.greatest("ida", "idb").alias("doc_b"),
+                "hamming",
+            )
+        )
+        within = (
+            members.alias("x")
+            .join(
+                members.alias("y"),
+                (F.col("x.rep") == F.col("y.rep"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        return cross.unionByName(within)
+    if exact:
+        buckets = sh.select(
+            "doc_id", F.explode(band_structs).alias("bb")
+        ).select(
+            "doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.val").alias("val"),
+        )
+        cands = _band_pairs(buckets)
+        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sw").alias("wa"))
+        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sw").alias("wb"))
+        return (
+            cands.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+        )
+    star, survivors = _signature_group_containment(sh, "sw", bucket_cap)
+    buckets = survivors.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
+    )
+    cands = _capped_band_pairs(buckets, bucket_cap)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sw").alias("wa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sw").alias("wb"))
+    return (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-    )
-    if star is not None:
-        out = out.unionByName(
+        .unionByName(
             star.select(
                 "doc_a", "doc_b", F.lit(0).cast("int").alias("hamming")
             )
         )
-    return out
+    )
 
 
 def embedding_neardup_pairs(

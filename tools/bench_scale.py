@@ -5,6 +5,11 @@ exponents — the empirical backing for every "would survive 100 TB"
 claim that previously rested on plan inspection over 17 MB.
 
 Usage:  python tools/bench_scale.py [--sizes 1,10,100] [--out BENCH_scale.json]
+        [--only name1,name2] [--merge]
+
+``--only`` restricts the battery to the named entries; ``--merge`` folds
+the measured results into an existing ``--out`` file (re-measuring a
+flagged or contention-suspect entry without the full 1.5 h suite).
 
 For each query and size the job runs twice (the min reports steady-state
 plan cost, discarding first-run codegen); execution is forced with a
@@ -127,6 +132,12 @@ EXCLUDED = {
     "s02_ivf_topk": "catalog entry trains in-query; "
         "op_ivf_assign_probe curves assignment+probe with amortized "
         "training",
+    "y49_dsir_weights": "bigram explode + bounded bucket agg + "
+        "broadcast weights + doc agg; t06 curves the explode+agg "
+        "shape and y08 the broadcast-join shape",
+    "y50_segment_dedup": "segment explode + one hash-agg argmin + "
+        "join back + doc agg; t06/y40 curve the identical "
+        "explode-hash-join skeleton",
 }
 
 
@@ -134,6 +145,23 @@ def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
     """Scale-route operator battery: name -> thunk building the frame."""
     docs = lambda: read_table(spark, d, "documents")  # noqa: E731
     emb = lambda: read_table(spark, d, "embeddings")  # noqa: E731
+
+    _size_cents_cache = []
+
+    def size_cents():
+        # corpus-proportional centroids (k ~ rows/2000, min 16), trained
+        # once per size on the size's own embeddings — amortized like
+        # the ANN entry's training: the first (discarded) run of the
+        # min-of-2 protocol absorbs the one-time training cost
+        if not _size_cents_cache:
+            k = max(16, n_vecs // 2000)
+            c = similarity.train_ivf_centroids(emb(), k=k)
+            _size_cents_cache.append(
+                spark.createDataFrame(
+                    c.collect(), "centroid_id INT, embedding ARRAY<FLOAT>"
+                )
+            )
+        return _size_cents_cache[0]
     return {
         # forced LSH tier (the >100k-rows route) at every size
         "op_jaccard_lsh_route": lambda: dedup.ngram_jaccard_pairs(
@@ -171,9 +199,14 @@ def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
         # SemDeDup scale route: int64 numpy matmul assignment + within-
         # cell prune (forced via the n_rows_hint > max_exact_rows rule),
         # decision-identical to y48's oracle-matched expression path
-        # (parity pinned in tests/test_geometry_routes.py)
+        # (parity pinned in tests/test_geometry_routes.py). Centroids
+        # are trained PER SIZE with k ~ rows/2000 — the SemDeDup design
+        # sizes cells to the corpus so the within-cell quadratic stage
+        # stays bounded; reusing a fixed k across sizes (the round-5
+        # first cut) made cell size grow linearly and the quadratic
+        # stage alpha 1.77.
         "op_semdedup_matmul": lambda: curation.semdedup_prune(
-            emb(), cents, threshold_ppb=400_000_000,
+            emb(), size_cents(), threshold_ppb=400_000_000,
             max_exact_rows=0, n_rows_hint=n_vecs,
         ),
     }
@@ -192,10 +225,14 @@ def main() -> None:
     sizes = [1, 10, 100]
     out_path = "BENCH_scale.json"
     args = sys.argv[1:]
+    only = None
     if "--sizes" in args:
         sizes = [int(s) for s in args[args.index("--sizes") + 1].split(",")]
     if "--out" in args:
         out_path = args[args.index("--out") + 1]
+    if "--only" in args:
+        only = set(args[args.index("--only") + 1].split(","))
+    merge = "--merge" in args
     base = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/root/repo/scale_data")
 
     spark = get_spark(app_name="bench-scale")
@@ -229,6 +266,8 @@ def main() -> None:
         batt.update(operator_queries(spark, d, n_docs, n_vecs, cents))
 
         for name, thunk in batt.items():
+            if only is not None and name not in only:
+                continue
             if k > MAX_SIZE.get(name, 10**9):
                 continue
             runs = [time_noop(thunk) for _ in range(2)]
@@ -250,12 +289,39 @@ def main() -> None:
         else:
             r["flag"] = False
 
+    if merge and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        merged = prior.get("queries", {})
+        for name, r in results.items():
+            # per-query deep merge: a --sizes-restricted re-measure must
+            # keep the other sizes' points, then alphas recompute over
+            # the merged series
+            old = merged.get(name, {})
+            merged[name] = {
+                **{k: v for k, v in old.items() if k.startswith("t")},
+                **{k: v for k, v in r.items() if k.startswith("t")},
+            }
+            q = merged[name]
+            for a, bsz in [(1, 10), (10, 100)]:
+                ta, tb = q.get(f"t{a}"), q.get(f"t{bsz}")
+                if ta and tb and ta > 0:
+                    q[f"alpha_{a}_{bsz}"] = round(
+                        math.log(tb / ta) / math.log(bsz / a), 3
+                    )
+            q["flag"] = bool(
+                q.get("alpha_10_100", 0) and q["alpha_10_100"] > 1.3
+            )
+        results = merged
+        meta = {**prior.get("sizes", {}), **meta}
     payload = {
         "metric": "scaling_curves",
         "unit": "sec",
         "sizes": meta,
         "queries": results,
-        "flagged": sorted(n for n, r in results.items() if r["flag"]),
+        "flagged": sorted(
+            n for n, r in results.items() if r.get("flag")
+        ),
         "excluded": EXCLUDED,
     }
     with open(out_path, "w") as f:
