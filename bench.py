@@ -88,6 +88,11 @@ HEADLINE = [
     # round-5 additions
     "y49_dsir_weights",
     "y50_segment_dedup",
+    # y51_bpe_train is deliberately NOT a headline entry: it is a
+    # TRAINING job (24 sequential argmax barriers, each a driver
+    # round-trip), not a query — its wall-clock measures scheduler
+    # latency x rounds, not plan quality. tools/check.py covers it.
+    "y52_char_entropy",
 ]
 
 

@@ -4189,3 +4189,62 @@ def y50(spark: SparkSession, sf: str) -> DataFrame:
     return curation.segment_dedup(
         _t(spark, sf, "documents"), seg_tokens=_Y50_SEG_TOKENS
     )
+
+
+_Y51_MERGES = 24
+
+
+@register(
+    "y51_bpe_train",
+    None,  # iterative argmax-per-round training — not SQL-expressible;
+    # exact parity vs a pure-Python reference BPE is pinned in
+    # tests/test_bpe_entropy.py instead
+    "Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): learn"
+    " the 24 top adjacent-symbol merges over the word-frequency table"
+    " (corpus touched once; every round runs on the vocabulary-sized"
+    " table — one bounded pair-count shuffle + a 1-row argmax collect"
+    " + a map-side greedy merge fold, no UDFs). Deterministic"
+    " tie-break: count desc, then lexicographic (left, right)."
+    " y-prefix: past the gate window by design",
+)
+def y51(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text
+
+    return text.bpe_train(
+        _t(spark, sf, "documents"), num_merges=_Y51_MERGES
+    )
+
+
+def _char_entropy_oracle() -> str:
+    return (
+        "WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch"
+        " FROM documents WHERE length(text) > 0),"
+        " cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch"
+        " GROUP BY doc_id, ch),"
+        " tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id),"
+        " t AS (SELECT cnt.doc_id, n,"
+        " CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * 1000000000.0, 0) AS BIGINT) AS tq"
+        " FROM cnt JOIN tot USING (doc_id))"
+        " SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,"
+        " CAST(count(*) AS BIGINT) AS n_distinct,"
+        " ROUND((-SUM(tq)) / 1000000000.0, 6) AS entropy_nats"
+        " FROM t GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+@register(
+    "y52_char_entropy",
+    _char_entropy_oracle(),
+    "Character-level Shannon entropy per document (nats) — the cheap"
+    " gibberish/boilerplate screen: per-char explode into an"
+    " alphabet-bounded (doc_id, char) hash-agg, each p*ln(p) term"
+    " ppb-quantized to BIGINT (x02/y49 pattern) so the sum is"
+    " integer-exact cross-engine; negation on the BIGINT avoids -0.0."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y52(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text
+
+    return text.char_entropy(_t(spark, sf, "documents"))

@@ -736,3 +736,152 @@ def bigram_logprob_scores(
         F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
         "avg_logprob",
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 30,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units"):
+    learn the ``num_merges`` highest-frequency adjacent-symbol merges
+    over the corpus, the companion of :func:`encode_token_ids` /
+    the t05 regex tokenizer which only APPLY a fixed scheme. Output:
+    one row per learned merge, ``(rank, left, right, merged,
+    pair_count)``, in learning order.
+
+    100 TB shape — the corpus is touched exactly ONCE: the word-
+    frequency table (lowercased whitespace words -> freq) is one
+    map-side-combined hash-agg, after which every iteration runs on
+    the VOCABULARY table (~1e6 rows for web text regardless of corpus
+    bytes — the Sennrich word-freq trick; training on raw tokens would
+    shuffle the corpus per merge). Per round: one bounded pair-count
+    shuffle over the vocab, a 1-row argmax collect (count desc, then
+    lexicographic — deterministic), and a map-side greedy merge fold
+    (JVM higher-order ``aggregate``, no UDF). Lineage is truncated
+    through the injectable checkpoint policy every
+    ``checkpoint_every`` rounds so Catalyst analysis stays O(1) per
+    round on a 50k-merge production run.
+
+    The greedy left-to-right fold is exact: a merge output ``L+R``
+    can never equal ``L`` (R is non-empty), so a symbol produced this
+    round can never be the left side of an overlapping second merge —
+    the fold's last-element check reproduces scan-and-skip greedy
+    semantics without lookahead.
+
+    Training stops early when no pair reaches ``min_pair_count``
+    (emitting fewer than ``num_merges`` rows), matching the reference
+    implementation's convergence rule.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # chars via substring-by-index (split-on-'' emits a trailing empty
+    # string in Spark); terminal '</w>' marks word ends so merges never
+    # cross word boundaries
+    syms = words.select(
+        F.expr(
+            "concat(transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1)), array('</w>'))"
+        ).alias("s"),
+        "freq",
+    ).transform(materialize)
+    # zip_with over head/tail slices rather than sequence(1, size-1):
+    # a fully-merged word is ONE symbol, and sequence(1, 0) is the
+    # DESCENDING [1, 0] in Spark — slice(s, 1, 0) is just empty
+    pair_expr = F.expr(
+        "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1),"
+        " (a, b) -> struct(a as l, b as r))"
+    )
+    learned: list[tuple] = []
+    for rank in range(num_merges):
+        best = (
+            syms.select(F.explode(pair_expr).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["c"] < min_pair_count:
+            break
+        left, right, count = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merged = left + right
+        learned.append((rank, left, right, merged, count))
+        lit_l, lit_r, lit_m = F.lit(left), F.lit(right), F.lit(merged)
+        syms = syms.select(
+            F.aggregate(
+                "s",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == lit_l)
+                    & (x == lit_r),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(lit_m)
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("s"),
+            "freq",
+        )
+        if (rank + 1) % checkpoint_every == 0:
+            syms = syms.transform(materialize)
+    return spark.createDataFrame(
+        learned,
+        "rank INT, left STRING, right STRING, merged STRING,"
+        " pair_count BIGINT",
+    )
+
+
+def char_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-level Shannon entropy per document (nats) — the
+    classic cheap gibberish/boilerplate screen (low entropy = repeated
+    filler, high entropy = encrypted/base64 blobs) run alongside the
+    Gopher rules on raw crawl text. Output: ``(doc_id, n_chars,
+    n_distinct, entropy_nats)`` for non-empty documents.
+
+    Exactness: each character's ``p*ln(p)`` term is ONE double
+    expression ppb-rounded to BIGINT (the x02/y49 quantization
+    pattern), so the per-doc sum is integer-exact and engine-order-
+    independent; negation happens on the BIGINT (never ``-0.0``) and
+    the final 6-dp rounding is applied once.
+
+    100 TB shape: a per-character explode (map-side, ~5x the token
+    explode of t01) into a (doc_id, char) hash-agg with map-side
+    combine — alphabet-bounded fan-in per doc — then one doc-keyed agg.
+    No UDFs, no window, nothing collected.
+    """
+    chars = docs.filter(F.length(text_col) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col})),"
+                f" i -> substring({text_col}, i, 1))"
+            )
+        ).alias("ch"),
+    )
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    terms = cnt.join(tot, "doc_id").select(
+        "doc_id",
+        "n",
+        F.expr(
+            "cast(round((cast(c as double) / cast(n as double))"
+            " * ln(cast(c as double) / cast(n as double))"
+            " * 1000000000.0, 0) as bigint)"
+        ).alias("tq"),
+    )
+    return terms.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.round((-F.sum("tq")) / 1000000000.0, 6).alias("entropy_nats"),
+    )

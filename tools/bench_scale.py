@@ -76,6 +76,7 @@ CATALOG_QUERIES = [
                                # piece-pair geometry past ~60k docs)
     "y14_incremental_neardup", # store+batch incremental LSH
     "x02_fineweb_pipeline",    # staged curation pipeline
+    "y52_char_entropy",        # per-char explode + alphabet-bounded agg
 ]
 
 # Entries measured only up to a size. (Round-4 capped y31 at x10 because
@@ -138,6 +139,11 @@ EXCLUDED = {
     "y50_segment_dedup": "segment explode + one hash-agg argmin + "
         "join back + doc agg; t06/y40 curve the identical "
         "explode-hash-join skeleton",
+    "y51_bpe_train": "driver-loop iterative: the corpus is touched "
+        "once by a t01-shaped word-freq hash-agg; all 24 rounds run "
+        "on the vocabulary table (bounded by distinct words, not "
+        "corpus bytes), so a size sweep measures the vocab growth of "
+        "the synthetic corpus, not the operator's corpus exponent",
 }
 
 
