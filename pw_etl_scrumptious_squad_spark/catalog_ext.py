@@ -4248,3 +4248,182 @@ def y52(spark: SparkSession, sf: str) -> DataFrame:
     from pw_etl_scrumptious_squad_spark.operators import text
 
     return text.char_entropy(_t(spark, sf, "documents"))
+
+
+_Y53_K = 3
+
+
+def _hard_negative_oracle() -> str:
+    k = _Y53_K
+    qdot = (
+        "CAST(floor(CAST(CAST(list_sum(list_transform(range(1,"
+        " len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)"
+        " / (sqrt(CAST(a.nv AS DOUBLE)) * sqrt(CAST(b.nv AS DOUBLE)))"
+        " * 1000000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, label, list_transform(embedding,"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0::DOUBLE"
+        " + 0.5::DOUBLE) AS BIGINT)) AS qv FROM embeddings"
+        " WHERE label IS NOT NULL),"
+        " en AS (SELECT vec_id, label, qv,"
+        " CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS nv"
+        " FROM e),"
+        " f AS (SELECT * FROM en WHERE nv > 0),"
+        " p AS (SELECT a.vec_id AS query_id, b.vec_id AS neg_id,"
+        f" {qdot} AS cos_ppb"
+        " FROM f a JOIN f b ON a.label <> b.label),"
+        " r AS (SELECT query_id, neg_id, cos_ppb,"
+        " CAST(row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cos_ppb DESC, neg_id) AS INTEGER) AS rank FROM p)"
+        f" SELECT query_id, neg_id, cos_ppb, rank FROM r WHERE rank <= {k}"
+        " ORDER BY query_id, rank"
+    )
+
+
+@register(
+    "y53_hard_negatives",
+    _hard_negative_oracle(),
+    "Contrastive hard-negative mining: per anchor vector, the top-3"
+    " most cosine-similar vectors with a DIFFERENT label — the offline"
+    " mining step of triplet/contrastive embedding training. Quantized"
+    " integer pair math (the y48 idiom) keeps the ranking value-exact"
+    " cross-engine; NULL-label / zero-norm rows sit on neither side."
+    " Expression tier here; the matmul scale route is parity-tested in"
+    " tests/test_geometry_routes.py."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y53(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.hard_negative_mining(
+        _t(spark, sf, "embeddings"), k=_Y53_K
+    )
+
+
+_Y54_TOP_N = 100
+
+
+def _zipf_oracle() -> str:
+    n = _Y54_TOP_N
+    lnr = "ln(CAST(rank AS DOUBLE))"
+    lnc = "ln(CAST(c AS DOUBLE))"
+    q = "CAST(round({0} * 1000000000.0, 0) AS BIGINT)"
+    slope = (
+        "((CAST(n_points AS DOUBLE) * (CAST(sxy AS DOUBLE)"
+        " / 1000000000.0))"
+        " - ((CAST(sx AS DOUBLE) / 1000000000.0)"
+        " * (CAST(sy AS DOUBLE) / 1000000000.0)))"
+        " / ((CAST(n_points AS DOUBLE) * (CAST(sxx AS DOUBLE)"
+        " / 1000000000.0))"
+        " - ((CAST(sx AS DOUBLE) / 1000000000.0)"
+        " * (CAST(sx AS DOUBLE) / 1000000000.0)))"
+    )
+    intercept = (
+        "((CAST(sy AS DOUBLE) / 1000000000.0)"
+        f" / CAST(n_points AS DOUBLE)) - (({slope})"
+        " * ((CAST(sx AS DOUBLE) / 1000000000.0)"
+        " / CAST(n_points AS DOUBLE)))"
+    )
+    return (
+        "WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS tok"
+        " FROM documents),"
+        " tf AS (SELECT lang, tok, count(*) AS c FROM tk WHERE tok <> ''"
+        " GROUP BY lang, tok),"
+        " top AS (SELECT lang, tok, c, row_number() OVER ("
+        " PARTITION BY lang ORDER BY c DESC, tok) AS rank FROM tf),"
+        " pts AS (SELECT lang, c,"
+        f" {q.format(lnr)} AS xq,"
+        f" {q.format(lnc)} AS yq,"
+        f" {q.format(f'({lnr} * {lnc})')} AS xyq,"
+        f" {q.format(f'({lnr} * {lnr})')} AS xxq"
+        f" FROM top WHERE rank <= {n}),"
+        " agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_points,"
+        " CAST(sum(c) AS BIGINT) AS top_mass,"
+        " CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,"
+        " CAST(sum(xyq) AS BIGINT) AS sxy,"
+        " CAST(sum(xxq) AS BIGINT) AS sxx FROM pts GROUP BY lang)"
+        " SELECT lang, n_points, top_mass,"
+        f" ROUND({slope}, 6) AS slope,"
+        f" ROUND({intercept}, 6) AS intercept"
+        " FROM agg WHERE n_points >= 2 ORDER BY lang"
+    )
+
+
+@register(
+    "y54_zipf_slope",
+    _zipf_oracle(),
+    "Zipf's-law fit per language: OLS slope/intercept of ln(freq) on"
+    " ln(rank) over the top-100 tokens — corpus-health diagnostic"
+    " (natural text ~ -1; templated corpora flatten). One"
+    " combiner-friendly (lang, token) hash-agg touches the corpus; the"
+    " ranking window runs over the vocabulary-sized count table."
+    " Per-point ln terms ppb-quantized to BIGINT (y49/y52 pattern) so"
+    " the OLS sums are integer-exact cross-engine."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y54(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text
+
+    return text.zipf_slope(
+        _t(spark, sf, "documents"), top_n=_Y54_TOP_N
+    )
+
+
+_Y55_BUCKETS = 4096
+
+
+def _source_kl_oracle() -> str:
+    b = _Y55_BUCKETS
+    term = (
+        "(CAST({c} + 1 AS DOUBLE) / CAST({n} + {b} AS DOUBLE))"
+        " * ln((CAST({c} + 1 AS DOUBLE) / CAST({n} + {b} AS DOUBLE))"
+        " / (CAST({cb} + 1 AS DOUBLE) / CAST(nc + {b} AS DOUBLE)))"
+    )
+    tq = term.format(c="csb", n="ns", cb="cb", b=b)
+    t0 = term.format(c="0", n="ns", cb="0", b=b)
+    quant = "CAST(round(({0}) * 1000000000.0, 0) AS BIGINT)"
+    return (
+        "WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok"
+        " FROM documents),"
+        " bk AS (SELECT source,"
+        f" CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % {b}"
+        " AS bkt FROM tk WHERE tok <> ''),"
+        " counts AS (SELECT source, bkt, count(*) AS csb FROM bk"
+        " GROUP BY source, bkt),"
+        " cbt AS (SELECT bkt, CAST(sum(csb) AS BIGINT) AS cb FROM counts"
+        " GROUP BY bkt),"
+        " st AS (SELECT source, CAST(sum(csb) AS BIGINT) AS ns FROM counts"
+        " GROUP BY source),"
+        " ct AS (SELECT CAST(sum(cb) AS BIGINT) AS nc FROM cbt),"
+        " grid AS (SELECT st.source, st.ns, cbt.bkt, cbt.cb,"
+        " coalesce(counts.csb, 0) AS csb, ct.nc"
+        " FROM cbt CROSS JOIN st"
+        " LEFT JOIN counts ON counts.source = st.source"
+        " AND counts.bkt = cbt.bkt CROSS JOIN ct),"
+        " terms AS (SELECT source, ns,"
+        f" {quant.format(tq)} AS tq,"
+        f" {quant.format(t0)} AS t0q"
+        " FROM grid),"
+        " agg AS (SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,"
+        f" CAST(sum(tq) + ({b} - count(*)) * max(t0q) AS BIGINT) AS klq"
+        " FROM terms GROUP BY source)"
+        " SELECT source, n_tokens,"
+        " ROUND(klq / 1000000000.0, 6) AS kl_nats"
+        " FROM agg ORDER BY source"
+    )
+
+
+@register(
+    "y55_source_kl",
+    _source_kl_oracle(),
+    "Per-source distribution drift: KL(source || corpus) in nats over"
+    " add-1-smoothed hashed-unigram bucket distributions (4096 buckets,"
+    " the y49 bucket design) — flags a source whose token distribution"
+    " drifted from the corpus. All state bounded at |sources| x 4096;"
+    " unseen-bucket mass folds into one closed-form term per source;"
+    " each grid term ppb-quantized to BIGINT for cross-engine exactness."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y55(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.source_kl_divergence(
+        _t(spark, sf, "documents"), n_buckets=_Y55_BUCKETS
+    )

@@ -1243,3 +1243,80 @@ def segment_dedup(
             )
         ).alias("dedup_md5"),
     )
+
+
+def source_kl_divergence(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-source distribution drift: KL(source || corpus) in nats over
+    add-1-smoothed hashed-unigram bucket distributions — the mixture
+    monitor that flags a source whose token distribution has drifted
+    from the corpus it feeds (new crawl snapshot gone weird, a source
+    turning templated). Returns (source, n_tokens, kl_nats).
+
+    Scale shape (the y49 bucket design): unigrams explode map-side into
+    ``n_buckets`` hashed buckets, so ALL distribution state is one
+    hash-agg bounded at |sources| x n_buckets rows; the corpus marginal
+    (<= n_buckets rows) is broadcast and the smoothed KL term grid is
+    |sources| x K rows (K = observed corpus buckets) — nothing
+    corpus-sized shuffles twice or reaches the driver. The B - K
+    buckets unseen in the whole corpus share one closed-form term per
+    source, added as an integer multiple.
+
+    Exactness: every grid term p_s * ln(p_s / p_c) is ppb-quantized to
+    BIGINT (same operand order in the DuckDB oracle), the unseen-bucket
+    term likewise, so the per-source sum is integer-exact and the final
+    6-dp rounding is engine-independent.
+    """
+    b = n_buckets
+    tk = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bk = tk.withColumn(
+        "bkt",
+        F.expr(
+            f"cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint) % {b}"
+        ),
+    )
+    counts = bk.groupBy("source", "bkt").agg(
+        F.count(F.lit(1)).alias("csb")
+    )
+    corpus_b = counts.groupBy("bkt").agg(F.sum("csb").alias("cb"))
+    src_tot = counts.groupBy("source").agg(F.sum("csb").alias("ns"))
+    corpus_tot = corpus_b.agg(F.sum("cb").alias("nc"))
+    grid = (
+        corpus_b.crossJoin(broadcast(src_tot))
+        .join(counts, ["source", "bkt"], "left")
+        .withColumn("csb", F.coalesce(F.col("csb"), F.lit(0)))
+        .crossJoin(broadcast(corpus_tot))
+    )
+    term = (
+        "(cast({c} + 1 as double) / cast({n} + {b} as double))"
+        " * ln((cast({c} + 1 as double) / cast({n} + {b} as double))"
+        " / (cast({cb} + 1 as double) / cast(nc + {b} as double)))"
+    )
+    tq = term.format(c="csb", n="ns", cb="cb", b=b)
+    t0 = term.format(c="0", n="ns", cb="0", b=b)
+    quant = "cast(round(({0}) * 1000000000.0, 0) as bigint)"
+    per_src = grid.select(
+        "source",
+        "ns",
+        "nc",
+        F.expr(quant.format(tq)).alias("tq"),
+        F.expr(quant.format(t0)).alias("t0q"),
+    ).groupBy("source").agg(
+        F.max("ns").cast("bigint").alias("n_tokens"),
+        (
+            F.sum("tq")
+            + (F.lit(b) - F.count(F.lit(1))) * F.max("t0q")
+        ).alias("klq"),
+    )
+    return per_src.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("klq") / 1_000_000_000.0, 6).alias("kl_nats"),
+    )

@@ -534,3 +534,215 @@ def probe_ivf_index(
         vec_col=vec_col,
         centroid_id=centroid_id,
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_rows_hint: int | None = None,
+    max_exact_rows: int = 20_000,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every anchor vector, the
+    top-k most cosine-similar vectors with a DIFFERENT label — the
+    offline mining step of contrastive / triplet embedding training
+    (the "hardest" negatives are the near-misses, not random draws).
+    Returns (query_id, neg_id, cos_ppb, rank); deterministic order is
+    cos_ppb desc then neg_id asc. Rows with a NULL label or a
+    NULL/zero-norm embedding participate on NEITHER side (no label to
+    contrast against / no defined direction — both routes agree, the
+    d06 degenerate-input policy).
+
+    Exactness: per-element ``floor(x*1e6+0.5)`` quantization makes every
+    pair dot / squared norm an exact BIGINT (order-free, engine-free);
+    each cosine is then ONE double expression ppb-floored
+    (``floor(dot/(sqrt(na)*sqrt(nb))*1e9+0.5)``) — the y48 integer-pair
+    idiom — so ranking compares exact integers cross-engine.
+
+    TIERS (y48 contract): the expression path is the oracle-matched
+    default; past ``max_exact_rows`` (opt-in via ``n_rows_hint`` — a
+    wrong hint degrades performance, never values)
+    :func:`_hard_negative_matmul` computes the SAME integers with one
+    int64 numpy matmul per Arrow batch against the task-shipped
+    candidate matrix (bounded: rows x dim x 8 B — ~100 MB at 200k x 64;
+    beyond broadcast reach, mine within IVF probes via
+    :func:`probe_ivf_index` instead, trading exactness for the ANN
+    recall curve).
+    """
+    if n_rows_hint is not None and n_rows_hint > max_exact_rows:
+        return _hard_negative_matmul(corpus, k, id_col, vec_col, label_col)
+    quant_v = F.expr(
+        f"transform({vec_col}, x -> cast(floor(cast(x as double)"
+        " * 1000000.0d + 0.5d) as bigint))"
+    )
+    sq = "aggregate({0}, 0L, (acc, v) -> acc + v * v)"
+    base = (
+        corpus.filter(F.col(label_col).isNotNull())
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(label_col).alias("lbl"),
+            quant_v.alias("__qv"),
+        )
+        .withColumn("__nv", F.expr(sq.format("__qv")))
+        .filter(F.col("__nv") > 0)
+    )
+    a = base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lbl").alias("__la"),
+        F.col("__qv").alias("__qa"),
+        F.col("__nv").alias("__na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("lbl").alias("__lb"),
+        F.col("__qv").alias("__qb"),
+        F.col("__nv").alias("__nb"),
+    )
+    pair_dot = F.expr(
+        "aggregate(zip_with(__qa, __qb, (x, y) -> x * y),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    pair_cos = F.col("__pd").cast("double") / (
+        F.sqrt(F.col("__na").cast("double"))
+        * F.sqrt(F.col("__nb").cast("double"))
+    )
+    scored = (
+        a.crossJoin(broadcast(b))
+        .filter(F.col("__la") != F.col("__lb"))
+        .withColumn("__pd", pair_dot)
+        .select(
+            "query_id",
+            "neg_id",
+            F.floor(pair_cos * F.lit(1_000_000_000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("cos_ppb"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_ppb").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neg_id",
+            "cos_ppb",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _hard_negative_matmul(
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Scale route for :func:`hard_negative_mining`: identical integers,
+    one int64 numpy matmul per Arrow batch against the full candidate
+    matrix shipped with the task closure.
+
+    Decision parity, stage by stage (the y48/_semdedup_prune_matmul
+    argument): quantization is ``floor(float64(x)*1e6+0.5)`` per element
+    (exact int64 both ways); dots and squared norms are int64 sums
+    (order-free — i8 matmul, no float accumulation); each ppb is the
+    same IEEE double expression in the same operand order; per-anchor
+    ranking sorts (cos_ppb desc, neg_id asc) exactly like the window.
+    NULL-label / NULL / zero-norm rows are excluded on both sides before
+    any math, so degenerate inputs cannot diverge between tiers.
+
+    Memory: candidate matrix is rows x dim int64 (~100 MB at 200k x 64),
+    shipped once per task like d06's broadcast-argmax assignment stage;
+    per batch the dense stage is a (batch x rows) double matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cand_rows = (
+        corpus.filter(
+            F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+        )
+        .select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(label_col).cast("long").alias("lbl"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    cand_ids = np.asarray([r["vec_id"] for r in cand_rows], dtype="i8")
+    cand_lbl = np.asarray([r["lbl"] for r in cand_rows], dtype="i8")
+    cq = np.floor(
+        np.stack([np.asarray(r["v"], dtype="f8") for r in cand_rows])
+        * 1e6
+        + 0.5
+    ).astype("i8")
+    cn = (cq * cq).sum(axis=1)
+    keep = cn > 0
+    cand_ids, cand_lbl, cq, cn = (
+        cand_ids[keep],
+        cand_lbl[keep],
+        cq[keep],
+        cn[keep],
+    )
+
+    def _mine(parts):
+        for pdf in parts:
+            if len(pdf) == 0:
+                continue
+            lbl_ok = pdf[label_col].notna().to_numpy()
+            vecs = pdf[vec_col].to_numpy()
+            vec_ok = np.asarray([v is not None for v in vecs])
+            sel = lbl_ok & vec_ok
+            if not sel.any():
+                continue
+            ids = pdf[id_col].to_numpy()[sel].astype("i8")
+            lbl = pdf[label_col].to_numpy()[sel].astype("i8")
+            q = np.floor(
+                np.stack([np.asarray(v, dtype="f8") for v in vecs[sel]])
+                * 1e6
+                + 0.5
+            ).astype("i8")
+            nv = (q * q).sum(axis=1)
+            live = nv > 0
+            if not live.any():
+                continue
+            ids, lbl, q, nv = ids[live], lbl[live], q[live], nv[live]
+            ppb = np.floor(
+                (q @ cq.T).astype("f8")
+                / (
+                    np.sqrt(nv.astype("f8"))[:, None]
+                    * np.sqrt(cn.astype("f8"))[None, :]
+                )
+                * 1e9
+                + 0.5
+            )
+            out_q, out_n, out_c, out_r = [], [], [], []
+            for i in range(len(ids)):
+                mask = cand_lbl != lbl[i]
+                if not mask.any():
+                    continue
+                row = ppb[i][mask]
+                nids = cand_ids[mask]
+                # (cos_ppb desc, neg_id asc) == lexsort on (-row, nids)
+                order = np.lexsort((nids, -row))[:k]
+                out_q.extend([ids[i]] * len(order))
+                out_n.extend(nids[order])
+                out_c.extend(row[order])
+                out_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, dtype="i8"),
+                    "neg_id": np.asarray(out_n, dtype="i8"),
+                    "cos_ppb": np.asarray(out_c, dtype="i8"),
+                    "rank": np.asarray(out_r, dtype="i4"),
+                }
+            )
+
+    return corpus.select(id_col, label_col, vec_col).mapInPandas(
+        _mine, "query_id long, neg_id long, cos_ppb bigint, rank int"
+    )

@@ -885,3 +885,85 @@ def char_entropy(
         F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
         F.round((-F.sum("tq")) / 1000000000.0, 6).alias("entropy_nats"),
     )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Zipf's-law fit per language: OLS slope/intercept of ln(freq) on
+    ln(rank) over each language's ``top_n`` most frequent tokens — the
+    classic corpus-health diagnostic (natural language sits near -1;
+    boilerplate-heavy or templated corpora flatten, gibberish steepens).
+    Returns (lang, n_points, top_mass, slope, intercept); ranking
+    tie-break is (count desc, token asc) so the fit set is
+    deterministic. Languages with fewer than 2 distinct top tokens are
+    dropped (slope undefined).
+
+    Scale shape: the corpus is touched ONCE by a combiner-friendly
+    (lang, token) hash-agg — the per-language ranking window runs over
+    the VOCABULARY-sized count table, not the corpus, so the few-keys
+    lang partition skew is bounded by vocabulary, and the final
+    per-language agg state is 5 integers.
+
+    Exactness: each point's ln(rank), ln(count), and their products are
+    ppb-quantized to BIGINT (the y49/y52 pattern), so the OLS sums are
+    integer-exact cross-engine; slope and intercept are then ONE double
+    expression each over those integers (same operand order in the
+    oracle) rounded to 6 dp.
+    """
+    tk = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    cnt = tk.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("c").desc(), F.col("tok").asc()
+    )
+    top = cnt.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_n
+    )
+    q = "cast(round({0} * 1000000000.0, 0) as bigint)"
+    lx = "ln(cast(rank as double))"
+    ly = "ln(cast(c as double))"
+    terms = top.select(
+        "lang",
+        "c",
+        F.expr(q.format(lx)).alias("xq"),
+        F.expr(q.format(ly)).alias("yq"),
+        F.expr(q.format(f"({lx} * {ly})")).alias("xyq"),
+        F.expr(q.format(f"({lx} * {lx})")).alias("xxq"),
+    )
+    agg = terms.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum("c").cast("bigint").alias("top_mass"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum("xyq").alias("sxy"),
+        F.sum("xxq").alias("sxx"),
+    )
+    slope = (
+        "((cast(n_points as double) * (cast(sxy as double)"
+        " / 1000000000.0d))"
+        " - ((cast(sx as double) / 1000000000.0d)"
+        " * (cast(sy as double) / 1000000000.0d)))"
+        " / ((cast(n_points as double) * (cast(sxx as double)"
+        " / 1000000000.0d))"
+        " - ((cast(sx as double) / 1000000000.0d)"
+        " * (cast(sx as double) / 1000000000.0d)))"
+    )
+    intercept = (
+        "((cast(sy as double) / 1000000000.0d)"
+        f" / cast(n_points as double)) - (({slope})"
+        " * ((cast(sx as double) / 1000000000.0d)"
+        " / cast(n_points as double)))"
+    )
+    return agg.filter(F.col("n_points") >= 2).select(
+        "lang",
+        "n_points",
+        "top_mass",
+        F.expr(f"round({slope}, 6)").alias("slope"),
+        F.expr(f"round({intercept}, 6)").alias("intercept"),
+    )

@@ -1,0 +1,181 @@
+"""Round-5 additions: hard-negative mining, Zipf slope, source-KL drift.
+
+Same strategy as tests/test_geometry_routes.py: the DuckDB oracle pins
+the value-exact small-scale path (y53/y54/y55); these tests pin the
+matmul scale route against the expression tier and the semantics against
+closed-form pure-python ground truth.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from pw_etl_scrumptious_squad_spark.operators import curation, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+def _read(spark, table):
+    from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+    return read_table(spark, SF, table)
+
+
+def test_hard_negative_routes_identical(spark):
+    """Expression tier (oracle-matched) vs Arrow-matmul scale route:
+    identical (query_id, neg_id, cos_ppb, rank) rows on the real
+    embeddings PLUS planted degenerates (NULL label, NULL embedding,
+    zero vector) — degenerates sit on neither side in both routes."""
+    emb = _read(spark, "embeddings").select("vec_id", "embedding", "label")
+    base = list(
+        emb.filter(F.col("vec_id") == 0).select("embedding").first()[
+            "embedding"
+        ]
+    )
+    extra = spark.createDataFrame(
+        [
+            (10_001, base, None),  # NULL label
+            (10_002, None, 3),  # NULL embedding
+            (10_003, [0.0] * len(base), 4),  # zero vector
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    corpus = emb.unionByName(extra)
+    a = similarity.hard_negative_mining(corpus, k=3)
+    b = similarity.hard_negative_mining(
+        corpus, k=3, n_rows_hint=10**9
+    )
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    assert len(ra) > 0
+    touched = {r[0] for r in ra} | {r[1] for r in ra}
+    assert not touched & {10_001, 10_002, 10_003}
+
+
+def test_hard_negative_closed_form(spark):
+    """Known geometry: anchors must pick the most-similar DIFFERENT-label
+    vector, ranked by quantized cosine then id."""
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.01], 0),  # same label as 0 -> never 0's negative
+        (2, [0.9, 0.1], 1),  # hard negative for 0
+        (3, [0.0, 1.0], 1),  # easy negative for 0
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.hard_negative_mining(vecs, k=1).collect()
+    top = {r["query_id"]: r["neg_id"] for r in out}
+    assert top[0] == 2  # hardest different-label neighbor
+    assert top[2] in (0, 1) and top[3] in (0, 1)
+    # k honored, rank dense from 1
+    out3 = similarity.hard_negative_mining(vecs, k=5).collect()
+    by_q = {}
+    for r in out3:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_zipf_slope_closed_form(spark):
+    """A corpus built to an exact power law c(r) = 64 / 2^(r-1) over 4
+    ranks fits slope = -ln2-per-ln-rank... not linear in ln space unless
+    freqs ARE rank^s — so instead build c(r) = round(100 * r^-1) and
+    assert against a pure-python replica of the SAME quantized OLS."""
+    freqs = {f"tok{r:02d}": max(1, round(100 / r)) for r in range(1, 11)}
+    words = []
+    for t, c in freqs.items():
+        words.extend([t] * c)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "xx")], "doc_id long, text string, lang string"
+    )
+    out = text.zipf_slope(docs, top_n=100).collect()
+    assert len(out) == 1
+    row = out[0]
+    # python replica: same tie-break (count desc, token asc), same
+    # ppb-quantized terms
+    ranked = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (math.log(r), math.log(c))
+        for r, (_, c) in enumerate(ranked, start=1)
+    ]
+    q = lambda v: int(round(v * 1e9))  # noqa: E731
+    n = len(pts)
+    sx = sum(q(x) for x, _ in pts)
+    sy = sum(q(y) for _, y in pts)
+    sxy = sum(q(x * y) for x, y in pts)
+    sxx = sum(q(x * x) for x, _ in pts)
+    slope = ((n * (sxy / 1e9)) - ((sx / 1e9) * (sy / 1e9))) / (
+        (n * (sxx / 1e9)) - ((sx / 1e9) * (sx / 1e9))
+    )
+    assert row["n_points"] == n
+    assert row["top_mass"] == sum(freqs.values())
+    assert abs(row["slope"] - round(slope, 6)) < 1e-9
+    # a 1/r law must fit slope ~ -1
+    assert -1.1 < row["slope"] < -0.9
+
+
+def test_zipf_slope_real_corpus(spark):
+    docs = _read(spark, "documents")
+    out = text.zipf_slope(docs).collect()
+    assert len(out) >= 1
+    for r in out:
+        assert r["slope"] < 0  # frequency decreases with rank, always
+
+
+def test_source_kl_identity_is_zero(spark):
+    """A single-source corpus IS the corpus marginal: every smoothed
+    term cancels, KL = 0 exactly (including the unseen-bucket term)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c a b a", "only", "xx")],
+        "doc_id long, text string, source string, lang string",
+    )
+    out = curation.source_kl_divergence(docs).collect()
+    assert len(out) == 1
+    assert out[0]["kl_nats"] == 0.0
+    assert out[0]["n_tokens"] == 6
+
+
+def test_source_kl_closed_form(spark):
+    """Two disjoint-vocabulary sources: pure-python replica of the same
+    bucket hash + quantized term sum must match to the 6-dp output."""
+    b = 4096
+    s1 = ["alpha", "beta", "gamma"] * 4
+    s2 = ["delta", "epsilon"] * 6
+    docs = spark.createDataFrame(
+        [(1, " ".join(s1), "s1", "xx"), (2, " ".join(s2), "s2", "xx")],
+        "doc_id long, text string, source string, lang string",
+    )
+    out = {
+        r["source"]: r
+        for r in curation.source_kl_divergence(docs, n_buckets=b).collect()
+    }
+
+    def bkt(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % b
+
+    from collections import Counter
+
+    per = {"s1": Counter(bkt(t) for t in s1), "s2": Counter(bkt(t) for t in s2)}
+    corpus = per["s1"] + per["s2"]
+    nc = sum(corpus.values())
+    for src, cnt in per.items():
+        ns = sum(cnt.values())
+        klq = 0
+        for bucket, cb in corpus.items():
+            csb = cnt.get(bucket, 0)
+            ps = (csb + 1) / (ns + b)
+            pc = (cb + 1) / (nc + b)
+            klq += int(round(ps * math.log(ps / pc) * 1e9))
+        p0s = (0 + 1) / (ns + b)
+        p0c = (0 + 1) / (nc + b)
+        t0q = int(round(p0s * math.log(p0s / p0c) * 1e9))
+        klq += (b - len(corpus)) * t0q
+        expected = round(klq / 1e9, 6)
+        assert out[src]["kl_nats"] == expected
+        assert out[src]["n_tokens"] == ns
+        assert out[src]["kl_nats"] > 0  # disjoint vocab = real drift
