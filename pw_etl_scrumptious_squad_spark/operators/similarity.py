@@ -643,21 +643,30 @@ def _hard_negative_matmul(
     label_col: str,
 ) -> DataFrame:
     """Scale route for :func:`hard_negative_mining`: identical integers,
-    one int64 numpy matmul per Arrow batch against the full candidate
+    BLAS float64 matmuls per Arrow batch against the full candidate
     matrix shipped with the task closure.
 
     Decision parity, stage by stage (the y48/_semdedup_prune_matmul
     argument): quantization is ``floor(float64(x)*1e6+0.5)`` per element
-    (exact int64 both ways); dots and squared norms are int64 sums
-    (order-free — i8 matmul, no float accumulation); each ppb is the
-    same IEEE double expression in the same operand order; per-anchor
-    ranking sorts (cos_ppb desc, neg_id asc) exactly like the window.
-    NULL-label / NULL / zero-norm rows are excluded on both sides before
-    any math, so degenerate inputs cannot diverge between tiers.
+    (exact both ways); every quantized element is an integer-valued
+    float64, so products (<= 1e12 at unit-scale embeddings) and 64-dim
+    dot sums (<= 6.4e13 << 2**53) are EXACT integers in float64
+    regardless of accumulation order — BLAS speed with int64 exactness
+    (valid while max|x| * 1e6 < sqrt(2**53 / dim), i.e. |x| < ~11 at
+    dim 64; unit-norm embeddings sit far inside). Each ppb is the same
+    IEEE double expression in the same operand order as the expression
+    tier; per-anchor ranking is (cos_ppb desc, neg_id asc) with
+    boundary ties resolved by an exact lexsort over the tied set, so
+    the emitted rows match the window bit-for-bit. NULL-label / NULL /
+    zero-norm rows are excluded on both sides before any math.
 
-    Memory: candidate matrix is rows x dim int64 (~100 MB at 200k x 64),
-    shipped once per task like d06's broadcast-argmax assignment stage;
-    per batch the dense stage is a (batch x rows) double matrix.
+    Memory: the candidate matrix is rows x dim float64 (~100 MB at
+    200k x 64), shipped once per task like d06's broadcast-argmax
+    assignment stage; anchors are chunked so the dense (chunk x rows)
+    score block stays ~256 MB regardless of Arrow batch size. The
+    route is still all-pairs (exact mining IS quadratic) — past
+    broadcast reach or a quadratic-flop budget, mine within IVF probes
+    (:func:`hard_negatives_ivf`) instead.
     """
     import numpy as np
     import pandas as pd
@@ -680,7 +689,7 @@ def _hard_negative_matmul(
         np.stack([np.asarray(r["v"], dtype="f8") for r in cand_rows])
         * 1e6
         + 0.5
-    ).astype("i8")
+    )
     cn = (cq * cq).sum(axis=1)
     keep = cn > 0
     cand_ids, cand_lbl, cq, cn = (
@@ -689,6 +698,35 @@ def _hard_negative_matmul(
         cq[keep],
         cn[keep],
     )
+    cqt = np.ascontiguousarray(cq.T)
+    csqrt = np.sqrt(cn)
+    n_cand = len(cand_ids)
+    # ~256 MB of float64 scores per chunk
+    chunk = max(64, int(32_000_000 // max(1, n_cand)))
+
+    def _topk_rows(ids, lbl, ppb):
+        out_q, out_n, out_c, out_r = [], [], [], []
+        for i in range(len(ids)):
+            mask = cand_lbl != lbl[i]
+            m = int(mask.sum())
+            if m == 0:
+                continue
+            row = ppb[i][mask]
+            nids = cand_ids[mask]
+            if m > 4 * k:
+                # top-k by value with EXACT boundary-tie handling:
+                # argpartition to the k largest, widen to every
+                # candidate tying the k-th value, lexsort the small set
+                part = np.argpartition(-row, k - 1)[:k] if m > k else None
+                kth = row[part].min() if part is not None else row.min()
+                sel = np.flatnonzero(row >= kth)
+                row, nids = row[sel], nids[sel]
+            order = np.lexsort((nids, -row))[:k]
+            out_q.extend([ids[i]] * len(order))
+            out_n.extend(nids[order])
+            out_c.extend(row[order])
+            out_r.extend(range(1, len(order) + 1))
+        return out_q, out_n, out_c, out_r
 
     def _mine(parts):
         for pdf in parts:
@@ -706,43 +744,223 @@ def _hard_negative_matmul(
                 np.stack([np.asarray(v, dtype="f8") for v in vecs[sel]])
                 * 1e6
                 + 0.5
-            ).astype("i8")
+            )
             nv = (q * q).sum(axis=1)
             live = nv > 0
             if not live.any():
                 continue
             ids, lbl, q, nv = ids[live], lbl[live], q[live], nv[live]
-            ppb = np.floor(
-                (q @ cq.T).astype("f8")
-                / (
-                    np.sqrt(nv.astype("f8"))[:, None]
-                    * np.sqrt(cn.astype("f8"))[None, :]
+            qsqrt = np.sqrt(nv)
+            for lo in range(0, len(ids), chunk):
+                hi = min(lo + chunk, len(ids))
+                ppb = np.floor(
+                    (q[lo:hi] @ cqt)
+                    / (qsqrt[lo:hi, None] * csqrt[None, :])
+                    * 1e9
+                    + 0.5
                 )
-                * 1e9
-                + 0.5
-            )
-            out_q, out_n, out_c, out_r = [], [], [], []
-            for i in range(len(ids)):
-                mask = cand_lbl != lbl[i]
-                if not mask.any():
-                    continue
-                row = ppb[i][mask]
-                nids = cand_ids[mask]
-                # (cos_ppb desc, neg_id asc) == lexsort on (-row, nids)
-                order = np.lexsort((nids, -row))[:k]
-                out_q.extend([ids[i]] * len(order))
-                out_n.extend(nids[order])
-                out_c.extend(row[order])
-                out_r.extend(range(1, len(order) + 1))
-            yield pd.DataFrame(
-                {
-                    "query_id": np.asarray(out_q, dtype="i8"),
-                    "neg_id": np.asarray(out_n, dtype="i8"),
-                    "cos_ppb": np.asarray(out_c, dtype="i8"),
-                    "rank": np.asarray(out_r, dtype="i4"),
-                }
-            )
+                out_q, out_n, out_c, out_r = _topk_rows(
+                    ids[lo:hi], lbl[lo:hi], ppb
+                )
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.asarray(out_q, dtype="i8"),
+                            "neg_id": np.asarray(out_n, dtype="i8"),
+                            "cos_ppb": np.asarray(out_c, dtype="i8"),
+                            "rank": np.asarray(out_r, dtype="i4"),
+                        }
+                    )
 
     return corpus.select(id_col, label_col, vec_col).mapInPandas(
         _mine, "query_id long, neg_id long, cos_ppb bigint, rank int"
+    )
+
+
+def hard_negatives_ivf(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """IVF-probed hard-negative mining — the sub-quadratic scale route
+    for :func:`hard_negative_mining`. Every vector is a CANDIDATE in its
+    nearest cell; every ANCHOR probes its ``n_probe`` nearest cells and
+    mines top-k different-label neighbors within them, then a global
+    per-anchor merge keeps the best k across probed cells.
+
+    Semantics (the d05/s02 contract): recall < 1 — a hard negative
+    hiding in an unprobed cell is missed, the standard IVF trade — but
+    every EMITTED (query_id, neg_id, cos_ppb) is exact-verified with the
+    SAME quantized-integer cosine as the exact tiers, so emitted values
+    are bit-identical to what :func:`hard_negative_mining` would score
+    for those pairs, and the whole pipeline is deterministic
+    (assignment ties break to the lowest cell id, ranking to the lowest
+    neg_id).
+
+    Scale shape: centroid matrix is driver-tiny and rides the task
+    closure (d06's broadcast-argmax pattern); assignment is one BLAS
+    matmul per Arrow batch; the mining stage shuffles each vector
+    ``1 + n_probe`` times on the CELL key and runs one
+    (anchors x candidates) BLAS block per cell — with cells sized
+    ~corpus/k_cells (the SemDeDup knob), per-cell cost is bounded, so
+    total flops grow linearly in corpus size at fixed cell size. The
+    global merge windows on query_id over k * n_probe rows per anchor.
+
+    Zero-norm / NULL-label / NULL-embedding rows sit on neither side
+    (the d06 degenerate policy).
+    """
+    import numpy as np
+    import pandas as pd
+
+    quant_v = F.expr(
+        f"transform({vec_col}, x -> cast(floor(cast(x as double)"
+        " * 1000000.0d + 0.5d) as bigint))"
+    )
+    sq = "aggregate({0}, 0L, (acc, v) -> acc + v * v)"
+    base = (
+        corpus.filter(
+            F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+        )
+        .select(
+            F.col(id_col).cast("long").alias("vid"),
+            F.col(label_col).cast("long").alias("lbl"),
+            quant_v.alias("qv"),
+        )
+        .withColumn("nv", F.expr(sq.format("qv")))
+        .filter(F.col("nv") > 0)
+    )
+
+    cent_rows = centroids.orderBy(centroid_id).collect()
+    cmat = np.stack(
+        [np.asarray(r[vec_col], dtype="f8") for r in cent_rows]
+    )
+    cn = np.sqrt((cmat * cmat).sum(axis=1))
+    cn[cn == 0.0] = 1.0
+    cmat = cmat / cn[:, None]
+    cell_ids = np.asarray([r[centroid_id] for r in cent_rows], dtype="i4")
+    p = min(n_probe, len(cell_ids))
+
+    def _route(parts):
+        # one pass: each row emits 1 candidate row (role 0, top-1 cell)
+        # + p anchor rows (role 1, top-p cells). Probe order ties break
+        # to the lowest cell id (stable argsort on (-score, cell)).
+        for pdf in parts:
+            if len(pdf) == 0:
+                continue
+            q = np.stack(
+                [np.asarray(v, dtype="f8") for v in pdf["qv"].to_numpy()]
+            )
+            s = q @ cmat.T  # norms of q don't affect per-row ranking
+            order = np.argsort(-s, axis=1, kind="stable")[:, :p]
+            out = []
+            for role, cols in ((0, order[:, :1]), (1, order)):
+                n_rep = cols.shape[1]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vid": np.repeat(
+                                pdf["vid"].to_numpy(), n_rep
+                            ),
+                            "lbl": np.repeat(
+                                pdf["lbl"].to_numpy(), n_rep
+                            ),
+                            "qv": [
+                                v
+                                for v in pdf["qv"].to_numpy()
+                                for _ in range(n_rep)
+                            ],
+                            "nv": np.repeat(pdf["nv"].to_numpy(), n_rep),
+                            "cell": cell_ids[cols].ravel(),
+                            "role": np.full(
+                                len(pdf) * n_rep, role, dtype="i1"
+                            ),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    routed = base.mapInPandas(
+        _route,
+        "vid long, lbl long, qv array<bigint>, nv bigint,"
+        " cell int, role byte",
+    )
+
+    def _cell_mine(pdf):
+        anch = pdf[pdf["role"] == 1]
+        cand = pdf[pdf["role"] == 0]
+        if len(anch) == 0 or len(cand) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="i8"),
+                    "neg_id": pd.Series([], dtype="i8"),
+                    "cos_ppb": pd.Series([], dtype="i8"),
+                }
+            )
+        a_ids = anch["vid"].to_numpy().astype("i8")
+        a_lbl = anch["lbl"].to_numpy().astype("i8")
+        aq = np.stack(
+            [np.asarray(v, dtype="f8") for v in anch["qv"].to_numpy()]
+        )
+        an = np.sqrt(anch["nv"].to_numpy().astype("f8"))
+        c_ids = cand["vid"].to_numpy().astype("i8")
+        c_lbl = cand["lbl"].to_numpy().astype("i8")
+        cq = np.stack(
+            [np.asarray(v, dtype="f8") for v in cand["qv"].to_numpy()]
+        )
+        cnv = np.sqrt(cand["nv"].to_numpy().astype("f8"))
+        # quantized elements are integer-valued f8: dots are exact
+        # integers < 2**53 (see _hard_negative_matmul), ppb is the same
+        # IEEE expression as the exact tiers
+        ppb = np.floor(
+            (aq @ cq.T) / (an[:, None] * cnv[None, :]) * 1e9 + 0.5
+        )
+        out_q, out_n, out_c = [], [], []
+        for i in range(len(a_ids)):
+            mask = c_lbl != a_lbl[i]
+            m = int(mask.sum())
+            if m == 0:
+                continue
+            row = ppb[i][mask]
+            nids = c_ids[mask]
+            if m > 4 * k:
+                part = np.argpartition(-row, k - 1)[:k]
+                kth = row[part].min()
+                sel = np.flatnonzero(row >= kth)
+                row, nids = row[sel], nids[sel]
+            order = np.lexsort((nids, -row))[:k]
+            out_q.extend([a_ids[i]] * len(order))
+            out_n.extend(nids[order])
+            out_c.extend(row[order])
+        return pd.DataFrame(
+            {
+                "query_id": np.asarray(out_q, dtype="i8"),
+                "neg_id": np.asarray(out_n, dtype="i8"),
+                "cos_ppb": np.asarray(out_c, dtype="i8"),
+            }
+        )
+
+    per_cell = routed.groupBy("cell").applyInPandas(
+        _cell_mine, "query_id long, neg_id long, cos_ppb bigint"
+    )
+    # the same (query, neg) pair can surface from several probed cells
+    # with the same exact score — dedup before the global merge
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_ppb").desc(), F.col("neg_id").asc()
+    )
+    return (
+        per_cell.groupBy("query_id", "neg_id")
+        .agg(F.max("cos_ppb").alias("cos_ppb"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neg_id",
+            "cos_ppb",
+            F.col("rank").cast("int").alias("rank"),
+        )
     )

@@ -179,3 +179,43 @@ def test_source_kl_closed_form(spark):
         assert out[src]["kl_nats"] == expected
         assert out[src]["n_tokens"] == ns
         assert out[src]["kl_nats"] > 0  # disjoint vocab = real drift
+
+
+def test_hard_negatives_ivf_full_probe_equals_exact(spark):
+    """Probing EVERY cell makes the candidate set complete (each vector
+    is a candidate in exactly its top-1 cell, and every anchor reaches
+    every cell), so the IVF route must equal the exact tier row for
+    row — recall loss can only come from unprobed cells."""
+    emb = _read(spark, "embeddings").select("vec_id", "embedding", "label")
+    cents = (
+        emb.filter(F.col("vec_id") < 6)
+        .select(
+            F.col("vec_id").cast("int").alias("centroid_id"), "embedding"
+        )
+    )
+    exact = similarity.hard_negative_mining(emb, k=3)
+    ivf = similarity.hard_negatives_ivf(emb, cents, k=3, n_probe=6)
+    ra = sorted(map(tuple, exact.collect()))
+    rb = sorted(map(tuple, ivf.collect()))
+    assert ra == rb
+    assert len(ra) > 0
+
+
+def test_hard_negatives_ivf_partial_probe_subset(spark):
+    """n_probe=1: emitted pairs are a subset of the full pair space with
+    EXACT scores — every (query, neg, cos_ppb) must match the exact
+    tier's scoring of that same pair (d05's emitted-pairs-exact rule)."""
+    emb = _read(spark, "embeddings").select("vec_id", "embedding", "label")
+    cents = (
+        emb.filter(F.col("vec_id") < 6)
+        .select(
+            F.col("vec_id").cast("int").alias("centroid_id"), "embedding"
+        )
+    )
+    ivf = similarity.hard_negatives_ivf(emb, cents, k=3, n_probe=1).collect()
+    assert len(ivf) > 0
+    # full exact pair scoring (k large enough to include all pairs)
+    full = similarity.hard_negative_mining(emb, k=10**6).collect()
+    scores = {(r["query_id"], r["neg_id"]): r["cos_ppb"] for r in full}
+    for r in ivf:
+        assert scores[(r["query_id"], r["neg_id"])] == r["cos_ppb"]

@@ -77,6 +77,7 @@ CATALOG_QUERIES = [
     "y14_incremental_neardup", # store+batch incremental LSH
     "x02_fineweb_pipeline",    # staged curation pipeline
     "y52_char_entropy",        # per-char explode + alphabet-bounded agg
+    "y54_zipf_slope",          # corpus explode + vocab-sized window
 ]
 
 # Entries measured only up to a size. (Round-4 capped y31 at x10 because
@@ -144,6 +145,13 @@ EXCLUDED = {
         "on the vocabulary table (bounded by distinct words, not "
         "corpus bytes), so a size sweep measures the vocab growth of "
         "the synthetic corpus, not the operator's corpus exponent",
+    "y53_hard_negatives": "catalog entry pins the exact all-pairs "
+        "expression tier (inherently quadratic — exact mining IS "
+        "all-pairs); op_hardneg_ivf curves the sub-quadratic probed "
+        "scale route",
+    "y55_source_kl": "explode into a bounded |sources| x 4096 bucket "
+        "hash-agg + constant-size smoothed grid — y49's exact bucket "
+        "shape; t01 curves the map-side explode",
 }
 
 
@@ -214,6 +222,13 @@ def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
         "op_semdedup_matmul": lambda: curation.semdedup_prune(
             emb(), size_cents(), threshold_ppb=400_000_000,
             max_exact_rows=0, n_rows_hint=n_vecs,
+        ),
+        # hard-negative mining, IVF-probed scale route: per-size
+        # centroids (k ~ rows/2000, the SemDeDup knob) keep cell size
+        # bounded, so per-cell BLAS blocks are constant work and total
+        # flops grow ~linearly; emitted scores stay exact-verified
+        "op_hardneg_ivf": lambda: similarity.hard_negatives_ivf(
+            emb(), size_cents(), k=3, n_probe=2,
         ),
     }
 
