@@ -93,6 +93,13 @@ HEADLINE = [
     # round-trip), not a query — its wall-clock measures scheduler
     # latency x rounds, not plan quality. tools/check.py covers it.
     "y52_char_entropy",
+    # y53_hard_negatives is NOT a headline entry: the catalog pins the
+    # exact all-pairs tier (quadratic by definition) for the oracle;
+    # the scale routes are curved in BENCH_scale (op_hardneg_ivf)
+    "y54_zipf_slope",
+    "y55_source_kl",
+    "y56_stratified_split",
+    "y57_oov_rate",
 ]
 
 

@@ -4427,3 +4427,95 @@ def y55(spark: SparkSession, sf: str) -> DataFrame:
     return curation.source_kl_divergence(
         _t(spark, sf, "documents"), n_buckets=_Y55_BUCKETS
     )
+
+
+_Y56_SPLITS = [("train", 800_000), ("val", 100_000), ("test", 100_000)]
+
+
+def _stratified_split_oracle() -> str:
+    vals = ", ".join(
+        f"({i}, '{n}', {p})" for i, (n, p) in enumerate(_Y56_SPLITS)
+    )
+    return (
+        "WITH ranked AS (SELECT doc_id, lang, row_number() OVER ("
+        " PARTITION BY lang ORDER BY"
+        " md5(concat_ws('|', 'v1', CAST(doc_id AS VARCHAR))), doc_id)"
+        " AS rk FROM documents),"
+        " sizes AS (SELECT lang, count(*) AS n FROM documents"
+        " GROUP BY lang),"
+        f" sp AS (SELECT * FROM (VALUES {vals}) t(pos, split, ppm)),"
+        " shares AS (SELECT lang, pos, split, n, n * ppm AS share,"
+        " (n * ppm) // 1000000 AS base, (n * ppm) % 1000000 AS rem"
+        " FROM sizes CROSS JOIN sp),"
+        " q AS (SELECT *, n - sum(base) OVER (PARTITION BY lang)"
+        " AS leftover, row_number() OVER (PARTITION BY lang"
+        " ORDER BY rem DESC, pos) AS rr FROM shares),"
+        " quotas AS (SELECT lang, pos, split,"
+        " base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS quota"
+        " FROM q),"
+        " bounds AS (SELECT lang, split, quota, sum(quota) OVER ("
+        " PARTITION BY lang ORDER BY pos ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW) AS hi FROM quotas)"
+        " SELECT r.doc_id, r.lang, b.split FROM ranked r JOIN bounds b"
+        " ON r.lang = b.lang AND r.rk > b.hi - b.quota"
+        " AND r.rk <= b.hi ORDER BY r.doc_id"
+    )
+
+
+@register(
+    "y56_stratified_split",
+    _stratified_split_oracle(),
+    "Deterministic train/val/test split with EXACT per-stratum quotas:"
+    " 80/10/10 ppm weights apportioned by largest remainder within each"
+    " language (quotas sum to the stratum size exactly), rows assigned"
+    " along the md5(seed|id) ranking (y42's pure-function-of-id draw) —"
+    " re-runs reproduce the same split. One strata-keyed window + a"
+    " broadcast quota table; all apportionment math integer-exact."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y56(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.stratified_split(
+        _t(spark, sf, "documents").select("doc_id", "lang"),
+        ["lang"],
+        _Y56_SPLITS,
+    ).select("doc_id", "lang", "split")
+
+
+_Y57_VOCAB = 500
+
+
+def _oov_oracle() -> str:
+    v = _Y57_VOCAB
+    return (
+        "WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok"
+        " FROM documents),"
+        " t2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),"
+        " vc AS (SELECT tok, count(*) AS c FROM t2 GROUP BY tok"
+        f" ORDER BY c DESC, tok LIMIT {v}),"
+        " j AS (SELECT t2.doc_id,"
+        " CASE WHEN vc.tok IS NULL THEN 1 ELSE 0 END AS oov"
+        " FROM t2 LEFT JOIN vc ON t2.tok = vc.tok)"
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+        " CAST(sum(oov) AS BIGINT) AS n_oov,"
+        " ROUND(CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)"
+        " AS oov_rate FROM j GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+@register(
+    "y57_oov_rate",
+    _oov_oracle(),
+    "Out-of-vocabulary rate per document vs the corpus's own top-500"
+    " token vocabulary — tokenizer-fit / domain-shift screen. One"
+    " combiner-friendly token hash-agg + TakeOrdered builds the"
+    " driver-tiny vocab (broadcast); the per-doc pass is explode +"
+    " broadcast left join + one doc-keyed agg; rate is an exact-integer"
+    " division rounded to 9 dp (catalog ratio rule)."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y57(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text
+
+    return text.oov_rate(
+        _t(spark, sf, "documents"), vocab_size=_Y57_VOCAB
+    )

@@ -1320,3 +1320,97 @@ def source_kl_divergence(
         "n_tokens",
         F.round(F.col("klq") / 1_000_000_000.0, 6).alias("kl_nats"),
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_cols: list[str],
+    splits: list[tuple[str, int]],
+    id_col: str = "doc_id",
+    seed_tag: str = "v1",
+) -> DataFrame:
+    """Deterministic train/val/test split with EXACT per-stratum quotas:
+    ``splits`` is an ordered list of (name, ppm) weights summing to
+    1_000_000; each stratum of size n is apportioned by largest
+    remainder (quotas sum to n exactly — a rate sample drifts, and
+    exact-k ignores proportions), and rows are assigned to splits in
+    list order along the ``md5(seed_tag | id)`` ranking (the y42 draw:
+    membership is a pure function of the row id, so re-runs and
+    incremental refreshes reproduce the same split, and rotating
+    ``seed_tag`` reshuffles atomically).
+
+    Returns every input row with its ``split`` label. All apportionment
+    math is integer (shares in ppm, remainder rank ties broken by split
+    position) so the assignment is value-exact cross-engine.
+
+    Scale shape: one window shuffle keyed by the strata for the rank,
+    one stratum-sized count agg, and a broadcast join of the per-stratum
+    quota table (|strata| x |splits| rows — driver-tiny); the boundary
+    comparison is map-side.
+    """
+    total = sum(p for _, p in splits)
+    if total != 1_000_000:
+        raise ValueError(f"split ppm weights must sum to 1e6, got {total}")
+    spark = df.sparkSession
+    split_df = spark.createDataFrame(
+        [(i, n, p) for i, (n, p) in enumerate(splits)],
+        "pos int, split string, ppm long",
+    )
+    draw = F.md5(
+        F.concat_ws("|", F.lit(seed_tag), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(
+        draw.asc(), F.col(id_col).asc()
+    )
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    sizes = ranked.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    # largest-remainder apportionment, all-integer: share = n * ppm;
+    # base = share div 1e6; leftover = n - sum(base) extra units go to
+    # the largest remainders (ties: lowest split position)
+    shares = sizes.crossJoin(broadcast(split_df)).select(
+        *strata_cols,
+        "pos",
+        "split",
+        "__n",
+        (F.col("__n") * F.col("ppm")).alias("__share"),
+    )
+    shares = shares.withColumn(
+        "__base", (F.col("__share") / F.lit(1_000_000)).cast("bigint")
+    ).withColumn("__rem", F.col("__share") % F.lit(1_000_000))
+    ws = Window.partitionBy(*strata_cols)
+    wr = Window.partitionBy(*strata_cols).orderBy(
+        F.col("__rem").desc(), F.col("pos").asc()
+    )
+    quotas = (
+        shares.withColumn(
+            "__leftover", F.col("__n") - F.sum("__base").over(ws)
+        )
+        .withColumn("__rr", F.row_number().over(wr))
+        .withColumn(
+            "quota",
+            F.col("__base")
+            + F.when(F.col("__rr") <= F.col("__leftover"), 1).otherwise(0),
+        )
+    )
+    # cumulative upper boundary in split-list order: rank <= hi and
+    # rank > hi - quota  =>  this split
+    wb = (
+        Window.partitionBy(*strata_cols)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bounds = quotas.withColumn("__hi", F.sum("quota").over(wb)).select(
+        *strata_cols,
+        "split",
+        (F.col("__hi") - F.col("quota")).alias("__lo"),
+        "__hi",
+    )
+    return (
+        ranked.join(broadcast(bounds), strata_cols)
+        .filter(
+            (F.col("__rk") > F.col("__lo")) & (F.col("__rk") <= F.col("__hi"))
+        )
+        .drop("__lo", "__hi", "__rk")
+    )

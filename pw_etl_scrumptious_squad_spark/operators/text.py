@@ -967,3 +967,53 @@ def zipf_slope(
         F.expr(f"round({slope}, 6)").alias("slope"),
         F.expr(f"round({intercept}, 6)").alias("intercept"),
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_size: int = 500,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_size`` token vocabulary — the standard tokenizer-fit /
+    domain-shift screen (a doc whose tokens mostly miss the vocabulary
+    will fragment into subwords or <unk>s downstream). Returns
+    (doc_id, n_tokens, n_oov, oov_rate) for docs with >= 1 token.
+
+    Vocabulary rule: global token counts, top-``vocab_size`` by
+    (count desc, token asc) — fully deterministic. The vocabulary is
+    corpus-derived here for a self-contained oracle; a fixed external
+    vocab plugs into the same join.
+
+    Scale shape: ONE combiner-friendly token hash-agg builds the vocab
+    (vocabulary-sized, then TakeOrdered to ``vocab_size`` — driver-tiny
+    and broadcast); the per-doc pass is explode + broadcast LEFT join +
+    one doc-keyed hash-agg. ``oov_rate`` is an exact-integer division
+    rounded to 9 dp (the catalog ratio rule — no midpoint ambiguity).
+    """
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = (
+        tk.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("__iv"))
+    )
+    joined = tk.join(F.broadcast(vocab), "tok", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("__iv").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("__iv").isNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("oov_rate"),
+    )

@@ -219,3 +219,64 @@ def test_hard_negatives_ivf_partial_probe_subset(spark):
     scores = {(r["query_id"], r["neg_id"]): r["cos_ppb"] for r in full}
     for r in ivf:
         assert scores[(r["query_id"], r["neg_id"])] == r["cos_ppb"]
+
+
+def test_stratified_split_exact_quotas(spark):
+    """Quotas per stratum must equal the largest-remainder apportionment
+    exactly, every row is assigned exactly once, and the assignment is a
+    pure function of the id (re-run identical)."""
+    rows = [(i, "en" if i < 17 else "fr") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    splits = [("train", 800_000), ("val", 100_000), ("test", 100_000)]
+    out = curation.stratified_split(docs, ["lang"], splits).collect()
+    assert len(out) == 30  # total partition: every row exactly once
+    assert len({r["doc_id"] for r in out}) == 30
+    from collections import Counter
+
+    got = Counter((r["lang"], r["split"]) for r in out)
+    # en: n=17 -> shares 13.6/1.7/1.7 -> base 13/1/1, leftover 2 ->
+    # remainders .6/.7/.7: val,test get the units (ties by position)
+    assert got[("en", "train")] == 13
+    assert got[("en", "val")] == 2
+    assert got[("en", "test")] == 2
+    # fr: n=13 -> 10.4/1.3/1.3 -> base 10/1/1, leftover 1 -> train (.4
+    # is the largest remainder)
+    assert got[("fr", "train")] == 11
+    assert got[("fr", "val")] == 1
+    assert got[("fr", "test")] == 1
+    # determinism: identical on re-run
+    again = curation.stratified_split(docs, ["lang"], splits).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # seed rotation changes membership but not quotas
+    rot = curation.stratified_split(
+        docs, ["lang"], splits, seed_tag="v2"
+    ).collect()
+    assert Counter((r["lang"], r["split"]) for r in rot) == got
+    assert sorted(map(tuple, rot)) != sorted(map(tuple, out))
+
+
+def test_stratified_split_rejects_bad_weights(spark):
+    docs = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    import pytest
+
+    with pytest.raises(ValueError):
+        curation.stratified_split(docs, ["lang"], [("a", 1), ("b", 2)])
+
+
+def test_oov_rate_closed_form(spark):
+    """vocab_size=2 over a known distribution: top-2 tokens by (count
+    desc, token asc) are in-vocab, everything else is OOV."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b b c"),  # vocab = {a, b}; c is OOV
+            (2, "c c d"),  # all OOV
+            (3, "a b"),  # none OOV
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.oov_rate(docs, vocab_size=2).collect()}
+    assert out[1]["n_tokens"] == 6 and out[1]["n_oov"] == 1
+    assert out[1]["oov_rate"] == round(1 / 6, 9)
+    assert out[2]["n_tokens"] == 3 and out[2]["n_oov"] == 3
+    assert out[2]["oov_rate"] == 1.0
+    assert out[3]["n_oov"] == 0 and out[3]["oov_rate"] == 0.0

@@ -152,6 +152,10 @@ EXCLUDED = {
     "y55_source_kl": "explode into a bounded |sources| x 4096 bucket "
         "hash-agg + constant-size smoothed grid — y49's exact bucket "
         "shape; t01 curves the map-side explode",
+    "y56_stratified_split": "one strata-keyed window + broadcast quota "
+        "join; q10 curves the per-key window shape",
+    "y57_oov_rate": "explode + hash-agg + broadcast left join + doc "
+        "agg; t06 curves the identical skeleton",
 }
 
 
