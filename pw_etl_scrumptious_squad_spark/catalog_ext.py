@@ -4519,3 +4519,26 @@ def y57(spark: SparkSession, sf: str) -> DataFrame:
     return text.oov_rate(
         _t(spark, sf, "documents"), vocab_size=_Y57_VOCAB
     )
+
+
+@register(
+    "y58_bpe_encode",
+    None,  # tokenizer APPLY over merges learned by an iterative trainer —
+    # not SQL-expressible; exact parity vs a pure-python scan-and-skip
+    # encoder is pinned in tests/test_mining_stats.py
+    "BPE tokenizer APPLY (the y51 trainer's other half): encode every"
+    " document with the 24 trained merges — per-doc token counts,"
+    " fertility (tokens/word, the tokenizer-fit metric) and an"
+    " order-exact md5 fingerprint of the token stream. The merge loop"
+    " runs on the DISTINCT-WORD table (vocabulary-sized, the Sennrich"
+    " trick applied to inference), never the corpus; the corpus is"
+    " touched twice (vocab hash-agg, broadcast map-back + doc agg)."
+    " y-prefix: past the gate window by design",
+)
+def y58(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text
+
+    merges = text.bpe_train(
+        _t(spark, sf, "documents"), num_merges=_Y51_MERGES
+    )
+    return text.bpe_encode(_t(spark, sf, "documents"), merges)

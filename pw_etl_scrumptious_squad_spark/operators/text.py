@@ -1017,3 +1017,97 @@ def oov_rate(
             9,
         ).alias("oov_rate"),
     )
+
+
+def _greedy_merge_expr(sym_col, left: str, right: str, merged: str):
+    """One BPE merge applied left-to-right over a symbol array — the
+    same JVM ``aggregate`` fold as :func:`bpe_train`'s training loop
+    (docstring there proves the fold == scan-and-skip greedy)."""
+    lit_l, lit_r, lit_m = F.lit(left), F.lit(right), F.lit(merged)
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == lit_l)
+            & (x == lit_r),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lit_m)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Apply a trained BPE merge list (:func:`bpe_train`'s output) to a
+    corpus — the tokenizer-APPLY half of the BPE story. Returns one row
+    per document: (doc_id, n_words, n_tokens, fertility, tokens_md5)
+    where fertility = tokens per word (the tokenizer-fit metric) and
+    tokens_md5 fingerprints the full token stream in word order (an
+    order-exact witness that the encoding itself is right, not just the
+    counts).
+
+    100 TB shape (the Sennrich word-freq trick, applied to inference):
+    a word's tokenization depends only on the word, so the merge loop
+    runs over the DISTINCT-WORD table (vocabulary-sized — ~1e6 rows for
+    web text regardless of corpus bytes), never the corpus. The corpus
+    is touched twice: once to build the vocab hash-agg, once to
+    broadcast-join the word->tokens map back (|vocab| x small strings —
+    broadcastable at web-vocab scale) and aggregate per doc. All merge
+    folds are JVM higher-order expressions; lineage is truncated through
+    the checkpoint policy every ``checkpoint_every`` merges.
+
+    ``merges`` is the bpe_train DataFrame (rank, left, right, merged,
+    pair_count) or an equivalent list of (left, right) pairs in rank
+    order. Like training, words are lowercased whitespace tokens and
+    '</w>' terminates every word so merges never cross boundaries.
+    """
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("rank").collect()
+        merge_list = [(r["left"], r["right"]) for r in rows]
+    else:
+        merge_list = [(m[0], m[1]) for m in merges]
+    wpos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    vocab = wpos.select("w").distinct()
+    syms = vocab.select(
+        "w",
+        F.expr(
+            "concat(transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1)), array('</w>'))"
+        ).alias("s"),
+    )
+    for i, (left, right) in enumerate(merge_list):
+        syms = syms.select(
+            "w", _greedy_merge_expr("s", left, right, left + right).alias("s")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            syms = syms.transform(materialize)
+    mapping = syms.select(
+        "w",
+        F.col("s").alias("toks"),
+        F.size("s").cast("bigint").alias("n_toks"),
+    )
+    joined = wpos.join(F.broadcast(mapping), "w")
+    ordered_toks = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+            lambda st: st["toks"],
+        )
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum("n_toks").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("fertility"),
+        F.md5(F.concat_ws(" ", ordered_toks)).alias("tokens_md5"),
+    )

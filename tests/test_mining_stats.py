@@ -280,3 +280,59 @@ def test_oov_rate_closed_form(spark):
     assert out[2]["n_tokens"] == 3 and out[2]["n_oov"] == 3
     assert out[2]["oov_rate"] == 1.0
     assert out[3]["n_oov"] == 0 and out[3]["oov_rate"] == 0.0
+
+
+def test_bpe_encode_parity_and_closed_form(spark):
+    """bpe_encode must reproduce a pure-python scan-and-skip encoder
+    word for word (same merges, same order), fingerprint included."""
+    import hashlib as _hl
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "the lowest newest the the",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges_df = text.bpe_train(docs, num_merges=8)
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    assert len(merges) > 0
+    out = {r["doc_id"]: r for r in text.bpe_encode(docs, merges_df).collect()}
+
+    def enc_word(w):
+        s = list(w) + ["</w>"]
+        for left, right in merges:
+            o, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    o.append(left + right)
+                    i += 2
+                else:
+                    o.append(s[i])
+                    i += 1
+            s = o
+        return s
+
+    for i, t in enumerate(texts):
+        words = [w for w in t.lower().split(" ") if w]
+        toks = [tok for w in words for tok in enc_word(w)]
+        assert out[i]["n_words"] == len(words)
+        assert out[i]["n_tokens"] == len(toks)
+        assert out[i]["fertility"] == round(len(toks) / len(words), 9)
+        assert (
+            out[i]["tokens_md5"]
+            == _hl.md5(" ".join(toks).encode()).hexdigest()
+        )
+
+
+def test_bpe_encode_accepts_pair_list(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa aa ab")], "doc_id long, text string"
+    )
+    out = text.bpe_encode(docs, [("a", "a")]).collect()[0]
+    # 'aa' -> [aa, </w>] (2), 'ab' -> [a, b, </w>] (3)
+    assert out["n_words"] == 3 and out["n_tokens"] == 2 + 2 + 3

@@ -154,6 +154,9 @@ EXCLUDED = {
         "shape; t01 curves the map-side explode",
     "y56_stratified_split": "one strata-keyed window + broadcast quota "
         "join; q10 curves the per-key window shape",
+    "y58_bpe_encode": "trains in-query (y51's driver loop) before the "
+        "apply; the apply itself is vocab hash-agg + broadcast map-back "
+        "+ doc agg — t06's skeleton (y51's exclusion covers the loop)",
     "y57_oov_rate": "explode + hash-agg + broadcast left join + doc "
         "agg; t06 curves the identical skeleton",
 }
