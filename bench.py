@@ -100,6 +100,7 @@ HEADLINE = [
     "y55_source_kl",
     "y56_stratified_split",
     "y57_oov_rate",
+    "m05_audio_vad",
 ]
 
 

@@ -4542,3 +4542,62 @@ def y58(spark: SparkSession, sf: str) -> DataFrame:
         _t(spark, sf, "documents"), num_merges=_Y51_MERGES
     )
     return text.bpe_encode(_t(spark, sf, "documents"), merges)
+
+
+# m05's voiced-block layout, replicated arithmetically by the oracle:
+# block b of doc d's synthetic WAV is voiced iff (d*7 + b) % 3 != 0
+# (multimodal.synthetic_wav_from_documents: silent blocks have amplitude
+# 0, voiced blocks 2000 + 500*((d + b) % 4) > the 1000 RMS threshold).
+_M05_SQL = (
+    "WITH g AS (SELECT doc_id, b.b AS b,"
+    " CASE WHEN (doc_id * 7 + b.b) % 3 = 0 THEN 0 ELSE 1 END AS v"
+    " FROM documents CROSS JOIN range(0, 20) AS b(b)),"
+    " v1 AS (SELECT doc_id, CAST(sum(v) AS INTEGER) AS n_voiced"
+    " FROM g GROUP BY doc_id),"
+    " isl AS (SELECT doc_id, b, b - row_number() OVER ("
+    " PARTITION BY doc_id ORDER BY b) AS grp FROM g WHERE v = 1),"
+    " runs AS (SELECT doc_id, grp, count(*) AS len FROM isl"
+    " GROUP BY doc_id, grp),"
+    " seg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_segments,"
+    " CAST(max(len) AS INTEGER) AS longest FROM runs GROUP BY doc_id)"
+    " SELECT v1.doc_id AS asset_id, CAST(20 AS INTEGER) AS n_frames,"
+    " v1.n_voiced,"
+    " CAST(coalesce(seg.n_segments, 0) AS INTEGER) AS n_segments,"
+    " CAST(coalesce(seg.longest, 0) AS INTEGER)"
+    " AS longest_voiced_frames,"
+    " ROUND(CAST(v1.n_voiced AS DOUBLE) / CAST(20 AS DOUBLE), 9)"
+    " AS voiced_ratio"
+    " FROM v1 LEFT JOIN seg ON v1.doc_id = seg.doc_id"
+    " ORDER BY asset_id"
+)
+
+
+@register(
+    "m05_audio_vad",
+    _M05_SQL,
+    "Energy-based voice-activity segmentation over the REAL WAV codec:"
+    " deterministic 20-block synthetic PCM payload per document, decoded"
+    " by the stdlib-wave decoder, frame-wise RMS -> voiced mask ->"
+    " run-length segments (count, longest, ratio). The oracle replicates"
+    " the generating layout arithmetically with gaps-and-islands SQL, so"
+    " a codec or framing bug breaks the hash match (the m04 pattern)."
+    " The ratio is re-derived SQL-side from the exact integer counts"
+    " (catalog ratio rule).",
+)
+def m05(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.synthetic_wav_from_documents(
+        _t(spark, sf, "documents")
+    )
+    seg = multimodal.audio_vad_segments(media)
+    return seg.select(
+        "asset_id",
+        "n_frames",
+        "n_voiced",
+        "n_segments",
+        "longest_voiced_frames",
+        F.round(
+            F.col("n_voiced").cast("double")
+            / F.col("n_frames").cast("double"),
+            9,
+        ).alias("voiced_ratio"),
+    )

@@ -2556,3 +2556,137 @@ def image_jpeg_stats(media: DataFrame) -> DataFrame:
     return media.select("asset_id", "payload").mapInPandas(
         batches, IMAGE_STATS_SCHEMA
     )
+
+
+# --- m05: audio VAD segmentation over the real WAV codec -------------------
+
+VAD_SAMPLE_RATE = 1000
+VAD_N_BLOCKS = 20
+VAD_BLOCK_SAMPLES = 50
+
+
+def synthetic_wav_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic 16-bit PCM WAV payload per document: 20
+    blocks of 50 samples at 1 kHz; block ``b`` is SILENT when
+    ``(doc_id*7 + b) % 3 == 0``, otherwise a square wave of amplitude
+    ``2000 + 500*((doc_id + b) % 4)`` (sign alternating per sample). A
+    stand-in for real speech bytes whose voiced/silent layout an SQL
+    oracle can replicate arithmetically — while the Spark side still
+    round-trips REAL WAV bytes through :func:`encode_wav_pcm16` /
+    :func:`decode_wav_pcm`, so the codec and the framing logic are
+    exercised end-to-end (the m04 synthetic-PPM pattern)."""
+
+    def batches(parts: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        t = np.arange(VAD_N_BLOCKS * VAD_BLOCK_SAMPLES)
+        b = t // VAD_BLOCK_SAMPLES
+        sign = np.where(t % 2 == 0, 1, -1)
+        for pdf in parts:
+            rows = []
+            for aid in pdf["doc_id"]:
+                d = int(aid)
+                amp = np.where(
+                    (d * 7 + b) % 3 == 0, 0, 2000 + 500 * ((d + b) % 4)
+                )
+                rows.append(
+                    {
+                        "asset_id": d,
+                        "payload": encode_wav_pcm16(
+                            (sign * amp).astype("<i2"), VAD_SAMPLE_RATE
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+VAD_SEGMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_voiced", T.IntegerType()),
+        T.StructField("n_segments", T.IntegerType()),
+        T.StructField("longest_voiced_frames", T.IntegerType()),
+        T.StructField("voiced_ratio", T.DoubleType()),
+    ]
+)
+
+
+def audio_vad_segments(
+    media: DataFrame,
+    frame_samples: int = VAD_BLOCK_SAMPLES,
+    rms_threshold: float = 1000.0,
+) -> DataFrame:
+    """Energy-based voice-activity segmentation over WAV payloads — the
+    speech-curation screen (drop silent/clipped assets, measure speech
+    density): frame-wise RMS over ``frame_samples``-sample frames (only
+    FULL frames; a trailing partial frame is dropped), frames above
+    ``rms_threshold`` (int16 units) are voiced, and consecutive voiced
+    frames form segments. Returns per asset: frame/voiced counts,
+    segment count, longest voiced run, voiced ratio (exact-integer
+    division rounded to 9 dp).
+
+    Arrow-batched ``mapInPandas``; the only Python loop is over
+    variable-length payload blobs, per-sample work is numpy. Multi-
+    channel audio is averaged to mono before framing (the
+    audio_wav_features convention)."""
+
+    def batches(parts: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in parts:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _, x = decode_wav_pcm(bytes(payload))
+                mono = x.astype("f8").mean(axis=1)
+                n_frames = len(mono) // frame_samples
+                if n_frames == 0:
+                    rows.append(
+                        {
+                            "asset_id": int(aid),
+                            "n_frames": 0,
+                            "n_voiced": 0,
+                            "n_segments": 0,
+                            "longest_voiced_frames": 0,
+                            "voiced_ratio": None,
+                        }
+                    )
+                    continue
+                fr = mono[: n_frames * frame_samples].reshape(
+                    n_frames, frame_samples
+                )
+                rms = np.sqrt((fr * fr).mean(axis=1))
+                voiced = rms > rms_threshold
+                # run-length over the voiced mask
+                padded = np.concatenate(([False], voiced, [False]))
+                starts = np.flatnonzero(~padded[:-1] & padded[1:])
+                ends = np.flatnonzero(padded[:-1] & ~padded[1:])
+                runs = ends - starts
+                nv = int(voiced.sum())
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "n_frames": int(n_frames),
+                        "n_voiced": nv,
+                        "n_segments": int(len(runs)),
+                        "longest_voiced_frames": int(runs.max())
+                        if len(runs)
+                        else 0,
+                        "voiced_ratio": round(nv / n_frames, 9),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("asset_id", "payload").mapInPandas(
+        batches, VAD_SEGMENTS_SCHEMA
+    )

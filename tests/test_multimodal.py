@@ -631,3 +631,63 @@ def test_mjpeg_frame_stats_operator(spark):
     # frame 0 (t<=0) is red, frame at 1000 ms is green
     assert abs(rows[0]["frame_features"][2] - 200 / 255) < 1e-6
     assert abs(rows[1]["frame_features"][3] - 200 / 255) < 1e-6
+
+
+def test_audio_vad_segments_closed_form(spark):
+    """Hand-built WAV: silence / tone runs with a known frame layout,
+    plus a trailing partial frame (dropped) and a stereo asset (mono
+    averaged before framing)."""
+    import numpy as np
+
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+
+    fs = 50  # frame_samples
+    sil = np.zeros(fs, dtype="<i2")
+    amp = np.empty(fs, dtype="<i2")
+    amp[0::2], amp[1::2] = 3000, -3000  # square wave, RMS = 3000
+    # layout: V V S V S S V V V + 10 trailing samples (partial, dropped)
+    frames = [amp, amp, sil, amp, sil, sil, amp, amp, amp]
+    mono = np.concatenate(frames + [amp[:10]])
+    # stereo: one loud channel, one silent -> mono mean RMS = 1500 > 1000
+    stereo = np.stack([amp, sil], axis=1)
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(mm.encode_wav_pcm16(mono, 1000))),
+            (1, bytearray(mm.encode_wav_pcm16(stereo, 1000))),
+            (2, bytearray(mm.encode_wav_pcm16(sil[:30], 1000))),  # 0 frames
+        ],
+        "asset_id long, payload binary",
+    )
+    out = {r["asset_id"]: r for r in mm.audio_vad_segments(media).collect()}
+    a = out[0]
+    assert a["n_frames"] == 9  # partial 10-sample tail dropped
+    assert a["n_voiced"] == 6
+    assert a["n_segments"] == 3  # VV / V / VVV
+    assert a["longest_voiced_frames"] == 3
+    assert a["voiced_ratio"] == round(6 / 9, 9)
+    b = out[1]
+    assert (b["n_frames"], b["n_voiced"], b["n_segments"]) == (1, 1, 1)
+    c = out[2]
+    assert c["n_frames"] == 0 and c["voiced_ratio"] is None
+
+
+def test_synthetic_wav_layout_matches_oracle_formula(spark):
+    """The generator's voiced layout must be exactly the arithmetic the
+    m05 oracle replicates: block b voiced iff (doc_id*7 + b) % 3 != 0."""
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(3,), (4,)], "doc_id long")
+    media = mm.synthetic_wav_from_documents(docs)
+    out = {r["asset_id"]: r for r in mm.audio_vad_segments(media).collect()}
+    for d in (3, 4):
+        voiced = [(d * 7 + b) % 3 != 0 for b in range(20)]
+        runs, cur = [], 0
+        for v in voiced:
+            cur = cur + 1 if v else 0
+            if v and (cur == 1):
+                runs.append(0)
+            if v:
+                runs[-1] += 1
+        assert out[d]["n_voiced"] == sum(voiced)
+        assert out[d]["n_segments"] == len(runs)
+        assert out[d]["longest_voiced_frames"] == max(runs)

@@ -157,6 +157,8 @@ EXCLUDED = {
     "y58_bpe_encode": "trains in-query (y51's driver loop) before the "
         "apply; the apply itself is vocab hash-agg + broadcast map-back "
         "+ doc agg — t06's skeleton (y51's exclusion covers the loop)",
+    "m05_audio_vad": "codec-bound mapInPandas over per-doc synthetic "
+        "payloads; m01/m04 curve the identical Arrow-decode shape",
     "y57_oov_rate": "explode + hash-agg + broadcast left join + doc "
         "agg; t06 curves the identical skeleton",
 }
