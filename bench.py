@@ -101,6 +101,7 @@ HEADLINE = [
     "y56_stratified_split",
     "y57_oov_rate",
     "m05_audio_vad",
+    "y59_pq_adc_topk",
 ]
 
 

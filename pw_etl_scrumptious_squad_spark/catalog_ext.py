@@ -4601,3 +4601,109 @@ def m05(spark: SparkSession, sf: str) -> DataFrame:
             9,
         ).alias("voiced_ratio"),
     )
+
+
+_PQ_CODEBOOK_CACHE: dict[str, list[tuple[int, int, list[float]]]] = {}
+_Y59_M, _Y59_KSUB, _Y59_K = 8, 64, 5
+
+
+def pq_codebook_literals(
+    sf_dir: str, spark: SparkSession | None = None
+) -> list[tuple[int, int, list[float]]]:
+    """Train the y59 PQ codebooks ONCE per sf directory and memoize —
+    the ivf_centroid_literals contract: training is data preparation
+    (deterministic for a fixed seed + input), the oracle checks the
+    QUERY semantics (encode argmin, lookup tables, rank math) over the
+    same literals; float32 centers repr() losslessly into SQL."""
+    import os
+
+    key = os.path.abspath(sf_dir)
+    if key not in _PQ_CODEBOOK_CACHE:
+        if spark is None:
+            spark = SparkSession.getActiveSession() or (
+                SparkSession.builder.master("local[8]")
+                .appName("pq-oracle-train")
+                .config("spark.ui.enabled", "false")
+                .getOrCreate()
+            )
+        cb = similarity.train_pq_codebooks(
+            _t(spark, sf_dir, "embeddings"), m=_Y59_M, ksub=_Y59_KSUB
+        )
+        _PQ_CODEBOOK_CACHE[key] = [
+            (int(r["sub"]), int(r["code"]), list(r["center"]))
+            for r in cb.collect()
+        ]
+    return _PQ_CODEBOOK_CACHE[key]
+
+
+def _y59_oracle(sf_dir: str) -> str:
+    lits = pq_codebook_literals(sf_dir)
+    d = len(lits[0][2])
+    m = _Y59_M
+    vals = ", ".join(
+        "(%d, %d, [%s]::DOUBLE[])" % (s, c, ", ".join(repr(x) for x in v))
+        for s, c, v in lits
+    )
+    qdot = (
+        "CAST(list_sum(list_transform(range(1, {n} + 1),"
+        " i -> qx[i] * qc[i])) AS BIGINT)"
+    ).format(n=d)
+    return (
+        f"WITH cb AS (SELECT * FROM (VALUES {vals}) t(sub, code, center)),"
+        " qcb AS (SELECT sub, code, list_transform(center,"
+        " x -> CAST(floor(x * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT))"
+        " AS qc FROM cb),"
+        " qcb2 AS (SELECT sub, code, qc,"
+        " CAST(list_sum(list_transform(qc, v -> v * v)) AS BIGINT) AS cc"
+        " FROM qcb),"
+        " e AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0::DOUBLE"
+        " + 0.5::DOUBLE) AS BIGINT)) AS qv FROM embeddings),"
+        f" subs AS (SELECT vec_id, s.s AS sub,"
+        f" qv[s.s * {d} + 1 : s.s * {d} + {d}] AS qx"
+        f" FROM e CROSS JOIN range(0, {m}) AS s(s)),"
+        f" dist AS (SELECT vec_id, sub, code, cc - 2 * {qdot} AS dist"
+        " FROM subs JOIN qcb2 USING (sub)),"
+        " codes AS (SELECT vec_id, sub, code FROM (SELECT *,"
+        " row_number() OVER (PARTITION BY vec_id, sub"
+        " ORDER BY dist, code) AS rn FROM dist) WHERE rn = 1),"
+        " q AS (SELECT vec_id AS query_id, qv FROM e WHERE vec_id < 5),"
+        f" qsubs AS (SELECT query_id, s.s AS sub,"
+        f" qv[s.s * {d} + 1 : s.s * {d} + {d}] AS qx"
+        f" FROM q CROSS JOIN range(0, {m}) AS s(s)),"
+        f" lut AS (SELECT query_id, sub, code, {qdot} AS l"
+        " FROM qsubs JOIN qcb2 USING (sub)),"
+        " scored AS (SELECT query_id, vec_id,"
+        " CAST(SUM(l) AS BIGINT) AS score_q"
+        " FROM codes JOIN lut USING (sub, code)"
+        " WHERE vec_id <> query_id GROUP BY query_id, vec_id),"
+        " ranked AS (SELECT query_id, vec_id, score_q,"
+        " CAST(row_number() OVER (PARTITION BY query_id"
+        " ORDER BY score_q DESC, vec_id) AS INTEGER) AS rank FROM scored)"
+        " SELECT query_id, vec_id AS match_id, score_q, rank FROM ranked"
+        f" WHERE rank <= {_Y59_K} ORDER BY query_id, rank"
+    )
+
+
+@register(
+    "y59_pq_adc_topk",
+    _y59_oracle,  # data-dependent: trained PQ codebooks as literals
+    "Product-quantization ANN (Jegou et al. 2011): 8 subspaces x 16"
+    " L2-trained centers compress each vector to 8 codes (37x memory"
+    " cut — the 100 TB ANN memory side); queries stay uncompressed and"
+    " score by asymmetric distance (per-subspace lookup tables, summed)."
+    " Every encode argmin and ADC score is quantized-BIGINT exact, so"
+    " the whole approximate pipeline is value-exact reproducible (the"
+    " s02 trained-literals contract)."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y59(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    lits = pq_codebook_literals(sf, spark)
+    cb = spark.createDataFrame(
+        lits, "sub INT, code INT, center ARRAY<FLOAT>"
+    )
+    codes = similarity.pq_encode(emb, cb)
+    return similarity.pq_adc_topk(
+        codes, cb, emb.filter(F.col("vec_id") < 5), k=_Y59_K
+    )

@@ -964,3 +964,198 @@ def hard_negatives_ivf(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Train product-quantization codebooks (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the vector into
+    ``m`` contiguous subvectors and fit an independent ``ksub``-center
+    k-means per subspace. Returns (sub, code, center array<float>) —
+    m x ksub rows, driver-tiny.
+
+    PQ is the memory side of 100 TB ANN: a 64-dim float32 vector
+    (256 B) compresses to m 4-bit/8-bit codes (4-8 B here), so the
+    whole corpus's codes fit where raw vectors cannot, and scoring
+    needs only code lookups (see :func:`pq_adc_topk`). Like IVF
+    training, fit on a sample and encode the full corpus.
+
+    Deterministic for a fixed seed + input partitioning (the s02
+    training note). m must divide the dimension."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    first = corpus.select(vec_col).first()
+    dim = len(first[vec_col])
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    d = dim // m
+    spark = corpus.sparkSession
+    rows = []
+    for sub in range(m):
+        feats = corpus.select(
+            array_to_vector(
+                F.expr(f"slice(cast({vec_col} as array<double>),"
+                       f" {sub * d + 1}, {d})")
+            ).alias("features")
+        )
+        model = KMeans(k=ksub, seed=seed + sub, maxIter=max_iter).fit(feats)
+        for code, c in enumerate(model.clusterCenters()):
+            rows.append((sub, code, [float(x) for x in c]))
+    cb = spark.createDataFrame(
+        rows, "sub INT, code INT, center ARRAY<DOUBLE>"
+    )
+    return cb.select(
+        "sub", "code", F.col("center").cast("array<float>").alias("center")
+    )
+
+
+_PQ_QUANT = (
+    "transform({0}, x -> cast(floor(cast(x as double)"
+    " * 1000000.0d + 0.5d) as bigint))"
+)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` subspace codes: per subvector, the
+    L2-nearest codebook center. Returns (vec_id, sub, code) — the PQ
+    index an ADC scan reads instead of raw vectors.
+
+    Exactness (the y48 integer idiom): centers and subvectors are
+    ``floor(x*1e6+0.5)``-quantized, and the L2 argmin compares
+    ``sum(c_i^2 - 2*x_i*c_i)`` — an exact BIGINT (the ``x_i^2`` term is
+    constant per subvector and cannot change the argmin) — with ties to
+    the lowest code, so codes are value-exact cross-engine. One
+    broadcast join against m x ksub codebook rows; one map-side min_by
+    hash-agg per (vector, sub) — no window, combiner-friendly."""
+    md = codebooks.groupBy().agg(
+        F.count_distinct("sub").alias("m"), F.max(F.size("center")).alias("d")
+    ).first()
+    m, d = int(md["m"]), int(md["d"])
+    cb = codebooks.select(
+        "sub",
+        "code",
+        F.expr(_PQ_QUANT.format("center")).alias("__qc"),
+    ).withColumn(
+        "__cc",
+        F.expr("aggregate(__qc, 0L, (acc, v) -> acc + v * v)"),
+    )
+    subs = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(sub).alias("sub"),
+                        F.expr(
+                            _PQ_QUANT.format(
+                                f"slice({vec_col}, {sub * d + 1}, {d})"
+                            )
+                        ).alias("__qx"),
+                    )
+                    for sub in range(m)
+                ]
+            )
+        ).alias("sv"),
+    ).select("vec_id", F.col("sv.sub").alias("sub"), F.col("sv.__qx").alias("__qx"))
+    dist = F.col("__cc") - 2 * F.expr(
+        "aggregate(zip_with(__qx, __qc, (x, y) -> x * y),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    return (
+        subs.join(broadcast(cb), "sub")
+        .withColumn("__dist", dist)
+        .groupBy("vec_id", "sub")
+        .agg(F.expr("min_by(code, struct(__dist, code))").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over a PQ index: approx dot(q, x) =
+    sum over subspaces of dot(q_sub, center[code_sub]) — the query stays
+    EXACT (uncompressed), only the corpus side is quantized, which is
+    what makes ADC beat symmetric code-to-code distances at the same
+    memory. Returns (query_id, match_id, score_q, rank); ranking is
+    (score desc, match_id asc); self-matches excluded.
+
+    Scale shape: the lookup-table join is |queries| x m x ksub rows
+    (driver-tiny, broadcast); the corpus-side scan touches only the
+    (vec_id, sub, code) index — never raw vectors — and aggregates
+    map-side to one row per (query, vector). Approximate by
+    construction (quantization error), but DETERMINISTIC: every emitted
+    score is an exact BIGINT (quantized-integer dots), so a SQL oracle
+    replicates the whole pipeline value-exactly.
+    """
+    md = codebooks.groupBy().agg(
+        F.count_distinct("sub").alias("m"), F.max(F.size("center")).alias("d")
+    ).first()
+    m, d = int(md["m"]), int(md["d"])
+    cb = codebooks.select(
+        "sub", "code", F.expr(_PQ_QUANT.format("center")).alias("__qc")
+    )
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(sub).alias("sub"),
+                        F.expr(
+                            _PQ_QUANT.format(
+                                f"slice({vec_col}, {sub * d + 1}, {d})"
+                            )
+                        ).alias("__qx"),
+                    )
+                    for sub in range(m)
+                ]
+            )
+        ).alias("sv"),
+    ).select(
+        "query_id", F.col("sv.sub").alias("sub"), F.col("sv.__qx").alias("__qx")
+    )
+    lut = qsubs.join(cb, "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.expr(
+            "aggregate(zip_with(__qx, __qc, (x, y) -> x * y),"
+            " 0L, (acc, v) -> acc + v)"
+        ).alias("__l"),
+    )
+    scored = (
+        codes.join(broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("__l").alias("score_q"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            "score_q",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

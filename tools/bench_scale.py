@@ -159,6 +159,9 @@ EXCLUDED = {
         "+ doc agg — t06's skeleton (y51's exclusion covers the loop)",
     "m05_audio_vad": "codec-bound mapInPandas over per-doc synthetic "
         "payloads; m01/m04 curve the identical Arrow-decode shape",
+    "y59_pq_adc_topk": "trains in-query (the s02 exclusion); encode is "
+        "a broadcast join + map-side min_by, ADC a broadcast-lut join + "
+        "hash agg — op_ivf_assign_probe curves the assign+probe shape",
     "y57_oov_rate": "explode + hash-agg + broadcast left join + doc "
         "agg; t06 curves the identical skeleton",
 }
