@@ -4707,3 +4707,101 @@ def y59(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.pq_adc_topk(
         codes, cb, emb.filter(F.col("vec_id") < 5), k=_Y59_K
     )
+
+
+def _lsh_recall_oracle(num_perm: int = 16, bands: int = 8) -> str:
+    """Recall-audit twin: the d05 pipeline CTEs (signatures -> bands ->
+    candidates -> verify) PLUS a brute-force all-pairs ground truth over
+    the same shingle-Jaccard math, reduced to one summary row."""
+    rpb = num_perm // bands
+    mins = ", ".join(
+        f"list_aggregate(list_transform(hp, x -> x.h1 + {p} * x.h2), 'min')"
+        for p in range(num_perm)
+    )
+    band_sigs = ", ".join(
+        "struct_pack(band := %d, sig := %s)"
+        % (
+            b,
+            " || ',' || ".join(
+                f"CAST(m[{b * rpb + i + 1}] AS VARCHAR)" for i in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    jac = (
+        "ROUND(len(list_intersect(a.s, b.s)) / "
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 9)"
+    )
+    return (
+        "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks"
+        " FROM documents), "
+        "sh AS (SELECT doc_id, list_transform(range(1,"
+        " greatest(len(toks) - 4, 1) + 1),"
+        " i -> md5(array_to_string(toks[i:i+4], ' '))) AS shingles FROM tk), "
+        "hp AS (SELECT doc_id, shingles, list_transform(shingles,"
+        " s -> struct_pack("
+        "h1 := CAST(concat('0x', substr(s, 1, 15)) AS BIGINT), "
+        "h2 := CAST(concat('0x', substr(s, 17, 14)) AS BIGINT))) AS hp"
+        " FROM sh), "
+        f"sig AS (SELECT doc_id, [{mins}] AS m FROM hp), "
+        f"bnd AS (SELECT doc_id, unnest([{band_sigs}]) AS bb FROM sig), "
+        "cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
+        "FROM bnd l JOIN bnd r ON l.bb.band = r.bb.band"
+        " AND l.bb.sig = r.bb.sig AND l.doc_id < r.doc_id), "
+        "dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM hp), "
+        "lsh AS (SELECT c.doc_a FROM cand c"
+        " JOIN dsh a ON c.doc_a = a.doc_id"
+        " JOIN dsh b ON c.doc_b = b.doc_id"
+        f" WHERE {jac} >= 0.5), "
+        "truth AS (SELECT a.doc_id FROM dsh a JOIN dsh b"
+        f" ON a.doc_id < b.doc_id WHERE {jac} >= 0.5) "
+        "SELECT CAST((SELECT count(*) FROM truth) AS BIGINT)"
+        " AS n_true_pairs,"
+        " CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh_pairs,"
+        " ROUND((SELECT count(*) FROM lsh)"
+        " / greatest((SELECT count(*) FROM truth), 1), 9) AS recall"
+    )
+
+
+@register(
+    "y60_lsh_recall",
+    _lsh_recall_oracle(),
+    "LSH recall audit: the d05 banding pipeline's verified pairs counted"
+    " against brute-force all-pairs ground truth under the SAME"
+    " shingle-Jaccard math (found is a subset of truth by construction,"
+    " so recall = n_lsh/n_true) — the sample-scale audit a production"
+    " dedup pipeline runs before trusting a banding geometry at full"
+    " scale. Single summary row; exact-integer ratio."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y60(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    lsh = dedup.minhash_lsh_dedup(
+        docs, "doc_id", "text", num_perm=16, bands=8, threshold=0.5
+    )
+    ids = docs.select("doc_id")
+    all_pairs = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .join(
+            ids.select(F.col("doc_id").alias("doc_b")),
+            F.col("doc_a") < F.col("doc_b"),
+        )
+    )
+    truth = dedup.jaccard_verify(
+        all_pairs, docs, "doc_id", "text", shingle_size=5, threshold=0.5
+    )
+    n_true = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs")
+    )
+    n_lsh = lsh.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lsh_pairs")
+    )
+    return n_true.crossJoin(n_lsh).select(
+        "n_true_pairs",
+        "n_lsh_pairs",
+        F.round(
+            F.col("n_lsh_pairs")
+            / F.greatest(F.col("n_true_pairs"), F.lit(1)),
+            9,
+        ).alias("recall"),
+    )

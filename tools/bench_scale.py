@@ -162,6 +162,9 @@ EXCLUDED = {
     "y59_pq_adc_topk": "trains in-query (the s02 exclusion); encode is "
         "a broadcast join + map-side min_by, ADC a broadcast-lut join + "
         "hash agg — op_ivf_assign_probe curves the assign+probe shape",
+    "y60_lsh_recall": "deliberately quadratic: the ground-truth side is "
+        "brute-force all-pairs — a sample-scale AUDIT, never run at "
+        "corpus scale (d05 curves the production pipeline it audits)",
     "y57_oov_rate": "explode + hash-agg + broadcast left join + doc "
         "agg; t06 curves the identical skeleton",
 }
