@@ -893,14 +893,15 @@ def hard_negatives_ivf(
     def _cell_mine(pdf):
         anch = pdf[pdf["role"] == 1]
         cand = pdf[pdf["role"] == 0]
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="i8"),
+                "neg_id": pd.Series([], dtype="i8"),
+                "cos_ppb": pd.Series([], dtype="i8"),
+            }
+        )
         if len(anch) == 0 or len(cand) == 0:
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series([], dtype="i8"),
-                    "neg_id": pd.Series([], dtype="i8"),
-                    "cos_ppb": pd.Series([], dtype="i8"),
-                }
-            )
+            return empty
         a_ids = anch["vid"].to_numpy().astype("i8")
         a_lbl = anch["lbl"].to_numpy().astype("i8")
         aq = np.stack(
@@ -919,28 +920,42 @@ def hard_negatives_ivf(
         ppb = np.floor(
             (aq @ cq.T) / (an[:, None] * cnv[None, :]) * 1e9 + 0.5
         )
-        out_q, out_n, out_c = [], [], []
-        for i in range(len(a_ids)):
-            mask = c_lbl != a_lbl[i]
-            m = int(mask.sum())
-            if m == 0:
-                continue
-            row = ppb[i][mask]
-            nids = c_ids[mask]
-            if m > 4 * k:
-                part = np.argpartition(-row, k - 1)[:k]
-                kth = row[part].min()
-                sel = np.flatnonzero(row >= kth)
-                row, nids = row[sel], nids[sel]
-            order = np.lexsort((nids, -row))[:k]
-            out_q.extend([a_ids[i]] * len(order))
-            out_n.extend(nids[order])
-            out_c.extend(row[order])
+        # vectorized top-k SET selection (the global merge re-ranks, so
+        # only the SET must be exact): same-label candidates masked to
+        # -inf; boundary ties at the k-th value resolve to the lowest
+        # neg_id — per-row python only where ties actually spill over
+        nA, nC = ppb.shape
+        ppbm = np.where(a_lbl[:, None] == c_lbl[None, :], -np.inf, ppb)
+        kk = min(k, nC)
+        if kk == nC:
+            sel = np.isfinite(ppbm)
+        else:
+            part = np.argpartition(-ppbm, kk - 1, axis=1)[:, :kk]
+            kth = ppbm[np.arange(nA)[:, None], part].min(axis=1)
+            finite_kth = np.isfinite(kth)
+            sel = ppbm > kth[:, None]
+            eq = ppbm == kth[:, None]
+            n_gt = sel.sum(axis=1)
+            n_eq = eq.sum(axis=1)
+            # exact-fit ties (or all-finite fewer than k): take them all
+            fit = n_eq <= (kk - n_gt)
+            sel |= eq & fit[:, None]
+            # kth == -inf: fewer than k valid candidates; sel (> -inf)
+            # already holds exactly the finite ones
+            for i in np.flatnonzero(finite_kth & ~fit):
+                tie_ids = c_ids[eq[i]]
+                need = kk - int(n_gt[i])
+                keep = np.sort(np.argsort(tie_ids, kind="stable")[:need])
+                cols = np.flatnonzero(eq[i])[keep]
+                sel[i, cols] = True
+        rows, cols = np.nonzero(sel)
+        if len(rows) == 0:
+            return empty
         return pd.DataFrame(
             {
-                "query_id": np.asarray(out_q, dtype="i8"),
-                "neg_id": np.asarray(out_n, dtype="i8"),
-                "cos_ppb": np.asarray(out_c, dtype="i8"),
+                "query_id": a_ids[rows],
+                "neg_id": c_ids[cols],
+                "cos_ppb": ppb[rows, cols].astype("i8"),
             }
         )
 

@@ -120,3 +120,27 @@ def test_csv_output_is_gzip_compressed_and_splittable_layout(
     assert len(parts) == 4  # one file per partition -> parallel re-read
     with gzip.open(parts[0], "rt") as f:
         assert f.readline().startswith("o_orderkey")
+
+
+def test_orc_round_trip_matches_parquet_truth(spark, tmp_path):
+    """ORC write/read round-trips the lineitem slice value-exactly
+    (timestamps, decimals-as-doubles, strings), with partitioning and
+    a pushdown-friendly layout."""
+    from pw_etl_scrumptious_squad_spark.sources import orc
+    from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+    truth = read_table(spark, "/root/testdata/sf0.001", "orders").limit(200)
+    p = str(tmp_path / "orders_orc")
+    orc.write_orc(truth, p, partition_by=["o_orderstatus"])
+    back = orc.read_orc(spark, p)
+    a = sorted(map(tuple, truth.select(sorted(truth.columns)).collect()))
+    b = sorted(map(tuple, back.select(sorted(truth.columns)).collect()))
+    assert a == b
+    # partition pruning: a status filter must NOT scan every partition
+    plan = (
+        back.filter(back["o_orderstatus"] == "F")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "o_orderstatus" in plan

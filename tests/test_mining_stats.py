@@ -401,3 +401,32 @@ def test_pq_adc_recall_sanity(spark):
     assert hits / total >= 0.3, f"ADC recall {hits}/{total} suspiciously low"
     again = similarity.pq_adc_topk(codes, cb, queries, k=5).collect()
     assert sorted(map(tuple, adc)) == sorted(map(tuple, again))
+
+
+def test_hardneg_ivf_tie_spillover_exact(spark):
+    """Adversarial ties: many candidates with IDENTICAL vectors (equal
+    cos_ppb) straddling the k-th boundary — the vectorized per-cell
+    selection must keep the LOWEST neg_ids, exactly like the window."""
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [(0, base, 0)]  # anchor, label 0
+    # 6 identical candidates with label 1 -> all tie at cos_ppb; k=3
+    # must keep neg_ids 1, 2, 3
+    rows += [(i, base, 1) for i in range(1, 7)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cents = spark.createDataFrame(
+        [(0, base)], "centroid_id int, embedding array<float>"
+    )
+    out = similarity.hard_negatives_ivf(vecs, cents, k=3, n_probe=1)
+    got = sorted(
+        (r["neg_id"], r["rank"])
+        for r in out.filter(F.col("query_id") == 0).collect()
+    )
+    assert got == [(1, 1), (2, 2), (3, 3)]
+    exact = similarity.hard_negative_mining(vecs, k=3)
+    ge = sorted(
+        (r["neg_id"], r["rank"])
+        for r in exact.filter(F.col("query_id") == 0).collect()
+    )
+    assert ge == got
