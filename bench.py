@@ -102,6 +102,7 @@ HEADLINE = [
     "y57_oov_rate",
     "m05_audio_vad",
     "y59_pq_adc_topk",
+    "y61_hll_distinct",
 ]
 
 

@@ -4805,3 +4805,88 @@ def y60(spark: SparkSession, sf: str) -> DataFrame:
             9,
         ).alias("recall"),
     )
+
+
+def _hll_oracle() -> str:
+    m, zrho = 256, 53
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}.0))"
+    e_raw = (
+        f"({alpha} * {m}.0 * {m}.0 * CAST((1::BIGINT << {zrho})"
+        " AS DOUBLE)) / CAST(s AS DOUBLE)"
+    )
+    e_lc = f"{m}.0 * ln({m}.0 / CAST(v AS DOUBLE))"
+    est = (
+        f"CASE WHEN ({e_raw}) <= {2.5 * m} AND v > 0"
+        f" THEN ({e_lc}) ELSE ({e_raw}) END"
+    )
+    return (
+        "WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok"
+        " FROM documents),"
+        " t2 AS (SELECT source, tok FROM tk WHERE tok <> ''),"
+        " h AS (SELECT source, tok,"
+        " CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h"
+        " FROM t2),"
+        f" b AS (SELECT source, h % {m} AS bucket, h // {m} AS w FROM h),"
+        f" rr AS (SELECT source, bucket, CASE WHEN w > 0"
+        f" THEN {zrho} - length(bin(w)) ELSE {zrho} END AS rho FROM b),"
+        " regs AS (SELECT source, bucket, max(rho) AS r FROM rr"
+        " GROUP BY source, bucket),"
+        " grid AS (SELECT g.source, bk.b AS bucket,"
+        " coalesce(regs.r, 0) AS r"
+        " FROM (SELECT DISTINCT source FROM t2) g"
+        f" CROSS JOIN range(0, {m}) AS bk(b)"
+        " LEFT JOIN regs ON regs.source = g.source"
+        " AND regs.bucket = bk.b),"
+        " agg AS (SELECT source,"
+        f" CAST(sum(1::BIGINT << ({zrho} - r)) AS BIGINT) AS s,"
+        " CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v"
+        " FROM grid GROUP BY source),"
+        f" est AS (SELECT source, ROUND({est}, 6) AS hll_estimate"
+        " FROM agg),"
+        " ex AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT)"
+        " AS exact_distinct FROM t2 GROUP BY source)"
+        " SELECT ex.source, ex.exact_distinct, est.hll_estimate,"
+        " ROUND((est.hll_estimate - ex.exact_distinct)"
+        " / ex.exact_distinct, 6) AS rel_error"
+        " FROM ex JOIN est ON ex.source = est.source ORDER BY ex.source"
+    )
+
+
+@register(
+    "y61_hll_distinct",
+    _hll_oracle(),
+    "HyperLogLog distinct-token sketch per source, built from scratch"
+    " on md5 hashes (p=8, 256 registers, linear-counting small-range"
+    " correction) and reported NEXT TO the exact distinct count with"
+    " its relative error — unlike approx_count_distinct's opaque HLL++,"
+    " every stage (bucket split, rho, register max, the 2^-r fold as an"
+    " exact BIGINT) is value-exact cross-engine, so the oracle checks"
+    " the sketch bit-for-bit. Registers are constant-size mergeable"
+    " state (element-wise max), the y41 sketch contract."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y61(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import curation
+
+    tk = (
+        _t(spark, sf, "documents")
+        .select(
+            "source",
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    est = curation.hll_distinct(tk, ["source"], "tok")
+    exact = tk.groupBy("source").agg(
+        F.count_distinct("tok").cast("bigint").alias("exact_distinct")
+    )
+    return exact.join(est, "source").select(
+        "source",
+        "exact_distinct",
+        "hll_estimate",
+        F.round(
+            (F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_error"),
+    )

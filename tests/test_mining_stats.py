@@ -430,3 +430,36 @@ def test_hardneg_ivf_tie_spillover_exact(spark):
         for r in exact.filter(F.col("query_id") == 0).collect()
     )
     assert ge == got
+
+
+def test_hll_distinct_accuracy_and_small_range(spark):
+    """p=8 HLL: relative error within ~3 sigma (1.04/sqrt(256) = 6.5%)
+    on a 5000-distinct corpus; tiny cardinalities route through linear
+    counting and land near-exact."""
+    big = spark.createDataFrame(
+        [("big", f"tok{i}") for i in range(5000)]
+        + [("small", f"s{i}") for i in range(12)],
+        "source string, tok string",
+    )
+    out = {
+        r["source"]: r["hll_estimate"]
+        for r in curation.hll_distinct(big, ["source"], "tok").collect()
+    }
+    assert abs(out["big"] - 5000) / 5000 < 0.20
+    assert abs(out["small"] - 12) / 12 < 0.20
+
+
+def test_hll_registers_merge_as_max(spark):
+    """The sketch's merge rule: estimating the UNION of two groups must
+    equal collapsing them into one group (registers are element-wise
+    maxima — order/partitioning free)."""
+    rows = [("a", f"x{i}") for i in range(300)] + [
+        ("b", f"x{i}") for i in range(150, 450)
+    ]
+    df = spark.createDataFrame(rows, "source string, tok string")
+    merged = df.select(F.lit("u").alias("source"), "tok")
+    one = curation.hll_distinct(merged, ["source"], "tok").collect()[0]
+    two = curation.hll_distinct(
+        df.select(F.lit("u").alias("source"), "tok"), ["source"], "tok"
+    ).collect()[0]
+    assert one["hll_estimate"] == two["hll_estimate"]

@@ -165,6 +165,10 @@ EXCLUDED = {
     "y60_lsh_recall": "deliberately quadratic: the ground-truth side is "
         "brute-force all-pairs — a sample-scale AUDIT, never run at "
         "corpus scale (d05 curves the production pipeline it audits)",
+    "y61_hll_distinct": "map-side hash + bounded |sources| x 256 "
+        "register agg + constant grid; t01 curves the map-side scan "
+        "(the exact_distinct comparison column is gate-scale reporting, "
+        "not part of the sketch path)",
     "y57_oov_rate": "explode + hash-agg + broadcast left join + doc "
         "agg; t06 curves the identical skeleton",
 }
