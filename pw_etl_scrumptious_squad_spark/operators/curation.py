@@ -1447,6 +1447,9 @@ def hll_distinct(
     m = 1 << p
     wbits = 60 - p
     zrho = wbits + 1
+    # NULL values carry no identity — drop them rather than hashing a
+    # NULL into a phantom register
+    df = df.filter(F.col(value_col).isNotNull())
     base = df.select(
         *group_cols,
         F.expr(

@@ -1058,6 +1058,7 @@ def pq_encode(
         F.count_distinct("sub").alias("m"), F.max(F.size("center")).alias("d")
     ).first()
     m, d = int(md["m"]), int(md["d"])
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     cb = codebooks.select(
         "sub",
         "code",
