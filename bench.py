@@ -103,6 +103,8 @@ HEADLINE = [
     "m05_audio_vad",
     "y59_pq_adc_topk",
     "y61_hll_distinct",
+    "y62_weighted_sample",
+    "y63_pmi_collocations",
 ]
 
 

@@ -4890,3 +4890,94 @@ def y61(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("rel_error"),
     )
+
+
+_Y62_K = 10
+
+
+def _weighted_sample_oracle() -> str:
+    h = (
+        "CAST(concat('0x', substr(md5(concat_ws('|', 'v1',"
+        " CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    keyq = (
+        f"CAST(round((ln((CAST({h} AS DOUBLE) + 1.0)"
+        " / 1152921504606846977.0) / CAST(n_chars AS DOUBLE))"
+        " * 1000000000.0, 0) AS BIGINT)"
+    )
+    return (
+        f"WITH s AS (SELECT doc_id, lang, n_chars, {keyq} AS keyq"
+        " FROM documents WHERE n_chars > 0),"
+        " r AS (SELECT doc_id, lang, n_chars,"
+        " CAST(row_number() OVER (PARTITION BY lang"
+        " ORDER BY keyq DESC, doc_id) AS INTEGER) AS sample_rank FROM s)"
+        f" SELECT doc_id, lang, n_chars, sample_rank FROM r"
+        f" WHERE sample_rank <= {_Y62_K} ORDER BY doc_id"
+    )
+
+
+@register(
+    "y62_weighted_sample",
+    _weighted_sample_oracle(),
+    "Weighted sampling without replacement (Efraimidis & Spirakis 2006):"
+    " per-language top-10 by the exponential key ln(u)/w with w ="
+    " n_chars and u a deterministic md5 uniform — the token-budget"
+    " sampler (big docs drawn proportionally, membership a pure function"
+    " of the id, seed rotation atomic). One strata-keyed window over"
+    " map-side ppb-quantized keys."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y62(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.weighted_sample(
+        _t(spark, sf, "documents").select("doc_id", "lang", "n_chars"),
+        k=_Y62_K,
+        weight_col="n_chars",
+        strata_cols=["lang"],
+    ).select("doc_id", "lang", "n_chars", "sample_rank")
+
+
+_Y63_MIN_COUNT, _Y63_TOP = 5, 25
+
+
+def _pmi_oracle() -> str:
+    return (
+        "WITH tt AS (SELECT string_split(text, ' ') AS t FROM documents),"
+        " bg AS (SELECT unnest(list_filter(list_transform("
+        " range(1, greatest(len(t) - 1, 1) + 1),"
+        " i -> struct_pack(x := t[i], y := t[i + 1])),"
+        " p -> p.x <> '' AND p.y IS NOT NULL AND p.y <> '')) AS p FROM tt),"
+        " b2 AS (SELECT p.x AS x, p.y AS y FROM bg),"
+        " pair AS (SELECT x, y, count(*) AS cxy FROM b2 GROUP BY x, y),"
+        " ux AS (SELECT x, count(*) AS cx FROM b2 GROUP BY x),"
+        " uy AS (SELECT y, count(*) AS cy FROM b2 GROUP BY y),"
+        " nn AS (SELECT count(*) AS n FROM b2),"
+        " sc AS (SELECT pair.x, pair.y, cxy,"
+        " CAST(round(ln(CAST(cxy * n AS DOUBLE)"
+        " / CAST(cx * cy AS DOUBLE)) * 1000000000.0, 0) AS BIGINT)"
+        " AS pmiq FROM pair JOIN ux USING (x) JOIN uy USING (y)"
+        f" CROSS JOIN nn WHERE cxy >= {_Y63_MIN_COUNT})"
+        " SELECT x, y, CAST(cxy AS BIGINT) AS pair_count,"
+        " ROUND(pmiq / 1000000000.0, 6) AS pmi FROM sc"
+        f" ORDER BY pmiq DESC, x, y LIMIT {_Y63_TOP}"
+    )
+
+
+@register(
+    "y63_pmi_collocations",
+    _pmi_oracle(),
+    "Collocation mining by pointwise mutual information: top-25 adjacent"
+    " token pairs by PMI = ln(c_xy*N / (c_x*c_y)) at pair count >= 5 —"
+    " the multi-word-expression / boilerplate-phrase detector. One"
+    " bigram explode + three combiner-friendly hash-aggs (unigram/total"
+    " broadcast back), TakeOrdered top-k; PMI ppb-quantized for the"
+    " deterministic ranking."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y63(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text
+
+    return text.pmi_collocations(
+        _t(spark, sf, "documents"),
+        min_count=_Y63_MIN_COUNT,
+        k=_Y63_TOP,
+    )

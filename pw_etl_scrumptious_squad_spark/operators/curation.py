@@ -1493,3 +1493,51 @@ def hll_distinct(
         *group_cols,
         F.expr(f"round({est}, 6)").alias("hll_estimate"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    seed_tag: str = "v1",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis
+    2006): each row draws a deterministic uniform u from
+    ``md5(seed_tag | id)`` and ranks by the exponential key
+    ``ln(u) / w`` — the top-k keys are EXACTLY a weight-proportional
+    sample without replacement, per stratum if ``strata_cols`` is
+    given. The token-budget sampler: weight by length and big docs are
+    drawn proportionally without ever grouping by weight.
+
+    Deterministic and mergeable like y42's uniform draw (membership is
+    a pure function of the id; rotating ``seed_tag`` reshuffles
+    atomically); distributed shape is the same single strata-keyed
+    window over map-side keys. Rows with NULL or non-positive weight
+    cannot be drawn and are excluded.
+
+    Exactness: u = (h + 1) / (2^60 + 1) is an exact rational in double
+    (h the 60-bit md5 int), ``ln(u) / w`` is one double expression, and
+    the ranking compares its ppb-quantized BIGINT (ties by id) — the
+    y49/y54 quantization pattern, value-exact cross-engine."""
+    strata = strata_cols or []
+    h = (
+        f"cast(conv(substring(md5(concat_ws('|', '{seed_tag}',"
+        f" cast({id_col} as string))), 1, 15), 16, 10) as bigint)"
+    )
+    key = (
+        f"cast(round((ln((cast({h} as double) + 1.0d)"
+        f" / 1152921504606846977.0d) / cast({weight_col} as double))"
+        " * 1000000000.0, 0) as bigint)"
+    )
+    w = Window.partitionBy(
+        *[F.col(c) for c in strata] if strata else [F.lit(1)]
+    ).orderBy(F.col("__key").desc(), F.col(id_col).asc())
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__key", F.expr(key))
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__key")
+    )

@@ -1111,3 +1111,65 @@ def bpe_encode(
         ).alias("fertility"),
         F.md5(F.concat_ws(" ", ordered_toks)).alias("tokens_md5"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 25,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information: top-k
+    adjacent token pairs by ``PMI = ln(c_xy * N / (c_x * c_y))`` among
+    pairs seen at least ``min_count`` times — the classic multi-word-
+    expression / boilerplate-phrase detector (high-PMI pairs are units;
+    a corpus whose top PMI list is navigation chrome needs cleaning).
+
+    Scale shape: one bigram explode + three combiner-friendly hash-aggs
+    (pair, unigram, total — the last two vocabulary-sized and broadcast
+    back); the final top-k is a TakeOrdered over the pair table. All
+    counts exact integers; the PMI argument ``(c_xy * N) / (c_x * c_y)``
+    is one exact-integer division in double, the PMI ppb-quantized for
+    the deterministic ranking and reported at 6 dp."""
+    bg = docs.select(
+        F.split(F.col(text_col), " ").alias("t")
+    ).select(
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, greatest(size(t) - 1, 1)),"
+                " i -> struct(element_at(t, i) as x,"
+                " element_at(t, i + 1) as y)),"
+                " p -> p.x != '' and p.y is not null and p.y != '')"
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    pair = bg.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cxy"))
+    ux = bg.groupBy("x").agg(F.count(F.lit(1)).alias("cx"))
+    uy = bg.groupBy("y").agg(F.count(F.lit(1)).alias("cy"))
+    n = bg.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        pair.filter(F.col("cxy") >= min_count)
+        .join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "__pmiq",
+            F.expr(
+                "cast(round(ln(cast(cxy * n as double)"
+                " / cast(cx * cy as double)) * 1000000000.0, 0)"
+                " as bigint)"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("__pmiq").desc(), F.col("x").asc(), F.col("y").asc()
+        )
+        .limit(k)
+        .select(
+            "x",
+            "y",
+            F.col("cxy").cast("bigint").alias("pair_count"),
+            F.round(F.col("__pmiq") / 1_000_000_000.0, 6).alias("pmi"),
+        )
+    )

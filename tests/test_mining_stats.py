@@ -463,3 +463,64 @@ def test_hll_registers_merge_as_max(spark):
         df.select(F.lit("u").alias("source"), "tok"), ["source"], "tok"
     ).collect()[0]
     assert one["hll_estimate"] == two["hll_estimate"]
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    """ES keys: a doc with 50x the weight must be drawn far more often
+    across seed rotations; k is exact per stratum; membership is a pure
+    function of (seed, id)."""
+    rows = [(0, "en", 5000)] + [(i, "en", 100) for i in range(1, 101)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    hits = 0
+    for seed in range(20):
+        got = {
+            r["doc_id"]
+            for r in curation.weighted_sample(
+                docs, k=5, weight_col="n_chars",
+                strata_cols=["lang"], seed_tag=f"s{seed}",
+            ).collect()
+        }
+        assert len(got) == 5
+        hits += 0 in got
+    # P(heavy doc in a uniform 5-of-101 sample) ~ 5%; weight 50x makes
+    # it near-certain (ES inclusion prob is weight-proportional)
+    assert hits >= 15
+    a = curation.weighted_sample(
+        docs, k=5, weight_col="n_chars", strata_cols=["lang"]
+    ).collect()
+    b = curation.weighted_sample(
+        docs, k=5, weight_col="n_chars", strata_cols=["lang"]
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # zero/NULL weights never drawn
+    z = spark.createDataFrame(
+        [(1, "en", 0), (2, "en", None), (3, "en", 10)],
+        "doc_id long, lang string, n_chars long",
+    )
+    zz = curation.weighted_sample(
+        z, k=5, weight_col="n_chars", strata_cols=["lang"]
+    ).collect()
+    assert [r["doc_id"] for r in zz] == [3]
+
+
+def test_pmi_collocations_closed_form(spark):
+    """Known corpus: 'new york' always adjacent -> PMI = ln(N/c_x) when
+    c_xy == c_x == c_y; a frequent-but-independent pair scores lower."""
+    import math
+
+    text_rows = [("new york " * 6 + "the cat " + "the dog " * 5).strip()]
+    docs = spark.createDataFrame(
+        [(1, text_rows[0])], "doc_id long, text string"
+    )
+    out = text.pmi_collocations(docs, min_count=5, k=10).collect()
+    by_pair = {(r["x"], r["y"]): r for r in out}
+    assert ("new", "york") in by_pair
+    ny = by_pair[("new", "york")]
+    assert ny["pair_count"] == 6
+    # replicate: pmi = round(quantized ln(cxy*N/(cx*cy)) / 1e9, 6)
+    total = len(text_rows[0].split(" ")) - 1
+    cxy, cx, cy = 6, 6, 6
+    exp = round(
+        int(round(math.log(cxy * total / (cx * cy)) * 1e9)) / 1e9, 6
+    )
+    assert ny["pmi"] == exp

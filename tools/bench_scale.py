@@ -169,6 +169,10 @@ EXCLUDED = {
         "register agg + constant grid; t01 curves the map-side scan "
         "(the exact_distinct comparison column is gate-scale reporting, "
         "not part of the sketch path)",
+    "y62_weighted_sample": "one strata-keyed window over map-side "
+        "keys — y42/q10's exact window shape",
+    "y63_pmi_collocations": "bigram explode + hash-aggs + "
+        "TakeOrdered; t06 curves the identical skeleton",
     "y57_oov_rate": "explode + hash-agg + broadcast left join + doc "
         "agg; t06 curves the identical skeleton",
 }
