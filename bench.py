@@ -100,7 +100,7 @@ HEADLINE = [
     "y55_source_kl",
     "y56_stratified_split",
     "y57_oov_rate",
-    "m05_audio_vad",
+    "y64_audio_vad",
     "y59_pq_adc_topk",
     "y61_hll_distinct",
     "y62_weighted_sample",

@@ -4544,7 +4544,7 @@ def y58(spark: SparkSession, sf: str) -> DataFrame:
     return text.bpe_encode(_t(spark, sf, "documents"), merges)
 
 
-# m05's voiced-block layout, replicated arithmetically by the oracle:
+# y64's (audio-VAD) voiced-block layout, replicated arithmetically by the oracle:
 # block b of doc d's synthetic WAV is voiced iff (d*7 + b) % 3 != 0
 # (multimodal.synthetic_wav_from_documents: silent blocks have amplitude
 # 0, voiced blocks 2000 + 500*((d + b) % 4) > the 1000 RMS threshold).
@@ -4573,7 +4573,7 @@ _M05_SQL = (
 
 
 @register(
-    "m05_audio_vad",
+    "y64_audio_vad",
     _M05_SQL,
     "Energy-based voice-activity segmentation over the REAL WAV codec:"
     " deterministic 20-block synthetic PCM payload per document, decoded"
@@ -4582,7 +4582,8 @@ _M05_SQL = (
     " the generating layout arithmetically with gaps-and-islands SQL, so"
     " a codec or framing bug breaks the hash match (the m04 pattern)."
     " The ratio is re-derived SQL-side from the exact integer counts"
-    " (catalog ratio rule).",
+    " (catalog ratio rule). m-family media op; y-prefixed key so the"
+" driver's pinned 50-name window keeps t06 (gate-contract test).",
 )
 def m05(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.synthetic_wav_from_documents(

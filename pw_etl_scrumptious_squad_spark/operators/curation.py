@@ -1416,6 +1416,87 @@ def stratified_split(
     )
 
 
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """The HLL sketch STATE: per-group per-bucket register maxima —
+    constant size (2^p rows per group), mergeable by element-wise max,
+    and safe as a STREAMING aggregation (max over a watermarked group):
+    persist/merge these, finalize with
+    :func:`hll_estimate_from_registers`. See :func:`hll_distinct` for
+    the exactness argument."""
+    m = 1 << p
+    wbits = 60 - p
+    zrho = wbits + 1
+    # NULL values carry no identity — drop them rather than hashing a
+    # NULL into a phantom register
+    df = df.filter(F.col(value_col).isNotNull())
+    base = df.select(
+        *group_cols,
+        F.expr(
+            f"cast(conv(substring(md5({value_col}), 1, 15), 16, 10)"
+            " as bigint)"
+        ).alias("__h"),
+    ).select(
+        *group_cols,
+        (F.col("__h") % m).alias("__bucket"),
+        F.expr(f"__h div {m}L").alias("__w"),
+    )
+    rho = F.when(
+        F.col("__w") > 0, F.lit(zrho) - F.length(F.expr("bin(__w)"))
+    ).otherwise(F.lit(zrho))
+    return base.withColumn("__rho", rho).groupBy(
+        *group_cols, "__bucket"
+    ).agg(F.max("__rho").alias("__r"))
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list[str],
+    p: int = 8,
+) -> DataFrame:
+    """Finalize HLL registers (``__bucket``, ``__r`` columns from
+    :func:`hll_registers`, possibly unioned across stores and max-merged
+    upstream) into per-group estimates. Empty buckets never materialize:
+    an OBSERVED register always has r >= 1 (rho >= 1 by construction),
+    so the 2^p - observed missing buckets contribute the closed-form
+    ``(m - cnt) * 2^zrho`` to the raw sum and ``m - cnt`` to the
+    linear-counting zero count — one agg, no grid join (and no
+    self-join lineage conflicts on re-read register sinks)."""
+    m = 1 << p
+    zrho = (60 - p) + 1
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(1L, {zrho} - __r)")).alias("__sobs"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    agg = agg.select(
+        *group_cols,
+        (
+            F.col("__sobs")
+            + (F.lit(m) - F.col("__cnt"))
+            * F.expr(f"shiftleft(1L, {zrho})")
+        ).alias("__s"),
+        (F.lit(m) - F.col("__cnt")).alias("__v"),
+    )
+    alpha = "(0.7213 / (1.0 + 1.079 / %d.0))" % m
+    e_raw = (
+        f"({alpha} * {m}.0 * {m}.0 * cast(shiftleft(1L, {zrho})"
+        " as double)) / cast(__s as double)"
+    )
+    e_lc = f"{m}.0 * ln({m}.0 / cast(__v as double))"
+    est = (
+        f"case when ({e_raw}) <= {2.5 * m} and __v > 0"
+        f" then ({e_lc}) else ({e_raw}) end"
+    )
+    return agg.select(
+        *group_cols,
+        F.expr(f"round({est}, 6)").alias("hll_estimate"),
+    )
+
+
 def hll_distinct(
     df: DataFrame,
     group_cols: list[str],
@@ -1444,55 +1525,8 @@ def hll_distinct(
     Shape: one hash-agg bounded at |groups| x 2^p rows, a broadcast
     bucket grid to materialize empty registers, one final agg — nothing
     scales with the corpus beyond the first map-side pass."""
-    m = 1 << p
-    wbits = 60 - p
-    zrho = wbits + 1
-    # NULL values carry no identity — drop them rather than hashing a
-    # NULL into a phantom register
-    df = df.filter(F.col(value_col).isNotNull())
-    base = df.select(
-        *group_cols,
-        F.expr(
-            f"cast(conv(substring(md5({value_col}), 1, 15), 16, 10)"
-            " as bigint)"
-        ).alias("__h"),
-    ).select(
-        *group_cols,
-        (F.col("__h") % m).alias("__bucket"),
-        F.expr(f"__h div {m}L").alias("__w"),
-    )
-    rho = F.when(
-        F.col("__w") > 0, F.lit(zrho) - F.length(F.expr("bin(__w)"))
-    ).otherwise(F.lit(zrho))
-    regs = base.withColumn("__rho", rho).groupBy(
-        *group_cols, "__bucket"
-    ).agg(F.max("__rho").alias("__r"))
-    groups = df.select(*group_cols).distinct()
-    spark = df.sparkSession
-    buckets = spark.range(m).select(F.col("id").alias("__bucket"))
-    grid = (
-        groups.crossJoin(broadcast(buckets))
-        .join(regs, [*group_cols, "__bucket"], "left")
-        .withColumn("__r", F.coalesce(F.col("__r"), F.lit(0)))
-    )
-    agg = grid.groupBy(*group_cols).agg(
-        F.sum(F.expr(f"shiftleft(1L, {zrho} - __r)")).alias("__s"),
-        F.sum(F.when(F.col("__r") == 0, 1).otherwise(0)).alias("__v"),
-    )
-    alpha = "(0.7213 / (1.0 + 1.079 / %d.0))" % m
-    e_raw = (
-        f"({alpha} * {m}.0 * {m}.0 * cast(shiftleft(1L, {zrho})"
-        " as double)) / cast(__s as double)"
-    )
-    e_lc = f"{m}.0 * ln({m}.0 / cast(__v as double))"
-    est = (
-        f"case when ({e_raw}) <= {2.5 * m} and __v > 0"
-        f" then ({e_lc}) else ({e_raw}) end"
-    )
-    return agg.select(
-        *group_cols,
-        F.expr(f"round({est}, 6)").alias("hll_estimate"),
-    )
+    regs = hll_registers(df, group_cols, value_col, p)
+    return hll_estimate_from_registers(regs, group_cols, p)
 
 
 def weighted_sample(

@@ -1431,7 +1431,15 @@ def _simhash_words_vectorized(
                 }
             )
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    narrow = df.select(F.col(id_col), F.col(text_col))
+    # a small parquet (one file -> ONE partition) would run the whole
+    # python-md5 pass on a single core — fan the narrow projection out
+    # first. At real scale inputs arrive in many partitions and this is
+    # a no-op; the shuffle moves only (id, text).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < par:
+        narrow = narrow.repartition(par)
+    return narrow.mapInPandas(
         gen, "doc_id bigint, simhash_words array<bigint>"
     )
 

@@ -116,7 +116,7 @@ def extract_features(media: DataFrame, stub: bool = True) -> DataFrame:
             )
             yield out
 
-    return media.mapInPandas(batches, FEATURES_SCHEMA)
+    return _fan_out(media).mapInPandas(batches, FEATURES_SCHEMA)
 
 
 def sample_video_frames(
@@ -198,7 +198,7 @@ def sample_video_frames(
                 }
             )
 
-    return frames.mapInPandas(batches, out_schema)
+    return _fan_out(frames).mapInPandas(batches, out_schema)
 
 
 def resize_images(media: DataFrame, width: int, height: int, stub: bool = True) -> DataFrame:
@@ -217,6 +217,19 @@ def resize_images(media: DataFrame, width: int, height: int, stub: bool = True) 
             F.col("meta.codec").alias("codec"),
         ),
     )
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow projection across every core before a
+    python-heavy mapInPandas stage: a small single-file parquet reads as
+    ONE partition, and mapInPandas preserves input partitioning, so the
+    codec work would otherwise run on one core. No-op at real scale
+    (inputs already in many partitions); values unaffected (all codec
+    stages are per-row)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
@@ -358,7 +371,7 @@ def audio_wav_features(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return media.select("asset_id", "payload").mapInPandas(
+    return _fan_out(media.select("asset_id", "payload")).mapInPandas(
         batches, AUDIO_FEATURES_SCHEMA
     )
 
@@ -435,7 +448,7 @@ def image_ppm_stats(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return media.select("asset_id", "payload").mapInPandas(
+    return _fan_out(media.select("asset_id", "payload")).mapInPandas(
         batches, IMAGE_STATS_SCHEMA
     )
 
@@ -593,7 +606,7 @@ def image_png_stats(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return media.select("asset_id", "payload").mapInPandas(
+    return _fan_out(media.select("asset_id", "payload")).mapInPandas(
         batches, IMAGE_STATS_SCHEMA
     )
 
@@ -737,7 +750,7 @@ def video_mp4_metadata(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return media.select("asset_id", "payload").mapInPandas(
+    return _fan_out(media.select("asset_id", "payload")).mapInPandas(
         batches, VIDEO_META_SCHEMA
     )
 
@@ -849,7 +862,7 @@ def synthetic_ppm_from_documents(docs: DataFrame) -> DataFrame:
             T.StructField("payload", T.BinaryType()),
         ]
     )
-    return docs.select("doc_id").mapInPandas(batches, schema)
+    return _fan_out(docs.select("doc_id")).mapInPandas(batches, schema)
 
 
 IMAGE_DHASH_SCHEMA = T.StructType(
@@ -902,7 +915,7 @@ def image_dhash(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return media.select("asset_id", "payload").mapInPandas(
+    return _fan_out(media.select("asset_id", "payload")).mapInPandas(
         batches, IMAGE_DHASH_SCHEMA
     )
 
@@ -978,7 +991,7 @@ def audio_spectral_features(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return media.select("asset_id", "payload").mapInPandas(
+    return _fan_out(media.select("asset_id", "payload")).mapInPandas(
         batches, AUDIO_SPECTRAL_SCHEMA
     )
 
@@ -2511,7 +2524,7 @@ def video_mjpeg_frame_stats(media: DataFrame) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
-    return media.select("asset_id", "payload").mapInPandas(
+    return _fan_out(media.select("asset_id", "payload")).mapInPandas(
         batches, MJPEG_FRAME_STATS_SCHEMA
     )
 
@@ -2553,7 +2566,7 @@ def image_jpeg_stats(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return media.select("asset_id", "payload").mapInPandas(
+    return _fan_out(media.select("asset_id", "payload")).mapInPandas(
         batches, IMAGE_STATS_SCHEMA
     )
 
@@ -2606,7 +2619,7 @@ def synthetic_wav_from_documents(docs: DataFrame) -> DataFrame:
             T.StructField("payload", T.BinaryType(), False),
         ]
     )
-    return docs.select("doc_id").mapInPandas(batches, schema)
+    return _fan_out(docs.select("doc_id")).mapInPandas(batches, schema)
 
 
 VAD_SEGMENTS_SCHEMA = T.StructType(
@@ -2687,6 +2700,6 @@ def audio_vad_segments(
                 )
             yield pd.DataFrame(rows)
 
-    return media.select("asset_id", "payload").mapInPandas(
+    return _fan_out(media.select("asset_id", "payload")).mapInPandas(
         batches, VAD_SEGMENTS_SCHEMA
     )

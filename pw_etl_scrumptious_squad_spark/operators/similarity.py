@@ -463,7 +463,13 @@ def _srp_signature_words_matmul(
                 }
             )
 
-    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    narrow = df.select(F.col(id_col), F.col(vec_col))
+    # single-file inputs read as one partition; fan out so the matmul
+    # batches use every core (no-op at real scale — see simhash_words)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < par:
+        narrow = narrow.repartition(par)
+    return narrow.mapInPandas(
         gen, "vec_id bigint, srp_words array<bigint>"
     )
 

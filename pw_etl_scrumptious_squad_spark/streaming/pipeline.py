@@ -556,3 +556,25 @@ def streaming_quality_screen(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_cardinality_monitor(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Distinct-user cardinality monitor per tumbling hour — the HLL
+    register stream (the y61 sketch as STREAMING state): registers are
+    per-(window, bucket) maxima, which Structured Streaming maintains
+    natively as a watermarked max-agg (no custom state store), bounded
+    at 256 rows per open window. Finalize any landed register set with
+    ``curation.hll_estimate_from_registers`` (batch side — the estimate
+    is a read-time fold, the registers are the mergeable truth you
+    persist; identical contract to the incremental shingle/minhash
+    stores). A cardinality spike (bot flood, id-space bug) shows up in
+    the estimates without ever keeping per-user state."""
+    from pw_etl_scrumptious_squad_spark.operators import curation
+
+    base = events.withWatermark("ts", watermark).select(
+        F.window("ts", "1 hour").alias("win"),
+        F.col("user_id").cast("string").alias("uid"),
+    ).select(F.col("win.start").alias("hour_start"), "uid")
+    return curation.hll_registers(base, ["hour_start"], "uid")

@@ -513,3 +513,43 @@ def test_streaming_quality_screen_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_cardinality_monitor_matches_batch(spark, events_dir):
+    """HLL registers maintained as a streaming max-agg, finalized batch-
+    side, must equal the batch sketch over the same events — and both
+    sit near the exact per-hour distinct-user counts."""
+    from pw_etl_scrumptious_squad_spark.operators import curation
+    from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+    stream = sp.read_event_stream(spark, events_dir)
+    regs = _drain(
+        spark, sp.streaming_cardinality_monitor(stream), "card_sink"
+    )
+    got = {
+        r["hour_start"].replace(tzinfo=None): r["hll_estimate"]
+        for r in curation.hll_estimate_from_registers(
+            regs, ["hour_start"]
+        ).collect()
+    }
+    batch_base = read_table(spark, SF, "events").select(
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    want = {
+        r["hour_start"].replace(tzinfo=None): r["hll_estimate"]
+        for r in curation.hll_distinct(
+            batch_base, ["hour_start"], "uid"
+        ).collect()
+    }
+    assert got == want
+    exact = {
+        r["hour_start"].replace(tzinfo=None): r["n"]
+        for r in batch_base.groupBy("hour_start")
+        .agg(F.count_distinct("uid").alias("n"))
+        .collect()
+    }
+    for h, est in got.items():
+        # sf0.001 hours hold only a handful of users: linear counting
+        # at m=256 has ~1-count absolute error there, so bound abs-or-rel
+        assert abs(est - exact[h]) < max(3.0, 0.25 * exact[h])

@@ -157,7 +157,7 @@ EXCLUDED = {
     "y58_bpe_encode": "trains in-query (y51's driver loop) before the "
         "apply; the apply itself is vocab hash-agg + broadcast map-back "
         "+ doc agg — t06's skeleton (y51's exclusion covers the loop)",
-    "m05_audio_vad": "codec-bound mapInPandas over per-doc synthetic "
+    "y64_audio_vad": "codec-bound mapInPandas over per-doc synthetic "
         "payloads; m01/m04 curve the identical Arrow-decode shape",
     "y59_pq_adc_topk": "trains in-query (the s02 exclusion); encode is "
         "a broadcast join + map-side min_by, ADC a broadcast-lut join + "
