@@ -766,20 +766,27 @@ def d06(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _md5_features_sql(seed_expr: str) -> str:
-    """DuckDB twin of multimodal._decode_media_stub: byte i of
-    md5(<seed>) / 255, computed in float32 then rounded at 6 dp and
-    serialized to a CSV string (gate contract: no array output columns)."""
+def _f6(expr: str) -> str:
+    """One CSV cell of a serialized ``array<float>`` feature vector: the
+    DuckDB twin of :func:`_fmt_double_array` over float32 storage —
+    compute in double, cast through FLOAT (matching the Arrow float32
+    column), round at 6 dp, fixed-point format. Feature formulas divide
+    only by ODD constants (255, 32767), so the exact rational can never
+    sit on a 6-dp half-way boundary and both engines' IEEE doubles round
+    identically."""
     return (
-        "array_to_string(list_transform(range(1, 17), i -> printf('%.6f',"
-        " ROUND(CAST(CAST("
-        f"CAST(concat('0x', substr(md5({seed_expr}), 2*i - 1, 2)) AS INTEGER)"
-        " / 255.0 AS FLOAT) AS DOUBLE), 6))), ',')"
+        f"printf('%.6f', ROUND(CAST(CAST(({expr}) AS FLOAT) AS DOUBLE), 6))"
     )
 
 
+def _f6csv(cells: list[str], pad_to: int = 16) -> str:
+    """concat_ws over :func:`_f6` cells, zero-padded to FEATURE_DIM."""
+    full = [_f6(c) for c in cells] + ["'0.000000'"] * (pad_to - len(cells))
+    return "concat_ws(',', " + ", ".join(full) + ")"
+
+
 def _fmt_double_array(col, digits: int = 6):
-    """Spark-side twin of the CSV serialization in :func:`_md5_features_sql`:
+    """Spark-side twin of the CSV serialization in :func:`_f6`:
     round each element, fixed-point format, join with commas."""
     fmt = f"%.{digits}f"
     return F.array_join(
@@ -791,49 +798,124 @@ def _fmt_double_array(col, digits: int = 6):
     )
 
 
+_M01_IMG_CSV = _f6csv(
+    ["36.0", "32.0", "3.0"]
+    + [f"{agg}{ch}/255.0" for ch in "rgb" for agg in ("min", "max")]
+    + [f"sum{ch}/255.0" for ch in "rgb"]
+)
+_M01_AUD_CSV = _f6csv(
+    [
+        "1000.0",
+        "1000.0",
+        "1.0",
+        "maxamp/32767.0",
+        "-maxamp/32767.0",
+        "sumabs/32767.0",
+        "CAST(nzero AS DOUBLE)",
+        "CAST(npos AS DOUBLE)",
+        "CAST(npos AS DOUBLE)",
+    ]
+)
+_M01_VID_CSV = _f6csv(
+    [
+        "CAST(nf AS DOUBLE)",
+        "16.0",
+        "16.0",
+        "CAST(nf * 1000 AS DOUBLE)",
+        "v0/255.0",
+        "vl/255.0",
+        "sumv/255.0",
+    ]
+)
+
+
 @register(
     "m01_media_features",
-    "SELECT doc_id AS asset_id,"
-    " CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"
-    " ELSE 'video' END AS media_type,"
-    " md5(text) AS payload_md5,"
-    " CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,"
-    + _md5_features_sql(
-        "concat(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'"
-        " WHEN 1 THEN 'audio' ELSE 'video' END, '|', text)"
-    )
-    + " AS features FROM documents ORDER BY asset_id",
-    "multimodal binary-column feature extraction: payload bytes through an"
-    " Arrow-batched mapInPandas decode (deterministic stub codec), checked"
-    " value-exact against the oracle's reimplementation of the stub",
+    "WITH img AS (SELECT doc_id,"
+    " MIN(CASE WHEN c = 0 THEN pv END) AS minr, MAX(CASE WHEN c = 0 THEN pv END) AS maxr,"
+    " MIN(CASE WHEN c = 1 THEN pv END) AS ming, MAX(CASE WHEN c = 1 THEN pv END) AS maxg,"
+    " MIN(CASE WHEN c = 2 THEN pv END) AS minb, MAX(CASE WHEN c = 2 THEN pv END) AS maxb,"
+    " SUM(CASE WHEN c = 0 THEN pv END) AS sumr, SUM(CASE WHEN c = 1 THEN pv END) AS sumg,"
+    " SUM(CASE WHEN c = 2 THEN pv END) AS sumb"
+    " FROM (SELECT d.doc_id, c.c AS c,"
+    " (d.doc_id*7 + x.x*3 + y.y*5 + c.c*11) % 256 AS pv"
+    " FROM documents d, range(0,36) x(x), range(0,32) y(y), range(0,3) c(c)"
+    " WHERE d.doc_id % 3 = 0) GROUP BY doc_id),"
+    " aud AS (SELECT doc_id, MAX(amp) AS maxamp,"
+    " SUM(CASE WHEN amp = 0 THEN 50 ELSE 0 END) AS nzero,"
+    " SUM(CASE WHEN amp > 0 THEN 25 ELSE 0 END) AS npos,"
+    " SUM(amp * 50) AS sumabs"
+    " FROM (SELECT d.doc_id, CASE WHEN (d.doc_id*7 + b.b) % 3 = 0 THEN 0"
+    " ELSE 2000 + 500*((d.doc_id + b.b) % 4) END AS amp"
+    " FROM documents d, range(0,20) b(b) WHERE d.doc_id % 3 = 1)"
+    " GROUP BY doc_id),"
+    " vid AS (SELECT doc_id, COUNT(*) AS nf, SUM(v) AS sumv,"
+    " MAX(CASE WHEN fi = 0 THEN v END) AS v0,"
+    " MAX(CASE WHEN fi = doc_id % 4 THEN v END) AS vl"
+    " FROM (SELECT d.doc_id, f.fi AS fi, (d.doc_id*13 + f.fi*37) % 256 AS v"
+    " FROM documents d, range(0,4) f(fi)"
+    " WHERE d.doc_id % 3 = 2 AND f.fi < 1 + d.doc_id % 4) GROUP BY doc_id)"
+    " SELECT doc_id AS asset_id, 'image' AS media_type, "
+    + _M01_IMG_CSV
+    + " AS features FROM img"
+    " UNION ALL SELECT doc_id, 'audio', " + _M01_AUD_CSV + " FROM aud"
+    " UNION ALL SELECT doc_id, 'video', " + _M01_VID_CSV + " FROM vid"
+    " ORDER BY asset_id",
+    "multimodal feature extraction through REAL in-repo codecs: genuine"
+    " P6 PPM / PCM WAV / MJPEG-in-MP4 payloads per document, decoded for"
+    " real (pixels, samples, per-frame JPEG) in an Arrow-batched"
+    " mapInPandas stage; the oracle replicates the generating formulas"
+    " and the decoded-stat arithmetic closed-form (m04/y64 pattern)",
 )
 def m01(spark: SparkSession, sf: str) -> DataFrame:
-    media = multimodal.media_from_documents(_t(spark, sf, "documents"))
-    feats = multimodal.extract_features(media, stub=True)
+    media = multimodal.synthetic_media_real_from_documents(
+        _t(spark, sf, "documents")
+    )
+    feats = multimodal.extract_features(media, stub=False)
     return feats.select(
         "asset_id",
         "media_type",
-        "payload_md5",
-        "n_bytes",
         _fmt_double_array(F.col("features")).alias("features"),
     )
 
 
+_M02_FRAME_CSV = _f6csv(
+    [
+        "16.0/4096.0",
+        "16.0/4096.0",
+        "gv/255.0",
+        "gv/255.0",
+        "gv/255.0",
+        "(0.299*gv + 0.587*gv + 0.114*gv)/255.0",
+        "0.0",
+        "gv/255.0",
+        "gv/255.0",
+    ]
+)
+
+
 @register(
     "m02_video_frames",
-    "WITH v AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 3 = 2),"
-    " fr AS (SELECT doc_id, text,"
-    " unnest(range(0, greatest((n_chars * 10) // 1000, 0))) AS fi FROM v)"
+    "WITH fr AS (SELECT d.doc_id, f.fi AS fi,"
+    " CAST((d.doc_id*13 + f.fi*37) % 256 AS DOUBLE) AS gv"
+    " FROM documents d, range(0,4) f(fi)"
+    " WHERE d.doc_id % 3 = 2 AND f.fi < 1 + d.doc_id % 4)"
     " SELECT doc_id AS asset_id, CAST(fi AS INTEGER) AS frame_idx,"
-    " CAST(fi * 1000 AS INTEGER) AS frame_ms,"
-    + _md5_features_sql("concat('video-frame|', text, CAST(fi AS VARCHAR))")
+    " CAST(fi * 1000 AS INTEGER) AS frame_ms, "
+    + _M02_FRAME_CSV
     + " AS frame_features FROM fr ORDER BY asset_id, frame_idx",
-    "multimodal video frame sampling (1 frame/sec from duration metadata)"
-    " via mapInPandas explode; stub frame decode, oracle-exact",
+    "video frame sampling with REAL per-frame decode: MJPEG-in-MP4 tracks"
+    " of constant-gray frames (DC quant step 1 at quality 97, so the JPEG"
+    " round-trip is bit-exact), sample-table walk picks the frame at each"
+    " 1 s timestamp, in-repo JPEG decoder produces the pixels; the oracle"
+    " replicates frame values and the feature float math closed-form",
 )
 def m02(spark: SparkSession, sf: str) -> DataFrame:
-    media = multimodal.media_from_documents(_t(spark, sf, "documents"))
-    frames = multimodal.sample_video_frames(media, every_ms=1000, stub=True)
+    docs = _t(spark, sf, "documents")
+    media = multimodal.synthetic_media_real_from_documents(
+        docs.filter(F.col("doc_id") % 3 == 2)
+    )
+    frames = multimodal.sample_video_frames(media, every_ms=1000, stub=False)
     return frames.select(
         "asset_id",
         "frame_idx",
@@ -1093,25 +1175,31 @@ def d07(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "m03_resize_images",
-    "SELECT doc_id AS asset_id, 'image' AS media_type,"
-    " CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,"
-    " 'stubcodec' AS codec,"
-    " CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes"
-    " FROM documents WHERE doc_id % 3 = 0 ORDER BY asset_id",
-    "image resize plumbing: metadata rewrite over the binary column"
-    " (payload untouched by the stub codec)",
+    # nearest-neighbor mapping for 36x32 -> 24x16: src_x = (x*36)//24,
+    # src_y = (y*32)//16 = 2y; resized pixel = generating formula at the
+    # mapped coordinates. n_bytes = 13-byte 'P6\\n24 16\\n255\\n' header
+    # + 24*16*3 pixel bytes = 1165.
+    "SELECT doc_id AS asset_id, CAST(24 AS INTEGER) AS width,"
+    " CAST(16 AS INTEGER) AS height, CAST(1165 AS INTEGER) AS n_bytes,"
+    " CAST(SUM(pv) AS BIGINT) AS px_sum,"
+    " CAST(MIN(pv) AS INTEGER) AS px_min, CAST(MAX(pv) AS INTEGER) AS px_max"
+    " FROM (SELECT d.doc_id,"
+    " (d.doc_id*7 + ((x.x*36)//24)*3 + ((y.y*32)//16)*5 + c.c*11) % 256 AS pv"
+    " FROM documents d, range(0,24) x(x), range(0,16) y(y), range(0,3) c(c)"
+    " WHERE d.doc_id % 3 = 0) GROUP BY doc_id ORDER BY asset_id",
+    "REAL image resize: decode genuine P6 PPM payloads, nearest-neighbor"
+    " resample 36x32 -> 24x16 with exact integer coordinate mapping,"
+    " re-encode, then re-decode the resized payload for integer pixel"
+    " stats; the oracle recomputes every resized pixel from the"
+    " generating formula composed with the NN mapping",
 )
 def m03(spark: SparkSession, sf: str) -> DataFrame:
-    media = multimodal.media_from_documents(_t(spark, sf, "documents"))
-    resized = multimodal.resize_images(media, 32, 24)
-    return resized.select(
-        "asset_id",
-        "media_type",
-        F.col("meta.width").alias("width"),
-        F.col("meta.height").alias("height"),
-        F.col("meta.codec").alias("codec"),
-        F.length("payload").cast("int").alias("n_bytes"),
+    docs = _t(spark, sf, "documents")
+    media = multimodal.synthetic_media_real_from_documents(
+        docs.filter(F.col("doc_id") % 3 == 0)
     )
+    resized = multimodal.resize_images(media, 24, 16, stub=False)
+    return multimodal.image_pixel_stats(resized)
 
 
 # ---------------------------------------------------------------------------
@@ -4202,16 +4290,20 @@ _Y51_MERGES = 24
     "Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): learn"
     " the 24 top adjacent-symbol merges over the word-frequency table"
     " (corpus touched once; every round runs on the vocabulary-sized"
-    " table — one bounded pair-count shuffle + a 1-row argmax collect"
-    " + a map-side greedy merge fold, no UDFs). Deterministic"
-    " tie-break: count desc, then lexicographic (left, right)."
+    " table — one bounded pair-count shuffle + a top-(m+1) argmax"
+    " collect + map-side greedy merge folds, no UDFs). Batched rounds"
+    " (batch_merges=8) apply up to 8 provably-independent merges per"
+    " driver round-trip — token-for-token equal to sequential training"
+    " (prefix-disjoint + strict-count guard; parity + fallback tests"
+    " in tests/test_bpe_entropy.py). Deterministic tie-break: count"
+    " desc, then lexicographic (left, right)."
     " y-prefix: past the gate window by design",
 )
 def y51(spark: SparkSession, sf: str) -> DataFrame:
     from pw_etl_scrumptious_squad_spark.operators import text
 
     return text.bpe_train(
-        _t(spark, sf, "documents"), num_merges=_Y51_MERGES
+        _t(spark, sf, "documents"), num_merges=_Y51_MERGES, batch_merges=8
     )
 
 
@@ -4689,7 +4781,7 @@ def _y59_oracle(sf_dir: str) -> str:
 @register(
     "y59_pq_adc_topk",
     _y59_oracle,  # data-dependent: trained PQ codebooks as literals
-    "Product-quantization ANN (Jegou et al. 2011): 8 subspaces x 16"
+    "Product-quantization ANN (Jegou et al. 2011): 8 subspaces x 64"
     " L2-trained centers compress each vector to 8 codes (37x memory"
     " cut — the 100 TB ANN memory side); queries stay uncompressed and"
     " score by asymmetric distance (per-subspace lookup tables, summed)."

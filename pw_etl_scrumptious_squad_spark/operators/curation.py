@@ -1376,8 +1376,11 @@ def stratified_split(
         "__n",
         (F.col("__n") * F.col("ppm")).alias("__share"),
     )
+    # `div` is exact integer division — `/` on longs is DOUBLE division,
+    # whose ulp exceeds the 1e-6 quota spacing once strata pass ~2^33
+    # rows, so the truncated base could drift off the oracle's `//` by 1
     shares = shares.withColumn(
-        "__base", (F.col("__share") / F.lit(1_000_000)).cast("bigint")
+        "__base", F.expr("__share div 1000000")
     ).withColumn("__rem", F.col("__share") % F.lit(1_000_000))
     ws = Window.partitionBy(*strata_cols)
     wr = Window.partitionBy(*strata_cols).orderBy(

@@ -2,12 +2,16 @@
 
 Media assets are opaque ``binary`` columns + typed metadata structs; all
 Spark-side machinery — schemas, partition-aware batch processing, Arrow
-transfer shapes, UDF signatures — is real and tested. The actual codec work
-(JPEG decode, audio resample, video frame extraction) needs native
-libraries that are NOT in this environment, so each codec call sits behind
-``_decode_media_stub``: a clearly-marked deterministic fake that derives
-"pixels"/"samples" from the md5 of the payload. Swapping the stub for
-Pillow/ffmpeg is a one-function change; nothing in the plan shape moves.
+transfer shapes, UDF signatures — is real and tested. Codec work is REAL
+for the container formats implemented from scratch in this module: PCM WAV,
+binary PPM, PNG (all five filters), baseline + progressive JPEG, ISO-BMFF
+MP4 box/sample-table walks, and MJPEG-in-MP4 frame decode; the gate
+entries m01-m04 run these real codecs end-to-end against arithmetic SQL
+oracles. What remains stubbed is inter-frame video decode (H.26x needs
+ffmpeg-class machinery): those paths raise loudly via
+``decode_unavailable``, and ``_decode_media_stub`` stays available as an
+explicitly-labeled deterministic fake for plumbing tests over arbitrary
+bytes.
 
 Scale design:
 - payloads never pass through Python row-at-a-time: ``mapInPandas``
@@ -92,9 +96,17 @@ def decode_unavailable(payload: bytes, media_type: str):
 def extract_features(media: DataFrame, stub: bool = True) -> DataFrame:
     """Decode + featurize media payloads via ``mapInPandas`` (Arrow batches,
     never per-row Python). Output feeds similarity.cosine_topk_bruteforce /
-    dedup on the ``features`` column."""
+    dedup on the ``features`` column.
 
-    decode = _decode_media_stub if stub else decode_unavailable
+    ``stub=False`` routes payloads through the REAL in-repo codecs by
+    container magic — ``P6`` PPM images (:func:`decode_ppm`), ``RIFF``
+    WAV audio (:func:`decode_wav_pcm`), ISO-BMFF MJPEG video
+    (:func:`decode_mp4_mjpeg_frames`) — and summarizes the decoded
+    pixels/samples as a FEATURE_DIM vector of exact stats (see
+    :func:`_image_features_real` and siblings). Unrecognized payloads
+    raise loudly via :func:`decode_unavailable`."""
+
+    decode = _decode_media_stub if stub else _decode_media_real
 
     def batches(parts: Iterator) -> Iterator:
         import pandas as pd
@@ -202,21 +214,59 @@ def sample_video_frames(
 
 
 def resize_images(media: DataFrame, width: int, height: int, stub: bool = True) -> DataFrame:
-    """Image resize plumbing: passes payloads through an Arrow-batched
-    transform and rewrites metadata to the target dimensions. The stub keeps
-    payload bytes unchanged (a real impl re-encodes via Pillow)."""
-    if not stub:
-        decode_unavailable(b"", "image")
+    """Image resize over the binary column. ``stub=True`` rewrites only the
+    metadata struct (payload untouched); ``stub=False`` is a REAL pixel
+    resample for PPM payloads: decode (:func:`decode_ppm`), nearest-neighbor
+    sample with the top-left-anchored integer mapping
+    ``src_x = (dst_x * src_w) // dst_w`` (exact integer arithmetic, so an
+    SQL oracle can replicate every output pixel), re-encode
+    (:func:`encode_ppm`). Arrow-batched ``mapInPandas``; one map stage, no
+    shuffle. Non-PPM payloads raise loudly."""
     images = media.filter(F.col("media_type") == "image")
-    return images.withColumn(
-        "meta",
-        F.struct(
-            F.lit(width).alias("width"),
-            F.lit(height).alias("height"),
-            F.col("meta.duration_ms").alias("duration_ms"),
-            F.col("meta.codec").alias("codec"),
-        ),
-    )
+    if stub:
+        return images.withColumn(
+            "meta",
+            F.struct(
+                F.lit(width).alias("width"),
+                F.lit(height).alias("height"),
+                F.col("meta.duration_ms").alias("duration_ms"),
+                F.col("meta.codec").alias("codec"),
+            ),
+        )
+
+    def batches(parts: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in parts:
+            rows = []
+            for aid, mt, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                p = bytes(payload)
+                if p[:2] != b"P6":
+                    decode_unavailable(p, "image")
+                img = decode_ppm(p)
+                sh, sw, _ = img.shape
+                sx = (np.arange(width) * sw) // width
+                sy = (np.arange(height) * sh) // height
+                out = img[sy[:, None], sx[None, :], :]
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "media_type": mt,
+                        "payload": encode_ppm(out),
+                        "meta": {
+                            "width": width,
+                            "height": height,
+                            "duration_ms": None,
+                            "codec": "ppm",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _fan_out(images).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
@@ -826,6 +876,23 @@ DHASH_IMG_W = DHASH_GRID_W * DHASH_BLOCK  # 36
 DHASH_IMG_H = DHASH_GRID_H * DHASH_BLOCK  # 32
 
 
+def _ppm_base_grid():
+    """The doc-independent part of the synthetic 36x32 pixel formula
+    ``(doc_id*7 + x*3 + y*5 + c*11) % 256`` — shared by
+    :func:`synthetic_ppm_from_documents` (m04) and
+    :func:`synthetic_media_real_from_documents` (m01/m03) so every
+    image entry agrees with the same SQL-replicable generator."""
+    import numpy as np
+
+    y, x, c = np.meshgrid(
+        np.arange(DHASH_IMG_H),
+        np.arange(DHASH_IMG_W),
+        np.arange(3),
+        indexing="ij",
+    )
+    return x * 3 + y * 5 + c * 11
+
+
 def synthetic_ppm_from_documents(docs: DataFrame) -> DataFrame:
     """Derive a deterministic 36x32 binary-PPM payload per document:
     pixel channel value = ``(doc_id*7 + x*3 + y*5 + c*11) % 256``. A
@@ -836,16 +903,9 @@ def synthetic_ppm_from_documents(docs: DataFrame) -> DataFrame:
     hashing pipeline are exercised end-to-end."""
 
     def batches(parts: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
-        y, x, c = np.meshgrid(
-            np.arange(DHASH_IMG_H),
-            np.arange(DHASH_IMG_W),
-            np.arange(3),
-            indexing="ij",
-        )
-        base = x * 3 + y * 5 + c * 11
+        base = _ppm_base_grid()
         for pdf in parts:
             rows = [
                 {
@@ -2702,4 +2762,241 @@ def audio_vad_segments(
 
     return _fan_out(media.select("asset_id", "payload")).mapInPandas(
         batches, VAD_SEGMENTS_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real-decode media features (m01/m02/m03 gate path). Every payload built by
+# synthetic_media_real_from_documents round-trips a REAL in-repo codec —
+# PPM pixels, PCM WAV samples, MJPEG-in-MP4 frames through the baseline
+# JPEG decoder — while the generating formulas stay closed-form so a SQL
+# oracle can replicate the decoded stats arithmetically (the m04/y64
+# pattern, reference intent: src/transform.py-level fidelity for media).
+# MJPEG frames are CONSTANT grayscale: at quality >= 96 the luma DC quant
+# step is 1, so the DCT round-trip is bit-exact (verified in tests), making
+# real lossy-codec output oracle-predictable.
+# ---------------------------------------------------------------------------
+
+MJPEG_FRAME_W = 16
+MJPEG_FRAME_H = 16
+MJPEG_QUALITY = 97  # luma DC quant step 1 -> constant frames decode exactly
+
+
+def _mjpeg_n_frames(doc_id: int) -> int:
+    """Frame count of the synthetic MJPEG track for ``doc_id``: 1..4."""
+    return 1 + doc_id % 4
+
+
+def _mjpeg_frame_value(doc_id: int, frame_idx: int) -> int:
+    """Constant gray value of synthetic frame ``frame_idx``: exact-integer
+    formula an SQL oracle replicates (``(doc_id*13 + frame_idx*37) % 256``)."""
+    return (doc_id * 13 + frame_idx * 37) % 256
+
+
+def _pad_features(feats: list) -> list:
+    return ([float(v) for v in feats] + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+
+
+def _image_features_real(payload: bytes) -> list:
+    """REAL image features from decoded PPM pixels: [w, h, channels,
+    min/255 and max/255 per channel, channel-sum/255 per channel, 0-pad].
+    All stats are exact-integer aggregates divided by the odd constant 255
+    (odd denominator => a 6-dp half-way rounding boundary is unreachable,
+    so the float32 CSV serialization matches any IEEE oracle engine)."""
+    import numpy as np
+
+    img = decode_ppm(payload).astype(np.int64)
+    h, w, _ = img.shape
+    mins = img.min(axis=(0, 1))
+    maxs = img.max(axis=(0, 1))
+    sums = img.sum(axis=(0, 1))
+    return _pad_features(
+        [w, h, 3.0]
+        + [v / 255.0 for pair in zip(mins, maxs) for v in pair]
+        + [s / 255.0 for s in sums]
+    )
+
+
+def _audio_features_real(payload: bytes) -> list:
+    """REAL audio features from decoded PCM samples: [sample_rate,
+    n_frames, n_channels, max/32767, min/32767, sum|x|/32767, n_zero,
+    n_pos, n_neg, 0-pad]. 32767 is odd, same boundary-safety argument as
+    :func:`_image_features_real`."""
+    import numpy as np
+
+    sr, x = decode_wav_pcm(payload)
+    flat = x.astype(np.int64).reshape(-1)
+    return _pad_features(
+        [
+            sr,
+            x.shape[0],
+            x.shape[1],
+            int(flat.max()) / 32767.0,
+            int(flat.min()) / 32767.0,
+            int(np.abs(flat).sum()) / 32767.0,
+            int((flat == 0).sum()),
+            int((flat > 0).sum()),
+            int((flat < 0).sum()),
+        ]
+    )
+
+
+def _video_features_real(payload: bytes) -> list:
+    """REAL video features: walk the MP4 sample table, decode EVERY frame
+    through the in-repo JPEG codec, summarize as [n_frames, w, h,
+    duration_ms, first_frame_mean/255, last_frame_mean/255,
+    sum_of_frame_means/255, 0-pad]. For the synthetic constant-gray MJPEG
+    tracks each frame mean is the exact encoded value (DC quant step 1)."""
+    import numpy as np
+
+    meta = parse_mp4_metadata(payload)
+    means = []
+    w = h = 0
+    for _idx, _ms, img in decode_mp4_mjpeg_frames(payload):
+        h, w = img.shape[0], img.shape[1]
+        means.append(float(img.astype(np.float64).mean()))
+    return _pad_features(
+        [
+            len(means),
+            w,
+            h,
+            meta["duration_ms"],
+            means[0] / 255.0,
+            means[-1] / 255.0,
+            sum(means) / 255.0,
+        ]
+    )
+
+
+def _decode_media_real(payload: bytes, media_type: str) -> list:
+    """Dispatch a payload to the matching REAL codec by container magic;
+    unknown containers raise loudly (no silent faking on the real path)."""
+    p = bytes(payload)
+    if p[:2] == b"P6":
+        return _image_features_real(p)
+    if p[:4] == b"RIFF":
+        return _audio_features_real(p)
+    if len(p) >= 12 and p[4:8] == b"ftyp":
+        return _video_features_real(p)
+    return decode_unavailable(p, media_type)
+
+
+def synthetic_media_real_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a mixed REAL-container media table from ``documents``:
+    doc_id % 3 == 0 -> the 36x32 P6 PPM of :func:`synthetic_ppm_from_documents`;
+    == 1 -> the 20-block PCM WAV of :func:`synthetic_wav_from_documents`;
+    == 2 -> an MJPEG-in-MP4 track of 1..4 constant-gray 16x16 frames at
+    1 fps, quality 97 (value formula :func:`_mjpeg_frame_value`). Every
+    payload is genuine container bytes a standard tool could read, and
+    every generating formula is closed-form for the SQL oracle."""
+
+    def batches(parts: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        base = _ppm_base_grid()
+        t = np.arange(VAD_N_BLOCKS * VAD_BLOCK_SAMPLES)
+        b = t // VAD_BLOCK_SAMPLES
+        sign = np.where(t % 2 == 0, 1, -1)
+        audio_ms = VAD_N_BLOCKS * VAD_BLOCK_SAMPLES * 1000 // VAD_SAMPLE_RATE
+        for pdf in parts:
+            rows = []
+            for aid in pdf["doc_id"]:
+                d = int(aid)
+                if d % 3 == 0:
+                    payload = encode_ppm((d * 7 + base) % 256)
+                    mt, meta = "image", {
+                        "width": DHASH_IMG_W,
+                        "height": DHASH_IMG_H,
+                        "duration_ms": None,
+                        "codec": "ppm",
+                    }
+                elif d % 3 == 1:
+                    amp = np.where(
+                        (d * 7 + b) % 3 == 0, 0, 2000 + 500 * ((d + b) % 4)
+                    )
+                    payload = encode_wav_pcm16(
+                        (sign * amp).astype("<i2"), VAD_SAMPLE_RATE
+                    )
+                    mt, meta = "audio", {
+                        "width": None,
+                        "height": None,
+                        "duration_ms": audio_ms,
+                        "codec": "pcm_s16le",
+                    }
+                else:
+                    nf = _mjpeg_n_frames(d)
+                    frames = [
+                        np.full(
+                            (MJPEG_FRAME_H, MJPEG_FRAME_W),
+                            _mjpeg_frame_value(d, i),
+                            dtype="u1",
+                        )
+                        for i in range(nf)
+                    ]
+                    payload = encode_mp4_mjpeg(
+                        frames, fps=1, quality=MJPEG_QUALITY
+                    )
+                    mt, meta = "video", {
+                        "width": MJPEG_FRAME_W,
+                        "height": MJPEG_FRAME_H,
+                        "duration_ms": nf * 1000,
+                        "codec": "jpeg",
+                    }
+                rows.append(
+                    {
+                        "asset_id": d,
+                        "media_type": mt,
+                        "payload": payload,
+                        "meta": meta,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _fan_out(docs.select("doc_id")).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+IMAGE_PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+    ]
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """Exact integer pixel stats from a REAL PPM decode — the verification
+    stage after a pixel transform (m03 pairs it with the real resample so
+    the oracle checks every resized pixel through sum/min/max). One
+    Arrow-batched map stage, no shuffle."""
+
+    def batches(parts: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in parts:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(payload)
+                img = decode_ppm(p).astype(np.int64)
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "width": img.shape[1],
+                        "height": img.shape[0],
+                        "n_bytes": len(p),
+                        "px_sum": int(img.sum()),
+                        "px_min": int(img.min()),
+                        "px_max": int(img.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _fan_out(media.select("asset_id", "payload")).mapInPandas(
+        batches, IMAGE_PIXEL_STATS_SCHEMA
     )

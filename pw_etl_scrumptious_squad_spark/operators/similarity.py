@@ -542,6 +542,25 @@ def probe_ivf_index(
     )
 
 
+def _require_integral_cols(df: DataFrame, cols: list[str], route: str) -> None:
+    """The matmul/IVF hard-negative routes pack ids and labels into int64
+    numpy arrays; a silent ``cast('long')`` of e.g. string labels would
+    yield NULLs (rows dropped, or a crash inside the Arrow stage) where
+    the expression tier still works. Fail loudly at plan time instead."""
+    from pyspark.sql import types as T
+
+    ok = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for c in cols:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, ok):
+            raise TypeError(
+                f"{route} requires integral id/label columns (the scale"
+                f" routes pack them into int64 arrays); column {c!r} is"
+                f" {dt.simpleString()} — use the expression tier"
+                " (n_rows_hint=None) or cast/re-key to integers first"
+            )
+
+
 def hard_negative_mining(
     corpus: DataFrame,
     k: int = 3,
@@ -575,7 +594,9 @@ def hard_negative_mining(
     candidate matrix (bounded: rows x dim x 8 B — ~100 MB at 200k x 64;
     beyond broadcast reach, mine within IVF probes via
     :func:`probe_ivf_index` instead, trading exactness for the ANN
-    recall curve).
+    recall curve). The scale tiers pack ids/labels into int64 arrays,
+    so they REQUIRE integral ``id_col``/``label_col`` (validated
+    loudly); the expression tier compares labels of any type.
     """
     if n_rows_hint is not None and n_rows_hint > max_exact_rows:
         return _hard_negative_matmul(corpus, k, id_col, vec_col, label_col)
@@ -677,6 +698,7 @@ def _hard_negative_matmul(
     import numpy as np
     import pandas as pd
 
+    _require_integral_cols(corpus, [id_col, label_col], "_hard_negative_matmul")
     cand_rows = (
         corpus.filter(
             F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
@@ -823,6 +845,7 @@ def hard_negatives_ivf(
     import numpy as np
     import pandas as pd
 
+    _require_integral_cols(corpus, [id_col, label_col], "hard_negatives_ivf")
     quant_v = F.expr(
         f"transform({vec_col}, x -> cast(floor(cast(x as double)"
         " * 1000000.0d + 0.5d) as bigint))"
@@ -1002,7 +1025,8 @@ def train_pq_codebooks(
     m x ksub rows, driver-tiny.
 
     PQ is the memory side of 100 TB ANN: a 64-dim float32 vector
-    (256 B) compresses to m 4-bit/8-bit codes (4-8 B here), so the
+    (256 B) compresses to m small codes (8 B at m=8 — y59 trains
+    8 subspaces x 64 centers, i.e. 6-bit codes stored as bytes), so the
     whole corpus's codes fit where raw vectors cannot, and scoring
     needs only code lookups (see :func:`pq_adc_topk`). Like IVF
     training, fit on a sample and encode the full corpus.

@@ -744,6 +744,8 @@ def bpe_train(
     num_merges: int = 30,
     min_pair_count: int = 2,
     checkpoint_every: int = 4,
+    batch_merges: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016,
     "Neural Machine Translation of Rare Words with Subword Units"):
@@ -775,6 +777,27 @@ def bpe_train(
     Training stops early when no pair reaches ``min_pair_count``
     (emitting fewer than ``num_merges`` rows), matching the reference
     implementation's convergence rule.
+
+    ``batch_merges=m`` learns up to ``m`` merges per driver round-trip
+    (the standard distributed-BPE trick: a 32k-merge run must not be
+    32k Spark jobs) while staying TOKEN-FOR-TOKEN equal to the
+    sequential algorithm. Soundness: collect the top ``m+1`` pairs in
+    argmax order; accept the maximal PREFIX that is mutually
+    symbol-disjoint (also rejecting any pair whose side string-equals
+    an earlier accepted pair's merged token — a pre-existing symbol
+    can collide with a new merge output); then keep only accepted
+    pairs whose count is STRICTLY greater than the first unaccepted
+    pair's count. Disjoint merges cannot change each other's counts
+    (a merge only destroys pairs touching its own symbols and creates
+    pairs containing its merged token, each bounded by an interacting
+    pair's old count — and every interacting pair ranks below the
+    accepted prefix), so each accepted pair is exactly the argmax the
+    sequential recount would produce, ties included (the strict-count
+    guard removes any pair a new/lex-earlier rival could tie).
+    Interaction-heavy corpora degrade gracefully to one merge per
+    round (the fallback the parity tests force). ``stats``, when
+    passed, records ``driver_rounds`` (argmax collects) and
+    ``single_merge_rounds``.
     """
     spark = docs.sparkSession
     words = (
@@ -801,38 +824,71 @@ def bpe_train(
         " (a, b) -> struct(a as l, b as r))"
     )
     learned: list[tuple] = []
-    for rank in range(num_merges):
-        best = (
+    driver_rounds = 0
+    single_rounds = 0
+    m = max(1, batch_merges)
+    while len(learned) < num_merges:
+        want = min(m, num_merges - len(learned))
+        top = (
             syms.select(F.explode(pair_expr).alias("p"), "freq")
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("c"))
             .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
+            .limit(want + 1)
             .collect()
         )
-        if not best or best[0]["c"] < min_pair_count:
+        driver_rounds += 1
+        if not top or top[0]["c"] < min_pair_count:
             break
-        left, right, count = best[0]["l"], best[0]["r"], int(best[0]["c"])
-        merged = left + right
-        learned.append((rank, left, right, merged, count))
-        lit_l, lit_r, lit_m = F.lit(left), F.lit(right), F.lit(merged)
-        syms = syms.select(
-            F.aggregate(
-                "s",
-                F.array().cast("array<string>"),
-                lambda acc, x: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == lit_l)
-                    & (x == lit_r),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(lit_m)
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
-            ).alias("s"),
-            "freq",
-        )
-        if (rank + 1) % checkpoint_every == 0:
-            syms = syms.transform(materialize)
+        # maximal rank-ordered prefix of mutually disjoint pairs (also
+        # guarding against a side string-equal to an accepted merge)
+        accepted = [top[0]]
+        used = {top[0]["l"], top[0]["r"], top[0]["l"] + top[0]["r"]}
+        stop_count = None
+        for row in top[1:]:
+            if (
+                len(accepted) >= want
+                or row["c"] < min_pair_count
+                or row["l"] in used
+                or row["r"] in used
+            ):
+                stop_count = int(row["c"])
+                break
+            accepted.append(row)
+            used |= {row["l"], row["r"], row["l"] + row["r"]}
+        # strict-count guard: a pair tying the first unaccepted pair's
+        # count could be overtaken (or lex-tied) by a merge-created pair
+        if stop_count is not None:
+            accepted = [accepted[0]] + [
+                r for r in accepted[1:] if int(r["c"]) > stop_count
+            ]
+        if len(accepted) == 1:
+            single_rounds += 1
+        for row in accepted:
+            left, right, count = row["l"], row["r"], int(row["c"])
+            merged = left + right
+            learned.append((len(learned), left, right, merged, count))
+            lit_l, lit_r, lit_m = F.lit(left), F.lit(right), F.lit(merged)
+            syms = syms.select(
+                F.aggregate(
+                    "s",
+                    F.array().cast("array<string>"),
+                    lambda acc, x: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == lit_l)
+                        & (x == lit_r),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1), F.array(lit_m)
+                        ),
+                    ).otherwise(F.concat(acc, F.array(x))),
+                ).alias("s"),
+                "freq",
+            )
+            if len(learned) % checkpoint_every == 0:
+                syms = syms.transform(materialize)
+    if stats is not None:
+        stats["driver_rounds"] = driver_rounds
+        stats["single_merge_rounds"] = single_rounds
     return spark.createDataFrame(
         learned,
         "rank INT, left STRING, right STRING, merged STRING,"

@@ -570,11 +570,21 @@ def streaming_cardinality_monitor(
     is a read-time fold, the registers are the mergeable truth you
     persist; identical contract to the incremental shingle/minhash
     stores). A cardinality spike (bot flood, id-space bug) shows up in
-    the estimates without ever keeping per-user state."""
+    the estimates without ever keeping per-user state.
+
+    The grouping keeps the ``window`` struct itself as a group column
+    through the max-agg (the hourly_rollup pattern) and extracts
+    ``win.start`` only AFTER the aggregation — grouping by a plain
+    extracted timestamp would detach the agg from the watermark, so
+    state could never be evicted and append-mode sinks would reject
+    the query."""
     from pw_etl_scrumptious_squad_spark.operators import curation
 
     base = events.withWatermark("ts", watermark).select(
         F.window("ts", "1 hour").alias("win"),
         F.col("user_id").cast("string").alias("uid"),
-    ).select(F.col("win.start").alias("hour_start"), "uid")
-    return curation.hll_registers(base, ["hour_start"], "uid")
+    )
+    regs = curation.hll_registers(base, ["win"], "uid")
+    return regs.select(
+        F.col("win.start").alias("hour_start"), "__bucket", "__r"
+    )

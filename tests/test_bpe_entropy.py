@@ -108,3 +108,95 @@ def test_char_entropy_closed_form(spark):
     assert rows[2]["entropy_nats"] == 1.386294  # ln 4
     assert rows[3]["n_distinct"] == 1
     assert rows[3]["entropy_nats"] == 0.0  # integer negation: never -0.0
+
+
+def test_bpe_train_batched_parity_and_round_trips(spark):
+    """batch_merges must be TOKEN-FOR-TOKEN equal to sequential training
+    on a disjoint-friendly corpus, while provably cutting driver
+    round-trips: driver_rounds <= single_merge_rounds +
+    ceil(num_merges / m)."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id LONG, text STRING"
+    )
+    stats: dict = {}
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in text.bpe_train(
+            docs, num_merges=12, checkpoint_every=3, batch_merges=4,
+            stats=stats,
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _ref_bpe(TEXTS, 12)
+    assert stats["driver_rounds"] <= stats["single_merge_rounds"] + math.ceil(
+        12 / 4
+    )
+    assert stats["driver_rounds"] < 12  # actually batched somewhere
+
+
+def test_bpe_train_batched_forces_fallback(spark):
+    """Interaction-heavy corpora must degrade to sequential semantics:
+    chained pairs (every top pair shares a symbol with the previous one)
+    and a symbol-collision corpus (a pre-existing 'ab' symbol colliding
+    with the (a,b)->'ab' merge output) both force the single-merge
+    fallback, and values still match the reference exactly."""
+    cases = [
+        # chained: (a,b) then (ab,c) then (abc,d)... every round interacts
+        ["abcd abcd abcd abcd", "abc abc", "ab ab"],
+        # overlap self-pair: aaaa... (a,a) -> (aa,aa) chains
+        ["aaaaaaaa aaaa aaaa", "aaaa aa"],
+        # merged-token/string collision plus ties
+        ["xy xy x y x y", "zx zy xz yz", "x y z xy"],
+    ]
+    for texts in cases:
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+        )
+        for m in (2, 4, 8):
+            stats: dict = {}
+            got = [
+                (r["rank"], r["left"], r["right"], r["merged"],
+                 r["pair_count"])
+                for r in text.bpe_train(
+                    docs, num_merges=10, batch_merges=m, stats=stats
+                )
+                .orderBy("rank")
+                .collect()
+            ]
+            assert got == _ref_bpe(texts, 10), (texts, m)
+
+
+def test_bpe_train_batched_randomized_parity(spark):
+    """Randomized corpora (seeded): batched == sequential == reference
+    for several batch sizes."""
+    import random
+
+    rng = random.Random(406)
+    alphabet = "abcdef"
+    for trial in range(4):
+        texts = [
+            " ".join(
+                "".join(
+                    rng.choice(alphabet)
+                    for _ in range(rng.randint(1, 6))
+                )
+                for _ in range(rng.randint(3, 12))
+            )
+            for _ in range(6)
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+        )
+        ref = _ref_bpe(texts, 15)
+        for m in (3, 7):
+            got = [
+                (r["rank"], r["left"], r["right"], r["merged"],
+                 r["pair_count"])
+                for r in text.bpe_train(docs, num_merges=15, batch_merges=m)
+                .orderBy("rank")
+                .collect()
+            ]
+            assert got == ref, (trial, m, texts)

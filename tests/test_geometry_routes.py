@@ -169,3 +169,27 @@ def test_embedding_neardup_degenerate_guard(spark):
             vecs, threshold=0.5, **kwargs
         ).collect()
         assert sorted((r["doc_a"], r["doc_b"]) for r in out) == [(0, 1)]
+
+
+def test_hard_negative_scale_routes_reject_non_integral_labels(spark):
+    """The matmul/IVF tiers pack ids/labels into int64 arrays; string
+    labels must fail LOUDLY at plan time (a silent cast('long') would
+    NULL them out and drop rows where the expression tier works)."""
+    import pytest
+
+    from pw_etl_scrumptious_squad_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, "en", [1.0, 0.0]), (2, "fr", [0.0, 1.0])],
+        "vec_id LONG, label STRING, embedding ARRAY<DOUBLE>",
+    )
+    with pytest.raises(TypeError, match="integral"):
+        similarity.hard_negative_mining(df, n_rows_hint=10**9)
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "centroid_id INT, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        similarity.hard_negatives_ivf(df, cent)
+    # the expression tier still handles string labels
+    rows = similarity.hard_negative_mining(df).collect()
+    assert {(r["query_id"], r["neg_id"]) for r in rows} == {(1, 2), (2, 1)}

@@ -691,3 +691,100 @@ def test_synthetic_wav_layout_matches_oracle_formula(spark):
         assert out[d]["n_voiced"] == sum(voiced)
         assert out[d]["n_segments"] == len(runs)
         assert out[d]["longest_voiced_frames"] == max(runs)
+
+
+def test_resize_images_real_pixel_resample(spark):
+    """stub=False resize is a REAL nearest-neighbor pixel resample:
+    decode P6, sample with src = (dst * src_dim) // dst_dim, re-encode.
+    Hand-built 4x4 image with unique pixel values -> exact 2x2 expectation."""
+    import numpy as np
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(mm.encode_ppm(img)), (4, 4, None, "ppm"))],
+        mm.MEDIA_SCHEMA,
+    )
+    out = mm.resize_images(media, 2, 2, stub=False).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["meta"]["width"], r["meta"]["height"]) == (2, 2)
+    dec = mm.decode_ppm(bytes(r["payload"]))
+    # NN mapping: dst (0,1) -> src (0,2) on both axes
+    exp = img[np.array([0, 2])[:, None], np.array([0, 2])[None, :], :]
+    assert (dec == exp).all()
+    # upscale is also exact: 4x4 -> 6x6 repeats source pixels
+    up = mm.resize_images(media, 6, 6, stub=False).collect()[0]
+    dec6 = mm.decode_ppm(bytes(up["payload"]))
+    sx = (np.arange(6) * 4) // 6
+    assert (dec6 == img[sx[:, None], sx[None, :], :]).all()
+
+
+def test_extract_features_real_mixed_media(spark):
+    """extract_features(stub=False) over the mixed REAL-container media
+    table: each type's features equal an independent numpy replication of
+    decode + stats (image PPM, audio WAV, video MJPEG-MP4)."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(d,) for d in range(9)], "doc_id LONG"
+    )
+    media = mm.synthetic_media_real_from_documents(docs)
+    got = {
+        r["asset_id"]: (r["media_type"], list(r["features"]))
+        for r in mm.extract_features(media, stub=False).collect()
+    }
+    assert len(got) == 9
+    base = mm._ppm_base_grid()
+    for d in range(9):
+        mt, feats = got[d]
+        if d % 3 == 0:
+            assert mt == "image"
+            img = (d * 7 + base) % 256
+            exp = [36.0, 32.0, 3.0]
+            for c in range(3):
+                exp += [img[:, :, c].min() / 255.0, img[:, :, c].max() / 255.0]
+            exp += [img[:, :, c].sum() / 255.0 for c in range(3)]
+        elif d % 3 == 1:
+            assert mt == "audio"
+            amps = [
+                0 if (d * 7 + b) % 3 == 0 else 2000 + 500 * ((d + b) % 4)
+                for b in range(20)
+            ]
+            mx = max(amps)
+            exp = [
+                1000.0, 1000.0, 1.0,
+                mx / 32767.0, -mx / 32767.0,
+                50 * sum(amps) / 32767.0,
+                50.0 * sum(1 for a in amps if a == 0),
+                25.0 * sum(1 for a in amps if a > 0),
+                25.0 * sum(1 for a in amps if a > 0),
+            ]
+        else:
+            assert mt == "video"
+            nf = 1 + d % 4
+            vs = [(d * 13 + i * 37) % 256 for i in range(nf)]
+            exp = [
+                float(nf), 16.0, 16.0, float(nf * 1000),
+                vs[0] / 255.0, vs[-1] / 255.0, sum(vs) / 255.0,
+            ]
+        exp = (exp + [0.0] * mm.FEATURE_DIM)[: mm.FEATURE_DIM]
+        assert feats == [np.float32(v) for v in exp], (d, feats, exp)
+
+
+def test_image_pixel_stats_exact(spark):
+    """image_pixel_stats re-decodes real PPM bytes to exact integer
+    aggregates (width/height/n_bytes/sum/min/max)."""
+    import numpy as np
+
+    img = np.array(
+        [[[0, 10, 20], [255, 1, 2]], [[7, 8, 9], [100, 110, 120]]],
+        dtype=np.uint8,
+    )
+    media = spark.createDataFrame(
+        [(5, bytearray(mm.encode_ppm(img)))], "asset_id LONG, payload BINARY"
+    )
+    r = mm.image_pixel_stats(media).collect()[0]
+    assert (r["width"], r["height"]) == (2, 2)
+    assert r["n_bytes"] == len(mm.encode_ppm(img))
+    assert r["px_sum"] == int(img.sum())
+    assert (r["px_min"], r["px_max"]) == (0, 255)

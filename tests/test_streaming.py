@@ -553,3 +553,40 @@ def test_streaming_cardinality_monitor_matches_batch(spark, events_dir):
         # sf0.001 hours hold only a handful of users: linear counting
         # at m=256 has ~1-count absolute error there, so bound abs-or-rel
         assert abs(est - exact[h]) < max(3.0, 0.25 * exact[h])
+
+
+def test_streaming_cardinality_monitor_append_mode(spark, events_dir):
+    """The monitor must be a WATERMARK-BOUND agg: grouping by the window
+    struct (not a plain extracted timestamp) is what lets Structured
+    Streaming evict state and accept an append-mode sink at all. Drain
+    in append mode — closed windows (window end <= final watermark) are
+    emitted and match the complete-mode registers; only trailing windows
+    still inside the 2 h watermark may be withheld."""
+    stream = sp.read_event_stream(spark, events_dir)
+    appended = _drain(
+        spark,
+        sp.streaming_cardinality_monitor(stream),
+        "card_append_sink",
+        mode="append",
+    )
+    got = {
+        (r["hour_start"], r["__bucket"]): r["__r"] for r in appended.collect()
+    }
+    stream2 = sp.read_event_stream(spark, events_dir)
+    full = {
+        (r["hour_start"], r["__bucket"]): r["__r"]
+        for r in _drain(
+            spark,
+            sp.streaming_cardinality_monitor(stream2),
+            "card_complete_sink",
+        ).collect()
+    }
+    assert got, "append-mode drain emitted no closed windows"
+    # every appended register equals its complete-mode twin
+    assert all(full[k] == v for k, v in got.items())
+    # everything older than (max hour - watermark) was emitted
+    import datetime
+
+    max_hour = max(h for h, _ in full)
+    closed = {k for k in full if k[0] <= max_hour - datetime.timedelta(hours=3)}
+    assert closed <= set(got)

@@ -14,6 +14,14 @@ pandas end-to-end:
   over all columns, sha256 the joined rows
 
 Usage: python tools/check_driver_sim.py [sf_dir] [query ...]
+       python tools/check_driver_sim.py --all [sf_dir]
+       python tools/check_driver_sim.py --sample N [sf_dir]
+
+``--sample N`` audits the self-certified surface: N entries drawn
+uniformly from the catalog names BEYOND the driver's first-50 window,
+seeded by the current git commit hash (deterministic per commit, varying
+across commits, so repeated rounds cover the whole tail without anyone
+choosing the sample).
 """
 
 from __future__ import annotations
@@ -63,10 +71,32 @@ def canon(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
+def _commit_seeded_sample(names: list[str], n: int) -> list[str]:
+    """Deterministic per-commit sample of the window-external catalog:
+    seed = current HEAD hash, so the sample is reproducible for a given
+    commit but rotates as the repo moves."""
+    import random
+    import subprocess
+
+    try:
+        head = subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], cwd="/root/repo", text=True
+        ).strip()
+    except Exception:  # noqa: BLE001 - outside a repo: fixed seed
+        head = "no-git"
+    rng = random.Random(head)
+    return sorted(rng.sample(names, min(n, len(names))))
+
+
 def main() -> None:
     argv = sys.argv[1:]
     run_all = "--all" in argv
     argv = [a for a in argv if a != "--all"]
+    sample_n = 0
+    if "--sample" in argv:
+        i = argv.index("--sample")
+        sample_n = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -100,7 +130,13 @@ def main() -> None:
     oracles = entrymod.oracle_sql(sf_dir)
     # the driver checks the first 50 names only; --all covers the extension
     # entries beyond the window with the same canonicalizer
-    window = sorted(qs) if run_all else sorted(qs)[:50]
+    if sample_n:
+        window = _commit_seeded_sample(sorted(qs)[50:], sample_n)
+        print(f"commit-seeded sample ({len(window)}): {' '.join(window)}")
+    elif run_all:
+        window = sorted(qs)
+    else:
+        window = sorted(qs)[:50]
     failures = []
     for name in window:
         if only and name not in only:
