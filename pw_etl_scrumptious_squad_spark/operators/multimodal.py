@@ -3000,3 +3000,365 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     return _fan_out(media.select("asset_id", "payload")).mapInPandas(
         batches, IMAGE_PIXEL_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# H.264 container metadata (NOT pixels). Inter-frame pixel decode stays a
+# loud NotImplementedError (ffmpeg-class machinery), but a curation
+# pipeline can still SCREEN H.264 assets — dimensions, profile/level,
+# frame count, duration — because all of that lives in the container:
+# the avcC box (ISO 14496-15 AVCDecoderConfigurationRecord) carries the
+# SPS, and the SPS (ITU-T H.264 §7.3.2.1.1) is plain Exp-Golomb bit
+# parsing, no codec work. Closed-form tested on hand-built SPS bitstreams.
+# ---------------------------------------------------------------------------
+
+
+def _strip_emulation_prevention(data: bytes) -> bytes:
+    """Remove H.264 emulation-prevention bytes: 00 00 03 -> 00 00."""
+    out = bytearray()
+    zeros = 0
+    for b in data:
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            continue  # drop the EP byte
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader with Exp-Golomb (ue/se) — the only machinery
+    SPS parsing needs."""
+
+    def __init__(self, data: bytes):
+        self._d = data
+        self._pos = 0
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self._d[self._pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self._pos & 7))) & 1)
+            self._pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.bits(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("malformed Exp-Golomb code")
+        return (1 << zeros) - 1 + (self.bits(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 == 1 else -(k // 2)
+
+
+def _skip_scaling_list(r: _BitReader, size: int) -> None:
+    last, nxt = 8, 8
+    for _ in range(size):
+        if nxt != 0:
+            nxt = (last + r.se() + 256) % 256
+        last = nxt if nxt != 0 else last
+
+
+_HIGH_PROFILES = frozenset(
+    (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+)
+
+
+def parse_h264_sps(nal: bytes) -> dict:
+    """Parse an H.264 sequence parameter set NAL unit (header byte
+    included, emulation-prevention bytes intact — the exact bytes the
+    avcC box stores) down to the screening fields: profile_idc,
+    level_idc, chroma_format_idc, coded + cropped dimensions,
+    frame_mbs_only_flag. Follows §7.3.2.1.1 field-for-field up to the
+    cropping window; VUI is not needed and not read."""
+    data = bytes(nal)
+    if not data or (data[0] & 0x1F) != 7:
+        raise ValueError("not an SPS NAL unit (nal_unit_type != 7)")
+    r = _BitReader(_strip_emulation_prevention(data[1:]))
+    profile_idc = r.bits(8)
+    r.bits(8)  # constraint flags + reserved
+    level_idc = r.bits(8)
+    r.ue()  # seq_parameter_set_id
+    chroma_format_idc = 1
+    separate_colour = 0
+    if profile_idc in _HIGH_PROFILES:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            separate_colour = r.bits(1)
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.bits(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.bits(1):  # seq_scaling_matrix_present_flag
+            n_lists = 8 if chroma_format_idc != 3 else 12
+            for i in range(n_lists):
+                if r.bits(1):
+                    _skip_scaling_list(r, 16 if i < 6 else 64)
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()
+    elif poc_type == 1:
+        r.bits(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.bits(1)  # gaps_in_frame_num_value_allowed_flag
+    pw = r.ue()
+    ph = r.ue()
+    fmof = r.bits(1)
+    if not fmof:
+        r.bits(1)  # mb_adaptive_frame_field_flag
+    r.bits(1)  # direct_8x8_inference_flag
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.bits(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    # CropUnit per §7.4.2.1.1: ChromaArrayType 0 (mono / separate
+    # planes) crops in luma samples; 4:2:0 halves both; 4:2:2 halves x
+    chroma_array = 0 if separate_colour else chroma_format_idc
+    sub_w = {0: 1, 1: 2, 2: 2, 3: 1}[chroma_array]
+    sub_h = {0: 1, 1: 2, 2: 1, 3: 1}[chroma_array]
+    crop_x = 1 if chroma_array == 0 else sub_w
+    crop_y = (1 if chroma_array == 0 else sub_h) * (2 - fmof)
+    coded_w = (pw + 1) * 16
+    coded_h = (2 - fmof) * (ph + 1) * 16
+    return {
+        "profile_idc": profile_idc,
+        "level_idc": level_idc,
+        "chroma_format_idc": chroma_format_idc,
+        "coded_width": coded_w,
+        "coded_height": coded_h,
+        "width": coded_w - crop_x * (crop_l + crop_r),
+        "height": coded_h - crop_y * (crop_t + crop_b),
+        "frame_mbs_only_flag": fmof,
+    }
+
+
+def parse_avcc(avcc: bytes) -> dict:
+    """Parse an AVCDecoderConfigurationRecord (the ``avcC`` box body,
+    ISO 14496-15 §5.3.3.1): version/profile/level, NAL length size, and
+    the embedded SPS/PPS sets; dimensions come from the first SPS."""
+    import struct
+
+    if len(avcc) < 7 or avcc[0] != 1:
+        raise ValueError("not an AVCDecoderConfigurationRecord")
+    out = {
+        "configuration_version": avcc[0],
+        "avc_profile_indication": avcc[1],
+        "profile_compatibility": avcc[2],
+        "avc_level_indication": avcc[3],
+        "nal_length_size": (avcc[4] & 0x3) + 1,
+    }
+    pos = 5
+    n_sps = avcc[pos] & 0x1F
+    pos += 1
+    sps_list = []
+    for _ in range(n_sps):
+        (ln,) = struct.unpack(">H", avcc[pos : pos + 2])
+        pos += 2
+        sps_list.append(avcc[pos : pos + ln])
+        pos += ln
+    n_pps = avcc[pos]
+    pos += 1
+    pps_list = []
+    for _ in range(n_pps):
+        (ln,) = struct.unpack(">H", avcc[pos : pos + 2])
+        pos += 2
+        pps_list.append(avcc[pos : pos + ln])
+        pos += ln
+    out["sps"] = sps_list
+    out["pps"] = pps_list
+    if sps_list:
+        out.update(parse_h264_sps(sps_list[0]))
+    return out
+
+
+def parse_mp4_avc_metadata(payload: bytes) -> dict:
+    """H.264 SCREENING metadata from an ISO-BMFF file: walk to the avc1
+    sample entry's ``avcC`` extension box, parse the SPS for true
+    (cropped) dimensions and profile/level, and combine with the sample
+    table for frame count / duration. Pixel decode of the samples stays
+    :func:`decode_unavailable` — this is the m01-tier metadata a
+    curation pipeline needs to size/route H.264 assets without decoding
+    them."""
+    import struct
+
+    info = parse_mp4_samples(payload)
+    if info["codec"] not in ("avc1", "avc2", "avc3", "avc4"):
+        raise ValueError(
+            f"not an H.264 track (sample entry {info['codec']!r})"
+        )
+    avcc_body = None
+    for tag, body, stop in _mp4_walk(payload, 0, len(payload)):
+        if tag != b"moov":
+            continue
+        stack = [(body, stop)]
+        while stack:
+            b0, s0 = stack.pop()
+            for t2, b2, s2 in _mp4_walk(payload, b0, s0):
+                if t2 in (b"trak", b"mdia", b"minf", b"stbl"):
+                    stack.append((b2, s2))
+                elif t2 == b"stsd":
+                    (count,) = struct.unpack(">I", payload[b2 + 4 : b2 + 8])
+                    entry_start = b2 + 8
+                    (esz,) = struct.unpack(
+                        ">I", payload[entry_start : entry_start + 4]
+                    )
+                    fmt = payload[entry_start + 4 : entry_start + 8]
+                    if fmt not in (b"avc1", b"avc2", b"avc3", b"avc4"):
+                        continue
+                    # extension boxes follow the 78-byte VisualSampleEntry
+                    # body (86 bytes including size+format)
+                    for t3, b3, s3 in _mp4_walk(
+                        payload, entry_start + 86, entry_start + esz
+                    ):
+                        if t3 == b"avcC":
+                            avcc_body = payload[b3:s3]
+    if avcc_body is None:
+        raise ValueError("avc1 sample entry carries no avcC box")
+    out = parse_avcc(avcc_body)
+    out["n_frames"] = len(info["sizes"])
+    out["duration_ms"] = parse_mp4_metadata(payload)["duration_ms"]
+    out["codec"] = info["codec"]
+    return out
+
+
+def encode_mp4_avc_skeleton(
+    sps: bytes,
+    pps: bytes,
+    n_frames: int,
+    fps: int = 25,
+    sample_size: int = 256,
+) -> bytes:
+    """Build a REAL ISO-BMFF skeleton with an ``avc1`` sample entry
+    wrapping the given SPS/PPS in an avcC box and an n_frames sample
+    table over placeholder mdat bytes — the test twin of
+    :func:`parse_mp4_avc_metadata` (sample PAYLOADS are not valid
+    H.264 slices; this is the metadata layer only, pixels stay behind
+    the loud stub)."""
+    import struct
+
+    meta = parse_h264_sps(sps)
+    w, h = meta["width"], meta["height"]
+    timescale = 1000
+    delta = timescale // fps
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    def full(tag: bytes, payload: bytes) -> bytes:
+        return box(tag, b"\x00\x00\x00\x00" + payload)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isomavc1")
+    mdat = box(b"mdat", b"\x00" * (sample_size * n_frames))
+    first_off = len(ftyp) + 8
+    avcc = (
+        bytes([1, meta["profile_idc"], 0, meta["level_idc"], 0xFF, 0xE1])
+        + struct.pack(">H", len(sps))
+        + sps
+        + bytes([1])
+        + struct.pack(">H", len(pps))
+        + pps
+    )
+    entry = (
+        struct.pack(">I4s", 86 + 8 + len(avcc), b"avc1")
+        + b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+        + box(b"avcC", avcc)
+    )
+    stsd = full(b"stsd", struct.pack(">I", 1) + entry)
+    stts = full(b"stts", struct.pack(">III", 1, n_frames, delta))
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, n_frames, 1))
+    stsz = full(b"stsz", struct.pack(">II", sample_size, n_frames))
+    stco = full(b"stco", struct.pack(">II", 1, first_off))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = box(b"vmhd", struct.pack(">B3BHHHH", 0, 0, 0, 1, 0, 0, 0, 0))
+    url_box = struct.pack(">I", 12) + b"url " + struct.pack(">B3B", 0, 0, 0, 1)
+    dref = full(b"dref", struct.pack(">I", 1) + url_box)
+    dinf = box(b"dinf", dref)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdhd = full(
+        b"mdhd",
+        struct.pack(">IIII", 0, 0, timescale, n_frames * delta)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = full(
+        b"hdlr", struct.pack(">I4s", 0, b"vide") + b"\x00" * 12 + b"avc\x00"
+    )
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, 1, 0)
+        + struct.pack(">I", n_frames * delta)
+        + b"\x00" * 52
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, n_frames * delta)
+        + b"\x00" * 80,
+    )
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+H264_SCREEN_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("codec", T.StringType()),
+        T.StructField("profile_idc", T.IntegerType()),
+        T.StructField("level_idc", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+
+def video_h264_screening(media: DataFrame) -> DataFrame:
+    """Screening metadata for H.264 assets (dimensions from the SPS,
+    profile/level, frame count, duration) — one Arrow-batched map
+    stage, no pixel decode. Non-AVC payloads raise loudly (route MJPEG
+    through the real decoder, others through the stub policy)."""
+
+    def batches(parts: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in parts:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                m = parse_mp4_avc_metadata(bytes(payload))
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "codec": m["codec"],
+                        "profile_idc": m["profile_idc"],
+                        "level_idc": m["level_idc"],
+                        "width": m["width"],
+                        "height": m["height"],
+                        "n_frames": m["n_frames"],
+                        "duration_ms": m["duration_ms"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _fan_out(media.select("asset_id", "payload")).mapInPandas(
+        batches, H264_SCREEN_SCHEMA
+    )
