@@ -2505,15 +2505,20 @@ def y25(spark: SparkSession, sf: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     quoted = ", ".join(f"'{w}'" for w in textops.ENGLISH_STOPWORDS)
     n_tok = F.size(toks)
+    # try_divide: empty / whitespace-only docs have zero chars or zero
+    # tokens — DuckDB's x/0 is NULL, ANSI Spark's is a crash
     qs = (
         0.4
-        * (
-            F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
-            / F.length("text")
+        * F.try_divide(
+            F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")),
+            F.length("text"),
         )
         + 0.3
-        * (F.expr(f"size(filter(split(text, ' '), t -> t IN ({quoted})))") / n_tok)
-        + 0.3 * (F.size(F.array_distinct(toks)) / n_tok)
+        * F.try_divide(
+            F.expr(f"size(filter(split(text, ' '), t -> t IN ({quoted})))"),
+            n_tok,
+        )
+        + 0.3 * F.try_divide(F.size(F.array_distinct(toks)), n_tok)
     )
     scored = d.select("doc_id", qs.alias("qs"))
     return (
@@ -4694,6 +4699,33 @@ def m05(spark: SparkSession, sf: str) -> DataFrame:
             9,
         ).alias("voiced_ratio"),
     )
+
+
+@register(
+    "y65_h264_screening",
+    # geometry formulas mirror synthetic_h264_from_documents: 4:2:0
+    # baseline SPS, CropUnitY = 2, timescale 1000 @ 25 fps => 40 ms/frame
+    "SELECT doc_id AS asset_id, 'avc1' AS codec,"
+    " CAST(66 AS INTEGER) AS profile_idc, CAST(31 AS INTEGER) AS level_idc,"
+    " CAST((20 + doc_id % 8) * 16 AS INTEGER) AS width,"
+    " CAST((12 + doc_id % 5) * 16 - 2 * (doc_id % 3) AS INTEGER) AS height,"
+    " CAST(1 + doc_id % 6 AS INTEGER) AS n_frames,"
+    " CAST((1 + doc_id % 6) * 40 AS INTEGER) AS duration_ms"
+    " FROM documents ORDER BY asset_id",
+    "H.264 asset SCREENING without pixel decode: real ISO-BMFF walk to"
+    " the avc1 sample entry's avcC record, real Exp-Golomb SPS parse"
+    " (profile/level, cropped dimensions), sample-table frame count and"
+    " mvhd duration — the metadata a curation pipeline needs to"
+    " size/route H.26x assets it cannot decode (pixel decode stays a"
+    " loud NotImplementedError). Payload geometry is formula-derived"
+    " per document, so the oracle recomputes every field closed-form"
+    " (the m04/y64 pattern). y-prefix: past the gate window by design",
+)
+def y65(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.synthetic_h264_from_documents(
+        _t(spark, sf, "documents")
+    )
+    return multimodal.video_h264_screening(media)
 
 
 _PQ_CODEBOOK_CACHE: dict[str, list[tuple[int, int, list[float]]]] = {}

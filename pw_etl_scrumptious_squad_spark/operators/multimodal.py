@@ -3362,3 +3362,105 @@ def video_h264_screening(media: DataFrame) -> DataFrame:
     return _fan_out(media.select("asset_id", "payload")).mapInPandas(
         batches, H264_SCREEN_SCHEMA
     )
+
+
+def encode_h264_sps(
+    pic_width_mbs_minus1: int,
+    pic_height_map_units_minus1: int,
+    frame_crop: tuple[int, int, int, int] | None = None,
+    profile_idc: int = 66,
+    level_idc: int = 31,
+) -> bytes:
+    """Build a REAL baseline-profile H.264 SPS NAL unit (§7.3.2.1.1
+    bit-for-bit: Exp-Golomb fields, RBSP stop bit, emulation-prevention
+    insertion) — the generator twin of :func:`parse_h264_sps`, used to
+    synthesize screening corpora whose dimensions an SQL oracle can
+    recompute closed-form."""
+    bits: list[int] = []
+
+    def u(n: int, v: int) -> None:
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    def ue(v: int) -> None:
+        code = v + 1
+        n = code.bit_length()
+        u(n - 1, 0)
+        u(n, code)
+
+    u(8, profile_idc)
+    u(8, 0)
+    u(8, level_idc)
+    ue(0)  # seq_parameter_set_id
+    ue(4)  # log2_max_frame_num_minus4
+    ue(0)  # pic_order_cnt_type 0
+    ue(4)  # log2_max_pic_order_cnt_lsb_minus4
+    ue(1)  # max_num_ref_frames
+    u(1, 0)  # gaps_in_frame_num_value_allowed_flag
+    ue(pic_width_mbs_minus1)
+    ue(pic_height_map_units_minus1)
+    u(1, 1)  # frame_mbs_only_flag
+    u(1, 1)  # direct_8x8_inference_flag
+    if frame_crop and any(frame_crop):
+        u(1, 1)
+        for c in frame_crop:
+            ue(c)
+    else:
+        u(1, 0)
+    u(1, 0)  # vui_parameters_present_flag
+    bits.append(1)  # rbsp_stop_one_bit
+    while len(bits) % 8:
+        bits.append(0)
+    raw = bytearray(
+        int("".join(map(str, bits[i : i + 8])), 2)
+        for i in range(0, len(bits), 8)
+    )
+    out = bytearray([0x67])  # nal_ref_idc=3, nal_unit_type=7 (SPS)
+    zeros = 0
+    for b in raw:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def synthetic_h264_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic H.264-in-MP4 SCREENING corpus from the
+    documents table: per doc, a real ISO-BMFF file whose avc1/avcC/SPS
+    carry formula-derived geometry — macroblock width ``20 + d%8``,
+    map-unit height ``12 + d%5``, bottom crop ``d%3`` (4:2:0 CropUnitY
+    = 2), ``1 + d%6`` frames at 25 fps — so the whole screening output
+    is closed-form for the oracle while the Spark side walks real boxes
+    and parses real SPS bits."""
+
+    def batches(parts: Iterator) -> Iterator:
+        import pandas as pd
+
+        pps = bytes([0x68, 0xCE, 0x38, 0x80])
+        for pdf in parts:
+            rows = []
+            for aid in pdf["doc_id"]:
+                d = int(aid)
+                sps = encode_h264_sps(
+                    19 + d % 8, 11 + d % 5, (0, 0, 0, d % 3)
+                )
+                rows.append(
+                    {
+                        "asset_id": d,
+                        "payload": encode_mp4_avc_skeleton(
+                            sps, pps, n_frames=1 + d % 6, fps=25,
+                            sample_size=64,
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return _fan_out(docs.select("doc_id")).mapInPandas(batches, schema)

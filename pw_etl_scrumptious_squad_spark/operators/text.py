@@ -78,6 +78,10 @@ def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     All ratios are exact-integer divisions evaluated in IEEE double (both
     engines agree bit-for-bit) and rounded to 9 places for stable hashing.
+    Empty / whitespace-only documents have zero tokens (or zero chars):
+    ``try_divide`` makes their ratios NULL — DuckDB's x/0 semantics — so
+    real crawl corpora (which always contain empty docs) flow through
+    instead of crashing the ANSI-mode division.
     """
     out = with_tokens(df, text_col)
     n_chars = F.length(text_col)
@@ -86,9 +90,9 @@ def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     quoted = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
     n_stop = F.expr(f"size(filter({_SQL_TOKS}, t -> t IN ({quoted})))")
     n_distinct = F.expr(f"size(array_distinct({_SQL_TOKS}))")
-    distinct_ratio = F.round(n_distinct / n_tokens, 9)
-    alpha_ratio = F.round(n_alpha / n_chars, 9)
-    stop_ratio = F.round(n_stop / n_tokens, 9)
+    distinct_ratio = F.round(F.try_divide(n_distinct, n_tokens), 9)
+    alpha_ratio = F.round(F.try_divide(n_alpha, n_chars), 9)
+    stop_ratio = F.round(F.try_divide(n_stop, n_tokens), 9)
     return (
         out.withColumn("n_tokens", n_tokens)
         .withColumn("n_alpha", n_alpha)
@@ -1192,9 +1196,13 @@ def pmi_collocations(
     ).select(
         F.explode(
             F.expr(
+                # try_element_at: a 1-token doc generates i=1 with no
+                # i+1 — ANSI element_at would THROW there, try_ yields
+                # the NULL the filter was written to drop (DuckDB's
+                # out-of-range list index semantics)
                 "filter(transform(sequence(1, greatest(size(t) - 1, 1)),"
                 " i -> struct(element_at(t, i) as x,"
-                " element_at(t, i + 1) as y)),"
+                " try_element_at(t, i + 1) as y)),"
                 " p -> p.x != '' and p.y is not null and p.y != '')"
             )
         ).alias("p")

@@ -965,3 +965,20 @@ def test_mp4_avc_metadata_end_to_end(spark):
     mjpeg = mm.encode_mp4_mjpeg([np.zeros((8, 8), dtype=np.uint8)])
     with pytest.raises(Exception, match="avc1|H.264|not an"):
         mm.parse_mp4_avc_metadata(mjpeg)
+
+
+def test_synthetic_h264_screening_formulas(spark):
+    """y65's generator/parser loop: every screening field equals the
+    closed-form geometry formula for a sample of doc ids."""
+    docs = spark.createDataFrame([(d,) for d in range(12)], "doc_id LONG")
+    media = mm.synthetic_h264_from_documents(docs)
+    got = {r["asset_id"]: r for r in mm.video_h264_screening(media).collect()}
+    assert len(got) == 12
+    for d in range(12):
+        r = got[d]
+        assert r["codec"] == "avc1"
+        assert r["profile_idc"] == 66 and r["level_idc"] == 31
+        assert r["width"] == (20 + d % 8) * 16
+        assert r["height"] == (12 + d % 5) * 16 - 2 * (d % 3)
+        assert r["n_frames"] == 1 + d % 6
+        assert r["duration_ms"] == (1 + d % 6) * 40

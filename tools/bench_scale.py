@@ -178,6 +178,38 @@ EXCLUDED = {
 }
 
 
+def zipf_documents(docs, n_docs: int, mean_cluster: int = 50):
+    """Derive a ZIPFIAN-CLUSTERED duplicate corpus from the size-scaled
+    documents table, pure column expressions (scales with the input):
+    cluster id k = floor(K^(u)) with u = doc_id/N uniform gives cluster
+    sizes ~ 1/k (Zipf s=1) — the head cluster holds ~ln2/lnK of the
+    corpus (tens of thousands of IDENTICAL docs at x100), the regime
+    where LSH buckets and hamming bands explode unless star-collapse /
+    identical-signature capping bounds them. 90% of a cluster is
+    byte-identical text; 10% carries one extra token (the near-dup band
+    path). Used by the op_*_zipf scale entries the round-6 verdict asked
+    for: the adversarial battery checks this shape at fixed size, these
+    curve it at x1/x10/x100."""
+    k_clusters = max(100, n_docs // mean_cluster)
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"cast(pow({k_clusters}, (doc_id % {n_docs}) / {n_docs})"
+            " as bigint)"
+        ).alias("__cl"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "concat(array_join(transform(sequence(1, 40),"
+            " j -> substring(md5(concat(cast(__cl as string), '-',"
+            " cast(j as string))), 1, 6)), ' '),"
+            " CASE WHEN doc_id % 10 = 0 THEN"
+            " concat(' ', substring(md5(cast(doc_id as string)), 1, 6))"
+            " ELSE '' END)"
+        ).alias("text"),
+    )
+
+
 def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
     """Scale-route operator battery: name -> thunk building the frame."""
     docs = lambda: read_table(spark, d, "documents")  # noqa: E731
@@ -252,6 +284,22 @@ def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
         # flops grow ~linearly; emitted scores stay exact-verified
         "op_hardneg_ivf": lambda: similarity.hard_negatives_ivf(
             emb(), size_cents(), k=3, n_probe=2,
+        ),
+        # SKEW stress (round-6 verdict item 7): the same wide-SimHash
+        # and LSH production tiers over a Zipfian-clustered duplicate
+        # corpus — head cluster ~7% of all docs byte-identical — to
+        # prove the identical-signature collapse / star caps hold the
+        # curve under skew, not just under uniform copies
+        "op_simhash_wide_zipf": lambda: dedup.hamming_near_pairs_words(
+            dedup.simhash_words(
+                zipf_documents(docs(), n_docs), "doc_id", "text", bits=128
+            ),
+            bits=128, bands=8, max_hamming=7,
+            sig_col="simhash_words", exact=False,
+        ),
+        "op_lsh_pairs_zipf": lambda: dedup.minhash_lsh_dedup(
+            zipf_documents(docs(), n_docs), "doc_id", "text",
+            num_perm=16, bands=8, threshold=0.5,
         ),
     }
 
