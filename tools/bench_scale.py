@@ -44,7 +44,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from pw_etl_scrumptious_squad_spark import catalog as catmod
-from pw_etl_scrumptious_squad_spark.operators import curation, dedup, similarity
+from pw_etl_scrumptious_squad_spark.operators import (
+    curation,
+    dedup,
+    similarity,
+    text,
+)
 from pw_etl_scrumptious_squad_spark.session import get_spark
 from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
 
@@ -83,9 +88,12 @@ CATALOG_QUERIES = [
 # Entries measured only up to a size. (Round-4 capped y31 at x10 because
 # its 16-bit exact-tier bands crossed the birthday bound at 500k docs;
 # the combinatorial piece-pair geometry removed that term, so y31 now
-# carries its own x100 point and the cap list is empty. Kept as a
-# mechanism for future entries.)
-MAX_SIZE: dict[str, int] = {}
+# carries its own x100 point and the cap list is empty for catalog
+# entries.) op_bpe_train_batched measures the batched driver loop's
+# x1/x10 point (round-6 verdict item 3): past x10 the synthetic corpus
+# stops growing the vocabulary, so larger sizes only re-measure the
+# word-freq scan that t01 already curves.
+MAX_SIZE: dict[str, int] = {"op_bpe_train_batched": 10}
 
 # Headline bench entries NOT in the curve, each with its exclusion
 # reason — a curve entry already measures the identical physical shape,
@@ -300,6 +308,13 @@ def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
         "op_lsh_pairs_zipf": lambda: dedup.minhash_lsh_dedup(
             zipf_documents(docs(), n_docs), "doc_id", "text",
             num_perm=16, bands=8, threshold=0.5,
+        ),
+        # batched BPE training (round-6 verdict item 3's x10 point):
+        # 24 merges at batch_merges=8 — the driver-loop count drops
+        # ~5x vs sequential while values stay token-identical (parity
+        # pinned in tests/test_bpe_entropy.py)
+        "op_bpe_train_batched": lambda: text.bpe_train(
+            docs(), num_merges=24, batch_merges=8
         ),
     }
 
