@@ -2259,20 +2259,28 @@ def decode_jpeg(payload: bytes):
 # codecs need ffmpeg-class machinery.
 
 
-def encode_mp4_mjpeg(frames, fps: int = 1, quality: int = 85) -> bytes:
+def encode_mp4_mjpeg(
+    frames, fps: int = 1, quality: int = 85, pre_encoded=None
+) -> bytes:
     """Encode a list of uint8 arrays (H x W grey or H x W x 3 RGB) as a
     REAL MJPEG-in-MP4: each frame a baseline JPEG sample in ``mdat``,
     with a full ``moov`` sample table (stsd 'jpeg' visual sample entry,
     stts/stsc/stsz/stco) so any MP4-aware reader can locate and decode
     the frames. The test-side inverse of
-    :func:`decode_mp4_mjpeg_frames`."""
+    :func:`decode_mp4_mjpeg_frames`. ``pre_encoded`` supplies
+    already-encoded JPEG bytes per frame (same length as ``frames``) so
+    generators that reuse frames across assets pay each encode once."""
     import struct
 
     import numpy as np
 
     if not frames:
         raise ValueError("need at least one frame")
-    jpegs = [encode_jpeg_baseline(f, quality=quality) for f in frames]
+    jpegs = (
+        list(pre_encoded)
+        if pre_encoded is not None
+        else [encode_jpeg_baseline(f, quality=quality) for f in frames]
+    )
     h, w = np.asarray(frames[0]).shape[:2]
     n = len(jpegs)
     timescale = 1000
@@ -2492,6 +2500,39 @@ def decode_mp4_mjpeg_frames(payload: bytes):
         )
 
 
+def _jpeg_frame_stats_cached(jpeg_bytes: bytes):
+    """Decode one JPEG sample and summarize: (h, w, (mr, mg, mb), std,
+    mn, mx). lru-cached by the exact sample bytes — MJPEG tracks (and
+    the synthetic constant-frame corpora especially) repeat identical
+    samples, so each distinct frame pays the pure-Python Huffman+IDCT
+    once per worker; bounded cache, arbitrary corpora stay safe."""
+    import numpy as np
+
+    img = decode_jpeg(jpeg_bytes).astype("f8")
+    rgb = np.repeat(img, 3, axis=2) if img.shape[2] == 1 else img[:, :, :3]
+    flat = rgb.reshape(-1, 3)
+    means = flat.mean(axis=0)
+    return (
+        img.shape[0],
+        img.shape[1],
+        (float(means[0]), float(means[1]), float(means[2])),
+        float(flat.std()),
+        float(flat.min()),
+        float(flat.max()),
+    )
+
+
+import functools  # noqa: E402  (decode caches below)
+
+_jpeg_frame_stats_cached = functools.lru_cache(maxsize=4096)(
+    _jpeg_frame_stats_cached
+)
+
+
+def _jpeg_stats(jpeg_bytes: bytes):
+    return _jpeg_frame_stats_cached(bytes(jpeg_bytes))
+
+
 def _mjpeg_frame_features(payload: bytes, frame_ms: int) -> list[float]:
     """Feature vector for the sampled frame at ``frame_ms`` of an
     MJPEG-in-MP4 payload: decode ONLY the latest frame whose timestamp
@@ -2510,21 +2551,18 @@ def _mjpeg_frame_features(payload: bytes, frame_ms: int) -> list[float]:
         if 1000.0 * t / ts <= frame_ms:
             pick = i
     off, sz = info["offsets"][pick], info["sizes"][pick]
-    img = decode_jpeg(payload[off : off + sz]).astype("f8")
-    rgb = np.repeat(img, 3, axis=2) if img.shape[2] == 1 else img[:, :, :3]
-    flat = rgb.reshape(-1, 3)
-    means = flat.mean(axis=0)
+    h, w, means, std, mn, mx = _jpeg_stats(payload[off : off + sz])
     luma = 0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2]
     feats = [
-        img.shape[1] / 4096.0,
-        img.shape[0] / 4096.0,
+        w / 4096.0,
+        h / 4096.0,
         means[0] / 255.0,
         means[1] / 255.0,
         means[2] / 255.0,
         luma / 255.0,
-        float(flat.std()) / 255.0,
-        float(flat.min()) / 255.0,
-        float(flat.max()) / 255.0,
+        std / 255.0,
+        mn / 255.0,
+        mx / 255.0,
     ]
     return (feats + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
 
@@ -2847,14 +2885,18 @@ def _video_features_real(payload: bytes) -> list:
     duration_ms, first_frame_mean/255, last_frame_mean/255,
     sum_of_frame_means/255, 0-pad]. For the synthetic constant-gray MJPEG
     tracks each frame mean is the exact encoded value (DC quant step 1)."""
-    import numpy as np
-
     meta = parse_mp4_metadata(payload)
+    info = parse_mp4_samples(payload)
+    if info["codec"] not in ("jpeg", "mjpa", "mjpg", "MJPG"):
+        return decode_unavailable(payload, "video")
     means = []
     w = h = 0
-    for _idx, _ms, img in decode_mp4_mjpeg_frames(payload):
-        h, w = img.shape[0], img.shape[1]
-        means.append(float(img.astype(np.float64).mean()))
+    for off, sz in zip(info["offsets"], info["sizes"]):
+        h, w, (mr, mg, mb), _std, _mn, _mx = _jpeg_stats(
+            payload[off : off + sz]
+        )
+        # grayscale mean == channel mean; RGB uses the channel average
+        means.append((mr + mg + mb) / 3.0)
     return _pad_features(
         [
             len(means),
@@ -2899,6 +2941,21 @@ def synthetic_media_real_from_documents(docs: DataFrame) -> DataFrame:
         b = t // VAD_BLOCK_SAMPLES
         sign = np.where(t % 2 == 0, 1, -1)
         audio_ms = VAD_N_BLOCKS * VAD_BLOCK_SAMPLES * 1000 // VAD_SAMPLE_RATE
+        # only 256 distinct constant-gray frames exist: encode each at
+        # most once per worker instead of ~2.5x per video asset
+        jpeg_by_value: dict[int, bytes] = {}
+        frame_by_value: dict[int, "np.ndarray"] = {}
+
+        def const_frame(v: int):
+            if v not in frame_by_value:
+                frame_by_value[v] = np.full(
+                    (MJPEG_FRAME_H, MJPEG_FRAME_W), v, dtype="u1"
+                )
+                jpeg_by_value[v] = encode_jpeg_baseline(
+                    frame_by_value[v], quality=MJPEG_QUALITY
+                )
+            return frame_by_value[v], jpeg_by_value[v]
+
         for pdf in parts:
             rows = []
             for aid in pdf["doc_id"]:
@@ -2926,16 +2983,15 @@ def synthetic_media_real_from_documents(docs: DataFrame) -> DataFrame:
                     }
                 else:
                     nf = _mjpeg_n_frames(d)
-                    frames = [
-                        np.full(
-                            (MJPEG_FRAME_H, MJPEG_FRAME_W),
-                            _mjpeg_frame_value(d, i),
-                            dtype="u1",
-                        )
+                    pairs = [
+                        const_frame(_mjpeg_frame_value(d, i))
                         for i in range(nf)
                     ]
                     payload = encode_mp4_mjpeg(
-                        frames, fps=1, quality=MJPEG_QUALITY
+                        [p[0] for p in pairs],
+                        fps=1,
+                        quality=MJPEG_QUALITY,
+                        pre_encoded=[p[1] for p in pairs],
                     )
                     mt, meta = "video", {
                         "width": MJPEG_FRAME_W,
