@@ -4728,6 +4728,58 @@ def y65(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.video_h264_screening(media)
 
 
+@register(
+    "y66_html_extract",
+    # closed-form inverse of html_from_documents + strip_html: the page
+    # adds 'Doc <id>' (h1) before the entity-escaped text and a literal
+    # ' & <tail>' after; extraction decodes entities and squeezes all
+    # whitespace, so expected == squeeze('Doc <id> ' || text || ' & <tail>')
+    "SELECT doc_id,"
+    " trim(regexp_replace('Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text"
+    " || ' & <tail>', '\\s+', ' ', 'g')) AS text_extracted,"
+    " CAST(length(trim(regexp_replace('Doc ' || CAST(doc_id AS VARCHAR)"
+    " || ' ' || text || ' & <tail>', '\\s+', ' ', 'g'))) AS INTEGER)"
+    " AS n_chars_extracted"
+    " FROM documents ORDER BY doc_id",
+    "REAL HTML boilerplate removal (the crawl-to-text extraction stage):"
+    " deterministic page per document (head/script/style/nav/footer/"
+    " comments around the entity-escaped text), then a pure-JVM regex"
+    " extractor drops boilerplate blocks, flattens tags, decodes"
+    " entities, squeezes whitespace. The oracle recomputes the expected"
+    " text from the generating formula, so any extractor bug (a script"
+    " body leaking, an entity mis-decoded) breaks the hash."
+    " y-prefix: past the gate window by design",
+)
+def y66(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import web
+
+    docs = _t(spark, sf, "documents")
+    return web.strip_html(web.html_from_documents(docs))
+
+
+@register(
+    "y67_url_canonicalize",
+    "SELECT doc_id,"
+    " 'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com/path/'"
+    " || CAST(doc_id AS VARCHAR) || '/?id=' || CAST(doc_id AS VARCHAR)"
+    " AS canonical_url,"
+    " 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain,"
+    " CAST(3 AS INTEGER) AS n_params_dropped"
+    " FROM documents ORDER BY doc_id",
+    "URL canonicalization for crawl dedup: lowercase scheme/host, strip"
+    " www., drop default ports and fragments, remove tracking params"
+    " (utm_*/ref/fbclid/gclid) and sort survivors — Spark parse_url +"
+    " array higher-order functions, no UDF. Messy URLs are"
+    " formula-derived per document so the oracle states the canonical"
+    " form closed-form. y-prefix: past the gate window by design",
+)
+def y67(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import web
+
+    docs = _t(spark, sf, "documents")
+    return web.canonicalize_urls(web.urls_from_documents(docs))
+
+
 _PQ_CODEBOOK_CACHE: dict[str, list[tuple[int, int, list[float]]]] = {}
 _Y59_M, _Y59_KSUB, _Y59_K = 8, 64, 5
 

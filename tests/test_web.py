@@ -1,0 +1,97 @@
+"""Web-crawl preprocessing: HTML boilerplate extraction and URL
+canonicalization edge cases the catalog's formula corpus can't force."""
+
+from pw_etl_scrumptious_squad_spark.operators import web
+
+
+def test_strip_html_drops_boilerplate_and_decodes_entities(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "<html><head><title>T</title><script>if(a<b){x='<p>no</p>'}"
+                "</script></head><body><nav>menu</nav><h1>Head</h1>"
+                "<p>alpha &amp; beta &lt;gamma&gt; &quot;q&quot; &#39;s&#39;"
+                "</p><aside>ad</aside><!-- note --><footer>foot</footer>"
+                "</body></html>",
+            ),
+            # unclosed tags + nested blocks + multiline whitespace
+            (2, "<body><p>one\n\n two</p><div>three<br>four</div></body>"),
+            # a script body containing an entity that must NOT leak
+            (3, "<script>var s='&amp;';</script><p>kept</p>"),
+        ],
+        "doc_id LONG, html STRING",
+    )
+    got = {r["doc_id"]: r for r in web.strip_html(df).collect()}
+    assert got[1]["text_extracted"] == "Head alpha & beta <gamma> \"q\" 's'"
+    assert got[2]["text_extracted"] == "one two three four"
+    assert got[3]["text_extracted"] == "kept"
+    assert got[2]["n_chars_extracted"] == len("one two three four")
+
+
+def test_strip_html_roundtrips_generated_pages(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "plain words"),
+            (1, "with & ampersand < less > greater"),
+            (2, ""),
+            (3, "  spaced   out  "),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: r["text_extracted"]
+        for r in web.strip_html(web.html_from_documents(docs)).collect()
+    }
+    assert got[0] == "Doc 0 plain words & <tail>"
+    assert got[1] == "Doc 1 with & ampersand < less > greater & <tail>"
+    assert got[2] == "Doc 2 & <tail>"
+    assert got[3] == "Doc 3 spaced out & <tail>"
+
+
+def test_canonicalize_urls_edge_cases(spark):
+    df = spark.createDataFrame(
+        [
+            # default https port + www + tracking + fragment
+            (1, "HTTPS://WWW.Ex.COM:443/a/?utm_source=x&id=1#f"),
+            # http with default port 80
+            (2, "http://ex.com:80/b?ref=z&b=2&a=1"),
+            # NON-default port must be kept
+            (3, "https://ex.com:8443/c?x=1"),
+            # no query at all
+            (4, "https://sub.ex.com/d"),
+            # params sorted, only tracking dropped
+            (5, "https://ex.com/e?z=9&utm_campaign=c&a=1&gclid=g"),
+        ],
+        "doc_id LONG, url STRING",
+    )
+    got = {r["doc_id"]: r for r in web.canonicalize_urls(df).collect()}
+    assert got[1]["canonical_url"] == "https://ex.com/a/?id=1"
+    assert got[1]["domain"] == "ex.com"
+    assert got[1]["n_params_dropped"] == 1
+    assert got[2]["canonical_url"] == "http://ex.com/b?a=1&b=2"
+    assert got[3]["canonical_url"] == "https://ex.com:8443/c?x=1"
+    assert got[4]["canonical_url"] == "https://sub.ex.com/d"
+    assert got[4]["n_params_dropped"] == 0
+    assert got[5]["canonical_url"] == "https://ex.com/e?a=1&z=9"
+    assert got[5]["n_params_dropped"] == 2
+
+
+def test_canonical_url_is_a_dedup_key(spark):
+    """The point of canonicalization: the same resource reached through
+    different tracking params / casing / ports collapses to one key."""
+    variants = [
+        (i, u)
+        for i, u in enumerate(
+            [
+                "https://www.ex.com/page?id=7&utm_source=a",
+                "HTTPS://EX.COM:443/page?utm_campaign=b&id=7",
+                "https://ex.com/page?id=7#section",
+            ]
+        )
+    ]
+    df = spark.createDataFrame(variants, "doc_id LONG, url STRING")
+    keys = {
+        r["canonical_url"] for r in web.canonicalize_urls(df).collect()
+    }
+    assert keys == {"https://ex.com/page?id=7"}
