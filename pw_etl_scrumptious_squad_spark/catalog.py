@@ -714,10 +714,16 @@ def d02(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "s01_cosine_topk",
-    "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),"
+    # norm-positive predicates mirror the operator's degenerate policy:
+    # NULL / zero-norm vectors sit on neither side
+    "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv"
+    " FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL"
+    " AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), v -> v*v)) > 0),"
     " scored AS (SELECT q.query_id, e.vec_id AS match_id,"
     " ROUND(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS cosine_sim"
-    " FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),"
+    " FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id"
+    " AND e.embedding IS NOT NULL"
+    " AND list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), v -> v*v)) > 0),"
     " ranked AS (SELECT query_id, match_id, cosine_sim,"
     " CAST(row_number() OVER (PARTITION BY query_id"
     " ORDER BY cosine_sim DESC, match_id) AS INTEGER) AS rank FROM scored)"

@@ -748,10 +748,14 @@ def t05(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "d06_embedding_neardup",
+    # norm-positive predicate = the operator's degenerate policy (zero
+    # vectors on neither side); without it DuckDB's x/0 NULLs crash
+    # list_dot_product outright
     "WITH u AS (SELECT vec_id, label,"
     " list_transform(CAST(embedding AS DOUBLE[]), x -> x /"
     " sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), v -> v*v), 'sum'))) AS uv"
-    " FROM embeddings)"
+    " FROM embeddings WHERE embedding IS NOT NULL AND"
+    " list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), v -> v*v), 'sum') > 0)"
     " SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,"
     " ROUND(list_dot_product(a.uv, b.uv), 6) AS cosine_sim"
     " FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id"

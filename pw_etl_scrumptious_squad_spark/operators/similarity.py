@@ -68,14 +68,28 @@ def cosine_topk_bruteforce(
     """
     # float32 storage, double math: cast up front so Spark's fold matches the
     # double-precision oracle (float32 products drift by whole ulps at 6 dp).
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("qn", norm("qv"))
-    c = corpus.select(
-        F.col(id_col).alias("match_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("cn", norm("cv"))
+    # NULL / zero-norm vectors have no defined direction: they participate
+    # on NEITHER side (the d06 degenerate-input policy; without the filter
+    # ANSI mode turns the norm division into a crash on real corpora,
+    # which always contain a zero embedding somewhere)
+    q = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn("qn", norm("qv"))
+        .filter(F.col("qn") > 0)
+    )
+    c = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("match_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .withColumn("cn", norm("cv"))
+        .filter(F.col("cn") > 0)
+    )
     scored = (
         c.crossJoin(broadcast(q))
         .filter(F.col("match_id") != F.col("query_id"))
