@@ -58,19 +58,28 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q12_json_extract",
-    "SELECT event_id, json_extract_string(props, '$.k') AS k_val,"
-    " array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,"
-    " CAST(len(json_keys(props)) AS INTEGER) AS n_keys,"
-    " CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,"
-    " coalesce(json_extract_string(props, '$.missing'), 'none') AS missing_or_none,"
+    # json_valid guards = Spark's tolerant semantics (get_json_object /
+    # from_json yield NULL on malformed JSON; DuckDB json_* THROW) — real
+    # event logs always contain garbage props, so NULL-through is the
+    # operator contract and the oracle must match it
+    "WITH ev AS (SELECT *, json_valid(props) AS ok FROM events)"
+    " SELECT event_id,"
+    " CASE WHEN ok THEN json_extract_string(props, '$.k') END AS k_val,"
+    # coalesce: DuckDB array_to_string([]) is NULL where Spark
+    # array_join([]) is '' — empty JSON objects must agree
+    " CASE WHEN ok THEN coalesce(array_to_string(list_sort(json_keys(props)), ','), '') END AS prop_keys,"
+    " CASE WHEN ok THEN CAST(len(json_keys(props)) AS INTEGER) END AS n_keys,"
+    " CASE WHEN ok THEN CAST(json_extract(props, '$.k') AS INTEGER) END AS k_int,"
+    " coalesce(CASE WHEN ok THEN json_extract_string(props, '$.missing') END, 'none') AS missing_or_none,"
     " nullif(event_type, 'view') AS type_unless_view,"
-    " CAST(json_extract_string(props, '$.missing') IS NULL AS BOOLEAN) AS is_missing,"
-    " CASE WHEN json_extract_string(props, '$.missing') IS NULL"
+    " CAST((CASE WHEN ok THEN json_extract_string(props, '$.missing') END) IS NULL AS BOOLEAN) AS is_missing,"
+    " CASE WHEN (CASE WHEN ok THEN json_extract_string(props, '$.missing') END) IS NULL"
     " THEN 'absent' ELSE 'present' END AS presence"
-    " FROM events ORDER BY event_id",
+    " FROM ev ORDER BY event_id",
     "JSON/map scalars (typed extraction, sorted keys as a CSV string, size)"
     " plus NULL-handling scalars (coalesce/nullif/IS NULL/CASE over a"
-    " genuinely-NULL extraction) — merged q12+q29+q30",
+    " genuinely-NULL extraction) — merged q12+q29+q30; malformed props"
+    " flow through as NULLs on both engines",
 )
 def q12(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
@@ -2815,12 +2824,16 @@ def z33(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "z34_variant_json",
+    # json_valid first: malformed props must DROP (try_parse_json yields
+    # a NULL variant Spark-side, and the k_val predicate removes it);
+    # DuckDB json_extract would throw without the guard
     "SELECT event_id,"
     " CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,"
     " CAST(json(props) AS VARCHAR) AS canon_json,"
     " CASE WHEN json_structure(props) = '{\"k\":\"UBIGINT\"}'"
     " THEN 'OBJECT<k: BIGINT>' END AS vschema"
-    " FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50"
+    " FROM events WHERE json_valid(props)"
+    " AND CAST(json_extract(props, '$.k') AS BIGINT) >= 50"
     " ORDER BY event_id",
     "semi-structured VARIANT ingestion (Spark 4): parse_json once into"
     " the shredded binary encoding, then typed variant_get extraction,"
@@ -2835,8 +2848,10 @@ def z33(spark: SparkSession, sf: str) -> DataFrame:
 )
 def z34(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
+    # try_parse_json: malformed props become a NULL variant (dropped by
+    # the k_val predicate) instead of failing the whole scan
     return (
-        e.selectExpr("event_id", "parse_json(props) AS v")
+        e.selectExpr("event_id", "try_parse_json(props) AS v")
         .selectExpr(
             "event_id",
             "variant_get(v, '$.k', 'bigint') AS k_val",
