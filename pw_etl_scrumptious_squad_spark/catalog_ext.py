@@ -103,7 +103,10 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q13_string_funcs",
     "SELECT c_custkey, upper(c_name) AS uname, substr(c_name, 1, 8) AS prefix8,"
-    " concat(c_mktsegment, '-', c_name) AS seg_name,"
+    # concat_ws matches Spark's NULL-skip semantics; DuckDB's concat()
+    # silently drops NULL args but KEEPS the separator ('SEG-'), which
+    # diverges on NULL names
+    " concat_ws('-', c_mktsegment, c_name) AS seg_name,"
     " CAST(length(c_name) AS INTEGER) AS name_len,"
     " replace(c_name, '0', 'O') AS o_for_zero,"
     " CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS lev_building,"
@@ -135,8 +138,10 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q14_math_funcs",
+    # positive guard: Spark ln(0) yields NULL, DuckDB ln(0) THROWS —
+    # zero-total orders exist in real ledgers
     "SELECT o_orderkey, sqrt(o_totalprice) AS sqrt_price,"
-    " ROUND(ln(o_totalprice), 4) AS ln_price,"
+    " CASE WHEN o_totalprice > 0 THEN ROUND(ln(o_totalprice), 4) END AS ln_price,"
     " CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,"
     " CAST(floor(o_totalprice) AS BIGINT) AS floor_price,"
     " CAST(o_orderkey % 7 AS BIGINT) AS key_mod7,"
@@ -1389,8 +1394,15 @@ def y05(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "y06_custom_udaf",
+    # CASE (not FILTER) guards the ln: DuckDB evaluates aggregate
+    # arguments for every row BEFORE the FILTER clause applies, so
+    # ln(0) would still throw — the CASE short-circuits per row.
+    # Mirrors geo_mean's positive-only domain; all-nonpositive -> NULL
     "SELECT o_orderpriority,"
-    " ROUND(exp(SUM(ROUND(ln(o_totalprice), 9)) / count(*)), 4) AS geo_mean_price,"
+    " ROUND(exp(SUM(CASE WHEN o_totalprice > 0"
+    " THEN ROUND(ln(o_totalprice), 9) END)"
+    " / count(CASE WHEN o_totalprice > 0 THEN 1 END)), 4)"
+    " AS geo_mean_price,"
     " CAST(count(*) AS BIGINT) AS n"
     " FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "custom aggregate via a GROUPED_AGG pandas UDF (Arrow-batched UDAF"
@@ -2277,8 +2289,16 @@ def y21(spark: SparkSession, sf: str) -> DataFrame:
             F.max("o_totalprice").alias("max_order"),
         )
 
+    # the split must be a PARTITION of the table: a plain >= filter
+    # silently drops NULL order dates from both sides (a real ledger's
+    # unknown-date rows would vanish from the rollup) — route NULLs to
+    # the delta so the merge still covers every group
     prev = partial(o.filter(F.col("o_orderdate") < split))
-    delta = partial(o.filter(F.col("o_orderdate") >= split))
+    delta = partial(
+        o.filter(
+            (F.col("o_orderdate") >= split) | F.col("o_orderdate").isNull()
+        )
+    )
     merged = curation.merge_aggregates(
         prev,
         delta,

@@ -16,8 +16,15 @@ from pyspark.sql.functions import pandas_udf
 def geo_mean(v: pd.Series) -> float:
     """Geometric mean, cross-engine-deterministic: per-element ln rounded
     to 9 dp, summed with exact math.fsum over sorted values (summation
-    order cannot diverge), then exp(sum/n)."""
-    vals = sorted(round(math.log(x), 9) for x in v)
+    order cannot diverge), then exp(sum/n). Defined over POSITIVE values
+    only — zero/negative/NULL elements are skipped (math.log would raise
+    mid-aggregation otherwise), and an all-nonpositive group yields
+    NULL."""
+    vals = sorted(
+        round(math.log(x), 9) for x in v if x is not None and x > 0
+    )
+    if not vals:
+        return None
     return math.exp(math.fsum(vals) / len(vals))
 
 
