@@ -4674,8 +4674,10 @@ def y57(spark: SparkSession, sf: str) -> DataFrame:
 def y58(spark: SparkSession, sf: str) -> DataFrame:
     from pw_etl_scrumptious_squad_spark.operators import text
 
+    # batched rounds (y51's setting): token-identical to sequential
+    # training, ~3x fewer driver round-trips for the in-query trainer
     merges = text.bpe_train(
-        _t(spark, sf, "documents"), num_merges=_Y51_MERGES
+        _t(spark, sf, "documents"), num_merges=_Y51_MERGES, batch_merges=8
     )
     return text.bpe_encode(_t(spark, sf, "documents"), merges)
 
