@@ -4821,6 +4821,60 @@ def y67(spark: SparkSession, sf: str) -> DataFrame:
     return web.canonicalize_urls(web.urls_from_documents(docs))
 
 
+@register(
+    "x03_crawl_pipeline",
+    # closed-form pipeline twin: extracted text = squeeze('Doc <id> ' ||
+    # text || ' & <tail>'); quality floor 30 chars; mirrors share
+    # m = doc_id % 100 (canonical https://example<m%7>.com/mirror/<m>/?id=<m>);
+    # keep the lowest doc_id per canonical URL
+    "WITH ex AS (SELECT doc_id,"
+    " length(trim(regexp_replace('Doc ' || CAST(doc_id AS VARCHAR) || ' '"
+    " || text || ' & <tail>', '\\s+', ' ', 'g'))) AS n FROM documents),"
+    " q AS (SELECT doc_id, n, doc_id % 100 AS m FROM ex WHERE n >= 30),"
+    " g AS (SELECT doc_id, n, m,"
+    " row_number() OVER (PARTITION BY m ORDER BY doc_id) AS rk,"
+    " count(*) OVER (PARTITION BY m) AS n_mirrors FROM q)"
+    " SELECT doc_id,"
+    " 'https://example' || CAST(m % 7 AS VARCHAR) || '.com/mirror/'"
+    " || CAST(m AS VARCHAR) || '/?id=' || CAST(m AS VARCHAR)"
+    " AS canonical_url,"
+    " CAST(n AS INTEGER) AS n_chars_extracted,"
+    " CAST(n_mirrors AS INTEGER) AS n_mirrors"
+    " FROM g WHERE rk = 1 ORDER BY doc_id",
+    "END-TO-END crawl ingestion pipeline (the stage every training"
+    " corpus passes first): real HTML boilerplate extraction (y66's"
+    " regex chain) -> quality floor on extracted length -> URL"
+    " canonicalization (y67) -> URL-level dedup keeping the"
+    " first-crawled doc per canonical URL, with mirror counts. One"
+    " corpus scan, all map-side until the single canonical-URL window"
+    " shuffle — the plan shape a 100 TB crawl run needs. Mirrored-URL"
+    " corpus is formula-derived, so the oracle recomputes the whole"
+    " pipeline closed-form. x-prefix: past the gate window by design",
+)
+def x03(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import web
+
+    docs = _t(spark, sf, "documents")
+    rec = web.crawl_records_from_documents(docs, mirror_groups=100)
+    ext = web.strip_html(rec, keep=("url",))
+    kept = ext.filter(F.col("n_chars_extracted") >= 30)
+    canon = web.canonicalize_urls(kept, keep=("n_chars_extracted",))
+    w = Window.partitionBy("canonical_url")
+    return (
+        canon.withColumn(
+            "n_mirrors", F.count(F.lit(1)).over(w).cast("int")
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("canonical_url").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select("doc_id", "canonical_url", "n_chars_extracted", "n_mirrors")
+    )
+
+
 _PQ_CODEBOOK_CACHE: dict[str, list[tuple[int, int, list[float]]]] = {}
 _Y59_M, _Y59_KSUB, _Y59_K = 8, 64, 5
 

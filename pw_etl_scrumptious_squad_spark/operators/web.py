@@ -67,7 +67,9 @@ def _decode_entities(col: Column) -> Column:
     return F.regexp_replace(out, "&amp;", "&")
 
 
-def strip_html(df: DataFrame, html_col: str = "html") -> DataFrame:
+def strip_html(
+    df: DataFrame, html_col: str = "html", keep: tuple = ()
+) -> DataFrame:
     """REAL HTML text extraction (trafilatura-class boilerplate removal,
     regex tier): drop head/script/style/nav/footer/header/aside blocks
     and comments, flatten remaining tags to whitespace, decode the
@@ -77,7 +79,8 @@ def strip_html(df: DataFrame, html_col: str = "html") -> DataFrame:
     Order matters: block drops BEFORE the generic tag strip (a
     ``<script>`` body may contain literal ``<p>`` markup that must die
     with its block, not leak into the text), entity decode AFTER tag
-    removal (decoded ``<`` must not look like markup)."""
+    removal (decoded ``<`` must not look like markup). ``keep`` names
+    extra input columns to carry through (pipeline composition)."""
     e = F.regexp_replace(F.col(html_col), _HTML_HEAD_DROP, " ")
     e = F.regexp_replace(e, _HTML_BLOCK_DROP, " ")
     e = F.regexp_replace(e, _HTML_COMMENT_DROP, " ")
@@ -86,6 +89,7 @@ def strip_html(df: DataFrame, html_col: str = "html") -> DataFrame:
     e = F.trim(F.regexp_replace(e, r"\s+", " "))
     return df.select(
         "doc_id",
+        *keep,
         e.alias("text_extracted"),
         F.length(e).cast("int").alias("n_chars_extracted"),
     )
@@ -113,7 +117,9 @@ def urls_from_documents(docs: DataFrame) -> DataFrame:
 _TRACKING_PREFIXES = ("utm_", "ref=", "fbclid=", "gclid=", "mc_eid=")
 
 
-def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", keep: tuple = ()
+) -> DataFrame:
     """URL canonicalization for crawl dedup (the URL-level dedup key
     every pipeline computes before any content hash): lowercase
     scheme/host, strip a ``www.`` prefix, drop default ports (80/443),
@@ -161,9 +167,59 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
     return out.select(
         "doc_id",
+        *keep,
         canonical.alias("canonical_url"),
         host.alias("domain"),
         (F.size("__params") - F.size("__kept"))
         .cast("int")
         .alias("n_params_dropped"),
     )
+
+
+def crawl_records_from_documents(
+    docs: DataFrame, mirror_groups: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """One synthetic crawl record per document — (doc_id, url, html) in a
+    SINGLE projection (no joins): the HTML page of
+    :func:`html_from_documents` plus a messy MIRRORED url. Mirroring:
+    ``m = doc_id % mirror_groups`` keys host/path/id, so every group of
+    ~corpus/m docs shares one canonical URL while carrying doc-unique
+    tracking params — the repost/mirror pattern URL-level dedup exists
+    for. Closed-form canonical:
+    ``https://example<m%7>.com/mirror/<m>/?id=<m>``."""
+    m = (F.col("doc_id") % mirror_groups).cast("string")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"),
+        ((F.col("doc_id") % mirror_groups) % 7).cast("string"),
+        F.lit(".COM:443/mirror/"),
+        m,
+        F.lit("/?utm_source=s"),
+        F.col("doc_id").cast("string"),
+        F.lit("&id="),
+        m,
+        F.lit("&ref=r"),
+        F.col("doc_id").cast("string"),
+        F.lit("#frag"),
+    )
+    escaped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
+    html = F.concat(
+        F.lit(
+            "<html><head><title>Ignore Me</title>"
+            '<script type="text/javascript">var x = "<p>not text</p>";'
+            "</script><style>.c{color:red}</style></head><body>"
+            "<nav>Home | About | Contact</nav>"
+            "<!-- build 1234 --><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        escaped,
+        F.lit(" &amp; &lt;tail&gt;</p><footer>(c) example.com</footer>"
+              "</body></html>"),
+    )
+    return docs.select("doc_id", url.alias("url"), html.alias("html"))
