@@ -81,6 +81,7 @@ CATALOG_QUERIES = [
                                # piece-pair geometry past ~60k docs)
     "y14_incremental_neardup", # store+batch incremental LSH
     "x02_fineweb_pipeline",    # staged curation pipeline
+    "x03_crawl_pipeline",      # extraction->quality->URL-dedup, 1 shuffle
     "y52_char_entropy",        # per-char explode + alphabet-bounded agg
     "y54_zipf_slope",          # corpus explode + vocab-sized window
 ]
