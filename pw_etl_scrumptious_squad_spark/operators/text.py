@@ -802,6 +802,22 @@ def bpe_train(
     round (the fallback the parity tests force). ``stats``, when
     passed, records ``driver_rounds`` (argmax collects) and
     ``single_merge_rounds``.
+
+    SELF-OVERLAP batch-breaker: the bound "every merge-created pair is
+    bounded by an interacting pair's old count, and interacting pairs
+    rank below the accepted prefix" fails when an accepted pair has
+    ``left == right``. Merging ``(a,a)->aa`` over a symbol RUN creates
+    ``(aa,aa)`` / ``(aa,a)`` pairs bounded by the accepted pair's OWN
+    count — above ``stop_count`` — so a sequential recount could rank
+    them ahead of any later same-batch acceptance (repro: words
+    ``'aaaaaa'`` freq 10 give ``(a,a)=50`` and post-merge
+    ``(aa,aa)=20``, overtaking a disjoint ``(x,y)=15``). A pair with
+    ``left == right`` therefore BREAKS the batch: as ``top[0]`` it is
+    accepted alone (the unconditional argmax — safe); mid-batch it is
+    rejected like a conflicting pair (it becomes next round's
+    ``top[0]``) and its count feeds the strict-count tie guard, since
+    even accepting-then-stopping would let a merge-created rival tie
+    its count and win the lexicographic tiebreak sequentially.
     """
     spark = docs.sparkSession
     words = (
@@ -849,17 +865,24 @@ def bpe_train(
         accepted = [top[0]]
         used = {top[0]["l"], top[0]["r"], top[0]["l"] + top[0]["r"]}
         stop_count = None
-        for row in top[1:]:
-            if (
-                len(accepted) >= want
-                or row["c"] < min_pair_count
-                or row["l"] in used
-                or row["r"] in used
-            ):
-                stop_count = int(row["c"])
-                break
-            accepted.append(row)
-            used |= {row["l"], row["r"], row["l"] + row["r"]}
+        if top[0]["l"] != top[0]["r"]:  # self-overlap ends the batch
+            for row in top[1:]:
+                if (
+                    len(accepted) >= want
+                    or row["c"] < min_pair_count
+                    or row["l"] in used
+                    or row["r"] in used
+                    # a mid-batch self-overlapping pair is REJECTED, not
+                    # accepted-then-stop: a rival created by an earlier
+                    # accepted merge can TIE its count and win the lex
+                    # tiebreak in a sequential recount, so it is only
+                    # safe as next round's unconditional top[0]
+                    or row["l"] == row["r"]
+                ):
+                    stop_count = int(row["c"])
+                    break
+                accepted.append(row)
+                used |= {row["l"], row["r"], row["l"] + row["r"]}
         # strict-count guard: a pair tying the first unaccepted pair's
         # count could be overtaken (or lex-tied) by a merge-created pair
         if stop_count is not None:

@@ -22,6 +22,13 @@ from pyspark.sql import functions as F
 
 # blocks whose CONTENT is boilerplate, not text: dropped whole
 _HTML_BLOCK_DROP = r"(?is)<(script|style|nav|footer|header|aside)\b[^>]*>.*?</\1>"
+# fallback: an UNCLOSED boilerplate open tag (real crawl HTML, not the
+# synthetic generator) would otherwise leak its entire body through the
+# generic tag strip; matched blocks are gone by the time this runs, so
+# anything still matching an open tag has no closer — drop to EOF
+_HTML_BLOCK_DROP_UNCLOSED = (
+    r"(?is)<(script|style|nav|footer|header|aside)\b[^>]*>.*$"
+)
 _HTML_HEAD_DROP = r"(?is)<head\b[^>]*>.*?</head>"
 _HTML_COMMENT_DROP = r"(?s)<!--.*?-->"
 _HTML_TAG = r"(?s)<[^>]+>"
@@ -80,9 +87,21 @@ def strip_html(
     ``<script>`` body may contain literal ``<p>`` markup that must die
     with its block, not leak into the text), entity decode AFTER tag
     removal (decoded ``<`` must not look like markup). ``keep`` names
-    extra input columns to carry through (pipeline composition)."""
+    extra input columns to carry through (pipeline composition).
+
+    Known leak modes on malformed crawl HTML (regex tier, documented):
+    an UNCLOSED script/style/nav/... tag drops everything from the open
+    tag to end-of-document (the fallback pass — conservative: prefers
+    losing tail text over leaking script bodies into training data); a
+    NESTED same-tag block (``<nav><nav>..</nav>..</nav>``) closes at
+    the first ``</nav>``, so the outer tail leaks as text until the
+    generic strip; a bare ``<`` in unescaped text swallows content up
+    to the next ``>`` via the generic tag regex. A DOM-building parser
+    tier would fix all three; regex is the deliberate JVM-codegen
+    trade-off here."""
     e = F.regexp_replace(F.col(html_col), _HTML_HEAD_DROP, " ")
     e = F.regexp_replace(e, _HTML_BLOCK_DROP, " ")
+    e = F.regexp_replace(e, _HTML_BLOCK_DROP_UNCLOSED, " ")
     e = F.regexp_replace(e, _HTML_COMMENT_DROP, " ")
     e = F.regexp_replace(e, _HTML_TAG, " ")
     e = _decode_entities(e)
@@ -114,6 +133,9 @@ def urls_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", url.alias("url"))
 
 
+# literal PREFIX matches via startswith — never SQL LIKE, whose '_' is
+# a single-char wildcard ('utm_%' would also drop 'utma=1'/'utmz=...',
+# wrongly merging genuinely different URLs into one canonical form)
 _TRACKING_PREFIXES = ("utm_", "ref=", "fbclid=", "gclid=", "mc_eid=")
 
 
@@ -148,7 +170,7 @@ def canonicalize_urls(
         query.isNull() | (query == ""), F.array().cast("array<string>")
     ).otherwise(F.split(query, "&"))
     drop_cond = " OR ".join(
-        f"p LIKE '{pref}%'" for pref in _TRACKING_PREFIXES
+        f"startswith(p, '{pref}')" for pref in _TRACKING_PREFIXES
     )
     kept = F.expr(
         f"array_sort(filter(__params, p -> NOT ({drop_cond})))"

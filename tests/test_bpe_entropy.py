@@ -150,6 +150,18 @@ def test_bpe_train_batched_forces_fallback(spark):
         ["aaaaaaaa aaaa aaaa", "aaaa aa"],
         # merged-token/string collision plus ties
         ["xy xy x y x y", "zx zy xz yz", "x y z xy"],
+        # SELF-OVERLAP + disjoint mid-count pair (the round-6 advice
+        # repro): 'aaaaaa' freq 10 gives (a,a)=50 and, post-merge,
+        # (aa,aa)=20; the disjoint (x,y)=15 sits strictly between the
+        # strict-count stop (10, from (y,</w>)) and 20, so a batched
+        # round that accepts (x,y) alongside (a,a) would order it
+        # ahead of (aa,aa) — sequential picks (aa,aa) first. The
+        # self-overlap batch-breaker must force (a,a) to merge alone.
+        [
+            " ".join(["aaaaaa"] * 10),
+            " ".join(["xy"] * 10),
+            " ".join(["xyw"] * 5),
+        ],
     ]
     for texts in cases:
         docs = spark.createDataFrame(

@@ -49,6 +49,53 @@ def test_strip_html_roundtrips_generated_pages(spark):
     assert got[3] == "Doc 3 spaced out & <tail>"
 
 
+def test_strip_html_unclosed_block_does_not_leak(spark):
+    """Round-6 advice: an unclosed script/style/nav tag must not leak
+    its body through the generic tag strip — the fallback pass drops
+    from the orphan open tag to end-of-document (conservative: tail
+    text after the orphan is sacrificed, script bodies never leak)."""
+    df = spark.createDataFrame(
+        [
+            (1, "<p>keep</p><script>var leak = 'SECRET';"),
+            (2, "<p>a</p><style>.x{color:red}\nbody{leak}"),
+            (3, "<p>pre</p><nav>menu without close <p>lost tail</p>"),
+            # closed block followed by an orphan: both die
+            (4, "<script>x</script><p>mid</p><script>var y='LEAK2'"),
+        ],
+        "doc_id LONG, html STRING",
+    )
+    got = {r["doc_id"]: r["text_extracted"] for r in web.strip_html(df).collect()}
+    assert got[1] == "keep"
+    assert got[2] == "a"
+    assert got[3] == "pre"
+    assert got[4] == "mid"
+
+
+def test_tracking_filter_underscore_is_literal(spark):
+    """Round-6 advice: 'utm_' must match literally — SQL LIKE's '_'
+    single-char wildcard would also drop utma/utmz/mcXeid params,
+    wrongly merging distinct URLs into one canonical form."""
+    df = spark.createDataFrame(
+        [
+            (1, "https://ex.com/p?utma=1&id=7"),
+            (2, "https://ex.com/p?utmz=2&id=7"),
+            (3, "https://ex.com/p?mcXeid=3&id=7"),
+            (4, "https://ex.com/p?utm_source=s&id=7"),
+            (5, "https://ex.com/p?mc_eid=e&id=7"),
+        ],
+        "doc_id LONG, url STRING",
+    )
+    got = {r["doc_id"]: r for r in web.canonicalize_urls(df).collect()}
+    # non-tracking lookalikes are KEPT (distinct canonical forms)...
+    assert got[1]["canonical_url"] == "https://ex.com/p?id=7&utma=1"
+    assert got[2]["canonical_url"] == "https://ex.com/p?id=7&utmz=2"
+    assert got[3]["canonical_url"] == "https://ex.com/p?id=7&mcXeid=3"
+    assert got[1]["n_params_dropped"] == 0
+    # ...real tracking params are still dropped
+    assert got[4]["canonical_url"] == "https://ex.com/p?id=7"
+    assert got[5]["canonical_url"] == "https://ex.com/p?id=7"
+
+
 def test_canonicalize_urls_edge_cases(spark):
     df = spark.createDataFrame(
         [

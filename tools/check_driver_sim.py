@@ -75,12 +75,14 @@ def _commit_seeded_sample(names: list[str], n: int) -> list[str]:
     """Deterministic per-commit sample of the window-external catalog:
     seed = current HEAD hash, so the sample is reproducible for a given
     commit but rotates as the repo moves."""
+    import os
     import random
     import subprocess
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
         head = subprocess.check_output(
-            ["git", "rev-parse", "HEAD"], cwd="/root/repo", text=True
+            ["git", "rev-parse", "HEAD"], cwd=repo_root, text=True
         ).strip()
     except Exception:  # noqa: BLE001 - outside a repo: fixed seed
         head = "no-git"
