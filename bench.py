@@ -11,14 +11,19 @@ warm-up query primes the JVM/codegen.
 
 MEASUREMENT PROTOCOL (round 5): this host is shared — identical code has
 measured >4x run-to-run swings on the slowest queries, which made
-cross-round comparisons unfalsifiable. So the output now records, next
-to the per-query min ("queries", the steady-state plan cost and the
+cross-round comparisons unfalsifiable. So the run records, next to the
+per-query min ("queries", the steady-state plan cost and the
 cross-round continuity series), the FULL run list per query
 ("query_runs"), the host 1-minute load average before and after the
 suite ("load_avg_start"/"load_avg_end"), and a per-query relative
 spread ("spread" = (max-min)/min over its runs). A recorded swing can
 then be adjudicated from the artifact itself: high spread or high load
 => noise, low spread at low load => a real plan change.
+
+Round 7: the evidence block (query_runs/spread) moved from the stdout
+line to bench_evidence.json beside this script — the driver's capture
+window truncated the ~20 KB single line in round 6 (parsed: null); the
+stdout record must stay small enough to never clip.
 """
 
 from __future__ import annotations
@@ -197,6 +202,28 @@ def main() -> None:
         for name, rs in all_runs.items()
         if min(rs) > 0
     }
+    # STDOUT gets ONLY the compact headline record: the round-6 driver
+    # artifact was a truncated capture of the previous (query_runs-laden,
+    # ~20 KB) single line, recorded as parsed:null despite rc=0. The
+    # verbose noise-adjudication evidence (raw runs + spread, the round-5
+    # measurement protocol) now lands in bench_evidence.json next to this
+    # script, referenced from the headline line.
+    evidence_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_evidence.json"
+    )
+    with open(evidence_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "catalog_headline_evidence",
+                "query_runs": all_runs,
+                "spread": spread,
+                "load_avg_start": load_start,
+                "load_avg_end": load_end,
+                "sf": sf,
+            },
+            fh,
+        )
+        fh.write("\n")
     print(
         json.dumps(
             {
@@ -209,12 +236,9 @@ def main() -> None:
                 # queries time assignment/probe/rank math, not ML fitting)
                 "ivf_train_seconds": ivf_train_seconds,
                 "pq_train_seconds": pq_train_seconds,
-                # noise-adjudication evidence (see module docstring): all
-                # raw runs, per-query relative spread, and host load
-                "query_runs": all_runs,
-                "spread": spread,
                 "load_avg_start": load_start,
                 "load_avg_end": load_end,
+                "evidence_file": "bench_evidence.json",
             }
         )
     )
