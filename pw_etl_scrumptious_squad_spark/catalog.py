@@ -760,3 +760,4 @@ def s01(spark: SparkSession, sf: str) -> DataFrame:
 # Extension entries (registered on import; placed last so the registry and
 # the `register` decorator exist when the module loads).
 from pw_etl_scrumptious_squad_spark import catalog_ext  # noqa: E402,F401
+from pw_etl_scrumptious_squad_spark import catalog_tpch  # noqa: E402,F401
