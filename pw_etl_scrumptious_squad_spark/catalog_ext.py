@@ -5279,3 +5279,227 @@ _WINDOW_TWINS = {
 
 for _twin, _src in _WINDOW_TWINS.items():
     register_twin(_twin, _src)
+
+
+# ---------------------------------------------------------------------------
+# y68: composed IVF-PQ ANN (round 7) — coarse cells + PQ codes, the FAISS
+# IVFPQ geometry. Reuses the s02 trained centroids AND the y59 trained
+# codebooks (both memoized per sf dir); the oracle composes the two
+# literal sets: assignment/routing in double cosine, encode/ADC in
+# quantized BIGINT, so the doubly-approximate pipeline is value-exact.
+# ---------------------------------------------------------------------------
+
+
+def _y68_oracle(sf_dir: str) -> str:
+    clits = ivf_centroid_literals(sf_dir)
+    plits = pq_codebook_literals(sf_dir)
+    d = len(plits[0][2])
+    m = _Y59_M
+    cvals = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (c, ", ".join(repr(x) for x in v))
+        for c, v in clits
+    )
+    pvals = ", ".join(
+        "(%d, %d, [%s]::DOUBLE[])" % (s, c, ", ".join(repr(x) for x in v))
+        for s, c, v in plits
+    )
+    qdot = (
+        "CAST(list_sum(list_transform(range(1, {n} + 1),"
+        " i -> qx[i] * qc[i])) AS BIGINT)"
+    ).format(n=d)
+    return (
+        f"WITH cent AS (SELECT * FROM (VALUES {cvals}) t(cell, centv)),"
+        f" cb AS (SELECT * FROM (VALUES {pvals}) t(sub, code, center)),"
+        " qcb2 AS (SELECT sub, code, qc,"
+        " CAST(list_sum(list_transform(qc, v -> v * v)) AS BIGINT) AS cc"
+        " FROM (SELECT sub, code, list_transform(center,"
+        " x -> CAST(floor(x * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT))"
+        " AS qc FROM cb)),"
+        " e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,"
+        " list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+        " * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)) AS qv"
+        " FROM embeddings),"
+        " assign AS (SELECT vec_id, cell FROM ("
+        " SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id"
+        " ORDER BY list_cosine_similarity(e.v, c.centv) DESC, c.cell) AS rn"
+        " FROM e CROSS JOIN cent c) WHERE rn = 1),"
+        f" subs AS (SELECT vec_id, s.s AS sub,"
+        f" qv[s.s * {d} + 1 : s.s * {d} + {d}] AS qx"
+        f" FROM e CROSS JOIN range(0, {m}) AS s(s)),"
+        f" dist AS (SELECT vec_id, sub, code, cc - 2 * {qdot} AS dist"
+        " FROM subs JOIN qcb2 USING (sub)),"
+        " codes AS (SELECT vec_id, sub, code FROM (SELECT *,"
+        " row_number() OVER (PARTITION BY vec_id, sub"
+        " ORDER BY dist, code) AS rn FROM dist) WHERE rn = 1),"
+        " q AS (SELECT vec_id AS query_id, v, qv FROM e WHERE vec_id < 5),"
+        " probes AS (SELECT query_id, cell FROM ("
+        " SELECT q.query_id, c.cell, row_number() OVER (PARTITION BY q.query_id"
+        " ORDER BY list_cosine_similarity(q.v, c.centv) DESC, c.cell) AS rn"
+        f" FROM q CROSS JOIN cent c) WHERE rn <= {_IVF_NPROBE}),"
+        f" qsubs AS (SELECT query_id, s.s AS sub,"
+        f" qv[s.s * {d} + 1 : s.s * {d} + {d}] AS qx"
+        f" FROM q CROSS JOIN range(0, {m}) AS s(s)),"
+        f" lut AS (SELECT query_id, sub, code, {qdot} AS l"
+        " FROM qsubs JOIN qcb2 USING (sub)),"
+        " scored AS (SELECT p.query_id, c.vec_id,"
+        " CAST(SUM(t.l) AS BIGINT) AS score_q"
+        " FROM codes c JOIN assign a USING (vec_id)"
+        " JOIN probes p ON a.cell = p.cell"
+        " JOIN lut t ON t.query_id = p.query_id"
+        " AND t.sub = c.sub AND t.code = c.code"
+        " WHERE c.vec_id <> p.query_id GROUP BY p.query_id, c.vec_id),"
+        " ranked AS (SELECT query_id, vec_id, score_q,"
+        " CAST(row_number() OVER (PARTITION BY query_id"
+        " ORDER BY score_q DESC, vec_id) AS INTEGER) AS rank FROM scored)"
+        " SELECT query_id, vec_id AS match_id, score_q, rank FROM ranked"
+        f" WHERE rank <= {_Y59_K} ORDER BY query_id, rank"
+    )
+
+
+@register(
+    "y68_ivfpq_topk",
+    _y68_oracle,  # data-dependent: trained centroids + codebooks literals
+    "Composed IVF-PQ ANN (the FAISS IVFPQ geometry, Jegou et al. 2011):"
+    " coarse k-means cells route each query to n_probe=3 cells; inside"
+    " the shortlist only PQ CODES are scored by asymmetric distance"
+    " (per-subspace lookup tables) — the actual 100 TB retrieval layout,"
+    " where the disk index stores 8 code bytes per vector partitioned by"
+    " cell (similarity.write_ivfpq_index) and a probe is a"
+    " partition-pruned scan. Trained centroids AND codebooks are"
+    " memoized per sf and embedded as oracle literals; every ADC score"
+    " is quantized-BIGINT exact, so the doubly-approximate pipeline is"
+    " value-exact checkable. Recall vs brute force + partition pruning"
+    " are asserted in tests; x1/x10/x100 in BENCH_scale."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y68(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    cent = spark.createDataFrame(
+        ivf_centroid_literals(sf, spark),
+        "centroid_id INT, embedding ARRAY<FLOAT>",
+    )
+    cb = spark.createDataFrame(
+        pq_codebook_literals(sf, spark), "sub INT, code INT, center ARRAY<FLOAT>"
+    )
+    assigned = similarity.assign_ivf_cells(emb, cent)
+    codes = similarity.pq_encode(emb, cb).join(
+        assigned.select("vec_id", "cell"), "vec_id"
+    )
+    return similarity.ivfpq_topk(
+        codes, cent, cb, emb.filter(F.col("vec_id") < 5),
+        k=_Y59_K, n_probe=_IVF_NPROBE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# x04: image near-dup pipeline (round 7) — the multimodal twin of x03 and
+# a step every vision-corpus build runs: real PPM decode -> dHash ->
+# banded-hamming pairs -> connected components -> keep-canonical, in ONE
+# composed plan over formula-derived mirrored images (group-shared base
+# pixels + doc-unique brightness, which dHash is provably invariant to),
+# so the whole pipeline has a closed-form DuckDB oracle including the
+# cluster labels (recursive-CTE min-label closure over the same banded
+# pairs).
+# ---------------------------------------------------------------------------
+
+_X04_G, _X04_BASE_MOD, _X04_BRIGHT_MOD = 50, 200, 40
+_X04_BANDS, _X04_MAXHAM = 8, 4
+
+# the m04 luma formula keyed by group g and reduced mod base_mod; the
+# per-doc brightness offset shifts every block sum equally and cancels
+# in the strict '>' comparisons, so the oracle hashes the group base
+_X04_LUMA = (
+    "299 * ((g * 7 + (bx * 4 + px) * 3 + (by * 4 + py) * 5) % {bm})"
+    " + 587 * ((g * 7 + (bx * 4 + px) * 3 + (by * 4 + py) * 5 + 11) % {bm})"
+    " + 114 * ((g * 7 + (bx * 4 + px) * 3 + (by * 4 + py) * 5 + 22) % {bm})"
+).format(bm=_X04_BASE_MOD)
+
+_X04_SQL = (
+    "WITH RECURSIVE gg AS (SELECT DISTINCT doc_id % {G} AS g FROM documents),"
+    " grid AS (SELECT g, bx.bx, by.by FROM gg"
+    " CROSS JOIN range(0, 9) AS bx(bx) CROSS JOIN range(0, 8) AS by(by)),"
+    " b AS (SELECT g, bx, by,"
+    " list_sum(flatten(list_transform(range(0, 4),"
+    " py -> list_transform(range(0, 4), px -> " + _X04_LUMA + ")))) AS s"
+    " FROM grid),"
+    " bits AS (SELECT a.g, a.by * 8 + a.bx AS idx,"
+    " CASE WHEN n.s > a.s THEN 1 ELSE 0 END AS bit"
+    " FROM b a JOIN b n ON n.g = a.g AND n.by = a.by"
+    " AND n.bx = a.bx + 1 WHERE a.bx < 8),"
+    " ghash AS (SELECT g, CAST(SUM(CASE WHEN bit = 1 THEN"
+    " CASE WHEN idx = 63 THEN -9223372036854775808"
+    " ELSE (1::BIGINT << CAST(idx AS INTEGER)) END ELSE 0 END)"
+    " AS BIGINT) AS dhash FROM bits GROUP BY g),"
+    " dh AS (SELECT d.doc_id, h.dhash FROM documents d"
+    " JOIN ghash h ON h.g = d.doc_id % {G}),"
+    " bb AS (SELECT doc_id, bd.bd AS band,"
+    " (dhash >> CAST(bd.bd * 8 AS INTEGER)) & 255 AS val"
+    " FROM dh CROSS JOIN range(0, {BANDS}) AS bd(bd)),"
+    " cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bb l"
+    " JOIN bb r ON l.band = r.band AND l.val = r.val"
+    " AND l.doc_id < r.doc_id),"
+    " pairs AS (SELECT a, b FROM cand"
+    " JOIN dh x ON x.doc_id = cand.a JOIN dh y ON y.doc_id = cand.b"
+    " WHERE bit_count(xor(x.dhash, y.dhash)) <= {MAXHAM}),"
+    " edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),"
+    " reach(node, lab) AS ("
+    " SELECT doc_id, doc_id FROM documents"
+    " UNION"
+    " SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),"
+    " lbl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id"
+    " FROM reach GROUP BY node),"
+    " sz AS (SELECT cluster_id, COUNT(*) AS n FROM lbl GROUP BY cluster_id),"
+    " qual AS (SELECT doc_id, length(text) AS q FROM documents)"
+    " SELECT l.doc_id, CAST(l.cluster_id AS BIGINT) AS cluster_id,"
+    " CAST(sz.n AS BIGINT) AS cluster_size,"
+    " CAST(CASE WHEN row_number() OVER (PARTITION BY l.cluster_id"
+    " ORDER BY qual.q DESC, l.doc_id) = 1 THEN 1 ELSE 0 END AS INTEGER)"
+    " AS is_canonical"
+    " FROM lbl l JOIN sz USING (cluster_id) JOIN qual USING (doc_id)"
+    " ORDER BY doc_id"
+).format(G=_X04_G, BANDS=_X04_BANDS, MAXHAM=_X04_MAXHAM)
+
+
+@register(
+    "x04_image_neardup_pipeline",
+    _X04_SQL,
+    "End-to-end image near-dup pipeline (the vision-corpus build step):"
+    " REAL P6 decode -> Rec.601 dHash (mapInPandas, one map stage) ->"
+    " exact banded-hamming pairs (64 bits / 8 bands / ham<=4, pigeonhole"
+    " guarantee) -> large/small-star connected components ->"
+    " keep-canonical by doc quality. Mirrored generator: ~corpus/50 docs"
+    " share a base image, each with a doc-unique brightness offset that"
+    " provably cannot change the dHash, so cluster labels, sizes, and"
+    " canonical picks all have a closed-form oracle (recursive-CTE"
+    " min-label closure over the same banded pair math)."
+    " x-prefix: past the gate window by design; tools/check.py covers it",
+)
+def x04(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import dedup as dd
+
+    docs = _t(spark, sf, "documents")
+    media = multimodal.synthetic_ppm_mirrored(
+        docs, mirror_groups=_X04_G, base_mod=_X04_BASE_MOD,
+        bright_mod=_X04_BRIGHT_MOD,
+    )
+    hashes = multimodal.image_dhash(media).select(
+        F.col("asset_id").alias("doc_id"), "dhash"
+    )
+    pairs = dd.hamming_near_pairs(
+        hashes, bits=64, bands=_X04_BANDS, max_hamming=_X04_MAXHAM,
+        sig_col="dhash",
+    )
+    scored = docs.select(
+        "doc_id", F.length("text").cast("int").alias("quality_score")
+    )
+    out = dd.keep_canonical(scored, pairs, score_col="quality_score")
+    return (
+        out.select(
+            "doc_id",
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "cluster_size",
+            "is_canonical",
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -925,6 +925,53 @@ def synthetic_ppm_from_documents(docs: DataFrame) -> DataFrame:
     return _fan_out(docs.select("doc_id")).mapInPandas(batches, schema)
 
 
+def synthetic_ppm_mirrored(
+    docs: DataFrame,
+    mirror_groups: int = 50,
+    base_mod: int = 200,
+    bright_mod: int = 40,
+) -> DataFrame:
+    """Mirrored variant of :func:`synthetic_ppm_from_documents` for the
+    x04 image near-dup pipeline: pixel channel value =
+    ``(g*7 + x*3 + y*5 + c*11) % base_mod + (doc_id % bright_mod)`` with
+    ``g = doc_id % mirror_groups`` — every group of ~corpus/G documents
+    shares one BASE image but each doc carries a doc-unique brightness
+    offset, so payload bytes differ doc-to-doc while the dHash is
+    group-identical (a uniform brightness shift moves every 4x4 block
+    sum by the same ``16*1000*offset`` milli-luma, leaving all strict
+    ``>`` neighbor comparisons unchanged) — the repost/re-encode pattern
+    image-level dedup exists for. ``base_mod + bright_mod <= 256`` keeps
+    channel values in byte range with NO wraparound, so the closed-form
+    oracle needs only the group formula."""
+    if base_mod + bright_mod > 256:
+        raise ValueError("base_mod + bright_mod must stay within a byte")
+
+    def batches(parts: Iterator) -> Iterator:
+        import pandas as pd
+
+        base = _ppm_base_grid()
+        for pdf in parts:
+            rows = [
+                {
+                    "asset_id": int(aid),
+                    "payload": encode_ppm(
+                        (int(aid) % mirror_groups * 7 + base) % base_mod
+                        + int(aid) % bright_mod
+                    ),
+                }
+                for aid in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return _fan_out(docs.select("doc_id")).mapInPandas(batches, schema)
+
+
 IMAGE_DHASH_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),

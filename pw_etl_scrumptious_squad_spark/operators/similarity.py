@@ -1141,6 +1141,195 @@ def pq_encode(
     )
 
 
+def write_ivfpq_index(
+    corpus_with_cells: DataFrame,
+    codebooks: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a composed IVF-PQ index (the FAISS IVFPQ layout and the
+    actual 100 TB retrieval geometry): PQ CODES — not raw vectors —
+    partitioned on disk by coarse IVF cell
+    (``.../cell=<k>/part-*.parquet``, rows ``(vec_id, sub, code)``).
+
+    The two compressions compose: the cell partitioning makes a probe a
+    partition-pruned scan of ``n_probe`` directories (IVF), and inside
+    a cell only the m-byte code rows exist (PQ) — a 64-dim float32
+    corpus stores at ~1/30 of raw size and a probe reads only the
+    shortlisted fraction of that. ``corpus_with_cells`` is
+    :func:`assign_ivf_cells` output; codes come from :func:`pq_encode`
+    (value-exact BIGINT argmin, so the index is reproducible
+    cross-engine)."""
+    codes = pq_encode(
+        corpus_with_cells, codebooks, id_col=id_col, vec_col=vec_col
+    )
+    cells = corpus_with_cells.select(F.col(id_col).alias("vec_id"), "cell")
+    codes.join(cells, "vec_id").write.mode(mode).partitionBy(
+        "cell"
+    ).parquet(path)
+
+
+def ivfpq_topk(
+    codes_with_cells: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """ADC top-k over an IVF-PQ index: route each query to its
+    ``n_probe`` nearest cells (max cosine vs the coarse centroids), then
+    score ONLY the code rows of those cells by asymmetric distance
+    (per-subspace lookup tables — the :func:`pq_adc_topk` math).
+
+    ``codes_with_cells``: ``(vec_id, sub, code, cell)`` —
+    :func:`write_ivfpq_index`'s layout read back, or built inline.
+
+    Scale shape: the probe table (|queries| x n_probe) and the lookup
+    table (|queries| x m x ksub) are both driver-tiny broadcasts; the
+    corpus-side scan touches only probed cells' code rows and
+    aggregates map-side to one row per (query, vector). Every score is
+    an exact BIGINT (quantized-integer dots), so the composed pipeline
+    is value-exact reproducible despite being doubly approximate
+    (cell pruning + quantization error) — recall vs the exact
+    brute-force baseline is a separate, measured property.
+    Returns (query_id, match_id, score_q, rank)."""
+    md = codebooks.groupBy().agg(
+        F.count_distinct("sub").alias("m"), F.max(F.size("center")).alias("d")
+    ).first()
+    m, d = int(md["m"]), int(md["d"])
+    cent = centroids.select(
+        F.col(centroid_id).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("centv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    q_cells = q.crossJoin(broadcast(cent)).select(
+        "query_id", "cell", cosine("qv", "centv").alias("cscore")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("cell").asc()
+    )
+    probes = (
+        q_cells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+    cb = codebooks.select(
+        "sub", "code", F.expr(_PQ_QUANT.format("center")).alias("__qc")
+    )
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(sub).alias("sub"),
+                        F.expr(
+                            _PQ_QUANT.format(
+                                f"slice({vec_col}, {sub * d + 1}, {d})"
+                            )
+                        ).alias("__qx"),
+                    )
+                    for sub in range(m)
+                ]
+            )
+        ).alias("sv"),
+    ).select(
+        "query_id", F.col("sv.sub").alias("sub"), F.col("sv.__qx").alias("__qx")
+    )
+    lut = qsubs.join(cb, "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.expr(
+            "aggregate(zip_with(__qx, __qc, (x, y) -> x * y),"
+            " 0L, (acc, v) -> acc + v)"
+        ).alias("__l"),
+    )
+    scored = (
+        codes_with_cells.join(broadcast(probes), "cell")
+        .join(broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("__l").alias("score_q"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            "score_q",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def probe_ivfpq_index(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """ADC top-k against a DISK-RESIDENT :func:`write_ivfpq_index`
+    layout: query routing runs first (queries x centroids, tiny), the
+    probed cell ids are collected (|queries| * n_probe ints), and the
+    code index is read with a literal ``cell IN (...)`` predicate —
+    static partition pruning, the :func:`probe_ivf_index` contract.
+    Value-identical to :func:`ivfpq_topk` over the same assignment."""
+    cent = centroids.select(
+        F.col(centroid_id).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("centv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    q_cells = q.crossJoin(broadcast(cent)).select(
+        "query_id", "cell", cosine("qv", "centv").alias("cscore")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("cell").asc()
+    )
+    probed = (
+        q_cells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    cells = sorted(int(r["cell"]) for r in probed)
+    codes = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    return ivfpq_topk(
+        codes,
+        centroids,
+        codebooks,
+        queries,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_id=centroid_id,
+    )
+
+
 def pq_adc_topk(
     codes: DataFrame,
     codebooks: DataFrame,

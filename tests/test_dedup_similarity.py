@@ -853,3 +853,55 @@ def test_embedding_decontaminate_flags_near_copies(spark):
     assert got[1]["contaminated"] == 1
     assert got[2]["contaminated"] == 0 and got[2]["cos_ppb"] == 0
     assert got[3]["best_eval_id"] == 200 and got[3]["contaminated"] == 0
+
+
+def test_ivfpq_index_roundtrip_pruned_and_recall(spark, tmp_path):
+    """Composed IVF-PQ (round 7): (a) the disk probe returns exactly
+    what the in-memory ivfpq_topk returns for the same assignment and
+    codebooks; (b) the code scan is partition-pruned to the probed
+    cells; (c) recall vs the exact brute-force top-k clears a floor
+    despite double approximation (cell pruning + quantization): pure PQ
+    at 8x64 measures ~0.4 on these weak-neighbor-structure synthetic
+    vectors (test_pq_adc_recall_sanity) and 3/10-cell IVF pruning
+    multiplies in, so the floor is 'well above the ~0.01 chance
+    overlap', not 'high'."""
+    emb = read_table(spark, SF, "embeddings")
+    cent = similarity.train_ivf_centroids(emb, k=10, seed=7)
+    cb = similarity.train_pq_codebooks(emb, m=8, ksub=64)
+    assigned = similarity.assign_ivf_cells(emb, cent)
+    path = str(tmp_path / "ivfpq_index")
+    similarity.write_ivfpq_index(assigned, cb, path)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = similarity.probe_ivfpq_index(
+        spark, path, cent, cb, queries, k=5, n_probe=3
+    )
+    codes = similarity.pq_encode(emb, cb).join(
+        assigned.select("vec_id", "cell"), "vec_id"
+    )
+    expected = similarity.ivfpq_topk(
+        codes, cent, cb, queries, k=5, n_probe=3
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+    # (b) static partition pruning on the code scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    # the disk layout stores codes only — never raw vectors
+    import os
+    files = []
+    for root, _dirs, names in os.walk(path):
+        files += [os.path.join(root, f) for f in names if f.endswith(".parquet")]
+    import pyarrow.parquet as pq
+    cols = set(pq.ParquetFile(files[0]).schema_arrow.names)
+    assert "embedding" not in cols and {"vec_id", "sub", "code"} <= cols
+
+    # (c) recall floor vs exact brute force
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    exact_set = {(r["query_id"], r["match_id"]) for r in exact.collect()}
+    got_set = {(r["query_id"], r["match_id"]) for r in got.collect()}
+    recall = len(exact_set & got_set) / len(exact_set)
+    assert recall >= 0.15, recall

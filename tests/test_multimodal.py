@@ -982,3 +982,70 @@ def test_synthetic_h264_screening_formulas(spark):
         assert r["height"] == (12 + d % 5) * 16 - 2 * (d % 3)
         assert r["n_frames"] == 1 + d % 6
         assert r["duration_ms"] == (1 + d % 6) * 40
+
+
+def test_mirrored_ppm_dhash_brightness_invariance(spark):
+    """x04's construction proof, checked empirically: same-group docs
+    have byte-DIFFERENT payloads but IDENTICAL dHash (uniform brightness
+    shifts every block sum equally); different groups differ in payload
+    base; byte range never wraps."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(d,) for d in range(0, 12)], "doc_id LONG"
+    )
+    media = mm.synthetic_ppm_mirrored(docs, mirror_groups=4, bright_mod=7)
+    payloads = {r["asset_id"]: bytes(r["payload"]) for r in media.collect()}
+    # docs 0 and 4 share group 0 but differ in brightness (0%7 vs 4%7)
+    assert payloads[0] != payloads[4]
+    hashes = {
+        r["asset_id"]: r["dhash"] for r in mm.image_dhash(media).collect()
+    }
+    for d in range(12):
+        assert hashes[d] == hashes[d % 4], d
+    # distinct groups should not all collapse to one hash on this grid
+    assert len({hashes[g] for g in range(4)}) > 1
+    # no byte wraparound: every channel value fits its formula bound
+    img = mm.decode_ppm(payloads[11])
+    assert int(np.max(img)) <= 199 + 6
+
+    with __import__("pytest").raises(ValueError, match="byte"):
+        mm.synthetic_ppm_mirrored(docs, base_mod=250, bright_mod=40)
+
+
+def test_x04_pipeline_degenerate_corpora(spark):
+    """x04 over degenerate corpora: a single doc is its own canonical
+    singleton; docs all in ONE mirror group form one cluster with
+    exactly one canonical; cluster_id is the minimum member id."""
+    from pw_etl_scrumptious_squad_spark.operators import dedup as dd
+    from pyspark.sql import functions as F
+
+    def run(pairs_docs):
+        media = mm.synthetic_ppm_mirrored(
+            pairs_docs, mirror_groups=1
+        )  # every doc in group 0
+        hashes = mm.image_dhash(media).select(
+            F.col("asset_id").alias("doc_id"), "dhash"
+        )
+        prs = dd.hamming_near_pairs(
+            hashes, bits=64, bands=8, max_hamming=4, sig_col="dhash"
+        )
+        scored = pairs_docs.select(
+            "doc_id", F.length("text").cast("int").alias("quality_score")
+        )
+        return dd.keep_canonical(scored, prs, score_col="quality_score")
+
+    one = spark.createDataFrame([(7, "solo doc")], "doc_id LONG, text STRING")
+    got = run(one).collect()
+    assert len(got) == 1
+    assert got[0]["cluster_id"] == 7 and got[0]["is_canonical"] == 1
+    assert got[0]["cluster_size"] == 1
+
+    many = spark.createDataFrame(
+        [(i, "x" * (10 + i)) for i in range(3, 9)], "doc_id LONG, text STRING"
+    )
+    rows = {r["doc_id"]: r for r in run(many).collect()}
+    assert all(r["cluster_id"] == 3 for r in rows.values())
+    assert all(r["cluster_size"] == 6 for r in rows.values())
+    canon = [d for d, r in rows.items() if r["is_canonical"] == 1]
+    assert canon == [8]  # longest text wins
