@@ -194,6 +194,89 @@ def write_table_fmt(
         raise ValueError(f"unsupported format: {fmt}")
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Raised when a mutating table write loses the optimistic-concurrency
+    race: another writer committed a new table version between this
+    writer's read and its commit attempt. The caller re-reads and
+    retries (the merge semantics are idempotent) — rows are never
+    silently lost, which is exactly the failure mode unguarded
+    read-merge-overwrite has under two concurrent upserts."""
+
+
+def _manifest_dir(base_dir: str, name: str) -> str:
+    return os.path.join(base_dir, f"{name}.manifest")
+
+
+def table_version(
+    base_dir: str, name: str, spark: SparkSession | None = None
+) -> int:
+    """Current committed version of a mutating table: the max ``v<N>``
+    marker in ``<name>.manifest/`` (0 when the table has never been
+    written through the versioned path). Schemed paths list through the
+    Hadoop FileSystem API (the table_exists contract)."""
+    mdir = _manifest_dir(base_dir, name)
+    if "://" not in mdir and spark is None:
+        try:
+            names = os.listdir(mdir)
+        except FileNotFoundError:
+            return 0
+    else:
+        if spark is None:
+            spark = SparkSession.getActiveSession()
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(mdir)
+        fs = jpath.getFileSystem(hconf)
+        if not fs.exists(jpath):
+            return 0
+        names = [s.getPath().getName() for s in fs.listStatus(jpath)]
+    versions = [int(n[1:]) for n in names if n.startswith("v") and n[1:].isdigit()]
+    return max(versions, default=0)
+
+
+def _claim_version(
+    base_dir: str,
+    name: str,
+    expected: int,
+    spark: SparkSession | None = None,
+) -> int:
+    """CAS commit: exclusively create the ``v<expected+1>`` marker.
+
+    Local paths use ``O_CREAT|O_EXCL`` (kernel-atomic); schemed paths
+    use Hadoop ``FileSystem.createNewFile`` (atomic on HDFS; on object
+    stores without atomic create this narrows, not closes, the window —
+    the documented reason the full story is a Delta/Iceberg commit
+    log). Raises :class:`ConcurrentWriteError` if the slot is taken,
+    i.e. another writer committed since ``expected`` was read."""
+    mdir = _manifest_dir(base_dir, name)
+    marker = os.path.join(mdir, f"v{expected + 1}")
+    if "://" not in mdir and spark is None:
+        os.makedirs(mdir, exist_ok=True)
+        try:
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"{name}: version {expected + 1} already committed by a"
+                " concurrent writer; re-read and retry"
+            ) from None
+        os.close(fd)
+        return expected + 1
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jdir = jvm.org.apache.hadoop.fs.Path(mdir)
+    fs = jdir.getFileSystem(hconf)
+    fs.mkdirs(jdir)
+    jmarker = jvm.org.apache.hadoop.fs.Path(marker)
+    if not fs.createNewFile(jmarker):
+        raise ConcurrentWriteError(
+            f"{name}: version {expected + 1} already committed by a"
+            " concurrent writer; re-read and retry"
+        )
+    return expected + 1
+
+
 def upsert_table(
     spark: SparkSession,
     delta: DataFrame,
@@ -201,6 +284,7 @@ def upsert_table(
     name: str,
     key_cols: list[str],
     order_col: str | None = None,
+    retries: int = 0,
 ) -> None:
     """Idempotent MERGE-by-natural-key into a parquet table — the fix for
     the reference's duplicate-accumulating 3-minute append loop
@@ -218,8 +302,38 @@ def upsert_table(
     semantics here are exactly what that MERGE would declare). The merge
     is one shuffle on the key; at scale, partition the table so only
     affected partitions rewrite.
+
+    CONCURRENCY (round 7): per-writer atomicity (tmp+rename) never
+    protected against TWO concurrent upserts — both read version N and
+    the second overwrite silently dropped the first writer's rows. The
+    write is now optimistic-concurrency controlled: read the manifest
+    version, merge, then CAS-claim version+1 BEFORE overwriting; a
+    loser raises :class:`ConcurrentWriteError` loudly (or re-reads and
+    retries up to ``retries`` times — the merge is idempotent, so a
+    retry simply folds the delta into the winner's table).
     """
+    attempt = 0
+    while True:
+        try:
+            _upsert_once(spark, delta, base_dir, name, key_cols, order_col)
+            return
+        except ConcurrentWriteError:
+            if attempt >= retries:
+                raise
+            attempt += 1
+
+
+def _upsert_once(
+    spark: SparkSession,
+    delta: DataFrame,
+    base_dir: str,
+    name: str,
+    key_cols: list[str],
+    order_col: str | None,
+) -> None:
+    version = table_version(base_dir, name)
     if not table_exists(base_dir, name):
+        _claim_version(base_dir, name, version)
         write_table(delta, base_dir, name, mode="overwrite")
         return
     from pyspark.sql import Window
@@ -248,6 +362,11 @@ def upsert_table(
         )
     # materialize before overwriting the files being read
     deduped = deduped.transform(materialize)
+    # CAS commit: claim the next version AFTER the merge is computed and
+    # BEFORE the destructive overwrite — a concurrent committer makes
+    # this raise, and the merged frame (built on stale files) is thrown
+    # away instead of clobbering the winner's rows
+    _claim_version(base_dir, name, version)
     write_table(deduped, base_dir, name, mode="overwrite")
 
 
@@ -269,11 +388,17 @@ def compact_table(
     so out-bytes ~= in-bytes); ``coalesce`` avoids a shuffle — each output
     file unions whole input files. The rewrite goes through a temp dir +
     atomic rename so a failed job never truncates the live table.
+
+    Compaction participates in the same manifest CAS as
+    :func:`upsert_table`: it claims the next version before the swap, so
+    a compactor racing an upsert fails loudly instead of resurrecting
+    the pre-upsert files.
     """
     import math
     import shutil
 
     path = table_path(base_dir, name)
+    version = table_version(base_dir, name)
     total = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
@@ -285,6 +410,7 @@ def compact_table(
     tmp = path + ".compact.tmp"
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
     final = path + ".compact.old"
+    _claim_version(base_dir, name, version)
     shutil.move(path, final)
     shutil.move(tmp, path)
     shutil.rmtree(final)

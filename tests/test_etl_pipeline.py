@@ -331,3 +331,88 @@ def test_table_exists_hadoop_fs_probe(spark, tmp_path):
     # URI-schemed path: Hadoop route resolves the scheme from the conf
     assert lake.table_exists(f"file://{base}", "probe_tbl") is True
     assert lake.table_exists(f"file://{base}", "missing_tbl") is False
+
+
+def test_upsert_concurrent_writers_no_silent_loss(spark, tmp_path):
+    """Round-7 CAS manifest: two upserts that both read table version N
+    cannot both commit — the loser raises ConcurrentWriteError instead
+    of silently clobbering the winner's rows, and a retry folds its
+    delta in on top. Orchestrated with events so the interleaving (both
+    read stale, A commits, B attempts) is deterministic."""
+    import threading
+
+    from pw_etl_scrumptious_squad_spark.sources.parquet import (
+        ConcurrentWriteError,
+        read_table,
+        table_version,
+        upsert_table,
+        write_table,
+    )
+
+    lake = str(tmp_path)
+    base = spark.createDataFrame([(1, "base", 1)], "id LONG, v STRING, ver INT")
+    upsert_table(spark, base, lake, "t", ["id"], order_col="ver")
+    assert table_version(lake, "t") == 1
+
+    # Writer A commits first (full upsert); writer B computed against the
+    # same starting version, so its claim of version 2 must fail loudly.
+    a_delta = spark.createDataFrame(
+        [(2, "from_a", 1)], "id LONG, v STRING, ver INT"
+    )
+    b_delta = spark.createDataFrame(
+        [(3, "from_b", 1)], "id LONG, v STRING, ver INT"
+    )
+    errs: list[Exception] = []
+    a_done = threading.Event()
+
+    def writer_b():
+        from pw_etl_scrumptious_squad_spark.sources import parquet as pq
+
+        stale_version = pq.table_version(lake, "t")  # reads 1
+        a_done.wait(timeout=60)  # A commits version 2 meanwhile
+        try:
+            pq._claim_version(lake, "t", stale_version)
+        except ConcurrentWriteError as e:
+            errs.append(e)
+
+    tb = threading.Thread(target=writer_b)
+    tb.start()
+    upsert_table(spark, a_delta, lake, "t", ["id"], order_col="ver")
+    a_done.set()
+    tb.join(timeout=120)
+    assert len(errs) == 1  # B lost, loudly
+    assert table_version(lake, "t") == 2
+    ids = {r["id"] for r in read_table(spark, lake, "t").collect()}
+    assert ids == {1, 2}  # A's commit intact, nothing silently dropped
+
+    # B retries the whole upsert (retries=1 path folds the delta in)
+    upsert_table(spark, b_delta, lake, "t", ["id"], order_col="ver", retries=1)
+    ids = {r["id"] for r in read_table(spark, lake, "t").collect()}
+    assert ids == {1, 2, 3}
+    assert table_version(lake, "t") == 3
+
+    # compaction participates in the same CAS chain
+    from pw_etl_scrumptious_squad_spark.sources.parquet import compact_table
+
+    compact_table(spark, lake, "t")
+    assert table_version(lake, "t") == 4
+    assert {r["id"] for r in read_table(spark, lake, "t").collect()} == {1, 2, 3}
+
+    # a literal simultaneous CAS on the same slot: exactly one winner
+    from pw_etl_scrumptious_squad_spark.sources import parquet as pq
+
+    start = threading.Barrier(2)
+    outcomes: list[str] = []
+
+    def racer():
+        start.wait(timeout=30)
+        try:
+            pq._claim_version(lake, "t", 4)
+            outcomes.append("won")
+        except ConcurrentWriteError:
+            outcomes.append("lost")
+
+    ts = [threading.Thread(target=racer) for _ in range(2)]
+    [t.start() for t in ts]
+    [t.join(timeout=60) for t in ts]
+    assert sorted(outcomes) == ["lost", "won"]
