@@ -93,8 +93,16 @@ def run_batch_etl(
     staging_dir: str,
     warehouse_dir: str,
     state_path: str,
+    alert_manager=None,
 ) -> dict[str, DataFrame]:
-    """Full E->T->L cycle over a parquet OLTP snapshot."""
+    """Full E->T->L cycle over a parquet OLTP snapshot.
+
+    ``alert_manager`` (an :class:`~pw_etl_scrumptious_squad_spark.alerts.
+    AlertManager`, optional) closes the reference's alarm->notification
+    surface (``terraform/alarm.tf``): the fact_payment load is observed
+    with the standard DQ counters (Observation rides the load action —
+    no second pass) and the manager's thresholds are evaluated once per
+    batch, firing its sink per violation."""
     extract(spark, source_dir, staging_dir, state_path)
     # Transform reads the staging lake on its own schedule in the reference;
     # full dims are re-derived each cycle (SURVEY.md §2.3). Here we re-read
@@ -105,7 +113,19 @@ def run_batch_etl(
         for name in OLTP_TABLES
     }
     star = transform(tables, spark)
+    obs = None
+    if alert_manager is not None:
+        from pw_etl_scrumptious_squad_spark.operators import dq
+
+        observed_fact, obs = dq.observed(
+            star["fact_payment"],
+            "fact_payment_load",
+            dq.standard_counters("payment_id", "payment_amount"),
+        )
+        star = dict(star, fact_payment=observed_fact)
     load(star, warehouse_dir, mode="overwrite")
+    if alert_manager is not None:
+        alert_manager.evaluate(obs.get, context="fact_payment_load")
     return star
 
 
