@@ -5503,3 +5503,48 @@ def x04(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# y69: H.264 Annex-B elementary-stream screening (round 7) — the
+# container-less twin of y65's avcC-in-MP4 walk: NAL start-code scan,
+# SPS/PPS extraction, IDR counting, real frame counting via
+# first_mb_in_slice — the fields a crawl-video triage needs before
+# deciding to transcode raw .h264 dumps / MPEG-TS payloads. Pixel decode
+# stays the loud NotImplementedError.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "y69_h264_annexb_screening",
+    "SELECT doc_id AS asset_id,"
+    " CAST(66 AS INTEGER) AS profile_idc,"
+    " CAST(31 AS INTEGER) AS level_idc,"
+    " CAST((20 + doc_id % 8) * 16 AS INTEGER) AS width,"
+    " CAST((12 + doc_id % 5) * 16 - 2 * (doc_id % 3) AS INTEGER) AS height,"
+    " CAST(2 + (1 + doc_id % 3 + doc_id % 4) * (1 + doc_id % 2)"
+    " AS INTEGER) AS n_nals,"
+    " CAST(1 AS INTEGER) AS n_sps, CAST(1 AS INTEGER) AS n_pps,"
+    " CAST(1 + doc_id % 3 AS INTEGER) AS n_idr_frames,"
+    " CAST(1 + doc_id % 3 + doc_id % 4 AS INTEGER) AS n_frames,"
+    " CAST((1 + doc_id % 3 + doc_id % 4) * (1 + doc_id % 2) AS INTEGER)"
+    " AS n_slice_nals"
+    " FROM documents ORDER BY asset_id",
+    "H.264 Annex-B elementary-stream screening: real start-code scan,"
+    " real Exp-Golomb SPS parse (profile/level/cropped dimensions), PPS"
+    " census, IDR keyframe count, and TRUE frame count via each slice's"
+    " first_mb_in_slice field (multi-slice frames count once) — over a"
+    " formula-derived corpus whose GOP structure the oracle recomputes"
+    " closed-form. Extends y65's MP4 screening to the raw-stream"
+    " framing crawl video actually arrives in."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y69(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.synthetic_annexb_from_documents(
+        _t(spark, sf, "documents")
+    )
+    return (
+        multimodal.video_h264_annexb_screening(media)
+        .repartition(1)
+        .sortWithinPartitions("asset_id")
+    )

@@ -3529,6 +3529,204 @@ def encode_h264_sps(
     return bytes(out)
 
 
+def split_annexb_nals(payload: bytes) -> list[bytes]:
+    """Split an H.264 Annex-B elementary stream (ITU-T H.264 Annex B)
+    into NAL units: scan for 3-byte start codes ``00 00 01`` (a 4-byte
+    ``00 00 00 01`` is a zero_byte + 3-byte code, handled by the same
+    scan), return each NAL's bytes (header included, start codes and
+    inter-NAL trailing_zero_8bits excluded). Raw crawl video arrives in
+    exactly this framing (.h264/.264 dumps, MPEG-TS payloads) — the
+    container-less twin of the avcC-in-MP4 path."""
+    data = bytes(payload)
+    starts = []
+    i = 0
+    while True:
+        j = data.find(b"\x00\x00\x01", i)
+        if j < 0:
+            break
+        starts.append(j + 3)
+        i = j + 3
+    if not starts:
+        raise ValueError("no Annex-B start code found")
+    nals = []
+    for k, s in enumerate(starts):
+        end = (starts[k + 1] - 3) if k + 1 < len(starts) else len(data)
+        nal = data[s:end].rstrip(b"\x00")  # trailing_zero_8bits
+        if nal:
+            nals.append(nal)
+    return nals
+
+
+def parse_annexb_metadata(payload: bytes) -> dict:
+    """H.264 SCREENING metadata from a raw Annex-B elementary stream:
+    NAL start-code scan, SPS parse (profile/level/true dimensions via
+    :func:`parse_h264_sps`), PPS count, IDR/non-IDR slice census, and a
+    REAL frame count — slices whose first Exp-Golomb field
+    (``first_mb_in_slice``, §7.3.3) is 0 start a new picture, so
+    multi-slice frames count once. Pixel decode stays
+    :func:`decode_unavailable`; these are the fields a crawl-video
+    triage needs before deciding to transcode."""
+    nals = split_annexb_nals(payload)
+    out: dict = {
+        "n_nals": len(nals),
+        "n_sps": 0,
+        "n_pps": 0,
+        "n_idr_frames": 0,
+        "n_frames": 0,
+        "n_slice_nals": 0,
+    }
+    sps_meta = None
+    for nal in nals:
+        ntype = nal[0] & 0x1F
+        if ntype == 7:
+            out["n_sps"] += 1
+            if sps_meta is None:
+                sps_meta = parse_h264_sps(nal)
+        elif ntype == 8:
+            out["n_pps"] += 1
+        elif ntype in (1, 5):
+            out["n_slice_nals"] += 1
+            r = _BitReader(_strip_emulation_prevention(nal[1:]))
+            first_mb = r.ue()
+            if first_mb == 0:
+                out["n_frames"] += 1
+                if ntype == 5:
+                    out["n_idr_frames"] += 1
+    if sps_meta is None:
+        raise ValueError("Annex-B stream carries no SPS NAL")
+    out.update(sps_meta)
+    return out
+
+
+def encode_annexb_stream(
+    sps: bytes,
+    pps: bytes,
+    frames: list[tuple[bool, int]],
+) -> bytes:
+    """Generator twin of :func:`parse_annexb_metadata`: a real Annex-B
+    stream — 4-byte start code before SPS/PPS (the conventional AU
+    prefix), 3-byte before slices. ``frames`` is a list of
+    ``(is_idr, n_slices)``; each frame's first slice encodes
+    ``first_mb_in_slice = 0`` and later slices ``ue(mb_offset > 0)``,
+    so the parser's picture counting is exercised for real."""
+
+    def ue_bits(v: int) -> list[int]:
+        code = v + 1
+        n = code.bit_length()
+        return [0] * (n - 1) + [
+            (code >> i) & 1 for i in range(n - 1, -1, -1)
+        ]
+
+    def slice_nal(idr: bool, first_mb: int) -> bytes:
+        bits = ue_bits(first_mb) + [1]  # first field + rbsp stop bit
+        while len(bits) % 8:
+            bits.append(0)
+        body = bytes(
+            int("".join(map(str, bits[i : i + 8])), 2)
+            for i in range(0, len(bits), 8)
+        )
+        return bytes([0x65 if idr else 0x41]) + body + b"\xaa\x55"
+
+    out = bytearray()
+    out += b"\x00\x00\x00\x01" + sps
+    out += b"\x00\x00\x00\x01" + pps
+    for idr, n_slices in frames:
+        for s in range(n_slices):
+            out += b"\x00\x00\x01" + slice_nal(idr, s * 99)
+    return bytes(out)
+
+
+def synthetic_annexb_from_documents(docs: DataFrame) -> DataFrame:
+    """Formula-derived Annex-B screening corpus (the y65 MP4 corpus's
+    container-less twin): same SPS geometry — macroblock width
+    ``20 + d%8``, map-unit height ``12 + d%5``, bottom crop ``d%3`` —
+    with a GOP of ``1 + d%3`` IDR frames and ``d%4`` non-IDR frames,
+    each frame split into ``1 + d%2`` slices, so every screening field
+    is closed-form for the oracle while the Spark side scans real start
+    codes and parses real slice headers."""
+
+    def batches(parts: Iterator) -> Iterator:
+        import pandas as pd
+
+        pps = bytes([0x68, 0xCE, 0x38, 0x80])
+        for pdf in parts:
+            rows = []
+            for aid in pdf["doc_id"]:
+                d = int(aid)
+                sps = encode_h264_sps(
+                    19 + d % 8, 11 + d % 5, (0, 0, 0, d % 3)
+                )
+                n_slices = 1 + d % 2
+                frames = [(True, n_slices)] * (1 + d % 3) + [
+                    (False, n_slices)
+                ] * (d % 4)
+                rows.append(
+                    {
+                        "asset_id": d,
+                        "payload": encode_annexb_stream(sps, pps, frames),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return _fan_out(docs.select("doc_id")).mapInPandas(batches, schema)
+
+
+H264_ANNEXB_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("profile_idc", T.IntegerType()),
+        T.StructField("level_idc", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_nals", T.IntegerType()),
+        T.StructField("n_sps", T.IntegerType()),
+        T.StructField("n_pps", T.IntegerType()),
+        T.StructField("n_idr_frames", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_slice_nals", T.IntegerType()),
+    ]
+)
+
+
+def video_h264_annexb_screening(media: DataFrame) -> DataFrame:
+    """Screening metadata over raw Annex-B payloads (y65's elementary-
+    stream extension): one Arrow-batched map stage, no pixel decode."""
+
+    def batches(parts: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in parts:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                m = parse_annexb_metadata(bytes(payload))
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "profile_idc": m["profile_idc"],
+                        "level_idc": m["level_idc"],
+                        "width": m["width"],
+                        "height": m["height"],
+                        "n_nals": m["n_nals"],
+                        "n_sps": m["n_sps"],
+                        "n_pps": m["n_pps"],
+                        "n_idr_frames": m["n_idr_frames"],
+                        "n_frames": m["n_frames"],
+                        "n_slice_nals": m["n_slice_nals"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _fan_out(media.select("asset_id", "payload")).mapInPandas(
+        batches, H264_ANNEXB_SCHEMA
+    )
+
+
 def synthetic_h264_from_documents(docs: DataFrame) -> DataFrame:
     """Derive a deterministic H.264-in-MP4 SCREENING corpus from the
     documents table: per doc, a real ISO-BMFF file whose avc1/avcC/SPS

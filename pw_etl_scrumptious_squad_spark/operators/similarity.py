@@ -188,6 +188,57 @@ def assign_ivf_cells(
     return corpus.select(id_col, vec_col).join(assigned, id_col)
 
 
+def assign_ivf_cells_matmul(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Scale-tier twin of :func:`assign_ivf_cells`: the expression form
+    is O(n*k) interpreted cosine folds, and with the IVF sizing rule
+    k ~ n/2000 that is O(n^2/2000) — measured alpha 1.71 on the round-7
+    IVF-PQ x10->x100 curve (the same defect the round-4 curve caught in
+    the embedding-near-dup route). The centroid matrix is driver-tiny,
+    so assignment here is one broadcast numpy argmax over a normalized
+    matmul per Arrow batch (BLAS, not folds). ``np.argmax`` takes the
+    FIRST max and centroid rows are ordered by ascending cell id, so
+    ties break to the lowest cell — the expression form's
+    ``max_by(cell, struct(cscore, -cell))`` rule; assignment parity is
+    pinned in tests. Same output shape as :func:`assign_ivf_cells`."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cent_rows = centroids.select(
+        F.col(centroid_id), F.col(vec_col).cast("array<double>")
+    ).orderBy(centroid_id).collect()
+    cmat = np.stack([np.asarray(r[1], dtype="f8") for r in cent_rows])
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cnorm[cnorm == 0.0] = 1.0
+    cmat = cmat / cnorm[:, None]
+    cell_ids = np.asarray([r[0] for r in cent_rows], dtype="i4")
+
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+
+    def _assign(parts):
+        for pdf in parts:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["__v"].to_numpy())
+            n = np.sqrt((m * m).sum(axis=1))
+            n[n == 0.0] = 1.0
+            scores = (m / n[:, None]) @ cmat.T
+            yield pdf.assign(cell=cell_ids[np.argmax(scores, axis=1)])
+
+    schema = T.StructType(
+        list(base.schema.fields) + [T.StructField("cell", T.IntegerType())]
+    )
+    assigned = base.mapInPandas(_assign, schema).select(id_col, "cell")
+    return corpus.select(id_col, vec_col).join(assigned, id_col)
+
+
 def ivf_topk(
     corpus_with_cells: DataFrame,
     centroids: DataFrame,

@@ -905,3 +905,26 @@ def test_ivfpq_index_roundtrip_pruned_and_recall(spark, tmp_path):
     got_set = {(r["query_id"], r["match_id"]) for r in got.collect()}
     recall = len(exact_set & got_set) / len(exact_set)
     assert recall >= 0.15, recall
+
+
+def test_assign_ivf_cells_matmul_parity(spark):
+    """The matmul assignment tier must agree cell-for-cell with the
+    oracle-checked expression form (argmax first-max + ascending cell
+    order == max_by ties-to-lowest-cell) on real data and on trained
+    centroids."""
+    emb = read_table(spark, SF, "embeddings")
+    for cent in (
+        emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        ),
+        similarity.train_ivf_centroids(emb, k=10, seed=7),
+    ):
+        a = {
+            r["vec_id"]: r["cell"]
+            for r in similarity.assign_ivf_cells(emb, cent).collect()
+        }
+        b = {
+            r["vec_id"]: r["cell"]
+            for r in similarity.assign_ivf_cells_matmul(emb, cent).collect()
+        }
+        assert a == b

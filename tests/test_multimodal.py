@@ -1049,3 +1049,57 @@ def test_x04_pipeline_degenerate_corpora(spark):
     assert all(r["cluster_size"] == 6 for r in rows.values())
     canon = [d for d, r in rows.items() if r["is_canonical"] == 1]
     assert canon == [8]  # longest text wins
+
+
+def test_annexb_split_and_parse_closed_form():
+    """Annex-B NAL scan + screening parse against hand-built streams:
+    4- and 3-byte start codes, trailing-zero stripping, multi-slice
+    frame counting via first_mb_in_slice, IDR census, and loud errors
+    on garbage / SPS-less streams."""
+    import pytest
+
+    sps = mm.encode_h264_sps(19, 11, (0, 0, 0, 2))  # 320x188 (CropUnitY=2)
+    pps = bytes([0x68, 0xCE, 0x38, 0x80])
+    # 2 IDR frames (2 slices each) + 1 non-IDR frame (1 slice)
+    stream = mm.encode_annexb_stream(
+        sps, pps, [(True, 2), (True, 2), (False, 1)]
+    )
+    nals = mm.split_annexb_nals(stream)
+    assert len(nals) == 7  # SPS + PPS + 5 slices
+    assert (nals[0][0] & 0x1F) == 7 and (nals[1][0] & 0x1F) == 8
+    m = mm.parse_annexb_metadata(stream)
+    assert m["width"] == 320 and m["height"] == 188
+    assert m["profile_idc"] == 66 and m["level_idc"] == 31
+    assert m["n_sps"] == 1 and m["n_pps"] == 1
+    assert m["n_frames"] == 3  # multi-slice frames count once
+    assert m["n_idr_frames"] == 2
+    assert m["n_slice_nals"] == 5 and m["n_nals"] == 7
+
+    with pytest.raises(ValueError, match="start code"):
+        mm.split_annexb_nals(b"\xff\xfe\xfd")
+    # a stream with slices but no SPS is un-screenable -> loud
+    no_sps = b"\x00\x00\x01" + bytes([0x41, 0x88])
+    with pytest.raises(ValueError, match="no SPS"):
+        mm.parse_annexb_metadata(no_sps)
+
+
+def test_synthetic_annexb_screening_formulas(spark):
+    """y69's generator/parser loop: every screening field equals the
+    closed-form GOP/geometry formula for a sample of doc ids."""
+    docs = spark.createDataFrame([(d,) for d in range(14)], "doc_id LONG")
+    media = mm.synthetic_annexb_from_documents(docs)
+    got = {
+        r["asset_id"]: r
+        for r in mm.video_h264_annexb_screening(media).collect()
+    }
+    assert len(got) == 14
+    for d in range(14):
+        r = got[d]
+        assert r["width"] == (20 + d % 8) * 16
+        assert r["height"] == (12 + d % 5) * 16 - 2 * (d % 3)
+        n_frames = 1 + d % 3 + d % 4
+        slices = 1 + d % 2
+        assert r["n_idr_frames"] == 1 + d % 3
+        assert r["n_frames"] == n_frames
+        assert r["n_slice_nals"] == n_frames * slices
+        assert r["n_nals"] == 2 + n_frames * slices

@@ -329,12 +329,15 @@ def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
         # composed IVF-PQ (round-7 verdict item 2): per-size centroids +
         # codebooks (both amortized), timed portion = full-corpus cell
         # assignment + PQ encode + partition-restricted ADC probe — the
-        # linear index-build stages plus the sublinear probe
+        # linear index-build stages plus the sublinear probe. Assignment
+        # uses the matmul tier: the expression fold with k ~ n/2000
+        # cells measured alpha(10,100) = 1.71 (the curve caught it, as
+        # designed); BLAS assignment restored linearity.
         "op_ivfpq_adc_probe": lambda: similarity.ivfpq_topk(
             similarity.pq_encode(emb(), size_cb()).join(
-                similarity.assign_ivf_cells(emb(), size_cents()).select(
-                    "vec_id", "cell"
-                ),
+                similarity.assign_ivf_cells_matmul(
+                    emb(), size_cents()
+                ).select("vec_id", "cell"),
                 "vec_id",
             ),
             size_cents(),
