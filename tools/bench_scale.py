@@ -458,6 +458,15 @@ def main() -> None:
             )
         results = merged
         meta = {**prior.get("sizes", {}), **meta}
+    # preserve the streaming throughput record (tools/bench_stream.py)
+    # across any rewrite of this file, merged or full
+    streaming_prior = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                streaming_prior = json.load(f).get("streaming", {})
+        except Exception:  # noqa: BLE001 - corrupt prior: start fresh
+            streaming_prior = {}
     payload = {
         "metric": "scaling_curves",
         "unit": "sec",
@@ -468,6 +477,8 @@ def main() -> None:
         ),
         "excluded": EXCLUDED,
     }
+    if streaming_prior:
+        payload["streaming"] = streaming_prior
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps({k: v for k, v in payload.items() if k != "sizes"}))
