@@ -110,6 +110,18 @@ HEADLINE = [
     "y61_hll_distinct",
     "y62_weighted_sample",
     "y63_pmi_collocations",
+    # round-6 second-half additions (first benched round 7)
+    "y66_html_extract",
+    "y67_url_canonicalize",
+    "x03_crawl_pipeline",
+    # round-7 additions (c01..c10 are aliases of entries already listed
+    # or deliberately excluded — never double-benched)
+    "x04_image_neardup_pipeline",
+    "y68_ivfpq_topk",
+    "y69_h264_annexb_screening",
+    "z44_volume_shipping",
+    "z46_returned_items",
+    "z49_waiting_suppliers",
 ]
 
 
