@@ -5405,14 +5405,20 @@ def y68(spark: SparkSession, sf: str) -> DataFrame:
 _X04_G, _X04_BASE_MOD, _X04_BRIGHT_MOD = 50, 200, 40
 _X04_BANDS, _X04_MAXHAM = 8, 4
 
-# the m04 luma formula keyed by group g and reduced mod base_mod; the
-# per-doc brightness offset shifts every block sum equally and cancels
-# in the strict '>' comparisons, so the oracle hashes the group base
+# the mirrored generator's scrambled luma (see synthetic_ppm_mirrored:
+# pixel value = (idx * (2g+1) * 40503) % base_mod with idx the 1-based
+# linear pixel index) keyed by group g; the per-doc brightness offset
+# shifts every block sum equally and cancels in the strict '>'
+# comparisons, so the oracle hashes the group base
+_X04_PIX = (
+    "((((by * 4 + py) * 36 + (bx * 4 + px)) * 3 + {c})"
+    " * (2 * g + 1) * 40503) % {bm}"
+)
 _X04_LUMA = (
-    "299 * ((g * 7 + (bx * 4 + px) * 3 + (by * 4 + py) * 5) % {bm})"
-    " + 587 * ((g * 7 + (bx * 4 + px) * 3 + (by * 4 + py) * 5 + 11) % {bm})"
-    " + 114 * ((g * 7 + (bx * 4 + px) * 3 + (by * 4 + py) * 5 + 22) % {bm})"
-).format(bm=_X04_BASE_MOD)
+    "299 * (" + _X04_PIX.format(c=1, bm=_X04_BASE_MOD) + ")"
+    " + 587 * (" + _X04_PIX.format(c=2, bm=_X04_BASE_MOD) + ")"
+    " + 114 * (" + _X04_PIX.format(c=3, bm=_X04_BASE_MOD) + ")"
+)
 
 _X04_SQL = (
     "WITH RECURSIVE gg AS (SELECT DISTINCT doc_id % {G} AS g FROM documents),"

@@ -933,29 +933,48 @@ def synthetic_ppm_mirrored(
 ) -> DataFrame:
     """Mirrored variant of :func:`synthetic_ppm_from_documents` for the
     x04 image near-dup pipeline: pixel channel value =
-    ``(g*7 + x*3 + y*5 + c*11) % base_mod + (doc_id % bright_mod)`` with
-    ``g = doc_id % mirror_groups`` — every group of ~corpus/G documents
-    shares one BASE image but each doc carries a doc-unique brightness
-    offset, so payload bytes differ doc-to-doc while the dHash is
-    group-identical (a uniform brightness shift moves every 4x4 block
-    sum by the same ``16*1000*offset`` milli-luma, leaving all strict
-    ``>`` neighbor comparisons unchanged) — the repost/re-encode pattern
-    image-level dedup exists for. ``base_mod + bright_mod <= 256`` keeps
-    channel values in byte range with NO wraparound, so the closed-form
-    oracle needs only the group formula."""
+    ``(idx * (2g+1) * 40503) % base_mod + (doc_id % bright_mod)`` with
+    ``g = doc_id % mirror_groups`` and ``idx = (y*36 + x)*3 + c + 1``
+    (the pixel's 1-based linear index) — every group of ~corpus/G
+    documents shares one BASE image but each doc carries a doc-unique
+    brightness offset, so payload bytes differ doc-to-doc while the
+    dHash is group-identical (a uniform brightness shift moves every
+    4x4 block sum by the same ``16*1000*offset`` milli-luma, leaving
+    all strict ``>`` neighbor comparisons unchanged) — the
+    repost/re-encode pattern image-level dedup exists for.
+
+    The multiplicative per-pixel SCRAMBLE (not m04's x/y gradient)
+    matters: a gradient image's block sums are monotone, so most dHash
+    bits are 1 and different groups collide into the same 8-bit band
+    buckets (measured: ~20 of 50 groups shared band value 255, making
+    the sf0.1 band join quadratic in the corpus and the oracle's
+    cluster closure explode). Scrambled, the 50 group hashes spread to
+    band buckets of <= 4-5 with only a few genuine cross-group
+    near-pairs left — which is test richness (cross-group merges DO
+    get exercised), not degeneracy. ``base_mod + bright_mod <= 256``
+    keeps channel values in byte range with NO wraparound, so the
+    closed-form oracle needs only the group formula."""
     if base_mod + bright_mod > 256:
         raise ValueError("base_mod + bright_mod must stay within a byte")
 
     def batches(parts: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
-        base = _ppm_base_grid()
+        y, x, c = np.meshgrid(
+            np.arange(DHASH_IMG_H),
+            np.arange(DHASH_IMG_W),
+            np.arange(3),
+            indexing="ij",
+        )
+        idx = (y * DHASH_IMG_W + x) * 3 + c + 1
         for pdf in parts:
             rows = [
                 {
                     "asset_id": int(aid),
                     "payload": encode_ppm(
-                        (int(aid) % mirror_groups * 7 + base) % base_mod
+                        (idx * (2 * (int(aid) % mirror_groups) + 1) * 40503)
+                        % base_mod
                         + int(aid) % bright_mod
                     ),
                 }
