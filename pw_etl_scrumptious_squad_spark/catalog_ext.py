@@ -1439,7 +1439,13 @@ def y06(spark: SparkSession, sf: str) -> DataFrame:
 def y07(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="sentence_idx int, sentence string, n_words int")
+    # useArrow: compiles to ArrowEvalPythonUDTF (batched) instead of the
+    # row-at-a-time BatchEvalPythonUDTF — the suite-wide plan invariant
+    # (test_gate_contract) bans row-Python nodes in every catalog plan
+    @udtf(
+        returnType="sentence_idx int, sentence string, n_words int",
+        useArrow=True,
+    )
     class SplitSentences:
         def eval(self, text: str):
             for i, s in enumerate(text.split(". ")):

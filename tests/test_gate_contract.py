@@ -16,11 +16,38 @@ BANNED = (T.ArrayType, T.MapType, T.StructType, T.DecimalType)
 
 
 @pytest.fixture(scope="module")
-def catalog_schemas(spark):
+def catalog_frames(spark):
     out = {}
     for name, fn in sorted(entrymod.queries().items()):
-        out[name] = fn(spark, SF).schema
+        out[name] = fn(spark, SF)
     return out
+
+
+@pytest.fixture(scope="module")
+def catalog_schemas(catalog_frames):
+    return {name: df.schema for name, df in catalog_frames.items()}
+
+
+def test_no_cartesian_or_row_python_in_any_plan(catalog_frames):
+    """Suite-wide physical-plan invariants (the 100 TB posture, pinned):
+    no catalog entry's plan may contain a CartesianProduct (an
+    unconditioned pair blow-up — one-row stat broadcasts compile to
+    BroadcastNestedLoopJoin, which is allowed and audited per entry) or
+    a BatchEvalPython node (a row-at-a-time Python UDF in the plan —
+    Python stages must be Arrow-batched: ArrowEvalPython / mapInPandas
+    / pandas UDAFs). A regression that sneaks either into ANY of the
+    165 entries fails here by name."""
+    offenders = {}
+    for name, df in catalog_frames.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            marker
+            for marker in ("CartesianProduct", "BatchEvalPython")
+            if marker in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, f"banned plan nodes: {offenders}"
 
 
 def test_no_gate_unsafe_output_types(catalog_schemas):
