@@ -5560,3 +5560,57 @@ def y69(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("asset_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# y70: WARC ingestion (round 7) — the step BEFORE x03's extraction in a
+# real crawl pipeline: CommonCrawl-style concatenated WARC/1.0 records
+# parsed out of multi-record binary chunks by Content-Length octet
+# slicing (never delimiter splitting — payload bytes containing WARC
+# banners must not split records; pinned in tests). Every header field
+# of the generator is a closed-form doc_id formula, so the oracle
+# recomputes the whole ingest arithmetically (payload integrity via
+# md5 against the source text).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "y70_warc_ingest",
+    "SELECT doc_id, 'response' AS warc_type,"
+    " '<urn:doc:' || doc_id || '>' AS record_id,"
+    " '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')"
+    " || 'T00:00:00Z' AS warc_date,"
+    " 'https://example' || (doc_id % 7) || '.com/doc/' || doc_id"
+    " AS target_uri,"
+    " CAST(strlen(text) AS BIGINT) AS content_length,"
+    " md5(text) AS payload_md5"
+    " FROM documents ORDER BY doc_id",
+    "WARC/1.0 web-archive ingestion: documents packed 25-per-chunk into"
+    " real concatenated WARC response records (the .warc file shape),"
+    " then parsed back by Content-Length octet slicing — header fields,"
+    " byte-exact payload (md5-checked against the source text), one"
+    " Arrow-batched map stage each way. The parse is robust to payloads"
+    " containing WARC banners/blank lines by construction (length-"
+    " driven, not delimiter-driven)."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y70(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import web
+
+    chunks = web.warc_from_documents(_t(spark, sf, "documents"))
+    parsed = web.parse_warc_records(chunks)
+    return (
+        parsed.select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "warc_type",
+            "record_id",
+            "warc_date",
+            "target_uri",
+            "content_length",
+            F.md5("payload").alias("payload_md5"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -142,3 +142,55 @@ def test_canonical_url_is_a_dedup_key(spark):
         r["canonical_url"] for r in web.canonicalize_urls(df).collect()
     }
     assert keys == {"https://ex.com/page?id=7"}
+
+
+def test_warc_roundtrip_and_length_driven_parse(spark):
+    """WARC ingest (y70): records round-trip byte-exact through the
+    generator/parser pair, and parsing is Content-Length-driven — a
+    payload containing a WARC banner and blank lines must NOT split its
+    record (the bug delimiter-splitting has on real crawl data)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "plain text"),
+            (1, ""),  # empty payload: Content-Length 0
+            # adversarial payload: embedded banner + header-like lines
+            (2, "WARC/1.0\r\nWARC-Type: response\r\n\r\nfake inner record"),
+            (3, "multi\r\n\r\nblank\r\n\r\nlines"),
+            (26, "crosses a chunk boundary at 25"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    chunks = web.warc_from_documents(docs, records_per_chunk=25)
+    # docs 0..3 share chunk 0; doc 26 is chunk 1
+    assert chunks.count() == 2
+    parsed = {
+        int(r["target_uri"].rsplit("/", 1)[1]): r
+        for r in web.parse_warc_records(chunks).collect()
+    }
+    assert len(parsed) == 5
+    for d, text in [(0, "plain text"), (1, ""), (26, "crosses a chunk boundary at 25")]:
+        assert bytes(parsed[d]["payload"]) == text.encode()
+    # the adversarial payloads survive intact — not split at the banner
+    assert bytes(parsed[2]["payload"]).startswith(b"WARC/1.0")
+    assert parsed[2]["content_length"] == len(
+        "WARC/1.0\r\nWARC-Type: response\r\n\r\nfake inner record"
+    )
+    assert bytes(parsed[3]["payload"]) == b"multi\r\n\r\nblank\r\n\r\nlines"
+    assert parsed[0]["warc_type"] == "response"
+    assert parsed[0]["record_id"] == "<urn:doc:0>"
+    assert parsed[26]["warc_date"] == "2024-01-27T00:00:00Z"
+
+
+def test_warc_parse_malformed_raises_loudly(spark):
+    import pytest
+
+    def run(data: bytes):
+        df = spark.createDataFrame([(1, bytearray(data))], "chunk_id LONG, data BINARY")
+        return web.parse_warc_records(df).collect()
+
+    with pytest.raises(Exception, match="malformed WARC"):
+        run(b"not a warc record at all\r\n\r\n")
+    with pytest.raises(Exception, match="no Content-Length"):
+        run(b"WARC/1.0\r\nWARC-Type: response\r\n\r\npayload")
+    with pytest.raises(Exception, match="truncated"):
+        run(b"WARC/1.0\r\nContent-Length: 999\r\n\r\nshort")

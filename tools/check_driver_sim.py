@@ -135,14 +135,22 @@ def main() -> None:
     if sample_n:
         window = _commit_seeded_sample(sorted(qs)[50:], sample_n)
         print(f"commit-seeded sample ({len(window)}): {' '.join(window)}")
-    elif run_all:
+    elif run_all or only:
+        # explicit names must NEVER be silently window-filtered: before
+        # this branch, asking for an out-of-window entry checked nothing
+        # and still printed the all-pass summary (a vacuous green)
         window = sorted(qs)
     else:
         window = sorted(qs)[:50]
+    unknown = only - set(qs)
+    if unknown:
+        raise SystemExit(f"unknown catalog entries: {sorted(unknown)}")
     failures = []
+    n_ran = 0
     for name in window:
         if only and name not in only:
             continue
+        n_ran += 1
         try:
             spdf = qs[name](spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -195,8 +203,10 @@ def main() -> None:
     if failures:
         print(f"{len(failures)} failing: {failures}")
         sys.exit(1)
-    scope = "catalog" if run_all else "window"
-    print(f"all {len(window)} {scope} queries pass the driver-sim canonicalizer")
+    if n_ran == 0:
+        raise SystemExit("0 queries ran — nothing was verified")
+    scope = "selected" if only else ("catalog" if run_all else "window")
+    print(f"all {n_ran} {scope} queries pass the driver-sim canonicalizer")
 
 
 if __name__ == "__main__":
