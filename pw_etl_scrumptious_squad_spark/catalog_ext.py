@@ -5614,3 +5614,94 @@ def y70(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# y71: Unicode script detection (round 7) — the writing-system half of
+# language ID: a crawl corpus must know it is looking at Cyrillic / Han /
+# Arabic at all (per-script tokenizer routing, mixed-script spam screens)
+# before t04's latin-marker heuristic means anything. Classification is
+# by codepoint RANGE — exact integer compares, so both engines agree
+# bit-for-bit (Java and RE2 regex script tables differ; codepoints
+# don't). The generator appends a script snippet chosen by doc_id % 4,
+# so detection is exercised on genuinely mixed-script text.
+# ---------------------------------------------------------------------------
+
+_Y71_SNIPPETS = {
+    1: " привет мир тест",      # Cyrillic
+    2: " 中文文本样例",            # Han
+    3: " نص عربي للاختبار",      # Arabic
+}
+_Y71_CASE_SQL = (
+    "CASE CAST(doc_id % 4 AS INTEGER)"
+    + "".join(
+        f" WHEN {k} THEN '{v}'" for k, v in _Y71_SNIPPETS.items()
+    )
+    + " ELSE '' END"
+)
+_Y71_CLASSIFY_SQL = (
+    "CASE WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122)"
+    " OR (cp BETWEEN 192 AND 591) THEN 'latin'"
+    " WHEN cp BETWEEN 880 AND 1023 THEN 'greek'"
+    " WHEN cp BETWEEN 1024 AND 1279 THEN 'cyrillic'"
+    " WHEN cp BETWEEN 1536 AND 1791 THEN 'arabic'"
+    " WHEN cp BETWEEN 19968 AND 40959 THEN 'han'"
+    " ELSE 'other' END"
+)
+
+
+@register(
+    "y71_script_detect",
+    "WITH aug AS (SELECT doc_id, text || " + _Y71_CASE_SQL + " AS t"
+    " FROM documents),"
+    " ch AS (SELECT doc_id, unicode(c) AS cp FROM"
+    " (SELECT doc_id, unnest(string_split(t, '')) AS c FROM aug"
+    " WHERE length(t) > 0)),"
+    " tagged AS (SELECT doc_id, " + _Y71_CLASSIFY_SQL + " AS script"
+    " FROM ch),"
+    " per AS (SELECT doc_id, script, count(*) AS c FROM tagged"
+    " GROUP BY doc_id, script),"
+    " dom AS (SELECT doc_id, script AS dominant_script FROM"
+    " (SELECT doc_id, script, row_number() OVER (PARTITION BY doc_id"
+    " ORDER BY c DESC, script) AS rn FROM per) WHERE rn = 1)"
+    " SELECT per.doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,"
+    " CAST(SUM(CASE WHEN script = 'latin' THEN c ELSE 0 END) AS BIGINT)"
+    " AS n_latin,"
+    " CAST(SUM(CASE WHEN script = 'greek' THEN c ELSE 0 END) AS BIGINT)"
+    " AS n_greek,"
+    " CAST(SUM(CASE WHEN script = 'cyrillic' THEN c ELSE 0 END) AS BIGINT)"
+    " AS n_cyrillic,"
+    " CAST(SUM(CASE WHEN script = 'arabic' THEN c ELSE 0 END) AS BIGINT)"
+    " AS n_arabic,"
+    " CAST(SUM(CASE WHEN script = 'han' THEN c ELSE 0 END) AS BIGINT)"
+    " AS n_han,"
+    " CAST(SUM(CASE WHEN script = 'other' THEN c ELSE 0 END) AS BIGINT)"
+    " AS n_other,"
+    " any_value(dominant_script) AS dominant_script"
+    " FROM per JOIN dom USING (doc_id)"
+    " GROUP BY per.doc_id ORDER BY per.doc_id",
+    "Unicode script profile per document over mixed-script text"
+    " (generator appends Cyrillic/Han/Arabic snippets by doc_id % 4):"
+    " per-codepoint range classification (engine-independent — no"
+    " regex script tables), per-script counts, dominant script via"
+    " min_by over struct(-count, script). The y52 explode skeleton:"
+    " map-side char explode, bounded (doc, script) hash-agg, no UDF."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y71(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    docs = _t(spark, sf, "documents")
+    snippet = F.lit("")
+    for k, v in _Y71_SNIPPETS.items():
+        snippet = F.when(
+            (F.col("doc_id") % 4).cast("int") == k, F.lit(v)
+        ).otherwise(snippet)
+    aug = docs.select(
+        "doc_id", F.concat(F.col("text"), snippet).alias("text")
+    )
+    return (
+        textops.script_profile(aug)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

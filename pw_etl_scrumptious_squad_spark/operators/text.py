@@ -1260,3 +1260,76 @@ def pmi_collocations(
             F.round(F.col("__pmiq") / 1_000_000_000.0, 6).alias("pmi"),
         )
     )
+
+
+_SCRIPT_RANGES = [
+    # (script, lo, hi) — codepoint ranges, exact integer compares so the
+    # classification is engine-independent (no regex script tables)
+    ("latin", 0x41, 0x5A),
+    ("latin", 0x61, 0x7A),
+    ("latin", 0xC0, 0x24F),   # Latin-1 supplement + Extended-A/B
+    ("greek", 0x370, 0x3FF),
+    ("cyrillic", 0x400, 0x4FF),
+    ("arabic", 0x600, 0x6FF),
+    ("han", 0x4E00, 0x9FFF),
+]
+
+
+def script_classify_expr(cp: Column) -> Column:
+    """Codepoint -> script bucket as a chained CASE over
+    ``_SCRIPT_RANGES`` (anything unmatched — digits, punctuation,
+    space, other blocks — is 'other')."""
+    expr = F.lit("other")
+    for name, lo, hi in reversed(_SCRIPT_RANGES):
+        expr = F.when((cp >= lo) & (cp <= hi), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def script_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Unicode SCRIPT profile — the writing-system half of
+    language ID (t04 guesses the language of latin text; a crawl corpus
+    first needs to know it is looking at Cyrillic/Han/Arabic at all,
+    both for routing to per-script tokenizers and for mixed-script spam
+    screens). Output: ``(doc_id, n_chars, n_latin, n_greek,
+    n_cyrillic, n_arabic, n_han, n_other, dominant_script)`` for
+    non-empty documents, where dominant is the argmax script bucket
+    (ties broken to the alphabetically FIRST script — deterministic:
+    min_by over struct(-count, script)).
+
+    Classification is by CODEPOINT RANGE (exact integer compares), not
+    regex script classes, so any engine reproduces it bit-for-bit —
+    Java and RE2 ship different Unicode tables, codepoints don't lie.
+
+    100 TB shape: the y52 skeleton — per-character explode into a
+    (doc, script) hash-agg with map-side combine (fan-in bounded by the
+    handful of script buckets), one pivot-free conditional aggregation,
+    no UDFs, no window (dominant via max_by over the bounded bucket
+    set)."""
+    chars = docs.filter(F.length(text_col) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col})),"
+                f" i -> ascii(substring({text_col}, i, 1)))"
+            )
+        ).alias("cp"),
+    )
+    tagged = chars.select(
+        "doc_id", script_classify_expr(F.col("cp")).alias("script")
+    )
+    per = tagged.groupBy("doc_id", "script").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    scripts = ["latin", "greek", "cyrillic", "arabic", "han", "other"]
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_chars"),
+        *[
+            F.sum(F.when(F.col("script") == s, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{s}")
+            for s in scripts
+        ],
+        F.expr("min_by(script, struct(-c, script))").alias("dominant_script"),
+    )

@@ -160,3 +160,32 @@ def test_degenerate_corpus_oracle_parity(spark, degenerate_sf, name):
             else "row sets differ in tails"
         )
         raise AssertionError(f"{name}: value-hash mismatch\n{detail}")
+
+
+def test_script_profile_closed_form(spark):
+    """script_profile over hand-built mixed-script docs: exact counts
+    per bucket, dominant with the min_by tie rule, empties excluded."""
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abc"),                # pure latin
+            (2, "привет"),             # pure cyrillic (6 chars)
+            (3, "ab 中文"),             # 2 latin + 1 other(space) + 2 han
+            (4, ""),                   # excluded
+            (5, "!!! 123"),            # all 'other'
+            (6, "aбв"),                # 1 latin + 2 cyrillic -> cyrillic
+            (7, "aб"),                 # 1+1 tie -> 'cyrillic' vs 'latin':
+                                       # alphabetical first = cyrillic
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r for r in textops.script_profile(docs).collect()}
+    assert set(got) == {1, 2, 3, 5, 6, 7}
+    assert got[1]["n_latin"] == 3 and got[1]["dominant_script"] == "latin"
+    assert got[2]["n_cyrillic"] == 6 and got[2]["dominant_script"] == "cyrillic"
+    assert (got[3]["n_latin"], got[3]["n_han"], got[3]["n_other"]) == (2, 2, 1)
+    assert got[3]["n_chars"] == 5
+    assert got[5]["n_other"] == 7 and got[5]["dominant_script"] == "other"
+    assert got[6]["dominant_script"] == "cyrillic"
+    assert got[7]["dominant_script"] == "cyrillic"  # tie: alphabetical
