@@ -5705,3 +5705,61 @@ def y71(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# y72: robots.txt evaluation (round 7) — crawl politeness, the filter a
+# crawl pipeline applies before fetching anything: REAL robots parsing
+# (comment strip, User-agent group assembly, Allow/Disallow directives)
+# and REP longest-match-wins evaluation (ties to Allow). The generator's
+# Googlebot-only blanket "Disallow: /" exists to catch group-scoping
+# bugs: a parser that ignores grouping denies the whole corpus and the
+# closed-form oracle (pure doc_id arithmetic) lights up red.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "y72_robots_filter",
+    "SELECT doc_id, CAST(doc_id % 7 AS INTEGER) AS domain_id,"
+    " CASE CAST(doc_id % 4 AS INTEGER)"
+    " WHEN 0 THEN '/p' || (doc_id % 7) || '/x/' || doc_id"
+    " WHEN 1 THEN '/p' || (doc_id % 7) || '/open/' || doc_id"
+    " WHEN 2 THEN '/blocked/' || doc_id"
+    " ELSE '/free/' || doc_id END AS path,"
+    " CASE WHEN CAST(doc_id % 4 AS INTEGER) IN (1, 3) THEN 1 ELSE 0 END"
+    " AS allowed,"
+    " CASE CAST(doc_id % 4 AS INTEGER)"
+    " WHEN 0 THEN '/p' || (doc_id % 7) || '/'"
+    " WHEN 1 THEN '/p' || (doc_id % 7) || '/open/'"
+    " WHEN 2 THEN '/blocked/' ELSE NULL END AS matched_rule"
+    " FROM documents ORDER BY doc_id",
+    "robots.txt crawl filter: per-domain robots text parsed for real"
+    " (comments, User-agent groups, Allow/Disallow) into a rules table,"
+    " URLs evaluated by REP longest-match-wins with ties to Allow"
+    " (rules broadcast; one hash-agg per URL). Generator paths route"
+    " each doc through deny-prefix / longer-allow-carve-out / generic"
+    " deny / no-rule cases by doc_id % 4, all closed-form for the"
+    " oracle; the Googlebot-only blanket deny must NOT leak into '*'."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y72(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import web
+
+    docs = _t(spark, sf, "documents")
+    d = (F.col("doc_id") % 7).cast("int")
+    m = (F.col("doc_id") % 4).cast("int")
+    path = (
+        F.when(m == 0, F.concat(F.lit("/p"), d, F.lit("/x/"), F.col("doc_id")))
+        .when(m == 1, F.concat(F.lit("/p"), d, F.lit("/open/"), F.col("doc_id")))
+        .when(m == 2, F.concat(F.lit("/blocked/"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("/free/"), F.col("doc_id")))
+    )
+    urls = docs.select("doc_id", d.alias("domain_id"), path.alias("path"))
+    domains = urls.select("domain_id").distinct()
+    rules = web.parse_robots(web.robots_from_domains(domains))
+    out = web.apply_robots(urls, rules, keep=("doc_id",))
+    return (
+        out.select("doc_id", "domain_id", "path", "allowed", "matched_rule")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -17,8 +17,9 @@ crawl corpus in the sandbox.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 # blocks whose CONTENT is boilerplate, not text: dropped whole
 _HTML_BLOCK_DROP = r"(?is)<(script|style|nav|footer|header|aside)\b[^>]*>.*?</\1>"
@@ -382,3 +383,123 @@ def crawl_records_from_documents(
               "</body></html>"),
     )
     return docs.select("doc_id", url.alias("url"), html.alias("html"))
+
+
+def robots_from_domains(domains: DataFrame, domain_col: str = "domain_id") -> DataFrame:
+    """Generator twin of :func:`parse_robots`: a deterministic
+    robots.txt per domain id — a comment line, a Googlebot-only group
+    whose blanket ``Disallow: /`` must NOT leak into '*' evaluation
+    (the classic robots-parsing bug), then the wildcard group with a
+    deny prefix, a LONGER allow carve-out under it, and a generic
+    deny. Returns ``(domain_id, robots_txt)``."""
+    d = F.col(domain_col).cast("string")
+    txt = F.concat(
+        F.lit("# robots for example"), d, F.lit("\n"),
+        F.lit("User-agent: Googlebot\nDisallow: /\n\n"),
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /p"), d, F.lit("/\n"),
+        F.lit("Allow: /p"), d, F.lit("/open/\n"),
+        F.lit("Disallow: /blocked/\n"),
+    )
+    return domains.select(F.col(domain_col), txt.alias("robots_txt"))
+
+
+def parse_robots(
+    df: DataFrame,
+    domain_col: str = "domain_id",
+    robots_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """REAL robots.txt parsing (REP, RFC 9309 shape): split lines, strip
+    ``#`` comments and whitespace, assemble User-agent GROUPS (a group
+    starts at a ``User-agent:`` line not directly preceded by another
+    ``User-agent:`` line — consecutive UA lines share one group), keep
+    the groups that name ``user_agent``, and emit their Allow/Disallow
+    directives as ``(domain, is_allow, path_prefix, prefix_len)``.
+    Empty-path directives (``Disallow:`` = allow all) are dropped.
+
+    All JVM expressions: one posexplode over lines, one per-domain
+    window for the group assembly (lag + running sum), one semi join
+    from directives to matching-UA groups. The Googlebot-only blanket
+    deny in the generator exists precisely to catch group-scoping bugs
+    — a parser that ignores grouping denies everything."""
+    lines = df.select(
+        F.col(domain_col).alias("domain_id"),
+        F.posexplode(F.split(F.col(robots_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "domain_id",
+        "pos",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    ).filter(F.col("line") != "")
+    parts = lines.select(
+        "domain_id",
+        "pos",
+        F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1))).alias("key"),
+        F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1)).alias("value"),
+    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("domain_id").orderBy("pos")
+    grouped = parts.withColumn(
+        "ua_start",
+        (
+            (F.col("key") == "user-agent")
+            & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn("group_id", F.sum("ua_start").over(w))
+    uas = (
+        grouped.filter(
+            (F.col("key") == "user-agent") & (F.col("value") == user_agent)
+        )
+        .select("domain_id", "group_id")
+        .distinct()
+    )
+    return (
+        grouped.filter(F.col("key") != "user-agent")
+        .join(uas, ["domain_id", "group_id"], "left_semi")
+        .filter(F.col("value") != "")
+        .select(
+            "domain_id",
+            (F.col("key") == "allow").cast("int").alias("is_allow"),
+            F.col("value").alias("path_prefix"),
+            F.length("value").cast("int").alias("prefix_len"),
+        )
+    )
+
+
+def apply_robots(
+    urls: DataFrame,
+    rules: DataFrame,
+    domain_col: str = "domain_id",
+    path_col: str = "path",
+    keep: tuple = (),
+) -> DataFrame:
+    """Evaluate URLs against parsed robots rules with the
+    longest-match-wins precedence (ties go to Allow — the REP rule):
+    join on domain (rules broadcast — a rules table is domains x a few
+    directives, tiny next to a URL corpus), keep prefix matches, pick
+    the winner per URL by ``max_by(struct(prefix_len, is_allow))``;
+    URLs matching no rule are allowed. Returns the input columns plus
+    ``(allowed int, matched_rule string|null)``. One map-side broadcast
+    join + one hash-agg on the URL key — no shuffle of the URL corpus
+    beyond the agg's partial/final split."""
+    u = urls.select(
+        F.col(domain_col).alias("domain_id"), path_col, *keep
+    )
+    j = u.join(broadcast(rules), "domain_id", "left").withColumn(
+        "__match",
+        F.col("path_prefix").isNotNull()
+        & F.col(path_col).startswith(F.col("path_prefix")),
+    )
+    agg = j.groupBy("domain_id", path_col, *keep).agg(
+        F.expr(
+            "max_by(struct(is_allow, path_prefix),"
+            " struct(prefix_len, is_allow))"
+            " FILTER (WHERE __match)"
+        ).alias("__w")
+    )
+    return agg.select(
+        "domain_id",
+        path_col,
+        *keep,
+        F.coalesce(F.col("__w.is_allow"), F.lit(1)).cast("int").alias("allowed"),
+        F.col("__w.path_prefix").alias("matched_rule"),
+    )

@@ -194,3 +194,52 @@ def test_warc_parse_malformed_raises_loudly(spark):
         run(b"WARC/1.0\r\nWARC-Type: response\r\n\r\npayload")
     with pytest.raises(Exception, match="truncated"):
         run(b"WARC/1.0\r\nContent-Length: 999\r\n\r\nshort")
+
+
+def test_parse_robots_groups_and_rep_precedence(spark):
+    """robots parsing + REP evaluation on hand-built files: consecutive
+    User-agent lines share a group; other agents' groups don't leak;
+    comments and empty directives are dropped; longest match wins with
+    ties going to Allow."""
+    robots = (
+        "# header comment\n"
+        "User-agent: Googlebot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: FooBot\n"
+        "User-agent: *\n"          # shares the group with FooBot
+        "Disallow: /a/\n"
+        "Allow: /a/b/\n"
+        "disallow: /c/   # inline comment\n"  # lowercase key + comment
+        "Disallow:\n"               # empty = allow-all, dropped
+        "Allow: /a/x/\n"
+        "Disallow: /a/x/\n"         # same length as the Allow -> Allow wins
+    )
+    df = spark.createDataFrame([(1, robots)], "domain_id LONG, robots_txt STRING")
+    rules = web.parse_robots(df)
+    got = {
+        (r["is_allow"], r["path_prefix"]) for r in rules.collect()
+    }
+    assert got == {
+        (0, "/a/"), (1, "/a/b/"), (0, "/c/"), (1, "/a/x/"), (0, "/a/x/")
+    }  # Googlebot's blanket deny absent; empty directive absent
+
+    urls = spark.createDataFrame(
+        [
+            (1, 1, "/a/deep/page"),    # deny /a/
+            (2, 1, "/a/b/page"),       # allow /a/b/ (longer)
+            (3, 1, "/c/page"),         # deny /c/
+            (4, 1, "/free"),           # no rule -> allowed
+            (5, 1, "/a/x/page"),       # tie length -> Allow wins
+            (6, 2, "/a/deep/page"),    # unknown domain -> allowed
+        ],
+        "doc_id LONG, domain_id LONG, path STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in web.apply_robots(urls, rules, keep=("doc_id",)).collect()
+    }
+    assert [out[i]["allowed"] for i in range(1, 7)] == [0, 1, 0, 1, 1, 1]
+    assert out[2]["matched_rule"] == "/a/b/"
+    assert out[5]["matched_rule"] == "/a/x/"
+    assert out[4]["matched_rule"] is None and out[6]["matched_rule"] is None
