@@ -5763,3 +5763,95 @@ def y72(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x05: the COMPLETE archive-to-corpus pipeline (round 7) — what x03 does
+# from parsed pages, x05 does from RAW WARC BYTES, the actual
+# CommonCrawl starting point: parse concatenated WARC records (y70) ->
+# robots filter (y72; '/mirror/1' prefix denies m in {1, 10..19} — a
+# string-prefix rule whose membership is still closed-form) -> HTML
+# boilerplate extraction (y66) -> quality floor -> URL canonicalization
+# + mirror dedup (y67/x03 semantics). Every stage's work is verified by
+# one arithmetic oracle over doc_id.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x05_warc_corpus_pipeline",
+    "WITH ex AS (SELECT doc_id,"
+    " length(trim(regexp_replace('Doc ' || CAST(doc_id AS VARCHAR) || ' '"
+    " || text || ' & <tail>', '\\s+', ' ', 'g'))) AS n FROM documents),"
+    " rb AS (SELECT doc_id, n, doc_id % 100 AS m FROM ex"
+    " WHERE CAST(doc_id % 100 AS VARCHAR) NOT LIKE '1%'),"
+    " q AS (SELECT doc_id, n, m FROM rb WHERE n >= 30),"
+    " g AS (SELECT doc_id, n, m,"
+    " row_number() OVER (PARTITION BY m ORDER BY doc_id) AS rk,"
+    " count(*) OVER (PARTITION BY m) AS n_mirrors FROM q)"
+    " SELECT doc_id,"
+    " 'https://example' || CAST(m % 7 AS VARCHAR) || '.com/mirror/'"
+    " || CAST(m AS VARCHAR) || '/?id=' || CAST(m AS VARCHAR)"
+    " AS canonical_url,"
+    " CAST(n AS INTEGER) AS n_chars_extracted,"
+    " CAST(n_mirrors AS INTEGER) AS n_mirrors"
+    " FROM g WHERE rk = 1 ORDER BY doc_id",
+    "COMPLETE archive-to-corpus pipeline from raw WARC bytes: parse"
+    " concatenated WARC records (Content-Length slicing), robots-filter"
+    " the target URIs (REP longest-match; the '/mirror/1' deny drops"
+    " mirror groups 1 and 10-19), extract text from the HTML payloads"
+    " (y66's regex chain over the decoded bytes), quality-floor at 30"
+    " chars, canonicalize URLs and keep the first-crawled doc per"
+    " canonical with surviving-mirror counts. One corpus scan, map-side"
+    " until the single canonical-URL window shuffle; the oracle"
+    " recomputes all five stages arithmetically from doc_id."
+    " x-prefix: past the gate window by design; tools/check.py covers it",
+)
+def x05(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import web
+
+    docs = _t(spark, sf, "documents")
+    chunks = web.warc_from_crawl_records(
+        web.crawl_records_from_documents(docs, mirror_groups=100)
+    )
+    parsed = web.parse_warc_records(chunks).select(
+        F.regexp_extract("record_id", r"urn:doc:(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("payload").cast("string").alias("html"),
+    )
+    # robots stage: domain from the messy host, path from the URL
+    with_path = parsed.withColumn(
+        "domain_id",
+        F.regexp_extract(F.lower("url"), r"example(\d)", 1).cast("int"),
+    ).withColumn("path", F.expr("parse_url(url, 'PATH')"))
+    domains = with_path.select("domain_id").distinct()
+    robots = domains.select(
+        "domain_id",
+        F.lit(
+            "# x05 politeness\nUser-agent: Googlebot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /mirror/1\n"
+        ).alias("robots_txt"),
+    )
+    rules = web.parse_robots(robots)
+    decided = web.apply_robots(
+        with_path, rules, keep=("doc_id", "url", "html")
+    )
+    live = decided.filter(F.col("allowed") == 1)
+    ext = web.strip_html(live, keep=("url",))
+    kept = ext.filter(F.col("n_chars_extracted") >= 30)
+    canon = web.canonicalize_urls(kept, keep=("n_chars_extracted",))
+    w = Window.partitionBy("canonical_url")
+    return (
+        canon.withColumn(
+            "n_mirrors", F.count(F.lit(1)).over(w).cast("int")
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("canonical_url").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select("doc_id", "canonical_url", "n_chars_extracted", "n_mirrors")
+    )

@@ -503,3 +503,51 @@ def apply_robots(
         F.coalesce(F.col("__w.is_allow"), F.lit(1)).cast("int").alias("allowed"),
         F.col("__w.path_prefix").alias("matched_rule"),
     )
+
+
+def warc_from_crawl_records(
+    rec: DataFrame, records_per_chunk: int = 25
+) -> DataFrame:
+    """Pack (doc_id, url, html) crawl records into concatenated WARC
+    response chunks — :func:`warc_from_documents` with the page's messy
+    URL as WARC-Target-URI and the full HTML as payload; the x05
+    pipeline's raw-archive input. Returns ``(chunk_id, data binary)``."""
+    from pyspark.sql import types as T
+
+    def batches(parts):
+        import pandas as pd
+
+        for pdf in parts:
+            chunks: dict[int, list[bytes]] = {}
+            for did, url, html in zip(pdf["doc_id"], pdf["url"], pdf["html"]):
+                d = int(did)
+                payload = (html or "").encode("utf-8")
+                recb = (
+                    b"WARC/1.0\r\n"
+                    b"WARC-Type: response\r\n"
+                    + f"WARC-Record-ID: <urn:doc:{d}>\r\n".encode()
+                    + f"WARC-Target-URI: {url}\r\n".encode()
+                    + f"Content-Length: {len(payload)}\r\n".encode()
+                    + b"\r\n"
+                    + payload
+                    + b"\r\n\r\n"
+                )
+                chunks.setdefault(d // records_per_chunk, []).append(recb)
+            yield pd.DataFrame(
+                [
+                    {"chunk_id": cid, "data": b"".join(recs)}
+                    for cid, recs in sorted(chunks.items())
+                ]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("chunk_id", T.LongType(), False),
+            T.StructField("data", T.BinaryType(), False),
+        ]
+    )
+    return (
+        rec.select("doc_id", "url", "html")
+        .repartition(F.col("doc_id") / records_per_chunk)
+        .mapInPandas(batches, schema)
+    )
