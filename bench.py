@@ -122,6 +122,10 @@ HEADLINE = [
     "z44_volume_shipping",
     "z46_returned_items",
     "z49_waiting_suppliers",
+    "y70_warc_ingest",
+    "y71_script_detect",
+    "y72_robots_filter",
+    "x05_warc_corpus_pipeline",
 ]
 
 

@@ -5497,9 +5497,13 @@ def x04(spark: SparkSession, sf: str) -> DataFrame:
     hashes = multimodal.image_dhash(media).select(
         F.col("asset_id").alias("doc_id"), "dhash"
     )
+    # star_identical: x04 consumes CONNECTIVITY (CC + keep-canonical),
+    # so hamming-0 classes collapse losslessly to stars at any size —
+    # cluster labels provably unchanged (tests pin the equivalence);
+    # the oracle's full-band-pair closure reaches the same components
     pairs = dd.hamming_near_pairs(
         hashes, bits=64, bands=_X04_BANDS, max_hamming=_X04_MAXHAM,
-        sig_col="dhash",
+        sig_col="dhash", star_identical=True,
     )
     scored = docs.select(
         "doc_id", F.length("text").cast("int").alias("quality_score")

@@ -928,3 +928,41 @@ def test_assign_ivf_cells_matmul_parity(spark):
             for r in similarity.assign_ivf_cells_matmul(emb, cent).collect()
         }
         assert a == b
+
+
+def test_star_identical_cluster_equivalence(spark):
+    """star_identical=True must yield the SAME connected components /
+    canonical picks as the full pair list (hamming-0 classes collapse
+    to stars losslessly; cross-class near pairs connect through the
+    representatives) while emitting far fewer pairs on duplicate-heavy
+    corpora."""
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "t" * (5 + i % 9)) for i in range(120)],
+        "doc_id LONG, text STRING",
+    )
+    media = mm.synthetic_ppm_mirrored(docs, mirror_groups=6)
+    hashes = mm.image_dhash(media).select(
+        F.col("asset_id").alias("doc_id"), "dhash"
+    )
+    full = dedup.hamming_near_pairs(
+        hashes, bits=64, bands=8, max_hamming=4, sig_col="dhash"
+    )
+    starred = dedup.hamming_near_pairs(
+        hashes, bits=64, bands=8, max_hamming=4, sig_col="dhash",
+        star_identical=True,
+    )
+    n_full, n_star = full.count(), starred.count()
+    assert n_star < n_full  # 20-doc identical classes: 190 pairs -> 19
+    nodes = docs.select("doc_id")
+    lab_full = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components(full, nodes).collect()
+    }
+    lab_star = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components(starred, nodes).collect()
+    }
+    assert lab_full == lab_star

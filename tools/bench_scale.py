@@ -82,7 +82,9 @@ CATALOG_QUERIES = [
     "y14_incremental_neardup", # store+batch incremental LSH
     "x02_fineweb_pipeline",    # staged curation pipeline
     "x03_crawl_pipeline",      # extraction->quality->URL-dedup, 1 shuffle
-    "x04_image_neardup_pipeline",  # decode->dHash->hamming->CC->canonical
+    "x04_image_neardup_pipeline",  # decode->dHash->star-hamming->CC->canon
+    "x05_warc_corpus_pipeline",    # WARC->robots->extract->quality->dedup
+    "y70_warc_ingest",             # binary record split + header parse
     "y52_char_entropy",        # per-char explode + alphabet-bounded agg
     "y54_zipf_slope",          # corpus explode + vocab-sized window
 ]
@@ -220,6 +222,25 @@ def zipf_documents(docs, n_docs: int, mean_cluster: int = 50):
     )
 
 
+def _image_neardup_scaled(docs_df, n_docs: int):
+    """x04's pipeline with corpus-proportional mirror groups (constant
+    ~100-doc group size — the realistic crawl geometry; the catalog
+    entry pins 50 groups for its closed-form oracle instead)."""
+    from pw_etl_scrumptious_squad_spark.operators import multimodal as mm
+
+    hashes = mm.image_dhash(
+        mm.synthetic_ppm_mirrored(docs_df, mirror_groups=max(50, n_docs // 100))
+    ).select(F.col("asset_id").alias("doc_id"), "dhash")
+    pairs = dedup.hamming_near_pairs(
+        hashes, bits=64, bands=8, max_hamming=4, sig_col="dhash",
+        star_identical=True,
+    )
+    scored = docs_df.select(
+        "doc_id", F.length("text").cast("int").alias("quality_score")
+    )
+    return dedup.keep_canonical(scored, pairs, score_col="quality_score")
+
+
 def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
     """Scale-route operator battery: name -> thunk building the frame."""
     docs = lambda: read_table(spark, d, "documents")  # noqa: E731
@@ -325,6 +346,13 @@ def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
         "op_lsh_pairs_zipf": lambda: dedup.minhash_lsh_dedup(
             zipf_documents(docs(), n_docs), "doc_id", "text",
             num_perm=16, bands=8, threshold=0.5,
+        ),
+        # x04's corpus-realistic geometry: mirror groups sized so the
+        # identical-image group stays ~100 docs at every corpus size
+        # (real mirror sets don't grow with the crawl; the catalog
+        # entry's fixed 50 groups are an oracle artifact — see EXCLUDED)
+        "op_image_neardup_scaled": lambda: _image_neardup_scaled(
+            docs(), n_docs
         ),
         # composed IVF-PQ (round-7 verdict item 2): per-size centroids +
         # codebooks (both amortized), timed portion = full-corpus cell
