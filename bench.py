@@ -1,9 +1,12 @@
 """Benchmark harness: headline catalog queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+Prints ONE JSON line (<500 chars so the driver's tail capture can never
+clip it — rounds 6 and 7 both recorded parsed:null from clipped lines):
+  {"metric": "catalog_headline_total", "value": <total sec>,
+   "unit": "sec", "n_queries": N, "sf": <sf>, "evidence_file": ...}
+Per-query timings, raw runs, and spread live in bench_evidence.json
+beside this script, referenced from the headline line.
 
 Execution is forced with a noop-format write (full computation, no sink
 cost, nothing collected to the driver). Each query runs once after a small
@@ -231,8 +234,11 @@ def main() -> None:
         json.dump(
             {
                 "metric": "catalog_headline_evidence",
+                "queries": timings,
                 "query_runs": all_runs,
                 "spread": spread,
+                "ivf_train_seconds": ivf_train_seconds,
+                "pq_train_seconds": pq_train_seconds,
                 "load_avg_start": load_start,
                 "load_avg_end": load_end,
                 "sf": sf,
@@ -240,24 +246,26 @@ def main() -> None:
             fh,
         )
         fh.write("\n")
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # one-time data-prep cost excluded from the headline (the
-                # queries time assignment/probe/rank math, not ML fitting)
-                "ivf_train_seconds": ivf_train_seconds,
-                "pq_train_seconds": pq_train_seconds,
-                "load_avg_start": load_start,
-                "load_avg_end": load_end,
-                "evidence_file": "bench_evidence.json",
-            }
-        )
+    # ROUND 8: the final stdout record carries ONLY totals (<500 chars).
+    # Rounds 6 AND 7 both recorded parsed:null because the driver's
+    # 2000-char tail capture clipped the headline line (round 7 still
+    # inlined the 68-entry per-query dict, ~2.3 KB). Per-query timings
+    # now live in bench_evidence.json EXCLUSIVELY (next to the raw runs
+    # and spread); the headline line references it.
+    headline = json.dumps(
+        {
+            "metric": "catalog_headline_total",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(timings),
+            "sf": sf,
+            "load_avg_start": load_start,
+            "load_avg_end": load_end,
+            "evidence_file": "bench_evidence.json",
+        }
     )
+    assert len(headline) < 500, f"headline record {len(headline)} chars"
+    print(headline)
 
 
 if __name__ == "__main__":

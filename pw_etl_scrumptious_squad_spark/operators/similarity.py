@@ -167,10 +167,19 @@ def assign_ivf_cells(
     # narrow rows through the shuffle: the corpus x centroids product
     # projects (id, cell, cscore) ONLY — carrying the vector arrays into
     # a per-id window was measured at 12+ GB of shuffle at 200k vectors x
-    # 100 cells. max_by over struct(cscore, -cell) is value-identical to
-    # row_number over (cscore DESC, cell ASC) (higher score wins, ties to
-    # the lower cell; NaN sorts greatest in both forms) and partial-
-    # aggregates map-side instead of sorting.
+    # 100 cells. max_by over struct(qscore, -cell) is value-identical to
+    # row_number over (qscore DESC, cell ASC) (higher score wins, ties to
+    # the lower cell) and partial-aggregates map-side instead of sorting.
+    #
+    # DECISION QUANTIZATION (round-8 advice fix): the winning cell is
+    # chosen on round(cscore * 1e9) — a nano-grid BIGINT — not the raw
+    # double. The matmul scale tier computes the same cosines through
+    # BLAS, whose IEEE summation ORDER differs from this expression
+    # fold's, so raw-double argmax could flip at float-tie boundaries on
+    # data the parity test never saw. On the shared nano-grid both tiers
+    # apply one engine-independent rule (the PQ path's idiom): equal
+    # quantized score -> lowest cell wins. Emitted values are unchanged
+    # (the decision is internal), so DuckDB oracles are unaffected.
     scored = (
         corpus.select(id_col, vec_col)
         .crossJoin(broadcast(cent))
@@ -183,7 +192,10 @@ def assign_ivf_cells(
         )
     )
     assigned = scored.groupBy(id_col).agg(
-        F.expr("max_by(cell, struct(cscore, -cell))").alias("cell")
+        F.expr(
+            "max_by(cell, struct(cast(round(cscore * 1e9) AS BIGINT) AS qs,"
+            " -cell AS tie))"
+        ).alias("cell")
     )
     return corpus.select(id_col, vec_col).join(assigned, id_col)
 
@@ -201,11 +213,21 @@ def assign_ivf_cells_matmul(
     IVF-PQ x10->x100 curve (the same defect the round-4 curve caught in
     the embedding-near-dup route). The centroid matrix is driver-tiny,
     so assignment here is one broadcast numpy argmax over a normalized
-    matmul per Arrow batch (BLAS, not folds). ``np.argmax`` takes the
-    FIRST max and centroid rows are ordered by ascending cell id, so
-    ties break to the lowest cell — the expression form's
-    ``max_by(cell, struct(cscore, -cell))`` rule; assignment parity is
-    pinned in tests. Same output shape as :func:`assign_ivf_cells`."""
+    matmul per Arrow batch (BLAS, not folds).
+
+    DECISION RULE (shared with the expression tier, round-8 advice
+    fix): scores are quantized to the nano-grid
+    ``round(cosine * 1e9)`` (SQL round-half-away semantics) BEFORE the
+    argmax; ``np.argmax`` takes the FIRST max and centroid rows are
+    ordered by ascending cell id, so quantized ties break to the
+    lowest cell — exactly the expression form's
+    ``max_by(cell, struct(round(cscore*1e9), -cell))``. BLAS and the
+    SQL fold sum in different IEEE orders, so raw-double argmax could
+    diverge at float-tie boundaries on unseen data; on the shared grid
+    a divergence needs two cells' true cosines within ~1e-9 AND
+    straddling a grid boundary — and equal grid values are
+    tie-broken identically. Assignment parity is pinned in tests.
+    Same output shape as :func:`assign_ivf_cells`."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -230,7 +252,14 @@ def assign_ivf_cells_matmul(
             n = np.sqrt((m * m).sum(axis=1))
             n[n == 0.0] = 1.0
             scores = (m / n[:, None]) @ cmat.T
-            yield pdf.assign(cell=cell_ids[np.argmax(scores, axis=1)])
+            # nano-grid quantization with SQL round-half-away-from-zero
+            # (np.rint would round half-to-even) — the decision rule
+            # shared with assign_ivf_cells
+            g = scores * 1e9
+            q = np.where(g >= 0, np.floor(g + 0.5), np.ceil(g - 0.5)).astype(
+                "i8"
+            )
+            yield pdf.assign(cell=cell_ids[np.argmax(q, axis=1)])
 
     schema = T.StructType(
         list(base.schema.fields) + [T.StructField("cell", T.IntegerType())]

@@ -23,6 +23,18 @@ from pyspark.sql.functions import broadcast
 
 # blocks whose CONTENT is boilerplate, not text: dropped whole
 _HTML_BLOCK_DROP = r"(?is)<(script|style|nav|footer|header|aside)\b[^>]*>.*?</\1>"
+# INNERMOST-first variant (round 8, tag-soup battery): the tempered dot
+# (?:(?!<\1\b).) refuses to cross another same-tag opener, so on nested
+# same-tag soup (<nav><nav>A</nav>B</nav>) it matches the INNER block and
+# leaves the outer opener in place for the next pass — the plain
+# non-greedy regex instead consumed the outer opener with the inner
+# closer and leaked the outer tail ("B") as text. Applied a fixed K
+# times before the generic drop, nesting depth <= K+1 is handled; real
+# crawl HTML essentially never nests boilerplate deeper.
+_HTML_BLOCK_DROP_NESTED = (
+    r"(?is)<(script|style|nav|footer|header|aside)\b[^>]*>"
+    r"(?:(?!<\1\b).)*?</\1>"
+)
 # fallback: an UNCLOSED boilerplate open tag (real crawl HTML, not the
 # synthetic generator) would otherwise leak its entire body through the
 # generic tag strip; matched blocks are gone by the time this runs, so
@@ -32,6 +44,10 @@ _HTML_BLOCK_DROP_UNCLOSED = (
 )
 _HTML_HEAD_DROP = r"(?is)<head\b[^>]*>.*?</head>"
 _HTML_COMMENT_DROP = r"(?s)<!--.*?-->"
+# unclosed comment: browsers treat '<!--' with no closer as
+# comment-to-EOF; without this, '<!-- SCRIPTPAYLOAD' leaked its bytes
+# through the generic tag strip (no '>' to terminate on)
+_HTML_COMMENT_DROP_UNCLOSED = r"(?s)<!--.*$"
 _HTML_TAG = r"(?s)<[^>]+>"
 
 
@@ -90,20 +106,42 @@ def strip_html(
     removal (decoded ``<`` must not look like markup). ``keep`` names
     extra input columns to carry through (pipeline composition).
 
-    Known leak modes on malformed crawl HTML (regex tier, documented):
-    an UNCLOSED script/style/nav/... tag drops everything from the open
-    tag to end-of-document (the fallback pass — conservative: prefers
-    losing tail text over leaking script bodies into training data); a
-    NESTED same-tag block (``<nav><nav>..</nav>..</nav>``) closes at
-    the first ``</nav>``, so the outer tail leaks as text until the
-    generic strip; a bare ``<`` in unescaped text swallows content up
-    to the next ``>`` via the generic tag regex. A DOM-building parser
-    tier would fix all three; regex is the deliberate JVM-codegen
-    trade-off here."""
+    Conservative-drop modes on malformed crawl HTML (regex tier,
+    documented): an UNCLOSED script/style/nav/... tag or an UNCLOSED
+    comment drops everything from its start to end-of-document
+    (fallback passes — prefer losing tail text over leaking script
+    bytes into training data); a bare ``<`` in unescaped text swallows
+    content up to the next ``>`` via the generic tag regex (again
+    over-deletion, not leakage). NESTED same-tag blocks resolve
+    innermost-first through 3 tempered passes + the generic drop, so
+    depth <= 4 is exact; deeper same-tag boilerplate nesting (absent
+    from real crawls) would leak outer-tail text. NOT a leak mode
+    (round 8): a commented-out unclosed boilerplate tag
+    (``<!-- <script src=x> -->``) is removed with its comment before
+    the unclosed-block fallback runs, so it no longer over-deletes the
+    document tail. The round-8 tag-soup fuzz battery
+    (tests/test_web.py) pins the invariant that no script/style/nav
+    payload byte ever reaches extracted text."""
     e = F.regexp_replace(F.col(html_col), _HTML_HEAD_DROP, " ")
+    # innermost-first nested passes BEFORE the generic drop: the generic
+    # non-greedy regex consumes a nested outer opener with the inner
+    # closer, leaking the outer tail — run K tempered passes so depth
+    # <= K+1 same-tag nesting resolves inside-out (round-8 battery fix).
+    # Pass 1 does the generic pass's work on non-nested HTML (the
+    # overwhelming case), so passes 2..K scan an opener-free string.
+    for _ in range(3):
+        e = F.regexp_replace(e, _HTML_BLOCK_DROP_NESTED, " ")
     e = F.regexp_replace(e, _HTML_BLOCK_DROP, " ")
-    e = F.regexp_replace(e, _HTML_BLOCK_DROP_UNCLOSED, " ")
+    # comments BEFORE the unclosed-block fallback (round-8 advice fix):
+    # a commented-out unclosed boilerplate tag ('<!-- <script src=x> -->'
+    # with no closer) must die with its comment, not trigger the
+    # drop-to-EOF fallback and delete all following document text.
+    # Closed blocks are already gone, so a '<!--' inside a live script
+    # body cannot reach this pass; stripping whole comments here cannot
+    # leak block content.
     e = F.regexp_replace(e, _HTML_COMMENT_DROP, " ")
+    e = F.regexp_replace(e, _HTML_COMMENT_DROP_UNCLOSED, " ")
+    e = F.regexp_replace(e, _HTML_BLOCK_DROP_UNCLOSED, " ")
     e = F.regexp_replace(e, _HTML_TAG, " ")
     e = _decode_entities(e)
     e = F.trim(F.regexp_replace(e, r"\s+", " "))
@@ -220,8 +258,12 @@ def warc_from_documents(
     def batches(parts):
         import pandas as pd
 
+        # accumulate across ALL Arrow batches of the partition and emit
+        # once: mapInPandas may split one partition into several pdf
+        # batches, and a per-batch emit would duplicate chunk_id rows
+        # with fragment payloads (round-8 advice fix)
+        chunks: dict[int, list[tuple[int, bytes]]] = {}
         for pdf in parts:
-            chunks: dict[int, list[bytes]] = {}
             for did, text in zip(pdf["doc_id"], pdf[text_col]):
                 d = int(did)
                 payload = (text or "").encode("utf-8")
@@ -236,13 +278,19 @@ def warc_from_documents(
                     + payload
                     + b"\r\n\r\n"
                 )
-                chunks.setdefault(d // records_per_chunk, []).append(rec)
-            yield pd.DataFrame(
-                [
-                    {"chunk_id": cid, "data": b"".join(recs)}
-                    for cid, recs in sorted(chunks.items())
-                ]
-            )
+                chunks.setdefault(d // records_per_chunk, []).append((d, rec))
+        yield pd.DataFrame(
+            [
+                # doc_id order inside the chunk: deterministic bytes
+                # regardless of post-shuffle arrival order
+                {
+                    "chunk_id": cid,
+                    "data": b"".join(r for _, r in sorted(recs)),
+                }
+                for cid, recs in sorted(chunks.items())
+            ],
+            columns=["chunk_id", "data"],
+        )
 
     schema = T.StructType(
         [
@@ -251,11 +299,13 @@ def warc_from_documents(
         ]
     )
     # chunk assembly requires all of a chunk's docs in one partition:
-    # repartition on the chunk key (one bounded shuffle — the ingest
-    # direction reads whole .warc files per task, no shuffle at all)
+    # repartition on the CHUNK key — floor(doc_id / k), NOT the float
+    # division doc_id/k (which scattered same-chunk docs across
+    # partitions; round-8 advice fix). One bounded shuffle — the ingest
+    # direction reads whole .warc files per task, no shuffle at all.
     return (
         docs.select("doc_id", text_col)
-        .repartition(F.col("doc_id") / records_per_chunk)
+        .repartition(F.floor(F.col("doc_id") / F.lit(records_per_chunk)))
         .mapInPandas(batches, schema)
     )
 
@@ -517,8 +567,10 @@ def warc_from_crawl_records(
     def batches(parts):
         import pandas as pd
 
+        # accumulate over all Arrow batches, emit once (see
+        # warc_from_documents — same round-8 advice fix)
+        chunks: dict[int, list[tuple[int, bytes]]] = {}
         for pdf in parts:
-            chunks: dict[int, list[bytes]] = {}
             for did, url, html in zip(pdf["doc_id"], pdf["url"], pdf["html"]):
                 d = int(did)
                 payload = (html or "").encode("utf-8")
@@ -532,13 +584,17 @@ def warc_from_crawl_records(
                     + payload
                     + b"\r\n\r\n"
                 )
-                chunks.setdefault(d // records_per_chunk, []).append(recb)
-            yield pd.DataFrame(
-                [
-                    {"chunk_id": cid, "data": b"".join(recs)}
-                    for cid, recs in sorted(chunks.items())
-                ]
-            )
+                chunks.setdefault(d // records_per_chunk, []).append((d, recb))
+        yield pd.DataFrame(
+            [
+                {
+                    "chunk_id": cid,
+                    "data": b"".join(r for _, r in sorted(recs)),
+                }
+                for cid, recs in sorted(chunks.items())
+            ],
+            columns=["chunk_id", "data"],
+        )
 
     schema = T.StructType(
         [
@@ -548,6 +604,6 @@ def warc_from_crawl_records(
     )
     return (
         rec.select("doc_id", "url", "html")
-        .repartition(F.col("doc_id") / records_per_chunk)
+        .repartition(F.floor(F.col("doc_id") / F.lit(records_per_chunk)))
         .mapInPandas(batches, schema)
     )

@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pw_etl_scrumptious_squad_spark.schemas import TESTDATA_SCHEMAS
-from pw_etl_scrumptious_squad_spark.checkpoint import materialize
 
 
 def table_path(base_dir: str, name: str) -> str:
@@ -46,9 +45,29 @@ def read_table(
     returning False — callers that need an existence probe use
     :func:`table_exists`.
     """
+    path = table_path(base_dir, name)
+    # Round-8 snapshot isolation: a table written through the versioned
+    # mutating path (upsert_table/compact_table) keeps its data in
+    # immutable per-version dirs under <name>.manifest/; resolve the
+    # latest committed snapshot so readers never see a mid-rewrite
+    # state. The probe is one local stat — schemed (s3a://, hdfs://)
+    # versioned tables use snapshot_read, which resolves through the
+    # Hadoop FS explicitly (keeps this hot path RPC-free).
+    if "://" not in path and os.path.isdir(_manifest_dir(base_dir, name)):
+        _, data_path = _resolve_snapshot(base_dir, name)
+        if data_path is not None:
+            path = data_path
+    return _read_parquet_normalized(spark, path, name, schema)
+
+
+def _read_parquet_normalized(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
     if schema is None:
         schema = TESTDATA_SCHEMAS.get(name)
-    path = table_path(base_dir, name)
     # Runtime SQL conf, set here (not only at session build) so reads work
     # under ANY SparkSession, including ones this engine didn't construct.
     # Without it, parquet TIMESTAMP(NANOS) columns throw PARQUET_TYPE_ILLEGAL.
@@ -105,7 +124,9 @@ def table_exists(
     the tests to pin the probe's behavior without an object store)."""
     path = table_path(base_dir, name)
     if "://" not in path and spark is None:
-        return os.path.exists(path)
+        # versioned-only tables (round 8) have no legacy live dir —
+        # their existence is the manifest's committed-version count
+        return os.path.exists(path) or table_version(base_dir, name) > 0
     if spark is None:
         spark = SparkSession.getActiveSession()
     if spark is None:
@@ -207,6 +228,127 @@ def _manifest_dir(base_dir: str, name: str) -> str:
     return os.path.join(base_dir, f"{name}.manifest")
 
 
+def _resolve_snapshot(
+    base_dir: str,
+    name: str,
+    version: int | None = None,
+    spark: SparkSession | None = None,
+) -> tuple[int, str | None]:
+    """Resolve ``(version, data_path)`` for a table snapshot.
+
+    Round-8 snapshot isolation: each committed version's marker file
+    ``v<N>`` in the manifest dir CONTAINS the name of that version's
+    immutable data directory (``v<N>-<tag>.data`` inside the manifest
+    dir). Data is fully published BEFORE the marker is claimed, and no
+    committed data dir is ever mutated (only :func:`vacuum_table`
+    deletes superseded ones), so resolving a marker always yields a
+    complete, consistent snapshot — a reader racing
+    ``upsert_table``/``compact_table`` reads either the old version or
+    the new one, never a mid-rewrite directory.
+
+    ``version=None`` resolves the latest committed version. Markers
+    with EMPTY content (round-7 layout, or a bare ``_claim_version``
+    call) resolve to the legacy live path ``<name>.parquet`` when it
+    exists, else walk back to the newest older version with published
+    data. Returns ``(0, legacy_path_or_None)`` for tables never written
+    through the versioned path."""
+    mdir = _manifest_dir(base_dir, name)
+    legacy = table_path(base_dir, name)
+
+    def _exists(p: str) -> bool:
+        if "://" not in p and spark is None:
+            return os.path.exists(p)
+        return _fs_exists(p, spark)
+
+    def _marker_content(v: int) -> str:
+        marker = os.path.join(mdir, f"v{v}")
+        if "://" not in marker and spark is None:
+            try:
+                with open(marker) as fh:
+                    return fh.read().strip()
+            except FileNotFoundError:
+                return ""
+        s = _get_spark(spark)
+        jvm = s._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(marker)
+        fs = jpath.getFileSystem(s._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return ""
+        stream = fs.open(jpath)
+        try:
+            data = bytes(
+                jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream)
+            )
+        finally:
+            stream.close()
+        return data.decode("utf-8").strip()
+
+    latest = table_version(base_dir, name, spark)
+    v = latest if version is None else version
+    if version is not None and version > latest:
+        raise ValueError(
+            f"{name}: version {version} not committed (latest {latest})"
+        )
+    while v >= 1:
+        rel = _marker_content(v)
+        if rel:
+            data_path = os.path.join(mdir, rel)
+            if _exists(data_path):
+                return v, data_path
+            # claimed-with-content but dir missing: vacuumed or abused —
+            # keep walking back (explicit version requests fail below)
+            if version is not None:
+                raise ValueError(
+                    f"{name}: version {version} data vacuumed or missing"
+                )
+        else:
+            # legacy empty marker: the live path WAS the snapshot
+            if _exists(legacy):
+                return v, legacy
+            if version is not None:
+                raise ValueError(
+                    f"{name}: version {version} has no published data"
+                )
+        v -= 1
+    return 0, (legacy if _exists(legacy) else None)
+
+
+def _get_spark(spark: SparkSession | None) -> SparkSession:
+    if spark is not None:
+        return spark
+    s = SparkSession.getActiveSession()
+    if s is None:
+        raise ValueError("schemed path needs an active SparkSession")
+    return s
+
+
+def _fs_exists(path: str, spark: SparkSession | None) -> bool:
+    s = _get_spark(spark)
+    jpath = s._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(s._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def snapshot_read(
+    spark: SparkSession,
+    base_dir: str,
+    name: str,
+    version: int | None = None,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Version-pinned read of a mutating table (time travel).
+
+    ``version=None`` reads the latest committed snapshot;
+    ``version=N`` reads exactly version N (raising if it was never
+    committed or its data dir was vacuumed). Works on any scheme the
+    Hadoop FS speaks — unlike :func:`read_table`'s local-only manifest
+    auto-resolution."""
+    _, data_path = _resolve_snapshot(base_dir, name, version, spark)
+    if data_path is None:
+        raise FileNotFoundError(f"{name}: no committed snapshot in {base_dir}")
+    return _read_parquet_normalized(spark, data_path, name, schema)
+
+
 def table_version(
     base_dir: str, name: str, spark: SparkSession | None = None
 ) -> int:
@@ -239,37 +381,60 @@ def _claim_version(
     name: str,
     expected: int,
     spark: SparkSession | None = None,
+    data_rel: str | None = None,
 ) -> int:
-    """CAS commit: exclusively create the ``v<expected+1>`` marker.
+    """CAS commit: exclusively create the ``v<expected+1>`` marker whose
+    CONTENT is the published data dir's name (``data_rel``, relative to
+    the manifest dir).
 
-    Local paths use ``O_CREAT|O_EXCL`` (kernel-atomic); schemed paths
-    use Hadoop ``FileSystem.createNewFile`` (atomic on HDFS; on object
-    stores without atomic create this narrows, not closes, the window —
-    the documented reason the full story is a Delta/Iceberg commit
-    log). Raises :class:`ConcurrentWriteError` if the slot is taken,
-    i.e. another writer committed since ``expected`` was read."""
+    The claim must be atomic WITH its content (a reader must never see
+    a claimed-but-contentless marker): locally the content is written
+    to a private temp file first and ``os.link``ed into place —
+    kernel-atomic, EEXIST = lost the race; schemed paths write a temp
+    marker and ``FileSystem.rename`` it (atomic + fails-on-existing on
+    HDFS; on object stores without atomic rename this narrows, not
+    closes, the window — the documented reason the full story is a
+    Delta/Iceberg commit log). Raises :class:`ConcurrentWriteError` if
+    the slot is taken, i.e. another writer committed since ``expected``
+    was read. ``data_rel=None`` writes an empty marker (round-7 layout:
+    the live ``<name>.parquet`` path is the snapshot)."""
+    import uuid
+
     mdir = _manifest_dir(base_dir, name)
     marker = os.path.join(mdir, f"v{expected + 1}")
+    content = (data_rel or "").encode("utf-8")
     if "://" not in mdir and spark is None:
         os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, f".claim-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as fh:
+            fh.write(content)
         try:
-            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, marker)
         except FileExistsError:
             raise ConcurrentWriteError(
                 f"{name}: version {expected + 1} already committed by a"
                 " concurrent writer; re-read and retry"
             ) from None
-        os.close(fd)
+        finally:
+            os.unlink(tmp)
         return expected + 1
-    if spark is None:
-        spark = SparkSession.getActiveSession()
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
+    s = _get_spark(spark)
+    jvm = s._jvm
+    hconf = s._jsc.hadoopConfiguration()
     jdir = jvm.org.apache.hadoop.fs.Path(mdir)
     fs = jdir.getFileSystem(hconf)
     fs.mkdirs(jdir)
+    jtmp = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(mdir, f".claim-{uuid.uuid4().hex}")
+    )
+    out = fs.create(jtmp, False)
+    try:
+        out.write(bytearray(content))
+    finally:
+        out.close()
     jmarker = jvm.org.apache.hadoop.fs.Path(marker)
-    if not fs.createNewFile(jmarker):
+    if not fs.rename(jtmp, jmarker):
+        fs.delete(jtmp, False)
         raise ConcurrentWriteError(
             f"{name}: version {expected + 1} already committed by a"
             " concurrent writer; re-read and retry"
@@ -303,14 +468,19 @@ def upsert_table(
     is one shuffle on the key; at scale, partition the table so only
     affected partitions rewrite.
 
-    CONCURRENCY (round 7): per-writer atomicity (tmp+rename) never
-    protected against TWO concurrent upserts — both read version N and
-    the second overwrite silently dropped the first writer's rows. The
-    write is now optimistic-concurrency controlled: read the manifest
-    version, merge, then CAS-claim version+1 BEFORE overwriting; a
-    loser raises :class:`ConcurrentWriteError` loudly (or re-reads and
-    retries up to ``retries`` times — the merge is idempotent, so a
-    retry simply folds the delta into the winner's table).
+    CONCURRENCY (round 7 CAS, round 8 publish-then-claim): the write is
+    optimistic-concurrency controlled — read the manifest version,
+    merge against that version's IMMUTABLE data dir, publish the merged
+    snapshot to a fresh data dir, then CAS-claim version+1 whose marker
+    names it. A loser raises :class:`ConcurrentWriteError` loudly (or
+    re-reads and retries up to ``retries`` times — the merge is
+    idempotent, so a retry folds the delta into the winner's table).
+    Because data is complete before its marker exists and no committed
+    dir is ever overwritten, a retrying loser — or any concurrent
+    reader — can never observe a partial snapshot (the round-7
+    overwrite-in-place window the round-8 advice flagged). Readers get
+    snapshot isolation via :func:`read_table`'s manifest resolution /
+    :func:`snapshot_read` (time travel by version).
     """
     attempt = 0
     while True:
@@ -323,6 +493,43 @@ def upsert_table(
             attempt += 1
 
 
+def _publish_snapshot(
+    base_dir: str,
+    name: str,
+    version: int,
+    write_fn,
+) -> None:
+    """Publish-then-claim commit (round 8, closes the advice window):
+
+    1. write the full new snapshot to a UNIQUE immutable data dir
+       ``<name>.manifest/v<version+1>-<tag>.data`` (nothing references
+       it yet — a crash here leaves an orphan for vacuum, never a
+       broken table);
+    2. CAS-claim the ``v<version+1>`` marker with that dir name as
+       content.
+
+    A loser's retry re-reads ``table_version`` and resolves the
+    winner's marker — whose data dir was COMPLETE before the marker
+    existed — so the round-7 window (retry re-reading the live dir
+    mid-overwrite and merging against a partial snapshot) is closed by
+    construction: the live directory is never overwritten at all."""
+    import shutil
+    import uuid
+
+    mdir = _manifest_dir(base_dir, name)
+    data_rel = f"v{version + 1}-{uuid.uuid4().hex[:8]}.data"
+    data_path = os.path.join(mdir, data_rel)
+    write_fn(data_path)
+    try:
+        _claim_version(base_dir, name, version, data_rel=data_rel)
+    except ConcurrentWriteError:
+        # the snapshot we built is stale; remove the orphan and let the
+        # caller re-read the winner's (fully published) version
+        if "://" not in data_path:
+            shutil.rmtree(data_path, ignore_errors=True)
+        raise
+
+
 def _upsert_once(
     spark: SparkSession,
     delta: DataFrame,
@@ -331,43 +538,40 @@ def _upsert_once(
     key_cols: list[str],
     order_col: str | None,
 ) -> None:
-    version = table_version(base_dir, name)
-    if not table_exists(base_dir, name):
-        _claim_version(base_dir, name, version)
-        write_table(delta, base_dir, name, mode="overwrite")
-        return
-    from pyspark.sql import Window
-
-    current = read_table(spark, base_dir, name)
-    if order_col is not None:
-        w = Window.partitionBy(*key_cols).orderBy(
-            F.col(order_col).desc(), *[F.col(k) for k in key_cols]
-        )
-        deduped = (
-            current.unionByName(delta)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+    version, snap_path = _resolve_snapshot(base_dir, name)
+    if snap_path is None:
+        deduped = delta
     else:
-        # no ordering: delta wins over current on key collision
-        marked = current.withColumn("__src", F.lit(0)).unionByName(
-            delta.withColumn("__src", F.lit(1))
-        )
-        w = Window.partitionBy(*key_cols).orderBy(F.col("__src").desc())
-        deduped = (
-            marked.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "__src")
-        )
-    # materialize before overwriting the files being read
-    deduped = deduped.transform(materialize)
-    # CAS commit: claim the next version AFTER the merge is computed and
-    # BEFORE the destructive overwrite — a concurrent committer makes
-    # this raise, and the merged frame (built on stale files) is thrown
-    # away instead of clobbering the winner's rows
-    _claim_version(base_dir, name, version)
-    write_table(deduped, base_dir, name, mode="overwrite")
+        from pyspark.sql import Window
+
+        current = _read_parquet_normalized(spark, snap_path, name)
+        if order_col is not None:
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.col(order_col).desc(), *[F.col(k) for k in key_cols]
+            )
+            deduped = (
+                current.unionByName(delta)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            # no ordering: delta wins over current on key collision
+            marked = current.withColumn("__src", F.lit(0)).unionByName(
+                delta.withColumn("__src", F.lit(1))
+            )
+            w = Window.partitionBy(*key_cols).orderBy(F.col("__src").desc())
+            deduped = (
+                marked.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__src")
+            )
+    _publish_snapshot(
+        base_dir,
+        name,
+        version,
+        lambda p: deduped.write.mode("overwrite").parquet(p),
+    )
 
 
 def compact_table(
@@ -390,31 +594,86 @@ def compact_table(
     atomic rename so a failed job never truncates the live table.
 
     Compaction participates in the same manifest CAS as
-    :func:`upsert_table`: it claims the next version before the swap, so
-    a compactor racing an upsert fails loudly instead of resurrecting
-    the pre-upsert files.
+    :func:`upsert_table` and publishes through the same immutable
+    per-version data dirs (round 8): the compacted copy is fully
+    written BEFORE its version marker exists, and the previous
+    version's files are never touched — a reader that resolved the old
+    snapshot keeps reading it consistently; a compactor racing an
+    upsert fails loudly instead of resurrecting pre-upsert rows.
+    Superseded dirs are reclaimed by :func:`vacuum_table`, not here.
     """
     import math
-    import shutil
 
-    path = table_path(base_dir, name)
-    version = table_version(base_dir, name)
+    version, snap_path = _resolve_snapshot(base_dir, name)
+    if snap_path is None:
+        raise FileNotFoundError(f"{name}: nothing to compact in {base_dir}")
     total = sum(
         os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(path)
+        for dp, _, fs in os.walk(snap_path)
         for f in fs
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
-    df = read_table(spark, base_dir, name)
-    tmp = path + ".compact.tmp"
-    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    final = path + ".compact.old"
-    _claim_version(base_dir, name, version)
-    shutil.move(path, final)
-    shutil.move(tmp, path)
-    shutil.rmtree(final)
+    df = _read_parquet_normalized(spark, snap_path, name)
+    _publish_snapshot(
+        base_dir,
+        name,
+        version,
+        lambda p: df.coalesce(n_files).write.mode("overwrite").parquet(p),
+    )
     return n_files
+
+
+def vacuum_table(
+    base_dir: str, name: str, keep_last: int = 2
+) -> list[str]:
+    """Reclaim superseded snapshot data dirs, keeping the most recent
+    ``keep_last`` committed versions readable (time travel window).
+
+    Deletes (a) data dirs referenced by markers older than the keep
+    window and (b) orphan ``v*-<tag>.data`` dirs no marker references
+    (crashed or race-losing writers). Markers themselves are kept — the
+    version history stays enumerable; a time-travel read of a vacuumed
+    version fails loudly. Callers coordinate vacuum with their longest
+    reader (as with Delta VACUUM retention). Local paths only (the
+    sandbox's mutating-table surface). Returns the deleted dir names."""
+    import shutil
+
+    mdir = _manifest_dir(base_dir, name)
+    if not os.path.isdir(mdir):
+        return []
+    latest = table_version(base_dir, name)
+    keep_floor = max(1, latest - keep_last + 1)
+    referenced: dict[str, int] = {}
+    for v in range(1, latest + 1):
+        try:
+            with open(os.path.join(mdir, f"v{v}")) as fh:
+                rel = fh.read().strip()
+        except FileNotFoundError:
+            continue
+        if rel:
+            referenced[rel] = v
+    deleted = []
+    for entry in os.listdir(mdir):
+        if not entry.endswith(".data"):
+            continue
+        ref_v = referenced.get(entry)
+        if ref_v is None:
+            # orphan: targeted version is in its name (v<N>-<tag>.data).
+            # N > latest means an IN-FLIGHT writer about to claim — keep;
+            # N <= latest means that slot was won by someone else (race
+            # loser / crashed writer) — safe to reclaim.
+            try:
+                target_v = int(entry[1:].split("-", 1)[0])
+            except ValueError:
+                continue
+            if target_v > latest:
+                continue
+        elif ref_v >= keep_floor:
+            continue
+        shutil.rmtree(os.path.join(mdir, entry), ignore_errors=True)
+        deleted.append(entry)
+    return sorted(deleted)
 
 
 def zorder_write(

@@ -181,6 +181,160 @@ def test_warc_roundtrip_and_length_driven_parse(spark):
     assert parsed[26]["warc_date"] == "2024-01-27T00:00:00Z"
 
 
+def test_strip_html_commented_orphan_tag_keeps_tail(spark):
+    """Round-8 advice regression: a commented-out UNCLOSED boilerplate
+    tag must die with its comment — previously the unclosed-block
+    fallback ran first and deleted every byte after the comment."""
+    df = spark.createDataFrame(
+        [
+            (1, "before <!-- <script src=x> --> after text"),
+            (2, "a <!-- <nav> --> b <!-- <style media=x> --> c"),
+        ],
+        "doc_id LONG, html STRING",
+    )
+    out = {r["doc_id"]: r["text_extracted"] for r in web.strip_html(df).collect()}
+    assert out[1] == "before after text"
+    assert out[2] == "a b c"
+
+
+def test_strip_html_tag_soup_fuzz_no_boilerplate_leak(spark):
+    """Round-8 tag-soup fuzz battery: randomized malformed HTML —
+    unclosed and nested boilerplate blocks (depth <= 4), commented-out
+    orphans, unclosed comments, truncated entities, bare '<' — with a
+    unique sentinel payload inside every boilerplate region. Invariant:
+    no sentinel byte ever reaches extracted text."""
+    import random
+
+    rng = random.Random(0x5EED8)
+    tags = ["script", "style", "nav", "footer", "header", "aside"]
+
+    def boiler(i: int) -> str:
+        tag = rng.choice(tags)
+        payload = f"ZBOILER{i}Z"
+        kind = rng.randrange(6)
+        if kind == 0:  # plain closed block
+            return f"<{tag} a=b>{payload}</{tag}>"
+        if kind == 1:  # unclosed block (drops to EOF — conservative)
+            return f"<{tag}>{payload} no closer"
+        if kind == 2:  # nested same-tag, depth 2-4, payload at each level
+            depth = rng.randrange(2, 5)
+            s = payload + "mid"
+            for lv in range(depth):
+                s = f"<{tag}>lv{lv} {payload} {s} tail{lv} {payload}</{tag}>"
+            return s
+        if kind == 3:  # commented-out orphan opener
+            return f"<!-- <{tag} src=x> {payload} -->"
+        if kind == 4:  # unclosed comment (drops to EOF)
+            return f"<!-- {payload} never closed"
+        # cross-tag nesting
+        other = rng.choice([t for t in tags if t != tag])
+        return f"<{tag}><{other}>{payload}</{other}> {payload}</{tag}>"
+
+    def noise() -> str:
+        return rng.choice(
+            [
+                "plain words here",
+                "&amp; &lt;ok&gt;",
+                "&am truncated &#x entity",
+                "bare < swallows to next > then text",
+                "<p class='x'>para</p>",
+                "<b>bold</b> <i>it</i>",
+                "</script> stray closer",
+                "<div><div>deep</div></div>",
+            ]
+        )
+
+    rows = []
+    for doc in range(60):
+        parts = []
+        for i in range(rng.randrange(2, 7)):
+            parts.append(noise())
+            parts.append(boiler(doc * 100 + i))
+        parts.append(noise())
+        rows.append((doc, " ".join(parts)))
+    df = spark.createDataFrame(rows, "doc_id LONG, html STRING")
+    out = web.strip_html(df).collect()
+    assert len(out) == 60
+    for r in out:
+        assert "ZBOILER" not in (r["text_extracted"] or ""), (
+            r["doc_id"],
+            r["text_extracted"],
+            rows[r["doc_id"]][1],
+        )
+
+
+def test_strip_html_nested_same_tag_outer_tail_dropped(spark):
+    """Nested same-tag soup resolves innermost-first: the outer tail
+    ('B') that the plain non-greedy regex leaked must be dropped, and
+    text after the whole block survives."""
+    df = spark.createDataFrame(
+        [
+            (1, "x <nav><nav>A</nav>B</nav> y"),
+            (2, "x <nav><nav><nav>A</nav>B</nav>C</nav> y"),
+            (3, "x <script><style>A</style>B</script> y"),
+        ],
+        "doc_id LONG, html STRING",
+    )
+    out = {r["doc_id"]: r["text_extracted"] for r in web.strip_html(df).collect()}
+    assert out[1] == "x y"
+    assert out[2] == "x y"
+    assert out[3] == "x y"
+
+
+def test_warc_chunk_colocation_without_aqe_coalesce(spark):
+    """Round-8 advice regression: repartitioning on the float division
+    doc_id/k (instead of floor(doc_id/k)) scattered same-chunk docs
+    across shuffle partitions, so 50 docs / k=25 emitted up to 16
+    fragment rows for 2 chunk_ids — masked locally only when AQE
+    coalesced the tiny shuffle to one partition. Pin the contract with
+    coalescing OFF: exactly one row per chunk_id, payload complete and
+    in doc_id order."""
+    docs = spark.createDataFrame(
+        [(d, f"doc {d}") for d in range(50)], "doc_id LONG, text STRING"
+    )
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        rows = web.warc_from_documents(docs, records_per_chunk=25).collect()
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    assert sorted(r["chunk_id"] for r in rows) == [0, 1]
+    for r in rows:
+        lo = int(r["chunk_id"]) * 25
+        expected = b"".join(
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:doc:{d}>\r\n"
+            f"WARC-Date: 2024-01-{d % 28 + 1:02d}T00:00:00Z\r\n"
+            f"WARC-Target-URI: https://example{d % 7}.com/doc/{d}\r\n"
+            f"Content-Length: {len(f'doc {d}'.encode())}\r\n\r\n"
+            f"doc {d}\r\n\r\n".encode()
+            for d in range(lo, lo + 25)
+        )
+        assert bytes(r["data"]) == expected
+    # same contract for the crawl-record packer (x05's input direction)
+    recs = spark.createDataFrame(
+        [(d, f"https://m{d}.com/", f"<p>{d}</p>") for d in range(50)],
+        "doc_id LONG, url STRING, html STRING",
+    )
+    spark.conf.set(coalesce_key, "false")
+    try:
+        rows2 = web.warc_from_crawl_records(recs, records_per_chunk=25).collect()
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    assert sorted(r["chunk_id"] for r in rows2) == [0, 1]
+    for r in rows2:
+        lo = int(r["chunk_id"]) * 25
+        data = bytes(r["data"])
+        assert data.count(b"WARC/1.0\r\n") == 25
+        # doc_id-sorted record order inside the chunk
+        order = [
+            int(seg.split(b">")[0])
+            for seg in data.split(b"WARC-Record-ID: <urn:doc:")[1:]
+        ]
+        assert order == list(range(lo, lo + 25))
+
+
 def test_warc_parse_malformed_raises_loudly(spark):
     import pytest
 
