@@ -88,17 +88,20 @@ def test_every_query_names_match_oracle(catalog_schemas):
 # "c…" prefix) cannot silently evict a core query from the checked set —
 # adding an entry that lands inside the window must be a deliberate,
 # test-acknowledged act.
-# Round 7: the c01..c10 window twins (catalog_ext._WINDOW_TWINS) pull
-# SemDeDup, BM25, the split, segment-dedup, HLL, PQ, wide-SimHash,
-# decontamination and the x02/x03 pipelines INTO the driver's window;
-# the ten names they evict (r15..t06) stay covered by tools/check.py
-# and the pytest suite. This pin update is the deliberate act the
-# assertion below demands.
+# Round 8: the c01..c10 window twins ROTATE each round per the round-7
+# verdict's prescription, accumulating driver-certified coverage; this
+# round they pull IVF-PQ, the x04/x05 pipelines, WARC ingest, script
+# detect, robots filter, H.264 screening, hard negatives, containment
+# pairs and hybrid RRF INTO the driver's window. Every previously
+# windowed name (round 7: y48/y33/y56/y50/y61/y59/y31/y08/x02/x03;
+# rounds <=6: r15..t06) stays covered by tools/check.py, pytest, and
+# the commit-seeded sample audit — the ledger lives in PLANS.md. This
+# pin update is the deliberate act the assertion below demands.
 DRIVER_WINDOW = [
-    "c01_semdedup_prune", "c02_bm25_topk", "c03_stratified_split",
-    "c04_segment_dedup", "c05_hll_distinct", "c06_pq_adc_topk",
-    "c07_simhash_wide", "c08_decontamination", "c09_fineweb_pipeline",
-    "c10_crawl_pipeline",
+    "c01_ivfpq_topk", "c02_image_neardup_pipeline",
+    "c03_warc_corpus_pipeline", "c04_warc_ingest", "c05_script_detect",
+    "c06_robots_filter", "c07_h264_screening", "c08_hard_negatives",
+    "c09_containment_pairs", "c10_hybrid_rrf",
     "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_signatures",
     "d04_simhash", "d05_minhash_lsh_pairs", "d06_embedding_neardup",
     "d07_simhash_neardup", "m01_media_features", "m02_video_frames",
