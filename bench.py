@@ -129,6 +129,8 @@ HEADLINE = [
     "y71_script_detect",
     "y72_robots_filter",
     "x05_warc_corpus_pipeline",
+    # round-8 additions
+    "c11_star_lifecycle",
 ]
 
 

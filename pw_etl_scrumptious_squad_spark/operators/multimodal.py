@@ -88,8 +88,10 @@ def decode_unavailable(payload: bytes, media_type: str):
     parse_mp4_metadata / parse_mp4_samples)."""
     raise NotImplementedError(
         f"real {media_type} decode needs native codec libraries "
-        "(ffmpeg) not present in this environment; use stub=True or one "
-        "of the in-repo codecs (WAV/PPM/PNG/JPEG/MJPEG-MP4)"
+        "(ffmpeg) not present in this environment; use stub=True, one "
+        "of the in-repo codecs (WAV/PPM/PNG/JPEG/MJPEG-MP4), or plug a "
+        "native decoder into the external-decoder seam "
+        "(register_video_decoder)"
     )
 
 
@@ -2555,7 +2557,9 @@ def decode_mp4_mjpeg_frames(payload: bytes):
         raise NotImplementedError(
             f"real decode for codec {info['codec']!r} needs native codec"
             " libraries (ffmpeg); in-repo video decode covers MJPEG"
-            " ('jpeg' sample entries)"
+            " ('jpeg' sample entries) — for H.26x-class codecs plug a"
+            " native decoder into register_video_decoder and use"
+            " decode_video_frames / video_frame_stats"
         )
     ts = info["timescale"]
     for i, (off, sz, t) in enumerate(
@@ -2687,6 +2691,116 @@ def video_mjpeg_frame_stats(media: DataFrame) -> DataFrame:
                         }
                     )
             yield pd.DataFrame(rows)
+
+    return _fan_out(media.select("asset_id", "payload")).mapInPandas(
+        batches, MJPEG_FRAME_STATS_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pluggable external video decoder seam (round 8, verdict item 7).
+#
+# POSTURE (the SURVEY §2.4-style declaration): H.26x/HEVC/AV1 PIXEL
+# decode is permanently out of scope for the in-repo codecs — entropy
+# decode + inter-frame motion compensation is ffmpeg-class machinery,
+# and a from-scratch reimplementation would be slow, unauditable, and
+# pointless next to battle-tested native decoders. What IS in scope,
+# and real: every pre-decode screening field (container walk, avcC/SPS
+# parse, sample census — y65/y69), MJPEG pixel decode, and THIS seam,
+# through which a deployment plugs pyav/ffmpeg and every frame-level
+# operator lights up for H.26x unchanged.
+#
+# Decoder contract: ``fn(payload: bytes, info: dict) -> iterable of
+# (frame_idx: int, time_ms: int, pixels: HxWxC uint8 ndarray)`` where
+# ``info`` is :func:`parse_mp4_samples` output (codec, timescale,
+# offsets, sizes, times). The callable must be importable on executors
+# (ship it with your package) — the standard Spark UDF dependency rule.
+# ---------------------------------------------------------------------------
+
+_EXTERNAL_VIDEO_DECODERS: dict[str, object] = {}
+
+
+def register_video_decoder(codec: str, fn) -> None:
+    """Register an external frame decoder for a sample-entry fourcc
+    (e.g. ``'avc1'``, ``'hvc1'``). See the contract above; a pyav-backed
+    implementation is ~10 lines over ``av.open(BytesIO(payload))``."""
+    _EXTERNAL_VIDEO_DECODERS[codec] = fn
+
+
+def unregister_video_decoder(codec: str) -> None:
+    _EXTERNAL_VIDEO_DECODERS.pop(codec, None)
+
+
+def decode_video_frames(payload: bytes, decoders: dict | None = None):
+    """Codec-dispatched frame decode: MJPEG through the in-repo JPEG
+    codec, anything else through a registered external decoder. Raises
+    loudly — naming the seam — when no decoder covers the codec.
+    ``decoders`` overrides the registry (operators snapshot it
+    driver-side so executors don't consult their own empty copy)."""
+    info = parse_mp4_samples(payload)
+    codec = info["codec"]
+    if codec in ("jpeg", "mjpa", "mjpg", "MJPG"):
+        yield from decode_mp4_mjpeg_frames(payload)
+        return
+    table = _EXTERNAL_VIDEO_DECODERS if decoders is None else decoders
+    dec = table.get(codec)
+    if dec is None:
+        raise NotImplementedError(
+            f"no decoder for video codec {codec!r}: in-repo pixel decode"
+            " covers MJPEG; H.26x-class codecs need a native decoder —"
+            " plug one in with"
+            f" register_video_decoder({codec!r}, fn) (contract: see"
+            " multimodal.py 'Pluggable external video decoder seam')"
+        )
+    yield from dec(payload, info)
+
+
+def video_frame_stats(media: DataFrame, decoders: dict | None = None) -> DataFrame:
+    """Per-frame pixel stats for ANY decodable video payload: MJPEG via
+    the in-repo codec, other codecs via the external-decoder seam. The
+    registry is snapshotted on the DRIVER at plan-build time and closed
+    over, so registration in the driver process is sufficient in local
+    mode (on a cluster the decoder fn must be importable on executors).
+    Schema/semantics identical to :func:`video_mjpeg_frame_stats`."""
+    snapshot = dict(_EXTERNAL_VIDEO_DECODERS) if decoders is None else dict(decoders)
+
+    def batches(parts: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in parts:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for idx, ms, img in decode_video_frames(
+                    bytes(payload), decoders=snapshot
+                ):
+                    f = np.asarray(img).astype("f8")
+                    rgb = (
+                        np.repeat(f, 3, axis=2)
+                        if f.shape[2] == 1
+                        else f[:, :, :3]
+                    )
+                    means = rgb.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "frame_idx": idx,
+                            "frame_ms": ms,
+                            "width": int(f.shape[1]),
+                            "height": int(f.shape[0]),
+                            "mean_r": float(means[0]),
+                            "mean_g": float(means[1]),
+                            "mean_b": float(means[2]),
+                            "luma_mean": float(
+                                0.299 * means[0]
+                                + 0.587 * means[1]
+                                + 0.114 * means[2]
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MJPEG_FRAME_STATS_SCHEMA]
+            )
 
     return _fan_out(media.select("asset_id", "payload")).mapInPandas(
         batches, MJPEG_FRAME_STATS_SCHEMA

@@ -1103,3 +1103,77 @@ def test_synthetic_annexb_screening_formulas(spark):
         assert r["n_frames"] == n_frames
         assert r["n_slice_nals"] == n_frames * slices
         assert r["n_nals"] == 2 + n_frames * slices
+
+
+def _fake_avc1_decoder(payload: bytes, info: dict):
+    """In-repo test fake for the external-decoder seam: deterministic
+    4x4 gray frames whose level is each sample's first byte (the
+    contract a pyav-backed decoder satisfies with real pixels)."""
+    import numpy as np
+
+    ts = info["timescale"]
+    for i, (off, sz, t) in enumerate(
+        zip(info["offsets"], info["sizes"], info["times"])
+    ):
+        level = payload[off] if sz > 0 else 0
+        frame = np.full((4, 4, 3), level, dtype=np.uint8)
+        yield i, int(round(1000.0 * t / ts)), frame
+
+
+def test_external_video_decoder_seam(spark):
+    """Round-8 verdict item 7: H.26x pixel decode is a declared
+    permanent exclusion for the in-repo codecs, with a pluggable seam.
+    (a) unregistered codecs fail loudly NAMING the seam; (b) a
+    registered decoder lights up video_frame_stats end-to-end through
+    the same mapInPandas plumbing; (c) the MJPEG in-repo path through
+    the same operator equals video_mjpeg_frame_stats."""
+    import numpy as np
+
+    sps = _sps_baseline(19, 14)  # 320x240
+    pps = bytes([0x68, 0xCE, 0x38, 0x80])
+    mp4 = mm.encode_mp4_avc_skeleton(sps, pps, n_frames=3, fps=10)
+
+    # (a) loud failure names the registration hook
+    with pytest.raises(NotImplementedError, match="register_video_decoder"):
+        list(mm.decode_video_frames(mp4))
+
+    media = spark.createDataFrame(
+        [(7, bytearray(mp4))], "asset_id LONG, payload BINARY"
+    )
+    with pytest.raises(Exception, match="register_video_decoder"):
+        mm.video_frame_stats(media).collect()
+
+    # (b) plug the fake decoder in: frames flow through the operator
+    mm.register_video_decoder("avc1", _fake_avc1_decoder)
+    try:
+        rows = sorted(
+            mm.video_frame_stats(media).collect(),
+            key=lambda r: r["frame_idx"],
+        )
+    finally:
+        mm.unregister_video_decoder("avc1")
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    assert [r["frame_ms"] for r in rows] == [0, 100, 200]
+    # skeleton mdat is zero-filled -> fake frames are level-0 gray
+    assert all(
+        (r["width"], r["height"], r["mean_r"], r["luma_mean"])
+        == (4, 4, 0.0, 0.0)
+        for r in rows
+    )
+
+    # unregistering restores the loud stub
+    with pytest.raises(NotImplementedError, match="register_video_decoder"):
+        list(mm.decode_video_frames(mp4))
+
+    # (c) MJPEG routes through the in-repo codec, identical to the
+    # dedicated operator
+    frames = [np.full((8, 8), 128, dtype=np.uint8) for _ in range(2)]
+    mjpeg = mm.encode_mp4_mjpeg(frames)
+    m2 = spark.createDataFrame(
+        [(1, bytearray(mjpeg))], "asset_id LONG, payload BINARY"
+    )
+    a = sorted(
+        map(tuple, mm.video_frame_stats(m2).collect()),
+    )
+    b = sorted(map(tuple, mm.video_mjpeg_frame_stats(m2).collect()))
+    assert a == b and len(a) == 2
