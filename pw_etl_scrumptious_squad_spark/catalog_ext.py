@@ -3618,6 +3618,13 @@ def x02(spark: SparkSession, sf: str) -> DataFrame:
     surv2 = (
         buckets.filter(F.col("bucket").isin("head", "middle"))
         .join(surv1.select("doc_id", "text", "n_words"), "doc_id")
+        # REPARTITION before the heavy shingle/md5/self-join stage: the
+        # tercile stage's ntile window partitions by LANGUAGE, so
+        # everything downstream inherits ~|langs| busy partitions — the
+        # round-8 organic-sf1 run measured the whole containment stage
+        # on ONE task (17.6 s -> ~3 s once spread). A low-cardinality
+        # window feeding corpus-wide map work must always re-spread.
+        .repartition(spark.sparkContext.defaultParallelism)
         .transform(materialize)
     )
     pairs = dedup.containment_pairs(surv2, threshold=0.8)

@@ -433,6 +433,16 @@ def perplexity_buckets(
     order (score desc, doc_id) — deterministic because the score is
     already integer-derived and the id breaks ties; one lang-keyed window
     shuffle on top of the scoring aggregations.
+
+    SCALE NOTE (round-8 organic-sf1 finding): the per-language window
+    means the OUTPUT has ~|languages| busy partitions, and exact
+    per-lang ntile is one sorting task per language. Consumers feeding
+    this into corpus-wide map work (shingling, hashing) MUST
+    repartition first or they inherit |languages|-way parallelism —
+    x02 measured its whole containment stage on one task before the
+    fix. At 100 TB, swap exact ntile for approx_percentile score
+    cutoffs (two map-side passes, no per-lang sort); exact ntile is
+    the oracle-checked tier.
     """
     from pw_etl_scrumptious_squad_spark.operators.text import (
         bigram_logprob_scores,
