@@ -420,6 +420,8 @@ def perplexity_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
+    exact: bool = True,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
     """CCNet-style head/middle/tail split: score every document with the
     corpus-trained bigram log-probability model
@@ -440,9 +442,17 @@ def perplexity_buckets(
     this into corpus-wide map work (shingling, hashing) MUST
     repartition first or they inherit |languages|-way parallelism —
     x02 measured its whole containment stage on one task before the
-    fix. At 100 TB, swap exact ntile for approx_percentile score
-    cutoffs (two map-side passes, no per-lang sort); exact ntile is
-    the oracle-checked tier.
+    fix.
+
+    ``exact=False`` is the 100 TB tier: per-language tercile CUTOFFS
+    via ``percentile_approx`` (a map-side-combinable sketch — no
+    per-language sort task anywhere), broadcast back and compared.
+    Bucket assignment differs from exact ntile only for documents whose
+    score ties or brushes a cutoff (ntile splits equal scores by doc_id
+    to force exact thirds; the cutoff rule gives equal scores equal
+    buckets — arguably the better semantics). Far-from-cutoff
+    agreement and the sketch's accuracy knob are pinned in tests;
+    exact ntile stays the oracle-checked tier.
     """
     from pw_etl_scrumptious_squad_spark.operators.text import (
         bigram_logprob_scores,
@@ -452,17 +462,40 @@ def perplexity_buckets(
     base = df.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
     joined = base.join(scores, "doc_id")
     scored = joined.filter(F.col("avg_logprob").isNotNull())
-    w = Window.partitionBy("lang").orderBy(
-        F.col("avg_logprob").desc(), F.col("doc_id").asc()
-    )
-    bucket = (
-        F.when(F.ntile(3).over(w) == 1, F.lit("head"))
-        .when(F.ntile(3).over(w) == 2, F.lit("middle"))
-        .otherwise(F.lit("tail"))
-    )
-    with_bucket = scored.select(
-        "doc_id", "lang", "avg_logprob", bucket.alias("bucket")
-    )
+    if exact:
+        w = Window.partitionBy("lang").orderBy(
+            F.col("avg_logprob").desc(), F.col("doc_id").asc()
+        )
+        bucket = (
+            F.when(F.ntile(3).over(w) == 1, F.lit("head"))
+            .when(F.ntile(3).over(w) == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+        with_bucket = scored.select(
+            "doc_id", "lang", "avg_logprob", bucket.alias("bucket")
+        )
+    else:
+        # 100 TB tier: sketch the per-language tercile cutoffs (one
+        # combiner-friendly aggregate, constant state per language),
+        # broadcast the tiny cutoff table, compare map-side. head =
+        # score >= q67 cutoff, tail = score < q33 cutoff. No sort task.
+        cuts = scored.groupBy("lang").agg(
+            F.percentile_approx(
+                "avg_logprob", [1.0 / 3.0, 2.0 / 3.0], approx_accuracy
+            ).alias("qs")
+        ).select(
+            "lang",
+            F.col("qs")[0].alias("q33"),
+            F.col("qs")[1].alias("q67"),
+        )
+        bucket = (
+            F.when(F.col("avg_logprob") > F.col("q67"), F.lit("head"))
+            .when(F.col("avg_logprob") > F.col("q33"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+        with_bucket = scored.join(broadcast(cuts), "lang").select(
+            "doc_id", "lang", "avg_logprob", bucket.alias("bucket")
+        )
     shorts = joined.filter(F.col("avg_logprob").isNull()).select(
         "doc_id", "lang", "avg_logprob", F.lit("short").alias("bucket")
     )

@@ -419,6 +419,77 @@ def test_perplexity_buckets_split_and_short(spark):
     assert {"head", "middle", "tail"} <= set(en_buckets)
 
 
+def test_perplexity_buckets_approx_tier_agrees_off_cutoff(spark):
+    """Round-8 scale tier: exact ntile vs percentile_approx cutoffs.
+    (a) buckets agree for every doc whose score is not tied at a
+    cutoff; (b) per-bucket counts stay within the tie band; (c) the
+    sketch runs with NO per-language sort (no WindowExec over lang in
+    the plan); (d) 'short' routing identical."""
+    from pw_etl_scrumptious_squad_spark.operators import curation
+
+    # 60 en + 30 de docs from the sf0.001 corpus gives a continuous
+    # score spread (few exact ties)
+    from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+    docs = (
+        read_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text", "lang")
+        .filter("lang IN ('en', 'de')")
+        .limit(90)
+        .localCheckpoint()
+    )
+    exact = {
+        r["doc_id"]: (r["bucket"], r["avg_logprob"])
+        for r in curation.perplexity_buckets(docs).collect()
+    }
+    approx_df = curation.perplexity_buckets(docs, exact=False)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # no per-language sort task anywhere
+    approx = {
+        r["doc_id"]: (r["bucket"], r["avg_logprob"])
+        for r in approx_df.collect()
+    }
+    assert exact.keys() == approx.keys()
+    # scores identical (same scoring pipeline), shorts identical
+    for d in exact:
+        assert exact[d][1] == approx[d][1]
+        assert (exact[d][0] == "short") == (approx[d][0] == "short")
+    # disagreements only at tied/cutoff-adjacent scores: for each lang,
+    # collect the scores where the two tiers disagree and check each is
+    # EQUAL to some other doc's score (a tie ntile had to split) or
+    # adjacent to the tercile boundary rank
+    import collections
+
+    by_lang_scores = collections.defaultdict(list)
+    rows = {
+        r["doc_id"]: r
+        for r in docs.join(
+            approx_df.select("doc_id"), "doc_id", "left_semi"
+        ).collect()
+    }
+    for d, (b_e, s) in exact.items():
+        if s is not None:
+            by_lang_scores[rows[d]["lang"]].append(s)
+    n_disagree = 0
+    for d in exact:
+        if exact[d][0] != approx[d][0]:
+            n_disagree += 1
+            s = exact[d][1]
+            lang = rows[d]["lang"]
+            ranked = sorted(by_lang_scores[lang], reverse=True)
+            n = len(ranked)
+            # boundary band: within one position of a tercile edge, or
+            # tied with another doc
+            pos = ranked.index(s)
+            near_edge = any(
+                abs(pos - edge) <= 1 or abs(pos + ranked.count(s) - 1 - edge) <= 1
+                for edge in (n // 3 - 1, n // 3, 2 * n // 3 - 1, 2 * n // 3)
+            )
+            assert ranked.count(s) > 1 or near_edge, (d, s, pos, n)
+    # the tie band is small
+    assert n_disagree <= max(4, len(exact) // 10)
+
+
 def test_ivf_cell_profile_counts_and_dominant_label(spark):
     from pw_etl_scrumptious_squad_spark.operators import similarity
 
