@@ -87,7 +87,10 @@ def totesys_from_testdata(
     counterparty = supp.select(
         F.col("s_suppkey").cast("int").alias("counterparty_id"),
         F.col("s_name").alias("counterparty_legal_name"),
-        (F.col("s_suppkey") * 3).cast("int").alias("legal_address_id"),
+        # modulo: int32-safe at any replica scale, identity at gate scale
+        ((F.col("s_suppkey") * 3) % 2000000000).cast("int").alias(
+            "legal_address_id"
+        ),
         F.concat(F.lit("cc"), F.col("s_suppkey").cast("string")).alias(
             "commercial_contact"
         ),
@@ -180,7 +183,11 @@ def totesys_from_testdata(
     )
     pcreated = _ts_plus("l_orderkey * 7", base="l_shipdate")
     purchase_order = lineitem.select(
-        (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+        # modulo keeps the id in int32 at ANY corpus scale (the x100
+        # replica's offset keys push l_orderkey*8 past 2^31); below 250M
+        # orders the modulo is the identity, so gate-scale values are
+        # unchanged — mirrored in the oracle
+        ((F.col("l_orderkey") * 8 + F.col("l_linenumber")) % 2000000000)
         .cast("int")
         .alias("purchase_order_id"),
         ((F.col("l_suppkey") % 100) + 1).cast("int").alias("staff_id"),
@@ -386,7 +393,7 @@ WITH addr AS (
 cp AS (
   SELECT CAST(s_suppkey AS INTEGER) AS counterparty_id,
     s_name AS counterparty_legal_name,
-    CAST(s_suppkey * 3 AS INTEGER) AS legal_address_id
+    CAST((s_suppkey * 3) % 2000000000 AS INTEGER) AS legal_address_id
   FROM supplier),
 cur AS (SELECT * FROM (VALUES (1, 'GBP'), (2, 'USD'), (3, 'EUR'), (4, 'ZZZ'))
   t(currency_id, currency_code)),
@@ -428,7 +435,8 @@ so AS (
       AS last_updated
   FROM orders),
 po AS (
-  SELECT CAST(l_orderkey * 8 + l_linenumber AS INTEGER) AS purchase_order_id,
+  SELECT CAST((l_orderkey * 8 + l_linenumber) % 2000000000 AS INTEGER)
+    AS purchase_order_id,
     CAST(l_suppkey % 100 + 1 AS INTEGER) AS staff_id,
     CAST(l_suppkey % 50 + 1 AS INTEGER) AS counterparty_id,
     'ITEM-' || CAST(l_partkey AS VARCHAR) AS item_code,

@@ -87,6 +87,9 @@ CATALOG_QUERIES = [
     "y70_warc_ingest",             # binary record split + header parse
     "y52_char_entropy",        # per-char explode + alphabet-bounded agg
     "y54_zipf_slope",          # corpus explode + vocab-sized window
+    "c11_star_lifecycle",      # 11-table star transform (round 8):
+                               # broadcast-dim joins + map-side facts
+                               # over keyed orders/lineitem replicas
 ]
 
 # Entries measured only up to a size. (Round-4 capped y31 at x10 because
@@ -487,14 +490,19 @@ def main() -> None:
         results = merged
         meta = {**prior.get("sizes", {}), **meta}
     # preserve the streaming throughput record (tools/bench_stream.py)
+    # and the organic-sf1 validation section (tools/bench_organic.py)
     # across any rewrite of this file, merged or full
     streaming_prior = {}
+    organic_prior = {}
     if os.path.exists(out_path):
         try:
             with open(out_path) as f:
-                streaming_prior = json.load(f).get("streaming", {})
+                _prior = json.load(f)
+            streaming_prior = _prior.get("streaming", {})
+            organic_prior = _prior.get("sf1_organic", {})
         except Exception:  # noqa: BLE001 - corrupt prior: start fresh
             streaming_prior = {}
+            organic_prior = {}
     payload = {
         "metric": "scaling_curves",
         "unit": "sec",
@@ -507,6 +515,8 @@ def main() -> None:
     }
     if streaming_prior:
         payload["streaming"] = streaming_prior
+    if organic_prior:
+        payload["sf1_organic"] = organic_prior
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps({k: v for k, v in payload.items() if k != "sizes"}))
