@@ -474,81 +474,121 @@ trx AS (
     o_orderdate + (o_orderkey % 86400) * INTERVAL 1 SECOND AS created_at
   FROM orders),
 u AS (
-  SELECT 'dim_date' AS output_table, concat_ws('|', CAST(d AS VARCHAR),
-      CAST(year(d) AS VARCHAR), CAST(month(d) AS VARCHAR),
-      CAST(day(d) AS VARCHAR), CAST(isodow(d) AS VARCHAR), dayname(d),
-      monthname(d), CAST(quarter(d) AS VARCHAR)) AS record
-    FROM (SELECT unnest(generate_series(DATE '2022-01-01',
-      DATE '2024-01-01', INTERVAL 1 DAY))::DATE AS d)
+  SELECT 'dim_date' AS output_table, concat_ws('|',
+      COALESCE(CAST(d AS VARCHAR), '~'),
+      COALESCE(CAST(year(d) AS VARCHAR), '~'),
+      COALESCE(CAST(month(d) AS VARCHAR), '~'),
+      COALESCE(CAST(day(d) AS VARCHAR), '~'),
+      COALESCE(CAST(isodow(d) AS VARCHAR), '~'),
+      COALESCE(CAST(dayname(d) AS VARCHAR), '~'),
+      COALESCE(CAST(monthname(d) AS VARCHAR), '~'),
+      COALESCE(CAST(quarter(d) AS VARCHAR), '~')) AS record
+    FROM (SELECT unnest(generate_series(DATE '2022-01-01', DATE '2024-01-01', INTERVAL 1 DAY))::DATE AS d)
   UNION ALL
-  SELECT 'dim_staff', concat_ws('|', CAST(staff_id AS VARCHAR), first_name,
-      last_name, department_name, location, email_address)
+  SELECT 'dim_staff' AS output_table, concat_ws('|',
+      COALESCE(CAST(staff_id AS VARCHAR), '~'),
+      COALESCE(CAST(first_name AS VARCHAR), '~'),
+      COALESCE(CAST(last_name AS VARCHAR), '~'),
+      COALESCE(CAST(department_name AS VARCHAR), '~'),
+      COALESCE(CAST(location AS VARCHAR), '~'),
+      COALESCE(CAST(email_address AS VARCHAR), '~')) AS record
     FROM stf JOIN dept USING (department_id)
   UNION ALL
-  SELECT 'dim_location', concat_ws('|', CAST(address_id AS VARCHAR),
-      address_line_1, address_line_2, district, city, postal_code, country,
-      phone)
+  SELECT 'dim_location' AS output_table, concat_ws('|',
+      COALESCE(CAST(address_id AS VARCHAR), '~'),
+      COALESCE(CAST(address_line_1 AS VARCHAR), '~'),
+      COALESCE(CAST(address_line_2 AS VARCHAR), '~'),
+      COALESCE(CAST(district AS VARCHAR), '~'),
+      COALESCE(CAST(city AS VARCHAR), '~'),
+      COALESCE(CAST(postal_code AS VARCHAR), '~'),
+      COALESCE(CAST(country AS VARCHAR), '~'),
+      COALESCE(CAST(phone AS VARCHAR), '~')) AS record
     FROM addr
   UNION ALL
-  SELECT 'dim_currency', concat_ws('|', CAST(currency_id AS VARCHAR),
-      currency_code,
-      CASE WHEN currency_code = 'GBP' THEN 'British Pound Sterling'
-           WHEN currency_code = 'USD' THEN 'United States Dollar'
-           WHEN currency_code = 'EUR' THEN 'Euro' ELSE '0' END)
+  SELECT 'dim_currency' AS output_table, concat_ws('|',
+      COALESCE(CAST(currency_id AS VARCHAR), '~'),
+      COALESCE(CAST(currency_code AS VARCHAR), '~'),
+      COALESCE(CAST(CASE WHEN currency_code = 'GBP' THEN 'British Pound Sterling' WHEN currency_code = 'USD' THEN 'United States Dollar' WHEN currency_code = 'EUR' THEN 'Euro' ELSE '0' END AS VARCHAR), '~')) AS record
     FROM cur
   UNION ALL
-  SELECT 'dim_design', concat_ws('|', CAST(design_id AS VARCHAR),
-      design_name, file_location, file_name)
+  SELECT 'dim_design' AS output_table, concat_ws('|',
+      COALESCE(CAST(design_id AS VARCHAR), '~'),
+      COALESCE(CAST(design_name AS VARCHAR), '~'),
+      COALESCE(CAST(file_location AS VARCHAR), '~'),
+      COALESCE(CAST(file_name AS VARCHAR), '~')) AS record
     FROM des
   UNION ALL
-  SELECT 'dim_counterparty', concat_ws('|', CAST(counterparty_id AS VARCHAR),
-      counterparty_legal_name, address_line_1, address_line_2, district,
-      city, postal_code, country, phone)
+  SELECT 'dim_counterparty' AS output_table, concat_ws('|',
+      COALESCE(CAST(counterparty_id AS VARCHAR), '~'),
+      COALESCE(CAST(counterparty_legal_name AS VARCHAR), '~'),
+      COALESCE(CAST(address_line_1 AS VARCHAR), '~'),
+      COALESCE(CAST(address_line_2 AS VARCHAR), '~'),
+      COALESCE(CAST(district AS VARCHAR), '~'),
+      COALESCE(CAST(city AS VARCHAR), '~'),
+      COALESCE(CAST(postal_code AS VARCHAR), '~'),
+      COALESCE(CAST(country AS VARCHAR), '~'),
+      COALESCE(CAST(phone AS VARCHAR), '~')) AS record
     FROM cp JOIN addr ON cp.legal_address_id = addr.address_id
   UNION ALL
-  SELECT 'dim_transaction', concat_ws('|', CAST(transaction_id AS VARCHAR),
-      transaction_type, COALESCE(CAST(sales_order_id AS VARCHAR), '~'),
-      COALESCE(CAST(purchase_order_id AS VARCHAR), '~'))
+  SELECT 'dim_transaction' AS output_table, concat_ws('|',
+      COALESCE(CAST(transaction_id AS VARCHAR), '~'),
+      COALESCE(CAST(transaction_type AS VARCHAR), '~'),
+      COALESCE(CAST(sales_order_id AS VARCHAR), '~'),
+      COALESCE(CAST(purchase_order_id AS VARCHAR), '~')) AS record
     FROM trx
   UNION ALL
-  SELECT 'dim_payment_type', concat_ws('|', CAST(payment_type_id AS VARCHAR),
-      payment_type_name)
+  SELECT 'dim_payment_type' AS output_table, concat_ws('|',
+      COALESCE(CAST(payment_type_id AS VARCHAR), '~'),
+      COALESCE(CAST(payment_type_name AS VARCHAR), '~')) AS record
     FROM pt
   UNION ALL
-  SELECT 'fact_sales_order', concat_ws('|', CAST(sales_order_id AS VARCHAR),
-      CAST(CAST(created_at AS DATE) AS VARCHAR),
-      strftime(created_at, '%H:%M:%S'),
-      CAST(CAST(last_updated AS DATE) AS VARCHAR),
-      strftime(last_updated, '%H:%M:%S'), CAST(staff_id AS VARCHAR),
-      CAST(counterparty_id AS VARCHAR), CAST(units_sold AS VARCHAR),
-      CAST(CAST(ROUND(unit_price * 100) AS BIGINT) AS VARCHAR),
-      CAST(currency_id AS VARCHAR), CAST(design_id AS VARCHAR),
-      agreed_payment_date, agreed_delivery_date,
-      CAST(agreed_delivery_location_id AS VARCHAR))
+  SELECT 'fact_sales_order' AS output_table, concat_ws('|',
+      COALESCE(CAST(sales_order_id AS VARCHAR), '~'),
+      COALESCE(CAST(CAST(created_at AS DATE) AS VARCHAR), '~'),
+      COALESCE(CAST(strftime(created_at, '%H:%M:%S') AS VARCHAR), '~'),
+      COALESCE(CAST(CAST(last_updated AS DATE) AS VARCHAR), '~'),
+      COALESCE(CAST(strftime(last_updated, '%H:%M:%S') AS VARCHAR), '~'),
+      COALESCE(CAST(staff_id AS VARCHAR), '~'),
+      COALESCE(CAST(counterparty_id AS VARCHAR), '~'),
+      COALESCE(CAST(units_sold AS VARCHAR), '~'),
+      COALESCE(CAST(CAST(ROUND(unit_price * 100) AS BIGINT) AS VARCHAR), '~'),
+      COALESCE(CAST(currency_id AS VARCHAR), '~'),
+      COALESCE(CAST(design_id AS VARCHAR), '~'),
+      COALESCE(CAST(agreed_payment_date AS VARCHAR), '~'),
+      COALESCE(CAST(agreed_delivery_date AS VARCHAR), '~'),
+      COALESCE(CAST(agreed_delivery_location_id AS VARCHAR), '~')) AS record
     FROM so
   UNION ALL
-  SELECT 'fact_purchase_order', concat_ws('|',
-      CAST(purchase_order_id AS VARCHAR),
-      CAST(CAST(created_at AS DATE) AS VARCHAR),
-      strftime(created_at, '%H:%M:%S'),
-      CAST(CAST(last_updated AS DATE) AS VARCHAR),
-      strftime(last_updated, '%H:%M:%S'), CAST(staff_id AS VARCHAR),
-      CAST(counterparty_id AS VARCHAR), item_code,
-      CAST(item_quantity AS VARCHAR),
-      CAST(CAST(ROUND(item_unit_price * 100) AS BIGINT) AS VARCHAR),
-      CAST(currency_id AS VARCHAR), agreed_delivery_date,
-      agreed_payment_date, CAST(agreed_delivery_location_id AS VARCHAR))
+  SELECT 'fact_purchase_order' AS output_table, concat_ws('|',
+      COALESCE(CAST(purchase_order_id AS VARCHAR), '~'),
+      COALESCE(CAST(CAST(created_at AS DATE) AS VARCHAR), '~'),
+      COALESCE(CAST(strftime(created_at, '%H:%M:%S') AS VARCHAR), '~'),
+      COALESCE(CAST(CAST(last_updated AS DATE) AS VARCHAR), '~'),
+      COALESCE(CAST(strftime(last_updated, '%H:%M:%S') AS VARCHAR), '~'),
+      COALESCE(CAST(staff_id AS VARCHAR), '~'),
+      COALESCE(CAST(counterparty_id AS VARCHAR), '~'),
+      COALESCE(CAST(item_code AS VARCHAR), '~'),
+      COALESCE(CAST(item_quantity AS VARCHAR), '~'),
+      COALESCE(CAST(CAST(ROUND(item_unit_price * 100) AS BIGINT) AS VARCHAR), '~'),
+      COALESCE(CAST(currency_id AS VARCHAR), '~'),
+      COALESCE(CAST(agreed_delivery_date AS VARCHAR), '~'),
+      COALESCE(CAST(agreed_payment_date AS VARCHAR), '~'),
+      COALESCE(CAST(agreed_delivery_location_id AS VARCHAR), '~')) AS record
     FROM po
   UNION ALL
-  SELECT 'fact_payment', concat_ws('|', CAST(payment_id AS VARCHAR),
-      CAST(CAST(created_at AS DATE) AS VARCHAR),
-      strftime(created_at, '%H:%M:%S'),
-      CAST(CAST(last_updated AS DATE) AS VARCHAR),
-      strftime(last_updated, '%H:%M:%S'), CAST(transaction_id AS VARCHAR),
-      CAST(counterparty_id AS VARCHAR),
-      CAST(CAST(ROUND(payment_amount * 100) AS BIGINT) AS VARCHAR),
-      CAST(currency_id AS VARCHAR), CAST(payment_type_id AS VARCHAR),
-      CAST(paid AS VARCHAR), payment_date)
+  SELECT 'fact_payment' AS output_table, concat_ws('|',
+      COALESCE(CAST(payment_id AS VARCHAR), '~'),
+      COALESCE(CAST(CAST(created_at AS DATE) AS VARCHAR), '~'),
+      COALESCE(CAST(strftime(created_at, '%H:%M:%S') AS VARCHAR), '~'),
+      COALESCE(CAST(CAST(last_updated AS DATE) AS VARCHAR), '~'),
+      COALESCE(CAST(strftime(last_updated, '%H:%M:%S') AS VARCHAR), '~'),
+      COALESCE(CAST(transaction_id AS VARCHAR), '~'),
+      COALESCE(CAST(counterparty_id AS VARCHAR), '~'),
+      COALESCE(CAST(CAST(ROUND(payment_amount * 100) AS BIGINT) AS VARCHAR), '~'),
+      COALESCE(CAST(currency_id AS VARCHAR), '~'),
+      COALESCE(CAST(payment_type_id AS VARCHAR), '~'),
+      COALESCE(CAST(paid AS VARCHAR), '~'),
+      COALESCE(CAST(payment_date AS VARCHAR), '~')) AS record
     FROM pay
 )
 SELECT output_table, record FROM u ORDER BY output_table, record

@@ -190,3 +190,46 @@ def test_degenerate_relational_oracle_parity(spark, degenerate_sf, name):
             else "row sets differ in tails"
         )
         raise AssertionError(f"{name}: value-hash mismatch\n{detail}")
+
+
+def test_degenerate_c11_star_lifecycle_parity(spark, degenerate_sf):
+    """Round-8: c11 composes MORE tables than the {lineitem, orders,
+    customer} filter admits, so the parametrized battery skips it — run
+    it explicitly over the degenerate set (NULL dates/flags, orphan
+    keys, dup lines, zero totals flow through every fixture derivation
+    and all 11 builders; NULL timestamps must serialize as '~' on both
+    engines)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check import value_hash
+
+    name = "c11_star_lifecycle"
+    sdf = entrymod.queries()[name](spark, degenerate_sf)
+    srows = sdf.collect()
+    scols = sdf.columns
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" '{degenerate_sf}/{t}.parquet'"
+        )
+    res = con.execute(entrymod.oracle_sql(degenerate_sf)[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert len(srows) == len(drows)
+    assert sorted(scols) == sorted(dcols)
+    hs = value_hash(scols, [[r[c] for c in scols] for r in srows])
+    hd = value_hash(dcols, drows)
+    assert hs == hd, f"{name}: value-hash mismatch on degenerate inputs"
+    # the NULL-shipdate lineitem row must be present with '~' fields,
+    # not silently dropped
+    null_po = [
+        r["record"]
+        for r in srows
+        if r["output_table"] == "fact_purchase_order" and "~" in r["record"]
+    ]
+    assert null_po, "NULL-shipdate purchase rows missing from the fact"
