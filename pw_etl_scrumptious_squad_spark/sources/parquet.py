@@ -607,12 +607,21 @@ def compact_table(
     version, snap_path = _resolve_snapshot(base_dir, name)
     if snap_path is None:
         raise FileNotFoundError(f"{name}: nothing to compact in {base_dir}")
-    total = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(snap_path)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    if "://" not in snap_path:
+        total = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(snap_path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    else:
+        # schemed stores: one getContentSummary RPC sizes the snapshot
+        # (counts _SUCCESS/CRC noise too — immaterial to a file-count
+        # ceiling division)
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(snap_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        total = int(fs.getContentSummary(jpath).getLength())
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = _read_parquet_normalized(spark, snap_path, name)
     _publish_snapshot(

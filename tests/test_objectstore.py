@@ -132,16 +132,15 @@ def test_versioned_snapshots_through_non_file_scheme(spark, lake):
     with _pytest.raises(P.ConcurrentWriteError):
         P._claim_version(bucket, "wh", 1, spark=spark, data_rel="zzz.data")
 
-    # compaction publishes version 3 through the same chain; the pinned
+    # compaction publishes version 3 through the same chain (snapshot
+    # bytes sized via getContentSummary on schemed stores); the pinned
     # version-1 data stays readable (immutable dirs)
-    # (compact_table sizes files via os.walk — local-only — so exercise
-    # the publish path through another upsert instead)
-    v3 = spark.createDataFrame([(3, "c", 3)], "id LONG, v STRING, ver INT")
-    P.upsert_table(spark, v3, bucket, "wh", ["id"], order_col="ver")
+    n_files = P.compact_table(spark, bucket, "wh")
+    assert n_files == 1
     assert P.table_version(bucket, "wh", spark) == 3
     assert {
         r["id"] for r in P.snapshot_read(spark, bucket, "wh").collect()
-    } == {1, 2, 3}
+    } == {1, 2}
     assert {
         r["id"]
         for r in P.snapshot_read(spark, bucket, "wh", version=1).collect()
