@@ -5499,8 +5499,6 @@ def x04(spark: SparkSession, sf: str) -> DataFrame:
             "cluster_size",
             "is_canonical",
         )
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
     )
 
 
@@ -5544,8 +5542,6 @@ def y69(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         multimodal.video_h264_annexb_screening(media)
-        .repartition(1)
-        .sortWithinPartitions("asset_id")
     )
 
 
@@ -5598,8 +5594,6 @@ def y70(spark: SparkSession, sf: str) -> DataFrame:
             "content_length",
             F.md5("payload").alias("payload_md5"),
         )
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
     )
 
 
@@ -5689,8 +5683,6 @@ def y71(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         textops.script_profile(aug)
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
     )
 
 
@@ -5747,8 +5739,6 @@ def y72(spark: SparkSession, sf: str) -> DataFrame:
     out = web.apply_robots(urls, rules, keep=("doc_id",))
     return (
         out.select("doc_id", "domain_id", "path", "allowed", "matched_rule")
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
     )
 
 

@@ -270,6 +270,16 @@ def test_pair_outputs_have_no_single_partition_funnel(spark, cat):
         "z30_session_window",
         "z31_time_range_rolling",
         "z34_variant_json",
+        # round-8 sweep: the round-7 crawl/codec entries emit one row
+        # per doc/asset/record (corpus-proportional) — their terminal
+        # repartition(1) sorts are gone and pinned gone
+        "x04_image_neardup_pipeline",
+        "y69_h264_annexb_screening",
+        "y70_warc_ingest",
+        "y71_script_detect",
+        "y72_robots_filter",
+        "x05_warc_corpus_pipeline",
+        "c11_star_lifecycle",
     ]:
         simple = plan_of(spark, cat, name, "simple")
         assert "SinglePartition" not in simple, name
