@@ -83,11 +83,14 @@ def main() -> None:
         load = round(os.getloadavg()[0], 2)
     except OSError:  # pragma: no cover
         load = None
+    # keep hand-written per-query adjudications across re-measures
+    prior_annotations = payload.get("sf1_organic", {}).get("annotations")
     payload["sf1_organic"] = {
         "dir": organic,
         "load_avg": load,
         "n_queries": len(results),
         "queries": results,
+        **({"annotations": prior_annotations} if prior_annotations else {}),
         "note": (
             "single-run per query after warm-up; copy-point comparisons"
             " carry the usual shared-host noise band (see bench.py"
