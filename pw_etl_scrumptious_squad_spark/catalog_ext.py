@@ -1393,6 +1393,40 @@ def y05(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "y73_incremental_cc",
+    _cc_oracle(),
+    "INCREMENTAL connected components (round 8 — the incremental half"
+    " y14's pair store implies): base corpus (doc_id % 10 < 8) carries"
+    " committed cluster labels; the arriving batch's edges (any pair"
+    " touching a new doc) fold in via contract-to-labels -> CC on the"
+    " contracted delta graph -> broadcast relabel. Corpus is touched"
+    " only by two map-side broadcast passes; iteration runs on the"
+    " touched-components graph, never the corpus. ORACLE = the full"
+    " recompute over ALL pairs (y05's recursive CTE) — equality IS the"
+    " correctness proof of the incremental fold."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y73(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", "lang", 0.9
+    ).select("doc_a", "doc_b").transform(materialize)
+    is_base = lambda c: F.col(c) % 10 < 8  # noqa: E731
+    base_docs = d.filter(is_base("doc_id"))
+    base_pairs = pairs.filter(is_base("doc_a") & is_base("doc_b"))
+    batch_pairs = pairs.filter(~(is_base("doc_a") & is_base("doc_b")))
+    base_labels = dedup.connected_components(base_pairs, base_docs, "doc_id")
+    return (
+        dedup.incremental_connected_components(
+            base_labels,
+            batch_pairs,
+            new_nodes=d.filter(~is_base("doc_id")),
+        )
+        .select(F.col("node").alias("doc_id"), "cluster_id")
+    )
+
+
+@register(
     "y06_custom_udaf",
     # CASE (not FILTER) guards the ln: DuckDB evaluates aggregate
     # arguments for every row BEFORE the FILTER clause applies, so

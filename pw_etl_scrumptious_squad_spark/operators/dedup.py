@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from pw_etl_scrumptious_squad_spark.checkpoint import materialize
 from pw_etl_scrumptious_squad_spark.operators.text import (
@@ -1522,6 +1523,95 @@ def connected_components(
             )
         prev = fp
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iters")
+
+
+def incremental_connected_components(
+    base_labels: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Fold a NEW batch's near-dup edges into EXISTING component labels
+    without recomputing the corpus — the incremental half of
+    :func:`connected_components` (y14 finds the batch's pairs
+    incrementally; this folds them into cluster state). Returns the
+    full updated ``(node, cluster_id)`` table.
+
+    Shape (the 100 TB contract — per-ingest cost ∝ batch, corpus
+    touched only map-side):
+
+    1. CONTRACT each existing component to its label: map every
+       new-edge endpoint to its base label (endpoints not in
+       ``base_labels`` stand for themselves). The label lookup prunes
+       the corpus-sized label table with a BROADCAST semi-join on the
+       batch's endpoint set — one map-side pass, no corpus shuffle.
+    2. Run :func:`connected_components` on the CONTRACTED graph —
+       bounded by touched components + new nodes, never the corpus.
+    3. RELABEL: broadcast the contracted root map and left-join it onto
+       ``base_labels`` by label (map-side); untouched rows keep their
+       labels. New nodes take their contracted root (or themselves).
+
+    Label semantics match the full recompute exactly: a base label is
+    the min id of its component, so the contracted graph's min-label
+    roots are the global min over every merged component's members —
+    equality with full-recompute CC is pinned by the y73 oracle and the
+    unit battery."""
+    lbl = base_labels.select("node", F.col("cluster_id").alias("lbl"))
+    e = (
+        new_edges.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .transform(materialize)
+    )
+    keys = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    # corpus pass 1 (map-side): prune the label table to touched nodes
+    touched = lbl.join(broadcast(keys), "node", "left_semi").transform(
+        materialize
+    )
+    ta = touched.select(F.col("node").alias("a"), F.col("lbl").alias("la"))
+    tb = touched.select(F.col("node").alias("b"), F.col("lbl").alias("lb"))
+    contracted = (
+        e.join(broadcast(ta), "a", "left")
+        .join(broadcast(tb), "b", "left")
+        .select(
+            F.coalesce("la", F.col("a")).alias("doc_a"),
+            F.coalesce("lb", F.col("b")).alias("doc_b"),
+        )
+    )
+    cnodes = (
+        contracted.select(F.col("doc_a").alias("node"))
+        .unionByName(contracted.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    sub = connected_components(
+        contracted, cnodes.withColumnRenamed("node", id_col), id_col, max_iter
+    )
+    remap = sub.select(
+        F.col("node").alias("lbl"), F.col("cluster_id").alias("new_lbl")
+    ).filter(F.col("lbl") != F.col("new_lbl"))
+    # corpus pass 2 (map-side): broadcast relabel by OLD label
+    out = base_labels.join(broadcast(remap), F.col("cluster_id") == F.col("lbl"), "left").select(
+        "node", F.coalesce("new_lbl", F.col("cluster_id")).alias("cluster_id")
+    )
+    if new_nodes is not None:
+        fresh = (
+            new_nodes.select(F.col(id_col).alias("node"))
+            .join(base_labels.select("node"), "node", "left_anti")
+        )
+        root = sub.select("node", F.col("cluster_id").alias("new_lbl"))
+        fresh_labeled = fresh.join(broadcast(root), "node", "left").select(
+            "node", F.coalesce("new_lbl", F.col("node")).alias("cluster_id")
+        )
+        out = out.unionByName(fresh_labeled)
+    return out
 
 
 def keep_canonical(

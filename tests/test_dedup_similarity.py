@@ -966,3 +966,67 @@ def test_star_identical_cluster_equivalence(spark):
         for r in dedup.connected_components(starred, nodes).collect()
     }
     assert lab_full == lab_star
+
+
+def test_incremental_cc_equals_full_recompute(spark):
+    """Round-8 incremental CC: every merge topology folds into existing
+    labels identically to a full recompute — cross-component merge,
+    intra-component no-op edge, a chain through a NEW node joining two
+    old components, a brand-new pair, an isolated new node, and an
+    empty batch."""
+    from pw_etl_scrumptious_squad_spark.operators import dedup
+
+    base_nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 5, 6, 10, 30, 31]], "doc_id LONG"
+    )
+    base_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (30, 31)], "doc_a LONG, doc_b LONG"
+    )
+    base = dedup.connected_components(base_pairs, base_nodes, "doc_id")
+    assert {r["node"]: r["cluster_id"] for r in base.collect()} == {
+        1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 30: 30, 31: 30,
+    }
+
+    new_nodes = spark.createDataFrame(
+        [(i,) for i in [20, 21, 22, 40]], "doc_id LONG"
+    )
+    new_edges = spark.createDataFrame(
+        [
+            (3, 5),    # merges components {1,2,3} and {5,6}
+            (1, 2),    # intra-component no-op
+            (20, 21),  # brand-new pair
+            (6, 22),   # new node joins the merged component
+            (22, 10),  # ...and chains it to old singleton 10
+        ],
+        "doc_a LONG, doc_b LONG",
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.incremental_connected_components(
+            base, new_edges, new_nodes=new_nodes
+        ).collect()
+    }
+    # full recompute over the union graph
+    all_nodes = base_nodes.unionByName(new_nodes)
+    all_pairs = base_pairs.unionByName(new_edges)
+    want = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components(
+            all_pairs, all_nodes, "doc_id"
+        ).collect()
+    }
+    assert got == want
+    assert got[22] == 1 and got[10] == 1 and got[6] == 1  # chained merge
+    assert got[20] == 20 and got[21] == 20                # new pair
+    assert got[40] == 40                                  # isolated new
+    assert got[30] == 30 and got[31] == 30                # untouched
+
+    # empty batch: labels unchanged, new node labels itself
+    empty = spark.createDataFrame([], "doc_a LONG, doc_b LONG")
+    got2 = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.incremental_connected_components(
+            base, empty, new_nodes=spark.createDataFrame([(99,)], "doc_id LONG")
+        ).collect()
+    }
+    assert got2 == {**{r["node"]: r["cluster_id"] for r in base.collect()}, 99: 99}

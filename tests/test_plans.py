@@ -280,6 +280,7 @@ def test_pair_outputs_have_no_single_partition_funnel(spark, cat):
         "y72_robots_filter",
         "x05_warc_corpus_pipeline",
         "c11_star_lifecycle",
+        "y73_incremental_cc",
     ]:
         simple = plan_of(spark, cat, name, "simple")
         assert "SinglePartition" not in simple, name
