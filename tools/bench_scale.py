@@ -266,6 +266,41 @@ def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
             )
         return _size_cents_cache[0]
 
+    _inc_cc_cache = []
+
+    def inc_cc_parts():
+        # one-time per size: LSH pairs over the full corpus, 98/2
+        # base/batch split, committed base labels — all localCheckpointed
+        # so the timed fold re-runs touch none of it
+        if not _inc_cc_cache:
+            d_all = docs().select("doc_id", "text")
+            pairs = (
+                dedup.minhash_lsh_dedup(
+                    d_all, "doc_id", num_perm=16, bands=8, threshold=0.5
+                )
+                .select("doc_a", "doc_b")
+                .localCheckpoint()
+            )
+            base_docs = d_all.select("doc_id").filter(
+                F.col("doc_id") % 50 != 0
+            )
+            base_pairs = pairs.filter(
+                (F.col("doc_a") % 50 != 0) & (F.col("doc_b") % 50 != 0)
+            )
+            batch_pairs = pairs.filter(
+                (F.col("doc_a") % 50 == 0) | (F.col("doc_b") % 50 == 0)
+            ).localCheckpoint()
+            base_labels = dedup.connected_components(
+                base_pairs, base_docs, "doc_id"
+            ).localCheckpoint()
+            new_nodes = (
+                d_all.select("doc_id")
+                .filter(F.col("doc_id") % 50 == 0)
+                .localCheckpoint()
+            )
+            _inc_cc_cache.append((base_labels, batch_pairs, new_nodes))
+        return _inc_cc_cache[0]
+
     _size_cb_cache = []
 
     def size_cb():
@@ -383,6 +418,14 @@ def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
         # pinned in tests/test_bpe_entropy.py)
         "op_bpe_train_batched": lambda: text.bpe_train(
             docs(), num_merges=24, batch_merges=8
+        ),
+        # incremental CC (round 8): timed portion = fold a ~2% batch's
+        # edges into committed labels (contract: per-ingest cost ∝
+        # batch + touched components, NOT corpus). Pair generation and
+        # the base CC are the amortized prep (first discarded run of
+        # the min-of-2 protocol, the size_cents convention).
+        "op_incremental_cc": lambda: dedup.incremental_connected_components(
+            *inc_cc_parts()
         ),
     }
 
