@@ -448,6 +448,68 @@ def streaming_incremental_dedup(
     )
 
 
+def streaming_incremental_cc(
+    edges_stream: DataFrame,
+    labels_dir: str,
+    checkpoint_dir: str,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Streaming duplicate-CLUSTER maintenance (round 8): each
+    micro-batch of near-dup edges (e.g. the pairs
+    :func:`streaming_incremental_dedup` emits) folds into the persisted
+    ``(node, cluster_id)`` label store via
+    ``dedup.incremental_connected_components`` — the per-trigger cost
+    is the batch + touched components, never the corpus (the fold's
+    x1/x10/x100 curve is FLAT; BENCH_scale op_incremental_cc).
+
+    Store write is full-snapshot overwrite through a tmp+rename swap
+    (the store is one row per ever-seen node). At warehouse scale the
+    overwrite becomes a MERGE on the touched labels only — the fold
+    already isolates them (its remap table) — or the store lives as a
+    versioned table (sources/parquet upsert path). Final labels equal a
+    batch :func:`dedup.connected_components` over the union of all
+    delivered edges (pinned in tests, including cross-batch merges)."""
+    import os
+    import shutil
+
+    from pw_etl_scrumptious_squad_spark.operators import dedup
+
+    spark = edges_stream.sparkSession
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.select("doc_a", "doc_b").transform(materialize)
+        if not batch.head(1):
+            return
+        nodes = (
+            batch.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(batch.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        try:
+            base = spark.read.parquet(labels_dir).transform(materialize)
+            have = True
+        except Exception:
+            have = False
+        if have:
+            out = dedup.incremental_connected_components(
+                base, batch, new_nodes=nodes
+            )
+        else:
+            out = dedup.connected_components(batch, nodes, "doc_id")
+        out = out.transform(materialize)
+        tmp = labels_dir + f".tmp-{batch_id}"
+        out.write.mode("overwrite").parquet(tmp)
+        old = labels_dir + f".old-{batch_id}"
+        if os.path.exists(labels_dir):
+            os.rename(labels_dir, old)
+        os.rename(tmp, labels_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return run_foreach_batch(
+        edges_stream, checkpoint_dir, batch_fn, processing_time=processing_time
+    )
+
+
 def running_user_stats_tws(events: DataFrame) -> DataFrame:
     """``running_user_stats`` on the successor API,
     ``transformWithStateInPandas`` (Spark 4): an explicit

@@ -590,3 +590,57 @@ def test_streaming_cardinality_monitor_append_mode(spark, events_dir):
     max_hour = max(h for h, _ in full)
     closed = {k for k in full if k[0] <= max_hour - datetime.timedelta(hours=3)}
     assert closed <= set(got)
+
+
+def test_streaming_incremental_cc_equals_batch_global(spark, tmp_path):
+    """Round-8 streaming cluster maintenance: three edge micro-batches
+    fold into the persisted label store; batch 3 contains a
+    CROSS-BATCH merge edge (connects components formed in batches 1
+    and 2). Final store labels == one batch connected_components over
+    the union of all delivered edges."""
+    from pw_etl_scrumptious_squad_spark.operators import dedup
+
+    batches = [
+        [(1, 2), (2, 3), (10, 11)],
+        [(20, 21), (30, 31), (21, 22)],
+        [(3, 20), (40, 41)],  # merges the 1-2-3 and 20-21-22 components
+    ]
+    src = tmp_path / "edges"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_a LONG, doc_b LONG").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"arrival={i}.parquet"))
+
+    labels_dir = str(tmp_path / "labels")
+    stream = (
+        spark.readStream.schema("doc_a long, doc_b long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/arrival=*.parquet")
+    )
+    q = sp.streaming_incremental_cc(
+        stream, labels_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in spark.read.parquet(labels_dir).collect()
+    }
+    all_edges = spark.createDataFrame(
+        [e for b in batches for e in b], "doc_a LONG, doc_b LONG"
+    )
+    all_nodes = (
+        all_edges.selectExpr("doc_a AS doc_id")
+        .union(all_edges.selectExpr("doc_b"))
+        .distinct()
+    )
+    want = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components(
+            all_edges, all_nodes, "doc_id"
+        ).collect()
+    }
+    assert got == want
+    assert got[22] == 1 and got[20] == 1  # cross-batch merge landed
+    assert got[40] == 40 and got[41] == 40
