@@ -1,0 +1,151 @@
+"""Bucketed warehouse layout (operators/bucketed.py): the point of the
+layout is PHYSICAL — the join and the follow-up aggregation must plan
+with zero Exchange nodes — so these tests pin the plan shape, the
+differential against the unbucketed twin, and the per-session write
+memoization, while value correctness rides the catalog-wide oracle
+sweep (tests/test_catalog_oracle.py::y74_bucketed_join)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from pw_etl_scrumptious_squad_spark.operators import bucketed
+from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _bucketed_agg(spark):
+    lt = bucketed.ensure_bucketed(
+        spark, read_table(spark, SF, "lineitem"), "lineitem", SF, "l_orderkey"
+    )
+    ot = bucketed.ensure_bucketed(
+        spark, read_table(spark, SF, "orders"), "orders", SF, "o_orderkey"
+    )
+    j = bucketed.bucketed_join(spark, lt, ot, "l_orderkey", "o_orderkey")
+    return j.groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_date")).agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
+
+
+def test_join_and_agg_plan_has_zero_exchanges(spark):
+    agg = _bucketed_agg(spark)
+    plan = _plan(agg)
+    # the merge hint pinned SortMergeJoin; bucketing must satisfy its
+    # distribution requirement on BOTH sides, and the groupBy keys
+    # contain the bucket key so the aggregation reuses the layout too
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    # both scans consume the bucket spec (not a plain file scan that
+    # happens to avoid a shuffle some other way)
+    assert plan.count("Bucketed: true") == 2
+    assert plan.count("SelectedBucketsCount: 16 out of 16") == 2
+
+
+def test_unbucketed_twin_needs_exchanges(spark):
+    # differential: the SAME logical join over the raw parquet shuffles
+    # both sides — what the layout write amortizes away
+    li = read_table(spark, SF, "lineitem")
+    o = read_table(spark, SF, "orders")
+    j = li.join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
+    plan = _plan(
+        j.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    assert "Exchange" in plan
+
+
+def test_values_match_unbucketed_twin(spark):
+    got = {
+        (r["l_orderkey"], r["o_date"]): r["n_items"]
+        for r in _bucketed_agg(spark).collect()
+    }
+    li = read_table(spark, SF, "lineitem")
+    o = read_table(spark, SF, "orders")
+    want = {
+        (r["l_orderkey"], r["o_date"]): r["n_items"]
+        for r in li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_date"))
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_layout_write_is_memoized_per_session(spark):
+    lt = bucketed.ensure_bucketed(
+        spark, read_table(spark, SF, "lineitem"), "lineitem", SF, "l_orderkey"
+    )
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {lt}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    )
+    path = loc.removeprefix("file:")
+    marker = os.path.join(path, "_SUCCESS")
+    before = os.path.getmtime(marker)
+    again = bucketed.ensure_bucketed(
+        spark, read_table(spark, SF, "lineitem"), "lineitem", SF, "l_orderkey"
+    )
+    assert again == lt
+    assert os.path.getmtime(marker) == before  # no rewrite
+
+
+def test_point_lookup_prunes_to_one_bucket(spark):
+    # a literal-key filter reads 1 of 16 buckets — the layout gives
+    # point lookups a 16x scan cut on top of the shuffle-free joins.
+    # autoBucketedScan must be off for a bare filter: Spark auto-reverts
+    # to a plain (better-parallelized) scan when the plan has no
+    # distribution requirement, which also forfeits bucket pruning.
+    lt = bucketed.ensure_bucketed(
+        spark, read_table(spark, SF, "lineitem"), "lineitem", SF, "l_orderkey"
+    )
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prior = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        df = spark.table(lt).filter(F.col("l_orderkey") == 1102)
+        assert "SelectedBucketsCount: 1 out of 16" in _plan(df)
+    finally:
+        spark.conf.set(key, prior)
+
+
+def test_append_preserves_layout_and_join_stays_shuffle_free(spark, tmp_path):
+    # warehouse maintenance: micro-batch appends into a bucketed table
+    # must land in the right buckets (Spark enforces the bucket spec on
+    # insert) so the recurring join NEVER silently regrows a shuffle
+    li = read_table(spark, SF, "lineitem").limit(200)
+    o = read_table(spark, SF, "orders").limit(50)
+    lt, ot = "bkt_append_li", "bkt_append_o"
+    for df, tbl, key in ((li, lt, "l_orderkey"), (o, ot, "o_orderkey")):
+        bucketed.write_bucketed(
+            df, tbl, key, 4, path=str(tmp_path / tbl)
+        )
+    before = spark.table(lt).count()
+    li.limit(40).write.mode("append").format("parquet").insertInto(lt)
+    assert spark.table(lt).count() == before + 40
+    j = bucketed.bucketed_join(spark, lt, ot, "l_orderkey", "o_orderkey")
+    plan = _plan(j.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n")))
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan
+    for tbl in (lt, ot):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_one_file_per_bucket(spark):
+    # precondition for Spark trusting sortBy order at read time, and the
+    # proof that the pre-write repartition aligned tasks with buckets
+    lt = bucketed.ensure_bucketed(
+        spark, read_table(spark, SF, "lineitem"), "lineitem", SF, "l_orderkey"
+    )
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {lt}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    )
+    path = loc.removeprefix("file:")
+    data_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(data_files) == bucketed.DEFAULT_BUCKETS

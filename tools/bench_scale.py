@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from pw_etl_scrumptious_squad_spark import catalog as catmod
 from pw_etl_scrumptious_squad_spark.operators import (
+    bucketed,
     curation,
     dedup,
     similarity,
@@ -426,6 +427,35 @@ def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
         # the min-of-2 protocol, the size_cents convention).
         "op_incremental_cc": lambda: dedup.incremental_connected_components(
             *inc_cc_parts()
+        ),
+        # bucketed co-located join (round 8): the layout write is the
+        # one-time amortized shuffle (memoized per session — absorbed by
+        # the first, discarded run of the min-of-2 protocol, the
+        # size_cents convention); the timed portion is the recurring
+        # fact-to-fact SMJ + per-order agg, which plans with ZERO
+        # exchanges at every size, so the curve should track the scan
+        # (alpha ~1 linear), not a shuffle
+        "op_bucketed_join": lambda: (
+            lambda lt, ot: bucketed.bucketed_join(
+                spark, lt, ot, "l_orderkey", "o_orderkey"
+            )
+            .groupBy("l_orderkey")
+            .agg(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("double").alias("revenue"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        )(
+            bucketed.ensure_bucketed(
+                spark, read_table(spark, d, "lineitem"), "lineitem", d,
+                "l_orderkey",
+            ),
+            bucketed.ensure_bucketed(
+                spark, read_table(spark, d, "orders"), "orders", d,
+                "o_orderkey",
+            ),
         ),
     }
 
