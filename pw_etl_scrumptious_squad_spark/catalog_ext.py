@@ -5982,6 +5982,11 @@ _WINDOW_TWINS = {
     "c08_hard_negatives": "y53_hard_negatives",
     "c09_containment_pairs": "y35_containment_pairs",
     "c10_hybrid_rrf": "y44_hybrid_rrf",
+    # added mid-round-8 with the new bucketed-layout operator so the
+    # driver certifies it the same round it ships (evicts
+    # r13_keep_newest — driver-certified in rounds 1-7, still covered
+    # by tools/check.py + pytest)
+    "c12_bucketed_join": "y74_bucketed_join",
 }
 
 for _twin, _src in _WINDOW_TWINS.items():
