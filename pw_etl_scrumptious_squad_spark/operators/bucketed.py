@@ -49,6 +49,14 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Test-scale default. Sizing rule at cluster scale: pick N so one bucket
+# of the LARGER table is a comfortable task (~128-512 MB of parquet) —
+# a 100 TB fact wants N in the tens of thousands — then round to a value
+# you can keep FOREVER: every later writer must reuse the same N (and
+# both join sides must match), because re-bucketing is the full shuffle
+# the layout exists to amortize. Prefer powers of two: Spark can't join
+# mismatched bucket counts shuffle-free today, but 2^k counts keep the
+# coalesce-style "read 2 buckets as 1" escape hatch open operationally.
 DEFAULT_BUCKETS = 16
 
 # session-local ledger of tables this process already (re)wrote, keyed by
