@@ -28,7 +28,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from pw_etl_scrumptious_squad_spark.operators.text import with_shingles
+from pw_etl_scrumptious_squad_spark.operators.text import (
+    _spread_narrow_input,
+    with_shingles,
+)
 
 # 2^60: the first 15 md5 hex chars parsed as an integer fall in
 # [0, 2^60); dividing by this maps them to a uniform [0, 1) double.
@@ -72,8 +75,12 @@ def decontaminate(
     )
     # per-doc dedup via array_distinct BEFORE the explode: map-side, no
     # shuffle — a global distinct on the exploded (doc_id, shingle) rows
-    # would shuffle the entire shingle stream (measured 2x at sf0.1)
-    doc_sh = with_shingles(docs, text_col, shingle_size).select(
+    # would shuffle the entire shingle stream (measured 2x at sf0.1).
+    # The corpus side's shingle-md5 + explode + broadcast-probe all run
+    # in the SCAN's stage — spread a narrow input across cores first
+    doc_sh = with_shingles(
+        _spread_narrow_input(docs), text_col, shingle_size
+    ).select(
         F.col(id_col), F.explode(F.array_distinct(F.col(sh))).alias("shingle")
     )
     hits = (

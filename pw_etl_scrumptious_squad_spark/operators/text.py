@@ -404,7 +404,9 @@ def shingle_novelty(
     same two-shuffle skeleton as TF-IDF. Exact integers + one division
     rounded at 6 dp.
     """
-    shingled = with_shingles(df, text_col, shingle_size).select(
+    shingled = with_shingles(
+        _spread_narrow_input(df), text_col, shingle_size
+    ).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(F.col(_SQL_SHINGLES)).alias("__sh"),
     ).transform(materialize)
@@ -923,6 +925,24 @@ def bpe_train(
     )
 
 
+def _spread_narrow_input(df: DataFrame) -> DataFrame:
+    """Round-robin a NARROW input across the executor cores before a
+    high-multiplier explode (per-character ops multiply rows ~1000x).
+
+    Why: partition count is inherited from the SCAN, and a gate-scale
+    documents file is one parquet split — so without this, one task
+    does the whole corpus's explode + partial aggregation while 31
+    cores idle (the x02 post-window fix's failure class). At cluster
+    scale a 100 TB scan already has thousands of splits and this gate
+    is a no-op; the guarded repartition only ever shuffles the NARROW
+    pre-explode rows (text bytes, not the exploded multiple)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def char_entropy(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -941,8 +961,11 @@ def char_entropy(
     100 TB shape: a per-character explode (map-side, ~5x the token
     explode of t01) into a (doc_id, char) hash-agg with map-side
     combine — alphabet-bounded fan-in per doc — then one doc-keyed agg.
-    No UDFs, no window, nothing collected.
+    No UDFs, no window, nothing collected. Input is spread across
+    cores first (``_spread_narrow_input``): the ~1000x char explode
+    must not inherit a single-split scan's parallelism.
     """
+    docs = _spread_narrow_input(docs)
     chars = docs.filter(F.length(text_col) > 0).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -1306,7 +1329,10 @@ def script_profile(
     (doc, script) hash-agg with map-side combine (fan-in bounded by the
     handful of script buckets), one pivot-free conditional aggregation,
     no UDFs, no window (dominant via max_by over the bounded bucket
-    set)."""
+    set). Input is spread across cores first (``_spread_narrow_input``):
+    the per-char explode must not inherit a single-split scan's
+    parallelism."""
+    docs = _spread_narrow_input(docs)
     chars = docs.filter(F.length(text_col) > 0).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
