@@ -77,23 +77,38 @@ def state_summary(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     by the number of stateful operators (a handful), never by state
     size; each count is a distributed scan of that store."""
     rows = []
+    seen_joins: set[int] = set()
     for m in state_metadata(spark, checkpoint_dir).collect():
-        # stream-stream join state is exposed per join side, not via
-        # its four internal store names
+        # a stream-stream join lists its FOUR internal stores
+        # (left/right x keyToNumValues/keyWithIndexToValue) in the
+        # metadata, but its state is READ per join side — collapse to
+        # two logical rows per join operator
         if m["operatorName"] == "symmetricHashJoin":
-            n = sum(
-                read_state(
+            if m["operatorId"] in seen_joins:
+                continue
+            seen_joins.add(int(m["operatorId"]))
+            for side in ("left", "right"):
+                n = read_state(
                     spark, checkpoint_dir,
                     operator_id=m["operatorId"], join_side=side,
                 ).count()
-                for side in ("left", "right")
-            )
-        else:
-            n = read_state(
-                spark, checkpoint_dir,
-                operator_id=m["operatorId"],
-                store_name=m["stateStoreName"],
-            ).count()
+                rows.append(
+                    (
+                        int(m["operatorId"]),
+                        m["operatorName"],
+                        side,
+                        int(m["numPartitions"]),
+                        int(m["minBatchId"]),
+                        int(m["maxBatchId"]),
+                        int(n),
+                    )
+                )
+            continue
+        n = read_state(
+            spark, checkpoint_dir,
+            operator_id=m["operatorId"],
+            store_name=m["stateStoreName"],
+        ).count()
         rows.append(
             (
                 int(m["operatorId"]),

@@ -91,6 +91,38 @@ def test_key_census_covers_all_live_keys(spark, dedup_ckpt):
     assert census.count() <= n_parts
 
 
+def test_join_state_reads_per_side(spark, tmp_path):
+    """Stream-stream join state is exposed per join SIDE, not via its
+    internal store names — pins state_summary's symmetricHashJoin
+    branch and the joinSide read path."""
+    d = tmp_path / "ev-join"
+    d.mkdir()
+    t = pq.read_table(f"{SF}/events.parquet")
+    pq.write_table(t, str(d / "a.parquet"))
+    ckpt = tempfile.mkdtemp(prefix="ckpt-sr-join-")
+    stream = sp.read_event_stream(spark, str(d))
+    q = sp.run_available_now(
+        sp.attribution_join(stream), ckpt, "sr_join_sink", "append"
+    )
+    q.awaitTermination(120)
+    summary = sr.state_summary(spark, ckpt).collect()
+    join_rows = {
+        r["store_name"]: r
+        for r in summary
+        if r["operator_name"] == "symmetricHashJoin"
+    }
+    # the four internal stores collapse to two logical per-side rows
+    assert sorted(join_rows) == ["left", "right"]
+    left = sr.read_state(spark, ckpt, join_side="left")
+    right = sr.read_state(spark, ckpt, join_side="right")
+    assert join_rows["left"]["state_rows"] == left.count()
+    assert join_rows["right"]["state_rows"] == right.count()
+    assert left.count() > 0 and right.count() > 0
+    # the trigger side carries the t_* columns, the outcome side o_*
+    assert "t_user" in left.schema["value"].dataType.fieldNames()
+    assert "o_user" in right.schema["value"].dataType.fieldNames()
+
+
 def test_windowed_agg_state_matches_sink(spark, tmp_path):
     """Second operator shape: the hourly windowed rollup's store holds
     exactly the windows the sink emitted (availableNow drains the
