@@ -57,7 +57,11 @@ def read_state(
     last committed batch. ``batch_id`` time-travels to any retained
     batch (bounded by ``minBatchId`` in :func:`state_metadata`);
     ``join_side`` ("left"/"right") reads one side of stream-stream
-    join state instead of ``store_name``."""
+    join state instead of ``store_name``. transformWithState
+    queries additionally expose named state variables via the source's
+    ``stateVarName`` option — exercising that here is env-gated for
+    the same reason as the TWS parity test (the TWS worker needs
+    google.protobuf, absent in this container)."""
     reader = spark.read.format("statestore")
     if operator_id is not None:
         reader = reader.option("operatorId", operator_id)
