@@ -135,6 +135,48 @@ def test_append_preserves_layout_and_join_stays_shuffle_free(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_one_side_bucketed_store_shuffles_only_the_batch(spark, tmp_path):
+    # the incremental-store geometry (shingle_df_store's "write it
+    # bucketed by h" posture): a per-batch join against a bucketed
+    # corpus-sized store shuffles ONLY the batch side — per-ingest cost
+    # is the batch, never the store
+    from pw_etl_scrumptious_squad_spark.operators.text import shingle_df_store
+
+    docs = read_table(spark, SF, "documents")
+    store = shingle_df_store(docs.filter(F.col("doc_id") % 50 != 0))
+    bucketed.write_bucketed(
+        store, "bkt_sh_store_t", "h", 8, path=str(tmp_path / "store")
+    )
+    batch = shingle_df_store(
+        docs.filter(F.col("doc_id") % 50 == 0)
+    ).withColumnRenamed("df", "batch_df")
+    merged = (
+        spark.table("bkt_sh_store_t")
+        .hint("merge")
+        .join(batch, "h")
+        .groupBy("h")
+        .agg(F.sum(F.col("df") + F.col("batch_df")).alias("total"))
+    )
+    plan = _plan(merged)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 1  # the store side scan
+    # every Exchange sits on the BATCH branch: in toString's tree the
+    # store is the join's left child, whose lines carry the ':'
+    # continuation marker — no left-branch line may shuffle. (The batch
+    # side legitimately carries its own agg shuffle plus an 8-bucket
+    # redistribution; run shuffle.partitions == numBuckets and the agg
+    # exchange is reused outright.)
+    left_branch_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and ln.lstrip().startswith(":")
+    ]
+    assert left_branch_exchanges == []
+    assert "Exchange hashpartitioning(h" in plan  # batch redistributes to the store
+    assert merged.count() > 0
+    spark.sql("DROP TABLE IF EXISTS bkt_sh_store_t")
+
+
 def test_one_file_per_bucket(spark):
     # precondition for Spark trusting sortBy order at read time, and the
     # proof that the pre-write repartition aligned tasks with buckets
