@@ -117,7 +117,22 @@ def ensure_bucketed(
 ) -> str:
     """Idempotently lay out ``df`` bucketed on ``bucket_col``; returns the
     session-catalog table name. Per-session memoized: the first call per
-    (app, table) writes, later calls are a catalog lookup."""
+    (app, table) publishes or adopts, later calls are a dict lookup.
+
+    Cross-PROCESS safe via publish-then-adopt (sources/parquet.py's
+    snapshot convention): the layout derives deterministically from
+    ``sf_dir`` (same rows, same bucket hash), so the final directory is
+    IMMUTABLE once complete — a writer builds it in a unique tmp dir
+    and atomically renames it into place; a loser (or any later
+    process) sees ``_SUCCESS`` and ADOPTS the existing files by
+    registering DDL only, never rewriting. The prior drop+overwrite
+    version deleted files under a concurrent session that had already
+    file-listed the table (caught by two suites racing in /tmp:
+    FAILED_READ_FILE.FILE_NOT_EXIST mid-scan). Local paths only — the
+    bench/test convenience surface, like vacuum_table."""
+    import shutil
+    import uuid
+
     table = bucket_table_name(prefix, sf_dir, bucket_col, num_buckets)
     memo_key = (spark.sparkContext.applicationId, table)
     if memo_key in _WRITTEN and spark.catalog.tableExists(table):
@@ -125,9 +140,26 @@ def ensure_bucketed(
     root = base_dir or os.path.join(
         os.environ.get("SPARK_GRAFT_TMP", "/tmp"), "pw_etl_bucketed"
     )
-    write_bucketed(
-        df, table, bucket_col, num_buckets, path=os.path.join(root, table)
-    )
+    final = os.path.join(root, table)
+    if not os.path.exists(os.path.join(final, "_SUCCESS")):
+        tmp_table = f"{table}_pub_{uuid.uuid4().hex[:8]}"
+        tmp_dir = os.path.join(root, tmp_table)
+        write_bucketed(df, tmp_table, bucket_col, num_buckets, path=tmp_dir)
+        # external table: dropping it leaves the data files in place
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        try:
+            os.rename(tmp_dir, final)
+        except OSError:
+            # a concurrent writer published first — adopt its (complete,
+            # byte-equivalent) layout and discard ours
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+    if not spark.catalog.tableExists(table):
+        ddl = df._jdf.schema().toDDL()
+        spark.sql(
+            f"CREATE TABLE {table} ({ddl}) USING PARQUET"
+            f" CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col})"
+            f" INTO {num_buckets} BUCKETS LOCATION '{final}'"
+        )
     _WRITTEN.add(memo_key)
     return table
 

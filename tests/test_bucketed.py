@@ -135,6 +135,44 @@ def test_append_preserves_layout_and_join_stays_shuffle_free(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_fresh_process_adopts_published_layout_without_rewriting(spark):
+    # cross-process safety: the published dir is IMMUTABLE — a session
+    # that doesn't have the table yet registers DDL over the existing
+    # files (adopt), never drop+overwrite (which deleted files under a
+    # concurrent reader's file listing — the FAILED_READ_FILE race the
+    # full suite caught). Simulate the fresh process by clearing the
+    # session memo + catalog entry.
+    lt = bucketed.ensure_bucketed(
+        spark, read_table(spark, SF, "lineitem"), "lineitem", SF, "l_orderkey"
+    )
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {lt}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    )
+    marker = os.path.join(loc.removeprefix("file:"), "_SUCCESS")
+    before = os.path.getmtime(marker)
+    spark.sql(f"DROP TABLE {lt}")  # external: files stay
+    bucketed._WRITTEN.discard((spark.sparkContext.applicationId, lt))
+    again = bucketed.ensure_bucketed(
+        spark, read_table(spark, SF, "lineitem"), "lineitem", SF, "l_orderkey"
+    )
+    assert again == lt
+    assert os.path.getmtime(marker) == before  # adopted, not rewritten
+    # the DDL-registered table still carries the bucket spec the join needs
+    plan = _plan(
+        bucketed.bucketed_join(
+            spark, lt,
+            bucketed.ensure_bucketed(
+                spark, read_table(spark, SF, "orders"), "orders", SF,
+                "o_orderkey",
+            ),
+            "l_orderkey", "o_orderkey",
+        ).groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert "Exchange" not in plan
+
+
 def test_one_side_bucketed_store_shuffles_only_the_batch(spark, tmp_path):
     # the incremental-store geometry (shingle_df_store's "write it
     # bucketed by h" posture): a per-batch join against a bucketed
