@@ -44,6 +44,11 @@ GATE_QUERIES = [
     "q18_lead_lag",
     "z02_topk_pagination",
     "q01_pricing_summary",
+    # round-8 fast paths — regressions here mean a lost fan-out
+    # (single-split explode) or a regrown shuffle (bucketed join)
+    "y52_char_entropy",
+    "y71_script_detect",
+    "y74_bucketed_join",
 ]
 
 DEFAULT_FLOORS = os.path.join(os.path.dirname(__file__), "bench_floors.json")
