@@ -173,6 +173,45 @@ def test_fresh_process_adopts_published_layout_without_rewriting(spark):
     assert "Exchange" not in plan
 
 
+def test_rename_loser_adopts_winner_layout(spark, tmp_path, monkeypatch):
+    # publish race, loser side: our tmp dir is built, but the final
+    # rename fails because a concurrent winner published first — we
+    # must discard our tmp and adopt the winner's files
+    import os as _os
+
+    from pw_etl_scrumptious_squad_spark.operators import bucketed as bkt
+
+    li = read_table(spark, SF, "lineitem").limit(100)
+    root = str(tmp_path / "race")
+    table = bkt.bucket_table_name("loser", root + "-src", "l_orderkey", 4)
+    final = _os.path.join(root, table)
+
+    # the "winner": a complete layout already published at final
+    bkt.write_bucketed(li, table + "_w", "l_orderkey", 4, path=str(tmp_path / "w"))
+    spark.sql(f"DROP TABLE {table}_w")
+    _os.makedirs(root, exist_ok=True)
+    _os.rename(str(tmp_path / "w"), final)
+    assert _os.path.exists(_os.path.join(final, "_SUCCESS"))
+
+    # the "loser": force its final-dir probe to miss so it writes a tmp
+    # layout, then let the real os.rename fail on the existing target
+    real_exists = _os.path.exists
+    monkeypatch.setattr(
+        bkt.os.path, "exists",
+        lambda p: False if p == _os.path.join(final, "_SUCCESS") else real_exists(p),
+    )
+    got = bkt.ensure_bucketed(
+        spark, li, "loser", root + "-src", "l_orderkey", 4, base_dir=root
+    )
+    monkeypatch.undo()
+    assert got == table
+    # winner's files intact, loser's tmp cleaned up, table readable
+    assert spark.table(table).count() == 100
+    leftovers = [d for d in _os.listdir(root) if d != table]
+    assert leftovers == []
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_one_side_bucketed_store_shuffles_only_the_batch(spark, tmp_path):
     # the incremental-store geometry (shingle_df_store's "write it
     # bucketed by h" posture): a per-batch join against a bucketed
