@@ -87,6 +87,25 @@ def load(star: dict[str, DataFrame], warehouse_dir: str, mode: str = "append") -
         lake.write_table(df, warehouse_dir, name, mode=mode, partition_by=partition_by)
 
 
+def load_transactional(star: dict[str, DataFrame], warehouse_dir: str) -> int:
+    """Load stage with CROSS-TABLE atomicity: every star table publishes
+    a versioned snapshot (publish-then-claim, never overwriting the
+    live data a concurrent reader has file-listed), then ONE warehouse
+    marker pins the whole ``{table: version}`` set. A reader using
+    ``sources.warehouse.read_warehouse_snapshot`` can never join this
+    cycle's dim against last cycle's fact, and a crash mid-load
+    publishes nothing. Returns the warehouse snapshot id."""
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as wh
+
+    pinned = {}
+    for name, df in star.items():
+        partition_by = ["created_date"] if name.startswith("fact_") else None
+        pinned[name] = lake.write_table_snapshot(
+            df, warehouse_dir, name, partition_by=partition_by
+        )
+    return wh.commit_warehouse_snapshot(warehouse_dir, pinned)
+
+
 def run_batch_etl(
     spark: SparkSession,
     source_dir: str,

@@ -530,6 +530,38 @@ def _publish_snapshot(
         raise
 
 
+def write_table_snapshot(
+    df: DataFrame,
+    base_dir: str,
+    name: str,
+    partition_by: list[str] | None = None,
+    retries: int = 0,
+) -> int:
+    """Versioned FULL-REPLACE write: publish ``df`` as the next committed
+    snapshot of ``name`` — the overwrite analogue of
+    :func:`upsert_table`'s merge, for full-refresh tables (re-derived
+    dimensions). Same publish-then-claim guarantees: the data dir is
+    complete and immutable before its marker exists, so concurrent
+    readers flip between whole snapshots; a claim loser retries with a
+    re-read slot (the content is the caller's frame either way).
+    Returns the committed version."""
+    def _write(p: str) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(p)
+
+    last: ConcurrentWriteError | None = None
+    for _ in range(max(1, retries + 1)):
+        version = table_version(base_dir, name)
+        try:
+            _publish_snapshot(base_dir, name, version, _write)
+            return version + 1
+        except ConcurrentWriteError as err:
+            last = err
+    raise last  # type: ignore[misc]
+
+
 def _upsert_once(
     spark: SparkSession,
     delta: DataFrame,

@@ -34,6 +34,61 @@ def test_run_batch_etl(spark, totesys, tmp_path):
     assert deltas == {}
 
 
+def test_load_transactional_pins_a_consistent_star(spark, totesys, tmp_path):
+    """Cross-table atomicity over the REAL 11-table star transform: two
+    cycles, and between the second cycle's table writes a warehouse
+    reader still sees the first cycle's whole set."""
+    from pw_etl_scrumptious_squad_spark.schemas import OLTP_SCHEMAS
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as wh
+
+    source = str(tmp_path / "oltp")
+    warehouse_dir = str(tmp_path / "wh")
+    for name, df in totesys.items():
+        lake.write_table(df, source, name)
+    tables = {
+        name: lake.read_table(spark, source, name, OLTP_SCHEMAS[name])
+        for name in totesys
+    }
+    star = etl.transform(tables, spark)
+    snap1 = etl.load_transactional(star, warehouse_dir)
+    assert snap1 == 1
+    assert sorted(wh.warehouse_snapshot_tables(warehouse_dir)) == sorted(star)
+    n_staff_1 = wh.read_warehouse_snapshot(
+        spark, warehouse_dir, "dim_staff"
+    ).count()
+
+    # second cycle HALF-written: one dim republished, no warehouse commit
+    lake.write_table_snapshot(
+        star["dim_staff"].limit(1), warehouse_dir, "dim_staff"
+    )
+    # the warehouse reader is pinned to cycle 1 — still the full dim
+    assert (
+        wh.read_warehouse_snapshot(spark, warehouse_dir, "dim_staff").count()
+        == n_staff_1
+    )
+
+    # cycle 2 completes; the new set becomes visible together
+    snap2 = etl.load_transactional(
+        dict(star, dim_staff=star["dim_staff"].limit(1)), warehouse_dir
+    )
+    assert snap2 == 2
+    assert (
+        wh.read_warehouse_snapshot(spark, warehouse_dir, "dim_staff").count()
+        == 1
+    )
+    # facts keep their created_date partitioning through the versioned path
+    fact = wh.read_warehouse_snapshot(spark, warehouse_dir, "fact_sales_order")
+    assert "created_date" in fact.columns
+    assert fact.count() == 6
+    # and time travel recovers the full cycle-1 dim
+    assert (
+        wh.read_warehouse_snapshot(
+            spark, warehouse_dir, "dim_staff", snapshot=1
+        ).count()
+        == n_staff_1
+    )
+
+
 def test_upsert_table_idempotent_and_update_wins(spark, tmp_path):
     from pw_etl_scrumptious_squad_spark.sources.parquet import (
         read_table,
