@@ -1474,6 +1474,105 @@ def y74(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_Y75_DIRS: dict = {}
+
+
+def _y75_warehouse(spark: SparkSession, sf: str) -> str:
+    """Build the two-cycle versioned warehouse ONCE per (session, sf):
+    cycle 1 commits a filtered fact + the raw dim, cycle 2 commits the
+    full fact + a transformed dim, each sealed by a cross-table
+    warehouse marker. A unique per-process base dir keeps snapshot ids
+    deterministic (1 and 2) no matter how many processes ran before."""
+    import os
+    import tempfile
+
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as wh
+    from pw_etl_scrumptious_squad_spark.sources.parquet import (
+        write_table_snapshot,
+    )
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf))
+    if key in _Y75_DIRS:
+        return _Y75_DIRS[key]
+    base = tempfile.mkdtemp(prefix="pw_etl_y75_")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    # cycle 1: partial fact, raw dim
+    write_table_snapshot(o.filter(F.col("o_orderkey") % 3 != 0), base, "fact")
+    write_table_snapshot(c, base, "dim")
+    wh.commit_warehouse_snapshot(base, ["fact", "dim"])
+    # cycle 2: full fact, dim with a transformed attribute
+    write_table_snapshot(o, base, "fact")
+    write_table_snapshot(
+        c.withColumn("c_mktsegment", F.lower("c_mktsegment")), base, "dim"
+    )
+    wh.commit_warehouse_snapshot(base, ["fact", "dim"])
+    _Y75_DIRS[key] = base
+    return base
+
+
+@register(
+    "y75_warehouse_snapshots",
+    "WITH c1f AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),"
+    " c1d AS (SELECT c_custkey, c_mktsegment FROM customer),"
+    " c2f AS (SELECT * FROM orders),"
+    " c2d AS (SELECT c_custkey, lower(c_mktsegment) AS c_mktsegment"
+    " FROM customer),"
+    " s1 AS (SELECT 1 AS snapshot, d.c_mktsegment AS segment,"
+    " CAST(count(*) AS BIGINT) AS n_orders,"
+    " ROUND(CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)"
+    " AS total_price"
+    " FROM c1f f JOIN c1d d ON f.o_custkey = d.c_custkey"
+    " GROUP BY d.c_mktsegment),"
+    " s2 AS (SELECT 2 AS snapshot, d.c_mktsegment AS segment,"
+    " CAST(count(*) AS BIGINT) AS n_orders,"
+    " ROUND(CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)"
+    " AS total_price"
+    " FROM c2f f JOIN c2d d ON f.o_custkey = d.c_custkey"
+    " GROUP BY d.c_mktsegment)"
+    " SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)"
+    " ORDER BY snapshot, segment",
+    "ACID layer under the oracle (round-8 continuation): two ETL cycles"
+    " publish versioned table snapshots (publish-then-claim immutable"
+    " dirs) sealed by cross-table warehouse markers"
+    " (sources/warehouse.py); the query TIME-TRAVELS both warehouse"
+    " snapshots and joins each cycle's fact⋈dim AT ITS PINNED PAIR —"
+    " snapshot 1 must show the partial fact with the raw dim and"
+    " snapshot 2 the full fact with the transformed dim, so any torn"
+    " read (new dim against old fact) or version leak flips the values"
+    " and fails the hash. Oracle recomputes both cycles logically from"
+    " the source tables. y-prefix: past the gate window by design;"
+    " the c13 twin pulls it into the driver's window",
+)
+def y75(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as wh
+
+    base = _y75_warehouse(spark, sf)
+    parts = []
+    for snap in (1, 2):
+        f = wh.read_warehouse_snapshot(spark, base, "fact", snapshot=snap)
+        d = wh.read_warehouse_snapshot(spark, base, "dim", snapshot=snap)
+        parts.append(
+            f.join(broadcast(d), f["o_custkey"] == d["c_custkey"])
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    .cast("double"),
+                    2,
+                ).alias("total_price"),
+            )
+            .select(F.lit(snap).cast("int").alias("snapshot"), "*")
+        )
+    return (
+        parts[0]
+        .unionByName(parts[1])
+        .repartition(1)
+        .sortWithinPartitions("snapshot", "segment")
+    )
+
+
 @register(
     "y06_custom_udaf",
     # CASE (not FILTER) guards the ln: DuckDB evaluates aggregate
@@ -5987,6 +6086,10 @@ _WINDOW_TWINS = {
     # r13_keep_newest — driver-certified in rounds 1-7, still covered
     # by tools/check.py + pytest)
     "c12_bucketed_join": "y74_bucketed_join",
+    # the ACID layer under the driver's own oracle (evicts
+    # r12_surrogate_key — driver-certified rounds 1-7, still covered
+    # by tools/check.py + pytest)
+    "c13_warehouse_snapshots": "y75_warehouse_snapshots",
 }
 
 for _twin, _src in _WINDOW_TWINS.items():

@@ -105,12 +105,16 @@ def test_every_query_names_match_oracle(catalog_schemas):
 # enters the window the round it ships, evicting r13_keep_newest
 # (driver-certified rounds 1-7; stays covered by tools/check.py +
 # pytest + the sample audit).
+# c13_warehouse_snapshots (mid-round-8): the versioned-snapshot /
+# cross-table-commit ACID layer enters the window (time-traveled
+# fact⋈dim pairs per warehouse snapshot), evicting r12_surrogate_key
+# (same standing coverage as the other evictees).
 DRIVER_WINDOW = [
     "c01_ivfpq_topk", "c02_image_neardup_pipeline",
     "c03_warc_corpus_pipeline", "c04_warc_ingest", "c05_script_detect",
     "c06_robots_filter", "c07_h264_screening", "c08_hard_negatives",
     "c09_containment_pairs", "c10_hybrid_rrf", "c11_star_lifecycle",
-    "c12_bucketed_join",
+    "c12_bucketed_join", "c13_warehouse_snapshots",
     "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_signatures",
     "d04_simhash", "d05_minhash_lsh_pairs", "d06_embedding_neardup",
     "d07_simhash_neardup", "m01_media_features", "m02_video_frames",
@@ -123,7 +127,7 @@ DRIVER_WINDOW = [
     "r01_projection_rename", "r02_equi_join_dim",
     "r03_equi_join_shared_key", "r04_sort", "r05_watermark_max",
     "r06_cdc_filter", "r07_case_mapping", "r08_ts_split", "r09_dim_date",
-    "r11_fact_build", "r12_surrogate_key",
+    "r11_fact_build",
 ]
 
 
