@@ -1474,6 +1474,40 @@ def y74(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "y76_prefix_filter_pairs",
+    "WITH tk AS (SELECT doc_id, lang,"
+    " list_distinct(string_split(text, ' ')) AS tk FROM documents)"
+    " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+    " ROUND(len(list_intersect(a.tk, b.tk)) /"
+    " (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 9)"
+    " AS jaccard"
+    " FROM tk a JOIN tk b ON a.lang = b.lang AND a.doc_id < b.doc_id"
+    " WHERE ROUND(len(list_intersect(a.tk, b.tk)) /"
+    " (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 9) >= 0.5"
+    " ORDER BY doc_a, doc_b",
+    "EXACT Jaccard pairs via PREFIX FILTERING (PPJoin-family) — the"
+    " third candidate tier next to blocked all-pairs (quadratic) and"
+    " MinHash LSH (probabilistic): token sets ordered rarest-first by"
+    " one global document-frequency order keep only their first"
+    " n-ceil(t*n)+1 tokens as the PREFIX, and any pair with J>=t"
+    " provably shares a prefix token — so candidates come from a"
+    " self-join on the rare prefix tokens only, sub-quadratic AND"
+    " complete. The ORACLE is the plain all-pairs join: equality IS"
+    " the completeness proof (dedup.py::prefix_filter_jaccard_pairs;"
+    " hypothesis brute-force battery in tests)."
+    " y-prefix: past the gate window by design; tools/check.py covers it",
+)
+def y76(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        dedup.prefix_filter_jaccard_pairs(
+            _t(spark, sf, "documents"), "doc_id", "text", "lang", 0.5
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
+    )
+
+
 _Y75_DIRS: dict = {}
 
 

@@ -319,6 +319,110 @@ def incremental_lsh_neardup(
 _MAX_EXACT_PAIR_ROWS = 100_000
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_col: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT token-set Jaccard pairs via prefix filtering (the
+    PPJoin-family candidate strategy — Chaudhuri et al.'s prefix
+    filter, Xiao et al. PPJoin) — the third candidate-generation tier
+    next to the blocked all-pairs join (quadratic, exact) and MinHash
+    LSH (sub-quadratic, probabilistic recall): sub-quadratic AND
+    provably complete, so the result is value-identical to the
+    all-pairs tier.
+
+    The theorem: order every token set by one GLOBAL order (ascending
+    document frequency — rarest first — ties broken lexically) and keep
+    only each set's first ``|x| - ceil(t|x|) + 1`` tokens as its
+    PREFIX; any pair with ``J >= t`` must share at least one prefix
+    token (if the prefixes were disjoint, the overlap is confined to
+    the suffixes, which are too short to reach the required
+    ``t/(1+t)(|a|+|b|)`` overlap). Candidates therefore come from a
+    self-join on prefix tokens only — and because prefixes hold the
+    RAREST tokens, candidate groups stay small exactly where a naive
+    token-inverted-index join explodes (stopwords never land in a
+    prefix unless a document consists of nothing else).
+
+    Float safety: prefix lengths are computed at ``t - 1e-6`` so the
+    9-dp-rounded emit filter (``round(j, 9) >= t``, the d02
+    convention) can never admit a pair the candidate stage pruned; the
+    slack only ever LENGTHENS prefixes (more candidates, never fewer).
+
+    Shuffle inventory at 100 TB: one token-keyed df aggregation
+    (map-side combined), one doc-keyed sort-assembly, one prefix-token
+    self-join whose volume is the summed prefix lengths (a ~(1-t)
+    fraction of the token stream), one pair distinct, one doc-keyed
+    verify join. No quadratic stage over the corpus; the per-token
+    candidate quadratic is bounded by prefix-token frequency.
+
+    Output: ``(doc_a, doc_b, jaccard)`` — identical to the all-pairs
+    tier (equality pinned in tests, plus a hypothesis battery that
+    brute-forces random corpora).
+    """
+    tq = threshold - 1e-6
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("tk"),
+    ).withColumn("n", F.size("tk"))
+    dfreq = (
+        toks.select(F.explode("tk").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("dfc"))
+    )
+    ranked = (
+        toks.select("doc_id", "blk", "n", F.explode("tk").alias("tok"))
+        .join(dfreq, "tok")
+        .groupBy("doc_id", "blk", "n")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dfc, tok))),"
+                " s -> s.tok)"
+            ).alias("tk_sorted")
+        )
+    )
+    prefixed = ranked.withColumn(
+        "prefix",
+        F.expr(
+            f"slice(tk_sorted, 1, greatest(1, n - cast(ceil({tq} * n - 1e-9)"
+            " as int) + 1))"
+        ),
+    ).select("doc_id", "blk", "n", F.explode("prefix").alias("tok"))
+    a, b = prefixed.alias("a"), prefixed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & _jaccard_length_filter(threshold),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = toks.select(
+        F.col("doc_id").alias("doc_a"), F.col("tk").alias("tk_a"),
+        F.col("n").alias("n_a"),
+    )
+    sb = toks.select(
+        F.col("doc_id").alias("doc_b"), F.col("tk").alias("tk_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("tk_a", "tk_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 9).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

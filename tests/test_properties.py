@@ -51,6 +51,26 @@ def test_ngram_jaccard_matches_ground_truth(spark, texts, threshold):
     assert got == _ground_truth_pairs(texts, threshold)
 
 
+@given(texts=docs_strategy, threshold=st.sampled_from([0.3, 0.5, 0.9]))
+@SLOW
+def test_prefix_filter_pairs_match_ground_truth(spark, texts, threshold):
+    # COMPLETENESS battery for the prefix-filter theorem: the candidate
+    # stage keeps only each set's rarest n-ceil(t*n)+1 tokens, and the
+    # result must still be EXACTLY the brute-force pair set — on random
+    # corpora over a tiny shared vocabulary, the worst case for prefix
+    # selectivity (every token frequent, heavy ties in the global order)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", None, threshold
+        ).collect()
+    }
+    assert got == _ground_truth_pairs(texts, threshold)
+
+
 @given(texts=docs_strategy)
 @SLOW
 def test_identical_docs_always_lsh_candidates(spark, texts):
