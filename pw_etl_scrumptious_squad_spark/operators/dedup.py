@@ -1661,6 +1661,35 @@ def incremental_connected_components(
     roots are the global min over every merged component's members —
     equality with full-recompute CC is pinned by the y73 oracle and the
     unit battery."""
+    remap, fresh_labeled = incremental_cc_delta(
+        base_labels, new_edges, new_nodes, id_col, max_iter
+    )
+    out = base_labels.join(
+        broadcast(remap), F.col("cluster_id") == F.col("lbl"), "left"
+    ).select(
+        "node", F.coalesce("new_lbl", F.col("cluster_id")).alias("cluster_id")
+    )
+    if fresh_labeled is not None:
+        out = out.unionByName(fresh_labeled)
+    return out
+
+
+def incremental_cc_delta(
+    base_labels: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> tuple[DataFrame, DataFrame | None]:
+    """The DELTA half of :func:`incremental_connected_components`:
+    ``(remap, fresh_labeled)`` where ``remap`` is the ``(lbl, new_lbl)``
+    table of base labels that change and ``fresh_labeled`` is the
+    ``(node, cluster_id)`` rows for nodes absent from ``base_labels``
+    (None when ``new_nodes`` is None). Exposed separately so a MERGE
+    store (streaming/pipeline.streaming_incremental_cc) can rewrite
+    only the label partitions the delta touches instead of the corpus —
+    the per-batch WRITE then scales with touched labels, matching the
+    fold's per-batch COMPUTE."""
     lbl = base_labels.select("node", F.col("cluster_id").alias("lbl"))
     e = (
         new_edges.select(
@@ -1701,10 +1730,7 @@ def incremental_connected_components(
     remap = sub.select(
         F.col("node").alias("lbl"), F.col("cluster_id").alias("new_lbl")
     ).filter(F.col("lbl") != F.col("new_lbl"))
-    # corpus pass 2 (map-side): broadcast relabel by OLD label
-    out = base_labels.join(broadcast(remap), F.col("cluster_id") == F.col("lbl"), "left").select(
-        "node", F.coalesce("new_lbl", F.col("cluster_id")).alias("cluster_id")
-    )
+    fresh_labeled = None
     if new_nodes is not None:
         fresh = (
             new_nodes.select(F.col(id_col).alias("node"))
@@ -1714,8 +1740,7 @@ def incremental_connected_components(
         fresh_labeled = fresh.join(broadcast(root), "node", "left").select(
             "node", F.coalesce("new_lbl", F.col("node")).alias("cluster_id")
         )
-        out = out.unionByName(fresh_labeled)
-    return out
+    return remap, fresh_labeled
 
 
 def keep_canonical(
@@ -1919,3 +1944,255 @@ def drop_duplicate_spans(
             .alias("n_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better" — the ExactSubstr operator): remove every character
+# covered by a duplicated window of k characters, keeping the globally FIRST
+# occurrence of each window. drop_duplicate_spans (y28) is the token-aligned
+# simplification; these are the arbitrary-character-span form.
+# ---------------------------------------------------------------------------
+
+
+def _mask_to_clean(d: DataFrame, masked: DataFrame, k: int) -> DataFrame:
+    """Shared tail of both exact-substring tiers: turn masked window
+    starts ``(doc_id, p)`` (1-based, each covering ``[p, p+k-1]``) into
+    per-doc maximal intervals (gaps-and-islands over the per-doc window
+    — per-DOC partitioning, so the shuffle key is fine-grained) and
+    splice the covered characters out with one ``aggregate`` over the
+    sorted interval list (JVM higher-order function, no Python row
+    work). Returns (doc_id, text, clean_text)."""
+    w = Window.partitionBy("doc_id").orderBy("p")
+    prev_max = F.max(F.col("p") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = masked.select(
+        "doc_id",
+        "p",
+        F.sum(
+            F.when(prev_max.isNull() | (F.col("p") > prev_max + 1), 1).otherwise(0)
+        )
+        .over(w)
+        .alias("island"),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("p").alias("s"), (F.max("p") + (k - 1)).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("spans")
+    )
+    spliced = F.expr(
+        """
+        aggregate(
+          spans,
+          named_struct('acc', CAST('' AS STRING), 'prev', CAST(0 AS INT)),
+          (a, x) -> named_struct(
+            'acc', concat(a.acc, substring(text, a.prev + 1, x.s - a.prev - 1)),
+            'prev', CAST(x.e AS INT)),
+          a -> concat(a.acc, substring(text, a.prev + 1, length(text) - a.prev))
+        )
+        """
+    )
+    return d.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        F.when(F.col("spans").isNull(), F.col("text"))
+        .otherwise(spliced)
+        .alias("clean_text"),
+    )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 30,
+) -> DataFrame:
+    """ExactSubstr dedup, depth-k-truncated suffix grouping tier.
+
+    Semantics: a character is removed iff it is covered by some
+    k-length window whose content occurs elsewhere in the corpus
+    EARLIER in ``(doc_id, position)`` order — i.e. every duplicated
+    span of length >= k survives only at its first occurrence (a
+    duplicated span of length L >= k is exactly a maximal run of
+    duplicated k-windows covering L characters). Returns
+    (doc_id, text, clean_text) for every input doc.
+
+    Why no global suffix array: for a FIXED threshold k, two suffixes
+    share a >=k-prefix iff their depth-k truncations are equal, so
+    sorting suffixes beyond depth k buys nothing — grouping the k-char
+    windows IS the suffix sort truncated where ExactSubstr stops
+    reading it. That turns Lee et al.'s sequential SA construction
+    (reference form; single machine, O(corpus) RAM) into three
+    embarrassingly-shuffleable stages, all JVM built-ins:
+
+    1. positions: posexplode a 1..len-k+1 sequence per doc (map-side);
+       window identity = md5 of the k-char slice — 128-bit, computed
+       identically by the DuckDB oracle, so collisions (P < 2^-64 per
+       pair) cannot cause a silent parity mismatch;
+    2. global stats: groupBy digest -> (count, min position-key) with
+       map-side partial agg — degenerate hot windows (whitespace runs)
+       collapse in the combiner, no per-group sort;
+    3. mask + splice: positions join dup digests (shuffle on digest),
+       drop the global first, merge overlapping windows per doc,
+       splice with one higher-order ``aggregate``.
+
+    The per-shard suffix-array tier (:func:`exact_substring_dedup_sa`)
+    computes the same masking with in-shard SA+LCP doing the window
+    grouping; equality of the two tiers is pinned in tests."""
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    eligible = d.filter(F.length("text") >= k)
+    pos = eligible.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.sequence(F.lit(1), F.length("text") - (k - 1))),
+    ).select("doc_id", "text", F.col("col").alias("p"))
+    key = (F.col("doc_id") * F.lit(4294967296)) + F.col("p")
+    grams = pos.select(
+        "doc_id",
+        "p",
+        F.md5(F.substring(F.col("text"), F.col("p"), F.lit(k))).alias("g"),
+        key.alias("k"),
+    )
+    stats = grams.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.min("k").alias("first_key")
+    )
+    masked = (
+        grams.join(stats.filter(F.col("n") > 1).select("g", "first_key"), "g")
+        .filter(F.col("k") != F.col("first_key"))
+        .select("doc_id", "p")
+    )
+    return _mask_to_clean(d, masked, k)
+
+
+def exact_substring_dedup_sa(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 30,
+    num_shards: int = 8,
+) -> DataFrame:
+    """ExactSubstr dedup, per-shard SUFFIX-ARRAY tier — identical output
+    to :func:`exact_substring_dedup` (pinned by a parity test and the
+    shared DuckDB oracle), with the window grouping done by a real
+    truncated suffix-array construction instead of per-position hashing:
+
+    1. SHARD: docs hash into ``num_shards`` groups; each shard
+       concatenates its docs (NUL separators) and builds the suffix
+       ORDER by Manber-Myers prefix doubling (vectorized numpy
+       lexsorts), stopping once ranks are refined to depth >= k — the
+       depth where ExactSubstr stops reading the suffix array, so the
+       truncation loses nothing (suffixes equal to depth k stay
+       adjacent in any deeper refinement).
+    2. GROUP: one vectorized slide-compare over order-adjacent suffixes
+       marks runs sharing a >=k prefix; ONE md5 per distinct window
+       (the SA's computational win over tier 1's per-position hashing)
+       is assigned to every member position. Positions whose window
+       crosses a doc boundary or the shard tail are dropped.
+    3. MERGE: shards exchange only (digest, position-key) rows; a
+       global groupBy(digest) finds windows duplicated anywhere in the
+       corpus (cross-shard included) and their global first occurrence
+       — the distributed answer to the reference form's single-machine
+       O(corpus) suffix array. Masking and splicing are shared with
+       tier 1 (:func:`_mask_to_clean`).
+
+    Python work is Arrow-batched applyInPandas over numpy — no per-row
+    Python. Shard sizing at 100 TB: ``num_shards`` so one shard's
+    concat fits an executor (the SA is 8 bytes/char + the utf-32 view);
+    the digest exchange is the only corpus-sized shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def _shard_positions(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _hl
+
+        pdf = pdf.sort_values("doc_id")
+        texts = pdf["text"].fillna("").tolist()
+        ids = pdf["doc_id"].to_numpy()
+        concat = "\x00".join(texts)
+        n = len(concat)
+        if n < k:
+            return pd.DataFrame(
+                {"doc_id": [], "p": [], "g": [], "pkey": []}
+            ).astype({"doc_id": "int64", "p": "int64", "g": "str", "pkey": "int64"})
+        # one int64 symbol per CHARACTER (utf-32 view), so positions are
+        # char offsets — matching substring()/substr() on both engines
+        sym = np.frombuffer(concat.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        # Manber-Myers prefix doubling, truncated at depth >= k
+        _, rank = np.unique(sym, return_inverse=True)
+        rank = rank.astype(np.int64)
+        h = 1
+        while h < k:
+            second = np.full(n, -1, dtype=np.int64)
+            second[: n - h] = rank[h:]
+            order = np.lexsort((second, rank))
+            r_o, s_o = rank[order], second[order]
+            new_start = np.empty(n, dtype=bool)
+            new_start[0] = True
+            new_start[1:] = (r_o[1:] != r_o[:-1]) | (s_o[1:] != s_o[:-1])
+            newrank = np.empty(n, dtype=np.int64)
+            newrank[order] = np.cumsum(new_start) - 1
+            rank = newrank
+            if rank[order[-1]] == n - 1:  # fully refined early
+                break
+            h *= 2
+        sa = np.argsort(rank, kind="stable")
+        # group order-adjacent suffixes sharing a full >=k prefix: one
+        # vectorized (n x k) compare; suffixes shorter than k pad with
+        # the separator symbol (they are filtered as invalid below)
+        padded = np.concatenate([sym, np.zeros(k, dtype=np.int64)])
+        win = np.lib.stride_tricks.sliding_window_view(padded, k)[:n]
+        eq = (win[sa[1:]] == win[sa[:-1]]).all(axis=1)
+        group = np.concatenate([[0], np.cumsum(~eq)])
+        # map concat positions back to (doc, in-doc 1-based position)
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens + 1)[:-1]])
+        doc_ix = np.searchsorted(starts, np.arange(n), side="right") - 1
+        in_doc = np.arange(n) - starts[doc_ix]
+        valid = in_doc + k <= lens[doc_ix]
+        valid_sa = valid[sa]
+        g_pos, g_grp = sa[valid_sa], group[valid_sa]
+        if g_pos.size == 0:
+            return pd.DataFrame(
+                {"doc_id": [], "p": [], "g": [], "pkey": []}
+            ).astype({"doc_id": "int64", "p": "int64", "g": "str", "pkey": "int64"})
+        # ONE digest per distinct window, assigned to every member
+        uniq, inverse = np.unique(g_grp, return_inverse=True)
+        first_pos = np.zeros(len(uniq), dtype=np.int64)
+        first_pos[inverse[::-1]] = g_pos[::-1]  # any member works
+        digests = np.array(
+            [
+                _hl.md5(concat[p : p + k].encode("utf-8")).hexdigest()
+                for p in first_pos
+            ]
+        )
+        d_ids = ids[doc_ix[g_pos]]
+        p1 = in_doc[g_pos] + 1
+        return pd.DataFrame(
+            {
+                "doc_id": d_ids,
+                "p": p1,
+                "g": digests[inverse],
+                "pkey": d_ids * 4294967296 + p1,
+            }
+        )
+
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    positions = d.groupBy(
+        F.pmod(F.col("doc_id"), F.lit(num_shards)).alias("__shard")
+    ).applyInPandas(
+        lambda _key, pdf: _shard_positions(pdf),
+        "doc_id long, p long, g string, pkey long",
+    )
+    stats = positions.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.min("pkey").alias("first_key")
+    )
+    masked = (
+        positions.join(stats.filter(F.col("n") > 1).select("g", "first_key"), "g")
+        .filter(F.col("pkey") != F.col("first_key"))
+        .select("doc_id", "p")
+    )
+    return _mask_to_clean(d, masked, k)

@@ -535,7 +535,7 @@ def write_table_snapshot(
     base_dir: str,
     name: str,
     partition_by: list[str] | None = None,
-    retries: int = 0,
+    retries: int = 3,
 ) -> int:
     """Versioned FULL-REPLACE write: publish ``df`` as the next committed
     snapshot of ``name`` — the overwrite analogue of
@@ -665,6 +665,34 @@ def compact_table(
     return n_files
 
 
+def _warehouse_pinned_versions(base_dir: str, name: str) -> set[int]:
+    """Versions of ``name`` pinned by COMMITTED ``__warehouse__`` markers
+    (sources/warehouse.py writes each marker's content as the JSON map
+    ``{table: version}``). Vacuum must never reclaim these: a warehouse
+    snapshot's whole point is that every table it pins stays readable
+    until the snapshot itself is retired. Local-path scan, matching
+    :func:`vacuum_table`'s surface."""
+    mdir = _manifest_dir(base_dir, "__warehouse__")
+    if not os.path.isdir(mdir):
+        return set()
+    import json
+
+    pinned: set[int] = set()
+    for entry in os.listdir(mdir):
+        if not (entry.startswith("v") and entry[1:].isdigit()):
+            continue
+        try:
+            with open(os.path.join(mdir, entry)) as fh:
+                content = fh.read().strip()
+            m = json.loads(content) if content else {}
+        except (OSError, ValueError):
+            continue
+        v = m.get(name) if isinstance(m, dict) else None
+        if isinstance(v, int) and v > 0:
+            pinned.add(v)
+    return pinned
+
+
 def vacuum_table(
     base_dir: str, name: str, keep_last: int = 2
 ) -> list[str]:
@@ -676,7 +704,12 @@ def vacuum_table(
     (crashed or race-losing writers). Markers themselves are kept — the
     version history stays enumerable; a time-travel read of a vacuumed
     version fails loudly. Callers coordinate vacuum with their longest
-    reader (as with Delta VACUUM retention). Local paths only (the
+    reader (as with Delta VACUUM retention) — EXCEPT warehouse pins,
+    which are enforced here: any version of ``name`` a committed
+    ``__warehouse__`` marker pins survives regardless of ``keep_last``
+    (round-8 verdict item — manual keep_last coordination silently
+    broke cross-table time travel; retire snapshots with
+    ``warehouse.vacuum_warehouse`` to unpin). Local paths only (the
     sandbox's mutating-table surface). Returns the deleted dir names."""
     import shutil
 
@@ -685,6 +718,10 @@ def vacuum_table(
         return []
     latest = table_version(base_dir, name)
     keep_floor = max(1, latest - keep_last + 1)
+    pinned = (
+        set() if name == "__warehouse__"
+        else _warehouse_pinned_versions(base_dir, name)
+    )
     referenced: dict[str, int] = {}
     for v in range(1, latest + 1):
         try:
@@ -710,7 +747,7 @@ def vacuum_table(
                 continue
             if target_v > latest:
                 continue
-        elif ref_v >= keep_floor:
+        elif ref_v >= keep_floor or ref_v in pinned:
             continue
         shutil.rmtree(os.path.join(mdir, entry), ignore_errors=True)
         deleted.append(entry)

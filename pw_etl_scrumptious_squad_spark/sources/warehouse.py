@@ -106,7 +106,11 @@ def warehouse_snapshot_tables(
     marker = os.path.join(_manifest_dir(base_dir, _WH), f"v{v}")
     if v <= 0:
         raise FileNotFoundError(f"no warehouse snapshot committed in {base_dir}")
-    if "://" not in marker and spark is None:
+    # schemeless markers read through plain open() regardless of whether a
+    # SparkSession is at hand: the hot read path (read_warehouse_snapshot
+    # always passes spark) must not pay Py4J round trips for a local file
+    # (round-8 advice)
+    if "://" not in marker:
         try:
             with open(marker) as fh:
                 return {t: int(n) for t, n in json.loads(fh.read()).items()}
@@ -122,16 +126,40 @@ def warehouse_snapshot_tables(
         raise FileNotFoundError(
             f"warehouse snapshot v{v} does not exist in {base_dir}"
         )
+    # whole-file read in ONE Py4J call (markers are tiny JSON) — the
+    # prior loop paid a JVM round trip per BYTE on the hot read path
     stream = fs.open(jpath)
     try:
-        data = bytearray()
-        b = stream.read()
-        while b != -1:
-            data.append(b)
-            b = stream.read()
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     finally:
         stream.close()
-    return {t: int(n) for t, n in json.loads(bytes(data).decode()).items()}
+    return {t: int(c) for t, c in json.loads(data.decode()).items()}
+
+
+def vacuum_warehouse(base_dir: str, keep_last: int = 2) -> list[str]:
+    """Retire warehouse snapshots older than the most recent
+    ``keep_last`` by deleting their markers — the explicit UNPIN step.
+
+    A committed warehouse marker pins every ``{table: version}`` it
+    names against :func:`~pw_etl_scrumptious_squad_spark.sources.
+    parquet.vacuum_table` (which scans these markers and refuses to
+    reclaim pinned versions, whatever ``keep_last`` says). Retention is
+    therefore two explicit moves: retire old warehouse snapshots here,
+    THEN vacuum tables — never a silent keep_last mismatch. Deleting
+    old markers can't change the latest version (``table_version`` is
+    the max marker). Local paths only, like ``vacuum_table``. Returns
+    the deleted marker names."""
+    latest = warehouse_version(base_dir)
+    keep_floor = max(1, latest - keep_last + 1)
+    mdir = _manifest_dir(base_dir, _WH)
+    deleted = []
+    for v in range(1, keep_floor):
+        try:
+            os.remove(os.path.join(mdir, f"v{v}"))
+            deleted.append(f"v{v}")
+        except FileNotFoundError:
+            pass
+    return deleted
 
 
 def read_warehouse_snapshot(

@@ -29,6 +29,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 from pw_etl_scrumptious_squad_spark.checkpoint import materialize
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
@@ -448,33 +449,102 @@ def streaming_incremental_dedup(
     )
 
 
+def _cc_part(col, num_parts: int):
+    """Deterministic label-range partitioner for the CC label store:
+    every member of a component shares its label, so a whole component
+    lives in one sub-table and a merge touches exactly the sub-tables
+    of the labels involved."""
+    return F.pmod(F.xxhash64(col), F.lit(num_parts)).cast("int")
+
+
+def cc_store_versions(labels_dir: str, spark=None) -> dict[str, int]:
+    """The ``{sub_table: version}`` map the store's latest warehouse
+    marker pins — the observability hook the write-volume assertion
+    uses (an untouched sub-table keeps its version across batches)."""
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as W
+
+    return W.warehouse_snapshot_tables(labels_dir, None, spark)
+
+
+def read_cc_labels(
+    spark: SparkSession, labels_dir: str, snapshot: int | None = None
+) -> DataFrame:
+    """Read the streaming CC label store: one consistent
+    ``(node, cluster_id)`` view across all label sub-tables, pinned by
+    the store's warehouse marker (``snapshot=None`` = latest; older ids
+    time-travel to the store as of that micro-batch)."""
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as W
+    from pw_etl_scrumptious_squad_spark.sources.parquet import snapshot_read
+
+    pinned = W.warehouse_snapshot_tables(labels_dir, snapshot, spark)
+    out = None
+    for name, version in sorted(pinned.items()):
+        df = snapshot_read(spark, labels_dir, name, version=version).select(
+            "node", "cluster_id"
+        )
+        out = df if out is None else out.unionByName(df)
+    if out is None:  # pragma: no cover - commit always pins >=1 table
+        raise FileNotFoundError(f"empty CC label store in {labels_dir}")
+    return out
+
+
 def streaming_incremental_cc(
     edges_stream: DataFrame,
     labels_dir: str,
     checkpoint_dir: str,
     processing_time: str | None = None,
+    num_parts: int = 16,
+    retain_snapshots: int | None = None,
 ) -> StreamingQuery:
-    """Streaming duplicate-CLUSTER maintenance (round 8): each
-    micro-batch of near-dup edges (e.g. the pairs
+    """Streaming duplicate-CLUSTER maintenance (round 8; MERGE store
+    round 9): each micro-batch of near-dup edges (e.g. the pairs
     :func:`streaming_incremental_dedup` emits) folds into the persisted
     ``(node, cluster_id)`` label store via
-    ``dedup.incremental_connected_components`` — the per-trigger cost
-    is the batch + touched components, never the corpus (the fold's
+    ``dedup.incremental_cc_delta`` — the per-trigger COMPUTE is the
+    batch + touched components, never the corpus (the fold's
     x1/x10/x100 curve is FLAT; BENCH_scale op_incremental_cc).
 
-    Store write is full-snapshot overwrite through a tmp+rename swap
-    (the store is one row per ever-seen node). At warehouse scale the
-    overwrite becomes a MERGE on the touched labels only — the fold
-    already isolates them (its remap table) — or the store lives as a
-    versioned table (sources/parquet upsert path). Final labels equal a
-    batch :func:`dedup.connected_components` over the union of all
-    delivered edges (pinned in tests, including cross-batch merges)."""
-    import os
-    import shutil
+    The store WRITE now matches: labels live in ``num_parts``
+    sub-tables hash-partitioned by cluster_id (a component is wholly
+    inside one sub-table), each a versioned snapshot table
+    (sources/parquet publish-then-claim — Hadoop FileSystem chain, so
+    the store works on s3a://-class schemes; viewfs:// tested). Per
+    batch only the sub-tables holding a remapped label (old or new
+    side) or a fresh node's label are rewritten; the rest keep their
+    version untouched. One warehouse marker
+    (sources/warehouse.commit_warehouse_snapshot) then CAS-pins the
+    whole ``{sub_table: version}`` set, so readers
+    (:func:`read_cc_labels`) flip between complete consistent stores —
+    a crash mid-batch publishes data dirs but no marker, and the
+    replayed batch recommits identical content. Sizing: pick
+    ``num_parts`` so one sub-table is a bounded rewrite (corpus/parts);
+    the rewrite volume per batch is (touched sub-tables) x that bound,
+    ∝ touched labels for fixed sizing.
 
+    ``retain_snapshots`` (local paths only): retire warehouse markers
+    beyond the newest N after each commit and vacuum unpinned sub-table
+    versions, bounding store growth for soak runs; None keeps every
+    batch's snapshot readable (full time travel).
+
+    Final labels equal a batch :func:`dedup.connected_components` over
+    the union of all delivered edges (pinned in tests, including
+    cross-batch merges)."""
     from pw_etl_scrumptious_squad_spark.operators import dedup
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as W
+    from pw_etl_scrumptious_squad_spark.sources.parquet import (
+        snapshot_read,
+        vacuum_table,
+        write_table_snapshot,
+    )
 
     spark = edges_stream.sparkSession
+
+    def _commit(pinned: dict[str, int]) -> None:
+        W.commit_warehouse_snapshot(labels_dir, pinned, spark)
+        if retain_snapshots is not None and "://" not in labels_dir:
+            W.vacuum_warehouse(labels_dir, keep_last=retain_snapshots)
+            for name in pinned:
+                vacuum_table(labels_dir, name, keep_last=1)
 
     def batch_fn(batch: DataFrame, batch_id: int) -> None:
         batch = batch.select("doc_a", "doc_b").transform(materialize)
@@ -485,25 +555,64 @@ def streaming_incremental_cc(
             .unionByName(batch.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        try:
-            base = spark.read.parquet(labels_dir).transform(materialize)
-            have = True
-        except Exception:
-            have = False
-        if have:
-            out = dedup.incremental_connected_components(
-                base, batch, new_nodes=nodes
+        if W.warehouse_version(labels_dir, spark) == 0:
+            labels = dedup.connected_components(
+                batch, nodes, "doc_id"
+            ).transform(materialize)
+            part = _cc_part(F.col("cluster_id"), num_parts)
+            _commit({
+                f"labels_p{i}": write_table_snapshot(
+                    labels.filter(part == i), labels_dir, f"labels_p{i}"
+                )
+                for i in range(num_parts)
+            })
+            return
+        cur = W.warehouse_snapshot_tables(labels_dir, None, spark)
+        eff_parts = len(cur)  # the store's creation-time partitioning wins
+        base = read_cc_labels(spark, labels_dir).transform(materialize)
+        remap, fresh = dedup.incremental_cc_delta(base, batch, new_nodes=nodes)
+        remap = remap.transform(materialize)
+        fresh = fresh.transform(materialize)
+        touched = sorted(
+            r["p"]
+            for r in (
+                remap.select(_cc_part(F.col("lbl"), eff_parts).alias("p"))
+                .unionByName(
+                    remap.select(_cc_part(F.col("new_lbl"), eff_parts).alias("p"))
+                )
+                .unionByName(
+                    fresh.select(
+                        _cc_part(F.col("cluster_id"), eff_parts).alias("p")
+                    )
+                )
+                .distinct()
+                .collect()
             )
-        else:
-            out = dedup.connected_components(batch, nodes, "doc_id")
-        out = out.transform(materialize)
-        tmp = labels_dir + f".tmp-{batch_id}"
-        out.write.mode("overwrite").parquet(tmp)
-        old = labels_dir + f".old-{batch_id}"
-        if os.path.exists(labels_dir):
-            os.rename(labels_dir, old)
-        os.rename(tmp, labels_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        )
+        if not touched:  # intra-component edges only, no new nodes
+            return
+        old = None
+        for i in touched:
+            df = snapshot_read(
+                spark, labels_dir, f"labels_p{i}", version=cur[f"labels_p{i}"]
+            )
+            old = df if old is None else old.unionByName(df)
+        merged = (
+            old.join(broadcast(remap), F.col("cluster_id") == F.col("lbl"), "left")
+            .select(
+                "node",
+                F.coalesce("new_lbl", F.col("cluster_id")).alias("cluster_id"),
+            )
+            .unionByName(fresh)
+            .transform(materialize)
+        )
+        part = _cc_part(F.col("cluster_id"), eff_parts)
+        pinned = dict(cur)
+        for i in touched:
+            pinned[f"labels_p{i}"] = write_table_snapshot(
+                merged.filter(part == i), labels_dir, f"labels_p{i}"
+            )
+        _commit(pinned)
 
     return run_foreach_batch(
         edges_stream, checkpoint_dir, batch_fn, processing_time=processing_time

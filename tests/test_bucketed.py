@@ -174,34 +174,33 @@ def test_fresh_process_adopts_published_layout_without_rewriting(spark):
 
 
 def test_rename_loser_adopts_winner_layout(spark, tmp_path, monkeypatch):
-    # publish race, loser side: our tmp dir is built, but the final
-    # rename fails because a concurrent winner published first — we
-    # must discard our tmp and adopt the winner's files
+    # publish race, loser side: a concurrent winner publishes WHILE our
+    # tmp layout is being built (after our final-dir probe missed) — we
+    # must discard our tmp and adopt the winner's files, never clobber
     import os as _os
 
     from pw_etl_scrumptious_squad_spark.operators import bucketed as bkt
 
     li = read_table(spark, SF, "lineitem").limit(100)
     root = str(tmp_path / "race")
-    table = bkt.bucket_table_name("loser", root + "-src", "l_orderkey", 4)
+    src = str(tmp_path / "src")  # distinct fingerprint per test
+    table = bkt.bucket_table_name("loser", src, "l_orderkey", 4)
     final = _os.path.join(root, table)
 
-    # the "winner": a complete layout already published at final
-    bkt.write_bucketed(li, table + "_w", "l_orderkey", 4, path=str(tmp_path / "w"))
-    spark.sql(f"DROP TABLE {table}_w")
-    _os.makedirs(root, exist_ok=True)
-    _os.rename(str(tmp_path / "w"), final)
-    assert _os.path.exists(_os.path.join(final, "_SUCCESS"))
+    real_write = bkt.write_bucketed
 
-    # the "loser": force its final-dir probe to miss so it writes a tmp
-    # layout, then let the real os.rename fail on the existing target
-    real_exists = _os.path.exists
-    monkeypatch.setattr(
-        bkt.os.path, "exists",
-        lambda p: False if p == _os.path.join(final, "_SUCCESS") else real_exists(p),
-    )
+    def write_and_get_scooped(df, tbl, col, n, path):
+        real_write(df, tbl, col, n, path)
+        if not _os.path.exists(final):
+            # the "winner" lands a complete layout mid-build
+            real_write(df, tbl + "_w", col, n, path=str(tmp_path / "w"))
+            spark.sql(f"DROP TABLE {tbl}_w")
+            _os.makedirs(root, exist_ok=True)
+            _os.rename(str(tmp_path / "w"), final)
+
+    monkeypatch.setattr(bkt, "write_bucketed", write_and_get_scooped)
     got = bkt.ensure_bucketed(
-        spark, li, "loser", root + "-src", "l_orderkey", 4, base_dir=root
+        spark, li, "loser", src, "l_orderkey", 4, base_dir=root
     )
     monkeypatch.undo()
     assert got == table
@@ -210,6 +209,114 @@ def test_rename_loser_adopts_winner_layout(spark, tmp_path, monkeypatch):
     leftovers = [d for d in _os.listdir(root) if d != table]
     assert leftovers == []
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_torn_publish_raises_then_self_heals(spark, tmp_path, monkeypatch):
+    # round-8 advice: a publish whose rename/write failed must RAISE
+    # instead of registering DDL over a missing/empty directory (the
+    # silent-zero-rows failure). The torn final dir is garbage-collected
+    # on the next attempt (an atomic rename only lands complete dirs,
+    # so a dir without _SUCCESS is always a wreck).
+    import os as _os
+
+    import pytest
+
+    from pw_etl_scrumptious_squad_spark.operators import bucketed as bkt
+
+    li = read_table(spark, SF, "lineitem").limit(60)
+    root = str(tmp_path / "r")
+    src = str(tmp_path / "src2")
+
+    def broken_write(df, tbl, col, n, path):
+        _os.makedirs(path)  # no data files, no _SUCCESS
+
+    monkeypatch.setattr(bkt, "write_bucketed", broken_write)
+    with pytest.raises(OSError, match="publish failed"):
+        bkt.ensure_bucketed(
+            spark, li, "torn", src, "l_orderkey", 4, base_dir=root
+        )
+    monkeypatch.undo()
+    table = bkt.bucket_table_name("torn", src, "l_orderkey", 4)
+    assert not spark.catalog.tableExists(table)  # no zero-row table
+    # retry with the real writer: the torn dir is cleared and replaced
+    got = bkt.ensure_bucketed(
+        spark, li, "torn", src, "l_orderkey", 4, base_dir=root
+    )
+    assert got == table
+    assert spark.table(table).count() == 60
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_regenerated_source_gets_fresh_layout(spark, tmp_path):
+    # round-8 advice (medium): the layout digest folds in a content
+    # fingerprint of the source, so data REGENERATED at the same path
+    # names (and builds) a new layout instead of silently adopting the
+    # stale cached one
+    import os as _os
+
+    from pw_etl_scrumptious_squad_spark.operators import bucketed as bkt
+
+    src = str(tmp_path / "gen")
+    root = str(tmp_path / "layouts")
+    spark.range(100).withColumnRenamed("id", "k").write.parquet(
+        _os.path.join(src, "t.parquet")
+    )
+    df1 = spark.read.parquet(_os.path.join(src, "t.parquet"))
+    t1 = bkt.ensure_bucketed(spark, df1, "gen", src, "k", 4, base_dir=root)
+    assert spark.table(t1).count() == 100
+    # regenerate the source at the SAME path with different rows
+    spark.range(250).withColumnRenamed("id", "k").write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(src, "t.parquet"))
+    bkt._FPRINT.clear()  # a fresh process has no fingerprint memo
+    df2 = spark.read.parquet(_os.path.join(src, "t.parquet"))
+    t2 = bkt.ensure_bucketed(spark, df2, "gen", src, "k", 4, base_dir=root)
+    assert t2 != t1  # new content -> new layout name, no stale adoption
+    assert spark.table(t2).count() == 250
+    for t in (t1, t2):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_layout_through_non_file_scheme(spark, tmp_path):
+    # round-8 verdict item 8: the publish-then-adopt chain runs on the
+    # Hadoop FileSystem API, so the layout works on s3a://-class stores.
+    # Mount viewfs://lake/ over tmp_path (the same seam s3a credentials
+    # ride) and run the full ensure->join->zero-exchange contract.
+    from pw_etl_scrumptious_squad_spark.operators import bucketed as bkt
+    from pw_etl_scrumptious_squad_spark.sources.parquet import (
+        configure_object_store,
+    )
+
+    (tmp_path / "warehouse").mkdir()
+    configure_object_store(
+        spark,
+        scheme="viewfs",
+        extra_conf={
+            "fs.viewfs.mounttable.bktlake.link./data": f"file:{tmp_path}"
+        },
+    )
+    base = "viewfs://bktlake/data/warehouse"
+    lt = bkt.ensure_bucketed(
+        spark, read_table(spark, SF, "lineitem"), "vfs_li", SF,
+        "l_orderkey", base_dir=base,
+    )
+    ot = bkt.ensure_bucketed(
+        spark, read_table(spark, SF, "orders"), "vfs_o", SF,
+        "o_orderkey", base_dir=base,
+    )
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {lt}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    )
+    assert loc.startswith("viewfs://bktlake/")  # genuinely on the scheme
+    j = bkt.bucketed_join(spark, lt, ot, "l_orderkey", "o_orderkey")
+    plan = _plan(j.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n")))
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan
+    assert j.count() > 0
+    for t in (lt, ot):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_one_side_bucketed_store_shuffles_only_the_batch(spark, tmp_path):

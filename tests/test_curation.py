@@ -734,3 +734,115 @@ def test_segment_dedup_keeps_first_occurrence_only(spark):
     assert (got[3]["n_segs"], got[3]["n_kept"]) == (2, 0)
     assert got[3]["dedup_md5"] == md5("")
     assert (got[4]["n_segs"], got[4]["n_kept"]) == (2, 0)
+
+
+# ---------------------------------------------------------------------------
+# Trainable quality classifier (round 9): distributed training must be
+# BIT-IDENTICAL to a pure-Python twin (the y51 BPE determinism pattern),
+# and application must behave like a real seed-set filter.
+# ---------------------------------------------------------------------------
+
+
+def _py_qc_train(docs, labels, n_buckets=256, iters=8, lr_ppm=500_000):
+    """Pure-Python twin of curation.quality_classifier_train: same
+    features (md5-60bit % buckets + intercept), same hard-sigmoid
+    integer arithmetic, same half-up weight quantization."""
+    import hashlib
+    from fractions import Fraction
+
+    S = 1_000_000_000_000
+    feats = {}
+    for d, text in docs.items():
+        row = {-1: 1}
+        for tok in text.split(" "):
+            if tok:
+                b = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n_buckets
+                row[b] = row.get(b, 0) + 1
+        feats[d] = row
+    n = len(docs)
+    w = {}
+    for _ in range(iters):
+        grad = {}
+        for d, row in feats.items():
+            mq = sum(w.get(b, 0) * c for b, c in row.items())
+            s4 = max(0, min(4 * S, mq + 2 * S))
+            r4 = s4 - labels[d] * 4 * S
+            for b, c in row.items():
+                grad[b] = grad.get(b, 0) + r4 * c
+        for b, g4 in grad.items():
+            delta = Fraction(lr_ppm, 1_000_000) * Fraction(g4) / (4 * n)
+            w[b] = w.get(b, 0) - int((delta + Fraction(1, 2)).__floor__())
+    return {b: q for b, q in w.items() if q != 0}
+
+
+def test_quality_classifier_train_matches_python_twin(spark):
+    from pyspark.sql import functions as F
+
+    from pw_etl_scrumptious_squad_spark.operators import curation
+
+    docs = {
+        1: "the quick brown fox likes clean prose and citations",
+        2: "click here buy now cheap cheap cheap deals deals",
+        3: "a measured paragraph with varied vocabulary and structure",
+        4: "buy buy buy now now cheap click subscribe",
+        5: "an encyclopedia entry describing the history of printing",
+        6: "winner winner claim your prize now click click",
+    }
+    labels = {1: 1, 2: 0, 3: 1, 4: 0, 5: 1, 6: 0}
+    df = spark.createDataFrame(
+        [(d, t, labels[d]) for d, t in docs.items()],
+        "doc_id LONG, text STRING, y INT",
+    )
+    got_df = curation.quality_classifier_train(
+        df, F.col("y") == 1, n_buckets=64, iters=8
+    )
+    got = {r["bkt"]: r["wq"] for r in got_df.collect()}
+    want = _py_qc_train(docs, labels, n_buckets=64, iters=8)
+    assert got == want  # bit-identical weights, every bucket
+
+    # the classifier actually separates the seed sets: every positive
+    # doc scores a strictly higher margin than every negative doc
+    scored = {
+        r["doc_id"]: (r["margin"], r["keep"])
+        for r in curation.quality_classifier_apply(
+            df,
+            spark.createDataFrame(sorted(got.items()), "bkt BIGINT, wq BIGINT"),
+            n_buckets=64,
+        ).collect()
+    }
+    pos = [scored[d][0] for d, y in labels.items() if y == 1]
+    neg = [scored[d][0] for d, y in labels.items() if y == 0]
+    assert min(pos) > max(neg)
+    # an unseen doc made of seed-negative vocabulary lands negative
+    unseen = spark.createDataFrame(
+        [(99, "cheap deals click now buy")], "doc_id LONG, text STRING"
+    )
+    r99 = curation.quality_classifier_apply(
+        unseen,
+        spark.createDataFrame(sorted(got.items()), "bkt BIGINT, wq BIGINT"),
+        n_buckets=64,
+    ).collect()[0]
+    assert r99["keep"] is False
+
+
+def test_quality_classifier_degenerate_inputs(spark):
+    from pyspark.sql import functions as F
+
+    from pw_etl_scrumptious_squad_spark.operators import curation
+
+    # empty corpus trains to an empty weight table
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING, y INT")
+    w = curation.quality_classifier_train(empty, F.col("y") == 1, n_buckets=16)
+    assert w.count() == 0
+    # single-class corpus: every margin moves the same direction, and
+    # apply on a doc with NO overlapping buckets scores exactly 0
+    one = spark.createDataFrame(
+        [(1, "aaa bbb", 1), (2, "aaa ccc", 1)], "doc_id LONG, text STRING, y INT"
+    )
+    w1 = curation.quality_classifier_train(one, F.col("y") == 1, n_buckets=16, iters=4)
+    out = curation.quality_classifier_apply(
+        spark.createDataFrame([(9, "")], "doc_id LONG, text STRING"),
+        w1.filter(F.col("bkt") != -1),  # drop intercept: no shared buckets
+        n_buckets=16,
+    ).collect()[0]
+    assert out["margin"] == 0.0 and out["keep"] is False

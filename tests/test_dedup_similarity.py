@@ -1030,3 +1030,106 @@ def test_incremental_cc_equals_full_recompute(spark):
         ).collect()
     }
     assert got2 == {**{r["node"]: r["cluster_id"] for r in base.collect()}, 99: 99}
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022 ExactSubstr) — round 9
+# ---------------------------------------------------------------------------
+
+
+def _brute_exactsubstr(docs: dict[int, str], k: int) -> dict[int, str]:
+    """Reference semantics, spelled naively: mask every character
+    covered by a k-window whose content occurs earlier in (doc_id, pos)
+    order; splice masked characters out."""
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d in sorted(docs):
+        t = docs[d]
+        for p in range(len(t) - k + 1):
+            occ.setdefault(t[p : p + k], []).append((d, p))
+    masked: dict[int, set[int]] = {}
+    for lst in occ.values():
+        if len(lst) > 1:
+            for d, p in sorted(lst)[1:]:
+                masked.setdefault(d, set()).update(range(p, p + k))
+    return {
+        d: "".join(ch for i, ch in enumerate(t) if i not in masked.get(d, set()))
+        for d, t in docs.items()
+    }
+
+
+def _run_exactsubstr(spark, docs: dict[int, str], k: int, fn) -> dict[int, str]:
+    df = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id LONG, text STRING"
+    )
+    return {r["doc_id"]: r["clean_text"] for r in fn(df, k=k).collect()}
+
+
+def test_exact_substring_dedup_matches_brute_force(spark):
+    docs = {
+        # 1 is the first occurrence of the shared sentence -> untouched
+        1: "the quick brown fox jumps over the lazy dog near the river bank",
+        # 2 repeats that whole sentence inside other text -> spliced out
+        2: "PREFIX the quick brown fox jumps over the lazy dog near the river bank SUFFIX",
+        # 3 is a verbatim copy of 1 -> fully removed
+        3: "the quick brown fox jumps over the lazy dog near the river bank",
+        # 4 shares nothing long enough
+        4: "completely different content that appears only once in this corpus",
+        # 5 shorter than k -> untouched by construction
+        5: "tiny",
+        # 6 periodic self-overlap inside ONE doc
+        6: "ab" * 40,
+    }
+    k = 20
+    want = _brute_exactsubstr(docs, k)
+    got = _run_exactsubstr(spark, docs, k, dedup.exact_substring_dedup)
+    assert got == want
+    assert got[1] == docs[1]          # first occurrence kept verbatim
+    assert got[3] == ""               # exact copy fully removed
+    assert "quick brown" not in got[2]  # the repeated span left doc 2
+    assert got[2].startswith("PREFIX ") and got[2].endswith(" SUFFIX")
+    assert got[4] == docs[4]
+    assert got[5] == docs[5]
+
+
+def test_exact_substring_sa_tier_is_output_identical(spark):
+    docs = {
+        1: "shared shared shared payload one two three four five six seven",
+        2: "noise shared shared shared payload one two three four five six seven tail",
+        3: "x" * 15,
+        4: "shared shared shared payload one two three four five six seven",
+        5: "unique text with no duplicated window at all in this tiny corpus",
+    }
+    k = 25
+    want = _brute_exactsubstr(docs, k)
+    # both tiers, including a shard count that splits the corpus so
+    # cross-shard duplicates exercise the digest merge
+    got_gram = _run_exactsubstr(spark, docs, k, dedup.exact_substring_dedup)
+    got_sa = _run_exactsubstr(
+        spark, docs, k,
+        lambda df, k: dedup.exact_substring_dedup_sa(df, k=k, num_shards=3),
+    )
+    assert got_gram == want
+    assert got_sa == want
+
+
+def test_exact_substring_dedup_fuzz_small_alphabet(spark):
+    """Adversarial fuzz: random low-alphabet corpora maximize overlap
+    pathologies (periodicity, nested repeats, cross-doc chains); both
+    tiers must equal the brute-force twin on every one."""
+    import random
+
+    rng = random.Random(90210)
+    for trial in range(4):
+        docs = {
+            d: "".join(rng.choice("abc ") for _ in range(rng.randint(0, 60)))
+            for d in range(rng.randint(2, 8))
+        }
+        k = rng.randint(3, 8)
+        want = _brute_exactsubstr(docs, k)
+        got = _run_exactsubstr(spark, docs, k, dedup.exact_substring_dedup)
+        assert got == want, (trial, k, docs)
+        got_sa = _run_exactsubstr(
+            spark, docs, k,
+            lambda df, k: dedup.exact_substring_dedup_sa(df, k=k, num_shards=2),
+        )
+        assert got_sa == want, (trial, k, docs)

@@ -109,11 +109,15 @@ def test_every_query_names_match_oracle(catalog_schemas):
 # cross-table-commit ACID layer enters the window (time-traveled
 # fact⋈dim pairs per warehouse snapshot), evicting r12_surrogate_key
 # (same standing coverage as the other evictees).
+# Round-9 rotation (VERDICT.md round-8 item 1): c01..c10 re-aimed at
+# the ten never-driver-certified entries y73/y76/y15/y30/y14/y25/y05/
+# y28/x01/z29; the round-8 occupants are now in CORRECTNESS_r08.json
+# and keep tools/check.py + pytest coverage.
 DRIVER_WINDOW = [
-    "c01_ivfpq_topk", "c02_image_neardup_pipeline",
-    "c03_warc_corpus_pipeline", "c04_warc_ingest", "c05_script_detect",
-    "c06_robots_filter", "c07_h264_screening", "c08_hard_negatives",
-    "c09_containment_pairs", "c10_hybrid_rrf", "c11_star_lifecycle",
+    "c01_incremental_cc", "c02_prefix_filter_pairs",
+    "c03_embedding_srp", "c04_srp_wide", "c05_incremental_neardup",
+    "c06_cluster_canon", "c07_dup_clusters", "c08_dup_span_removal",
+    "c09_curation_pipeline", "c10_bloom_semi_join", "c11_star_lifecycle",
     "c12_bucketed_join", "c13_warehouse_snapshots",
     "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_signatures",
     "d04_simhash", "d05_minhash_lsh_pairs", "d06_embedding_neardup",

@@ -227,6 +227,15 @@ def test_processing_time_soak_and_checkpoint_resume(spark, tmp_path):
         drop_file("b.parquet", ids >= 500)
         while len(seen) < 2 and time.time() < deadline:
             time.sleep(0.5)
+        # drain before stopping: foreachBatch is at-least-once across an
+        # UNGRACEFUL stop (a batch delivered to batch_fn but not yet
+        # offset-committed replays on restart — observed under full-suite
+        # host load as resumed re-counting file b). processAllAvailable
+        # blocks until every delivered batch is committed, so the resume
+        # below asserts exactly-once over a CLEAN shutdown, which is the
+        # contract the engine's idempotent sinks (stream_to_jdbc
+        # delete-then-append) actually rely on.
+        q.processAllAvailable()
     finally:
         q.stop()
         q.awaitTermination(30)
@@ -592,32 +601,55 @@ def test_streaming_cardinality_monitor_append_mode(spark, events_dir):
     assert closed <= set(got)
 
 
-def test_streaming_incremental_cc_equals_batch_global(spark, tmp_path):
-    """Round-8 streaming cluster maintenance: three edge micro-batches
-    fold into the persisted label store; batch 3 contains a
-    CROSS-BATCH merge edge (connects components formed in batches 1
-    and 2). Final store labels == one batch connected_components over
-    the union of all delivered edges."""
-    from pw_etl_scrumptious_squad_spark.operators import dedup
+CC_BATCHES = [
+    [(1, 2), (2, 3), (10, 11)],
+    [(20, 21), (30, 31), (21, 22)],
+    [(3, 20), (40, 41)],  # merges the 1-2-3 and 20-21-22 components
+]
 
-    batches = [
-        [(1, 2), (2, 3), (10, 11)],
-        [(20, 21), (30, 31), (21, 22)],
-        [(3, 20), (40, 41)],  # merges the 1-2-3 and 20-21-22 components
-    ]
-    src = tmp_path / "edges"
+
+def _write_cc_batches(spark, src):
     src.mkdir()
-    for i, rows in enumerate(batches):
+    for i, rows in enumerate(CC_BATCHES):
         spark.createDataFrame(rows, "doc_a LONG, doc_b LONG").coalesce(
             1
         ).write.mode("overwrite").parquet(str(src / f"arrival={i}.parquet"))
-
-    labels_dir = str(tmp_path / "labels")
-    stream = (
+    return (
         spark.readStream.schema("doc_a long, doc_b long")
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src) + "/arrival=*.parquet")
     )
+
+
+def _batch_cc_labels(spark):
+    from pw_etl_scrumptious_squad_spark.operators import dedup
+
+    all_edges = spark.createDataFrame(
+        [e for b in CC_BATCHES for e in b], "doc_a LONG, doc_b LONG"
+    )
+    all_nodes = (
+        all_edges.selectExpr("doc_a AS doc_id")
+        .union(all_edges.selectExpr("doc_b"))
+        .distinct()
+    )
+    return {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components(
+            all_edges, all_nodes, "doc_id"
+        ).collect()
+    }
+
+
+def test_streaming_incremental_cc_equals_batch_global(spark, tmp_path):
+    """Round-8 streaming cluster maintenance (round-9 MERGE store):
+    three edge micro-batches fold into the persisted label store; batch
+    3 contains a CROSS-BATCH merge edge (connects components formed in
+    batches 1 and 2). Final store labels == one batch
+    connected_components over the union of all delivered edges, AND the
+    per-batch write only rewrites the label sub-tables the delta
+    touched — untouched sub-tables keep their committed version."""
+    stream = _write_cc_batches(spark, tmp_path / "edges")
+    labels_dir = str(tmp_path / "labels")
     q = sp.streaming_incremental_cc(
         stream, labels_dir, str(tmp_path / "ckpt")
     )
@@ -625,22 +657,96 @@ def test_streaming_incremental_cc_equals_batch_global(spark, tmp_path):
 
     got = {
         r["node"]: r["cluster_id"]
-        for r in spark.read.parquet(labels_dir).collect()
+        for r in sp.read_cc_labels(spark, labels_dir).collect()
     }
-    all_edges = spark.createDataFrame(
-        [e for b in batches for e in b], "doc_a LONG, doc_b LONG"
-    )
-    all_nodes = (
-        all_edges.selectExpr("doc_a AS doc_id")
-        .union(all_edges.selectExpr("doc_b"))
-        .distinct()
-    )
-    want = {
-        r["node"]: r["cluster_id"]
-        for r in dedup.connected_components(
-            all_edges, all_nodes, "doc_id"
-        ).collect()
-    }
+    want = _batch_cc_labels(spark)
     assert got == want
     assert got[22] == 1 and got[20] == 1  # cross-batch merge landed
     assert got[40] == 40 and got[41] == 40
+
+    # WRITE volume ∝ touched labels: batches 2 and 3 rewrote only the
+    # sub-tables their remapped/fresh labels hash into — most of the 16
+    # sub-tables were never rewritten after the init batch
+    versions = sp.cc_store_versions(labels_dir, spark)
+    assert len(versions) == 16
+    untouched = [t for t, v in versions.items() if v == 1]
+    rewritten = [t for t, v in versions.items() if v > 1]
+    assert rewritten  # the folds did commit new versions somewhere
+    assert len(untouched) >= 8, versions  # ...but not across the store
+
+    # time travel: the store as of the first marker is batch 1's CC
+    from pw_etl_scrumptious_squad_spark.operators import dedup
+
+    b1 = spark.createDataFrame(CC_BATCHES[0], "doc_a LONG, doc_b LONG")
+    b1_nodes = (
+        b1.selectExpr("doc_a AS doc_id")
+        .union(b1.selectExpr("doc_b"))
+        .distinct()
+    )
+    want_b1 = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components(b1, b1_nodes, "doc_id").collect()
+    }
+    got_b1 = {
+        r["node"]: r["cluster_id"]
+        for r in sp.read_cc_labels(spark, labels_dir, snapshot=1).collect()
+    }
+    assert got_b1 == want_b1
+
+
+def test_streaming_incremental_cc_store_on_non_file_scheme(spark, tmp_path):
+    """The CC label store's publish/commit chain must run on the Hadoop
+    FileSystem API end-to-end (round-8 verdict: no bare os.rename) —
+    mount viewfs:// over tmp_path and run the same three-batch fold."""
+    from pw_etl_scrumptious_squad_spark.sources.parquet import (
+        configure_object_store,
+    )
+
+    stream = _write_cc_batches(spark, tmp_path / "edges")
+    (tmp_path / "labels").mkdir()
+    configure_object_store(
+        spark,
+        scheme="viewfs",
+        extra_conf={
+            "fs.viewfs.mounttable.cclake.link./data": f"file:{tmp_path}"
+        },
+    )
+    labels_dir = "viewfs://cclake/data/labels"
+    q = sp.streaming_incremental_cc(
+        stream, labels_dir, str(tmp_path / "ckpt"), num_parts=4
+    )
+    q.awaitTermination(180)
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in sp.read_cc_labels(spark, labels_dir).collect()
+    }
+    assert got == _batch_cc_labels(spark)
+
+
+def test_streaming_incremental_cc_retention_bounds_store(spark, tmp_path):
+    """retain_snapshots: old warehouse markers are retired and unpinned
+    sub-table versions vacuumed per batch, so a soak run's store stays
+    bounded; the latest snapshot is still complete and correct."""
+    import os
+
+    stream = _write_cc_batches(spark, tmp_path / "edges")
+    labels_dir = str(tmp_path / "labels")
+    q = sp.streaming_incremental_cc(
+        stream, labels_dir, str(tmp_path / "ckpt"),
+        num_parts=4, retain_snapshots=1,
+    )
+    q.awaitTermination(180)
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in sp.read_cc_labels(spark, labels_dir).collect()
+    }
+    assert got == _batch_cc_labels(spark)
+    # only the latest warehouse marker survives; each sub-table keeps at
+    # most its pinned version + keep_last=1 window (no unbounded growth)
+    wdir = os.path.join(labels_dir, "__warehouse__.manifest")
+    markers = [n for n in os.listdir(wdir) if n.startswith("v")]
+    assert len(markers) == 1
+    for i in range(4):
+        mdir = os.path.join(labels_dir, f"labels_p{i}.manifest")
+        data_dirs = [n for n in os.listdir(mdir) if n.endswith(".data")]
+        assert len(data_dirs) <= 2, (i, data_dirs)

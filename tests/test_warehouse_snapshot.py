@@ -98,20 +98,41 @@ def test_table_outside_snapshot_raises_keyerror(spark, base):
         wh.read_warehouse_snapshot(spark, base, "newtab")
 
 
-def test_vacuum_retention_contract_is_loud(spark, base):
+def test_vacuum_respects_warehouse_pins_until_retired(spark, base):
+    """Round-9 (verdict item 4): vacuum_table must refuse to reclaim any
+    table version a committed warehouse marker pins — a keep_last that
+    would have broken cross-table time travel now preserves it, and the
+    explicit retirement step (vacuum_warehouse) is what unpins."""
     _seed(spark, base)
     for tag in ("b", "c", "d"):
         upsert_table(spark, _df(spark, [(1, f"dim-{tag}")]), base, "dim", ["k"])
         upsert_table(spark, _df(spark, [(1, f"fact-{tag}")]), base, "fact", ["k"])
         wh.commit_warehouse_snapshot(base, ["dim", "fact"])
-    # keep only the last 2 table versions: warehouse snapshot 1 now
-    # points at vacuumed data and must fail LOUDLY, not silently serve
-    # the wrong rows; recent snapshots stay readable
-    vacuum_table(base, "dim", keep_last=2)
-    vacuum_table(base, "fact", keep_last=2)
+    # naive keep_last=2 would reclaim dim/fact v1-v2 — but warehouse
+    # snapshots 1 and 2 pin them, so NOTHING is deleted and every
+    # snapshot still time-travels correctly
+    assert vacuum_table(base, "dim", keep_last=2) == []
+    assert vacuum_table(base, "fact", keep_last=2) == []
+    assert (
+        wh.read_warehouse_snapshot(spark, base, "dim", snapshot=1).first()["v"]
+        == "dim-a"
+    )
+    assert (
+        wh.read_warehouse_snapshot(spark, base, "fact", snapshot=1).first()["v"]
+        == "fact-a"
+    )
+    # retire warehouse snapshots 1-2 (the unpin), then vacuum reclaims
+    assert wh.vacuum_warehouse(base, keep_last=2) == ["v1", "v2"]
+    assert len(vacuum_table(base, "dim", keep_last=2)) == 2
+    assert len(vacuum_table(base, "fact", keep_last=2)) == 2
+    # retired snapshots are gone loudly; retained ones fully readable
+    with pytest.raises(FileNotFoundError):
+        wh.warehouse_snapshot_tables(base, 1)
     assert (
         wh.read_warehouse_snapshot(spark, base, "dim", snapshot=4).first()["v"]
         == "dim-d"
     )
-    with pytest.raises(Exception):
-        wh.read_warehouse_snapshot(spark, base, "dim", snapshot=1).collect()
+    assert (
+        wh.read_warehouse_snapshot(spark, base, "dim", snapshot=3).first()["v"]
+        == "dim-c"
+    )
