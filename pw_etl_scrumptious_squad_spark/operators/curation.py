@@ -1768,8 +1768,12 @@ def quality_classifier_train(
                 ).alias("r4"),
             )
         )
+        # resid is corpus-sized (one row per doc) — pin the join to a
+        # shuffle strategy so a size misestimate can never plan a
+        # corpus-sized broadcast (observed at x100: driver OOM building
+        # the broadcast table)
         grad_rows = (
-            feats.join(resid, "doc_id")
+            feats.join(resid.hint("shuffle_hash"), "doc_id")
             .groupBy("bkt")
             .agg(
                 F.sum(

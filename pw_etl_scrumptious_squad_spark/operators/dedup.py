@@ -2041,8 +2041,15 @@ def exact_substring_dedup(
     The per-shard suffix-array tier (:func:`exact_substring_dedup_sa`)
     computes the same masking with in-shard SA+LCP doing the window
     grouping; equality of the two tiers is pinned in tests."""
+    from pw_etl_scrumptious_squad_spark.operators.text import (
+        _spread_narrow_input,
+    )
+
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    eligible = d.filter(F.length("text") >= k)
+    # ~500x row multiplier below (one row per character position): spread
+    # a narrow (single-split) scan across the cores first, or one task
+    # does the whole corpus's md5 work (the y52/y71 failure class)
+    eligible = _spread_narrow_input(d.filter(F.length("text") >= k))
     pos = eligible.select(
         "doc_id",
         "text",
@@ -2058,8 +2065,18 @@ def exact_substring_dedup(
     stats = grams.groupBy("g").agg(
         F.count(F.lit(1)).alias("n"), F.min("k").alias("first_key")
     )
+    # the dup-digest table scales with the corpus (a heavily duplicated
+    # corpus has corpus-order duplicated windows) — pin the join to a
+    # shuffle strategy so a post-filter size MISestimate can never plan
+    # a corpus-sized broadcast (observed at x100: a 1 GB+
+    # BroadcastExchange blowing spark.driver.maxResultSize)
     masked = (
-        grams.join(stats.filter(F.col("n") > 1).select("g", "first_key"), "g")
+        grams.join(
+            stats.filter(F.col("n") > 1)
+            .select("g", "first_key")
+            .hint("shuffle_hash"),
+            "g",
+        )
         .filter(F.col("k") != F.col("first_key"))
         .select("doc_id", "p")
     )
@@ -2071,7 +2088,7 @@ def exact_substring_dedup_sa(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 30,
-    num_shards: int = 8,
+    num_shards: int | None = None,
 ) -> DataFrame:
     """ExactSubstr dedup, per-shard SUFFIX-ARRAY tier — identical output
     to :func:`exact_substring_dedup` (pinned by a parity test and the
@@ -2098,11 +2115,24 @@ def exact_substring_dedup_sa(
        tier 1 (:func:`_mask_to_clean`).
 
     Python work is Arrow-batched applyInPandas over numpy — no per-row
-    Python. Shard sizing at 100 TB: ``num_shards`` so one shard's
-    concat fits an executor (the SA is 8 bytes/char + the utf-32 view);
-    the digest exchange is the only corpus-sized shuffle."""
+    Python. Digests travel as TWO BIGINTs (the md5's first 120 bits),
+    not hex strings: the per-position output row is 40 fixed bytes, so
+    an x100 shard's Arrow transfer stays in bounded buffers (the string
+    form allocated 440 MB direct-memory batches and blew the Arrow
+    allocator at 32-way concurrency). Shard sizing at 100 TB:
+    ``num_shards`` so one shard's concat fits an executor (the SA is
+    8 bytes/char + the utf-32 view) AND at least the core count so no
+    executor idles; the default derives from a cheap doc count
+    (~4k docs/shard, floored at the session parallelism). The digest
+    exchange is the only corpus-sized shuffle."""
+    import math
+
     import numpy as np
     import pandas as pd
+
+    if num_shards is None:
+        par = max(8, docs.sparkSession.sparkContext.defaultParallelism)
+        num_shards = max(par, math.ceil(docs.count() / 4000))
 
     def _shard_positions(pdf: pd.DataFrame) -> pd.DataFrame:
         import hashlib as _hl
@@ -2114,8 +2144,8 @@ def exact_substring_dedup_sa(
         n = len(concat)
         if n < k:
             return pd.DataFrame(
-                {"doc_id": [], "p": [], "g": [], "pkey": []}
-            ).astype({"doc_id": "int64", "p": "int64", "g": "str", "pkey": "int64"})
+                {"doc_id": [], "p": [], "g1": [], "g2": [], "pkey": []}
+            ).astype("int64")
         # one int64 symbol per CHARACTER (utf-32 view), so positions are
         # char offsets — matching substring()/substr() on both engines
         sym = np.frombuffer(concat.encode("utf-32-le"), dtype=np.uint32).astype(
@@ -2140,13 +2170,17 @@ def exact_substring_dedup_sa(
                 break
             h *= 2
         sa = np.argsort(rank, kind="stable")
-        # group order-adjacent suffixes sharing a full >=k prefix: one
-        # vectorized (n x k) compare; suffixes shorter than k pad with
-        # the separator symbol (they are filtered as invalid below)
+        # group order-adjacent suffixes sharing a full >=k prefix:
+        # k vectorized passes of one-symbol compares (peak extra memory
+        # O(n) per pass, NOT the O(n*k) a materialized window matrix
+        # would cost — 1.7 GB/shard at x100); suffixes shorter than k
+        # pad with the separator symbol (filtered as invalid below)
         padded = np.concatenate([sym, np.zeros(k, dtype=np.int64)])
-        win = np.lib.stride_tricks.sliding_window_view(padded, k)[:n]
-        eq = (win[sa[1:]] == win[sa[:-1]]).all(axis=1)
-        group = np.concatenate([[0], np.cumsum(~eq)])
+        a, b = sa[:-1], sa[1:]
+        neq = np.zeros(n - 1, dtype=bool)
+        for j in range(k):
+            neq |= padded[a + j] != padded[b + j]
+        group = np.concatenate([[0], np.cumsum(neq)])
         # map concat positions back to (doc, in-doc 1-based position)
         lens = np.array([len(t) for t in texts], dtype=np.int64)
         starts = np.concatenate([[0], np.cumsum(lens + 1)[:-1]])
@@ -2157,25 +2191,28 @@ def exact_substring_dedup_sa(
         g_pos, g_grp = sa[valid_sa], group[valid_sa]
         if g_pos.size == 0:
             return pd.DataFrame(
-                {"doc_id": [], "p": [], "g": [], "pkey": []}
-            ).astype({"doc_id": "int64", "p": "int64", "g": "str", "pkey": "int64"})
+                {"doc_id": [], "p": [], "g1": [], "g2": [], "pkey": []}
+            ).astype("int64")
         # ONE digest per distinct window, assigned to every member
         uniq, inverse = np.unique(g_grp, return_inverse=True)
         first_pos = np.zeros(len(uniq), dtype=np.int64)
         first_pos[inverse[::-1]] = g_pos[::-1]  # any member works
-        digests = np.array(
-            [
-                _hl.md5(concat[p : p + k].encode("utf-8")).hexdigest()
-                for p in first_pos
-            ]
-        )
+        # md5's first 120 bits as two int64s: fixed 16 bytes/row instead
+        # of a 32-char string — bounded Arrow buffers at x100 concurrency
+        dig = [
+            _hl.md5(concat[p : p + k].encode("utf-8")).hexdigest()
+            for p in first_pos
+        ]
+        g1 = np.array([int(h[:15], 16) for h in dig], dtype=np.int64)
+        g2 = np.array([int(h[15:30], 16) for h in dig], dtype=np.int64)
         d_ids = ids[doc_ix[g_pos]]
         p1 = in_doc[g_pos] + 1
         return pd.DataFrame(
             {
                 "doc_id": d_ids,
                 "p": p1,
-                "g": digests[inverse],
+                "g1": g1[inverse],
+                "g2": g2[inverse],
                 "pkey": d_ids * 4294967296 + p1,
             }
         )
@@ -2185,13 +2222,19 @@ def exact_substring_dedup_sa(
         F.pmod(F.col("doc_id"), F.lit(num_shards)).alias("__shard")
     ).applyInPandas(
         lambda _key, pdf: _shard_positions(pdf),
-        "doc_id long, p long, g string, pkey long",
+        "doc_id long, p long, g1 long, g2 long, pkey long",
     )
-    stats = positions.groupBy("g").agg(
+    stats = positions.groupBy("g1", "g2").agg(
         F.count(F.lit(1)).alias("n"), F.min("pkey").alias("first_key")
     )
+    # same corpus-sized-broadcast guard as the gram tier
     masked = (
-        positions.join(stats.filter(F.col("n") > 1).select("g", "first_key"), "g")
+        positions.join(
+            stats.filter(F.col("n") > 1)
+            .select("g1", "g2", "first_key")
+            .hint("shuffle_hash"),
+            ["g1", "g2"],
+        )
         .filter(F.col("pkey") != F.col("first_key"))
         .select("doc_id", "p")
     )

@@ -301,8 +301,15 @@ def warc_from_documents(
     # chunk assembly requires all of a chunk's docs in one partition:
     # repartition on the CHUNK key — floor(doc_id / k), NOT the float
     # division doc_id/k (which scattered same-chunk docs across
-    # partitions; round-8 advice fix). One bounded shuffle — the ingest
-    # direction reads whole .warc files per task, no shuffle at all.
+    # partitions; round-8 advice fix). Deliberately a BARE
+    # repartition(expr): AQE sizes the reduce side — at gate scale
+    # (~10 MB) it coalesces to one task, which MEASURES FASTER than a
+    # forced 64-way fan-out (round-9 A/B: forcing numPartitions made
+    # both the copy and organic runs ~25-50% slower — per-task Python
+    # worker overhead beats the loop savings at this size), while a
+    # 100 TB shuffle stays thousands of partitions under the same
+    # advisory byte target. One bounded shuffle — the ingest direction
+    # reads whole .warc files per task, no shuffle at all.
     return (
         docs.select("doc_id", text_col)
         .repartition(F.floor(F.col("doc_id") / F.lit(records_per_chunk)))
@@ -602,6 +609,8 @@ def warc_from_crawl_records(
             T.StructField("data", T.BinaryType(), False),
         ]
     )
+    # bare repartition(expr) on purpose — same AQE-sizing rationale as
+    # warc_from_documents (the measured A/B is in that function)
     return (
         rec.select("doc_id", "url", "html")
         .repartition(F.floor(F.col("doc_id") / F.lit(records_per_chunk)))

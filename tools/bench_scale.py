@@ -91,6 +91,16 @@ CATALOG_QUERIES = [
     "c11_star_lifecycle",      # 11-table star transform (round 8):
                                # broadcast-dim joins + map-side facts
                                # over keyed orders/lineitem replicas
+    "y77_exact_substring_dedup",  # ExactSubstr, depth-k gram tier:
+                               # posexplode positions + md5 digests +
+                               # hash-agg + per-doc splice (round 9)
+    "y78_exact_substring_sa",  # ExactSubstr, per-shard suffix-array
+                               # tier (truncated prefix doubling +
+                               # digest merge) — same output as y77
+    "y80_quality_classifier_apply",  # broadcast weight vector, one
+                               # map-side pass; training hoisted via
+                               # the per-sf memo (first discarded run
+                               # of the min-of-2 protocol absorbs it)
 ]
 
 # Entries measured only up to a size. (Round-4 capped y31 at x10 because
