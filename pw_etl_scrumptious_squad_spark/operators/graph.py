@@ -1,0 +1,200 @@
+"""Link-graph analysis: integer-exact PageRank over a derived edge list.
+
+A 100 TB web-curation pipeline ranks pages before it samples them
+(quality-weighted mixing, crawl frontier prioritization, spam demotion
+— the "authority" signal next to the content signals in
+operators/curation.py). The reference has no graph surface at all (its
+joins are two pandas merges, src/transform.py:113,131); this module is
+a scale extension in the family of operators/dedup.py's connected
+components: iterative graph algorithms expressed as DataFrame joins.
+
+Why integer arithmetic: PageRank is a fixpoint of floating-point sums,
+and float summation is order-dependent — a shuffle re-partitioning or
+an engine swap can flip the last ulp, which a value-hash oracle would
+flag as a wrong answer. Every quantity here is a BIGINT in units of
+1e-12 rank ("pico-rank"): contributions are floor-divisions of integer
+scores, per-node sums are exact BIGINT adds (order-free), and the
+damping mix is an integer multiply-then-floor-divide. The result is
+bit-identical across engines, partitionings, and iteration plans — the
+same nano-grid-quantization posture operators/similarity.py uses for
+IVF assignment ties.
+
+Semantics (classic damped PageRank, dangling mass redistributed
+uniformly, fixed iteration count so the oracle unrolls closed-form):
+
+    s_0(v)   = SCALE DIV N
+    inc_t(v) = SUM over edges u->v of  s_{t-1}(u) DIV outdeg(u)
+    dang_t   = SUM of s_{t-1}(u) over u with outdeg(u) = 0
+    s_t(v)   = ( (100-D) * (SCALE DIV N)
+                 + D * (inc_t(v) + dang_t DIV N) ) DIV 100
+
+with SCALE = 10^12 and D = 85 (the canonical 0.85 damping as an
+integer percentage). All divisions are floor divisions of non-negative
+BIGINTs, so Spark's ``DIV`` and DuckDB's ``//`` agree exactly.
+
+Scale posture: each iteration is one shuffle (the groupBy(dst) of edge
+contributions) plus two broadcast-sized 1-row aggregates (N, dangling
+mass). Scores and out-degrees live on the same key, so AQE reuses the
+exchange across the join chain; at cluster scale you pre-partition the
+edge list by src ONCE (it is iteration-invariant) and only the
+per-iteration score table moves. Lineage is truncated every iteration
+via checkpoint.materialize — without it the 8-iteration plan is a
+2^8-leaf join tree that stalls the optimizer long before it stalls the
+executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from pw_etl_scrumptious_squad_spark.checkpoint import materialize
+
+SCALE = 10**12
+DAMPING_PCT = 85
+
+
+def transition_edges(lineitem: DataFrame) -> DataFrame:
+    """Derive a directed part->part transition graph from order line
+    adjacency: an edge src->dst for every pair of CONSECUTIVE line
+    numbers within one order (the market-basket "bought then bought"
+    sequence), self-loops dropped, deduplicated. One self-equi-join on
+    the natural key — at scale both sides are the same bucketed table,
+    so the join is co-located (operators/bucketed.py)."""
+    a = lineitem.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_partkey").alias("src"),
+    )
+    b = lineitem.select(
+        F.col("l_orderkey").alias("ok"),
+        (F.col("l_linenumber") - F.lit(1)).alias("ln"),
+        F.col("l_partkey").alias("dst"),
+    )
+    return (
+        a.join(b, ["ok", "ln"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 8,
+    damping_pct: int = DAMPING_PCT,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Integer-exact damped PageRank over a directed edge list
+    (columns ``src``, ``dst``; caller dedupes). Returns
+    ``(node BIGINT, pico_rank BIGINT)`` — pico_rank is the score in
+    1e-12 units after ``iterations`` rounds; divide by 1e12 for the
+    conventional probability reading. Deterministic to the bit: every
+    step is BIGINT arithmetic (see module docstring)."""
+    edges = edges.select("src", "dst").transform(materialize)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .transform(materialize)
+    )
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("outdeg")
+    )
+    # N is a 1-row broadcast, not a collect: the driver never holds data
+    n_frame = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+
+    scores = nodes.crossJoin(broadcast(n_frame)).select(
+        "node", F.expr(f"CAST({scale} AS BIGINT) DIV n_nodes").alias("score")
+    )
+    # out-degree sits beside the score for the whole fold so the
+    # per-iteration contribution is a projection, not a join
+    scored = (
+        scores.join(outdeg, scores["node"] == outdeg["src"], "left")
+        .select("node", "score", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        .transform(materialize)
+    )
+
+    for _ in range(iterations):
+        contrib = (
+            scored.filter(F.col("outdeg") > 0)
+            .join(edges, scored["node"] == edges["src"])
+            .groupBy("dst")
+            .agg(
+                F.sum(F.expr("score DIV outdeg")).cast("bigint").alias("inc")
+            )
+        )
+        dang = scored.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("outdeg") == 0, F.col("score"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("dang")
+        )
+        scored = (
+            scored.join(contrib, scored["node"] == contrib["dst"], "left")
+            .crossJoin(broadcast(dang))
+            .crossJoin(broadcast(n_frame))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(({100 - damping_pct} * (CAST({scale} AS BIGINT)"
+                    f" DIV n_nodes) + {damping_pct} *"
+                    " (COALESCE(inc, CAST(0 AS BIGINT)) + dang DIV n_nodes))"
+                    " DIV 100 AS BIGINT)"
+                ).alias("score"),
+                "outdeg",
+            )
+            .transform(materialize)
+        )
+    return scored.select("node", F.col("score").alias("pico_rank"))
+
+
+def pagerank_oracle_sql(
+    iterations: int = 8,
+    damping_pct: int = DAMPING_PCT,
+    scale: int = SCALE,
+) -> str:
+    """The DuckDB twin of :func:`pagerank` over
+    :func:`transition_edges`, UNROLLED (fixed iteration count makes the
+    recursion a closed-form CTE chain — no recursive-CTE aggregation
+    semantics to depend on). Every arithmetic step mirrors the Spark
+    expression exactly: BIGINT floor division on non-negative values."""
+    head = (
+        "WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst"
+        " FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey"
+        " AND b.l_linenumber = a.l_linenumber + 1"
+        " WHERE a.l_partkey <> b.l_partkey),"
+        " nd AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),"
+        " nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nd),"
+        " od AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS outdeg"
+        " FROM e GROUP BY src),"
+        " s0 AS MATERIALIZED (SELECT nd.node,"
+        f" CAST({scale} AS BIGINT) // nn.n_nodes AS score,"
+        " COALESCE(od.outdeg, CAST(0 AS BIGINT)) AS outdeg"
+        " FROM nd CROSS JOIN nn LEFT JOIN od ON nd.node = od.src)"
+    )
+    steps = []
+    for t in range(1, iterations + 1):
+        p = f"s{t - 1}"
+        steps.append(
+            f", i{t} AS MATERIALIZED (SELECT e.dst, CAST(SUM({p}.score // {p}.outdeg)"
+            f" AS BIGINT) AS inc FROM {p} JOIN e ON {p}.node = e.src"
+            f" WHERE {p}.outdeg > 0 GROUP BY e.dst)"
+            f", d{t} AS MATERIALIZED (SELECT CAST(COALESCE(SUM(CASE WHEN outdeg = 0"
+            f" THEN score END), 0) AS BIGINT) AS dang FROM {p})"
+            f", s{t} AS MATERIALIZED (SELECT {p}.node,"
+            f" CAST(({100 - damping_pct} * (CAST({scale} AS BIGINT)"
+            f" // nn.n_nodes) + {damping_pct} * (COALESCE(i{t}.inc,"
+            f" CAST(0 AS BIGINT)) + d{t}.dang // nn.n_nodes)) // 100"
+            f" AS BIGINT) AS score, {p}.outdeg"
+            f" FROM {p} CROSS JOIN nn CROSS JOIN d{t}"
+            f" LEFT JOIN i{t} ON {p}.node = i{t}.dst)"
+        )
+    return (
+        head
+        + "".join(steps)
+        + f" SELECT node, score AS pico_rank FROM s{iterations}"
+        " ORDER BY node"
+    )

@@ -1359,3 +1359,89 @@ def script_profile(
         ],
         F.expr("min_by(script, struct(-c, script))").alias("dominant_script"),
     )
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    denom: int = 2000,
+    capacity: int = 4096,
+) -> DataFrame:
+    """EXACT corpus-wide heavy hitters (tokens with frequency >=
+    ceil(total_tokens / ``denom``)) without ever shuffling the full
+    term universe — the two-phase sketch-then-recount pattern that
+    replaces a naive global ``groupBy(token)`` at 100 TB.
+
+    Phase 1 streams each partition's tokens through a Misra-Gries
+    summary of ``capacity`` counters (one pass, O(capacity) memory,
+    Arrow-batched via mapInPandas — the iterator form keeps ONE summary
+    per partition across all of its record batches). A token absent
+    from a partition's summary has local frequency <= n_p/(capacity+1),
+    so a token absent from EVERY summary has global frequency <=
+    total/(capacity+1) < ceil(total/denom) whenever capacity + 1 >
+    denom — the candidate union provably contains every true heavy
+    hitter (the sketch can only over-admit, never miss). Phase 2
+    recounts ONLY the candidates exactly: the candidate set is at most
+    n_partitions * capacity rows, broadcast into a map-side semi-join,
+    so the one real shuffle aggregates a pre-filtered token stream.
+    Deterministic by construction: the sketch decides WHAT to recount,
+    never a reported count, so partitioning cannot change the answer.
+
+    Returns ``(token, n_occurrences BIGINT)`` for tokens meeting the
+    threshold, plus the threshold embedded nowhere — callers needing it
+    recompute ceil(total/denom) as the oracle does. Tokenization is the
+    module's single-space split with empty tokens dropped (matching
+    ``string_split(text, ' ') ... <> ''`` in DuckDB oracles)."""
+    if capacity + 1 <= denom:
+        raise ValueError(
+            f"capacity {capacity} must exceed denom {denom} for exactness"
+        )
+    import pandas as pd
+
+    spark = df.sparkSession
+    narrow = _spread_narrow_input(df.select(F.col(text_col).alias("t")))
+
+    def _mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["t"]:
+                if text is None:
+                    continue
+                for tok in text.split(" "):
+                    if not tok:
+                        continue
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < capacity:
+                        counters[tok] = 1
+                    else:
+                        # decrement-all step: kill zeroed counters
+                        dead = []
+                        for k in counters:
+                            counters[k] -= 1
+                            if counters[k] == 0:
+                                dead.append(k)
+                        for k in dead:
+                            del counters[k]
+        if counters:
+            yield pd.DataFrame({"token": sorted(counters)})
+
+    candidates = narrow.mapInPandas(_mg, "token STRING").distinct()
+
+    toks = narrow.select(F.explode(F.split("t", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    total = toks.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    counted = (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_occurrences")
+            >= F.expr(f"(total + {denom - 1}) DIV {denom}")
+        )
+        .select("token", "n_occurrences")
+    )

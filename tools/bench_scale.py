@@ -101,6 +101,23 @@ CATALOG_QUERIES = [
                                # map-side pass; training hoisted via
                                # the per-sf memo (first discarded run
                                # of the min-of-2 protocol absorbs it)
+    "y81_part_pagerank",       # 8 integer PageRank iterations: one
+                               # contribution shuffle per round over
+                               # the part transition graph (round 9);
+                               # per-copy key offsets keep components
+                               # disconnected, so growth is linear in
+                               # edges — the honest iterative shape
+    "y82_heavy_hitters",       # two-phase Misra-Gries + recount; the
+                               # full term universe is never shuffled
+    "y83_zorder_skipping",     # manifest-skipped 2-D box query; the
+                               # one-time layout write is the per-sf
+                               # memoized hoist (first discarded run
+                               # absorbs it), the timed query reads
+                               # the pruned file subset only
+    "y84_entity_resolution",   # distinct-name table is vocab-bounded:
+                               # mentions grow 100x, the blocked
+                               # pair/CC core stays constant — the
+                               # curve should be FLAT past the scan
 ]
 
 # Entries measured only up to a size. (Round-4 capped y31 at x10 because
