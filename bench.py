@@ -145,6 +145,8 @@ HEADLINE = [
     # its fit is hoisted + timed separately as qc_train_seconds and the
     # recurring map-side APPLY is the headline entry
     "y80_quality_classifier_apply",
+    "y85_exact_quantiles",
+    "y86_table_profile",
 ]
 
 

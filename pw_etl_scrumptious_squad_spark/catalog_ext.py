@@ -6498,6 +6498,89 @@ def y84(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+from pw_etl_scrumptious_squad_spark.operators import stats as statsops  # noqa: E402
+
+
+@register(
+    "y85_exact_quantiles",
+    "WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v"
+    " FROM lineitem WHERE l_extendedprice IS NOT NULL),"
+    " n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),"
+    " r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c)"
+    " SELECT 'p50' AS quantile, (SELECT MIN(v) FROM r WHERE rn >="
+    " (SELECT (n - 1) * 50 // 100 + 1 FROM n)) AS value"
+    " UNION ALL SELECT 'p90', (SELECT MIN(v) FROM r WHERE rn >="
+    " (SELECT (n - 1) * 90 // 100 + 1 FROM n))"
+    " UNION ALL SELECT 'p99', (SELECT MIN(v) FROM r WHERE rn >="
+    " (SELECT (n - 1) * 99 // 100 + 1 FROM n))"
+    " ORDER BY quantile",
+    "EXACT percentiles WITHOUT A SORT (p50/p90/p99 of the order-line"
+    " price in integer cents): iterative histogram refinement — each"
+    " pass is one map-side-combined bucket count (128 rows of driver"
+    " metadata, never data), the driver narrows the range and adjusts"
+    " the rank, ~5 passes replace the full shuffle a sort/row_number"
+    " plan pays at 100 TB (operators/stats.py::exact_quantiles). Rank"
+    " semantics pinned as k = (n-1)*p DIV 100 + 1, a value FROM the"
+    " data — no interpolation to diverge on; the oracle IS the"
+    " row_number plan the refinement replaces, so equality proves the"
+    " rank walk. y-prefix: past the gate window by design; the c18 twin"
+    " pulls it into the driver's window",
+)
+def y85(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        statsops.exact_quantiles(
+            li, F.round(F.col("l_extendedprice") * 100)
+        )
+        .repartition(1)
+        .sortWithinPartitions("quantile")
+    )
+
+
+_Y86_COLS = ["o_custkey", "o_orderpriority", "o_orderstatus", "o_totalprice"]
+
+
+@register(
+    "y86_table_profile",
+    " UNION ALL ".join(
+        (
+            f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,"
+            f" CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,"
+            f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            + (
+                f" CAST(MIN({c}) AS DOUBLE) AS min_num,"
+                f" CAST(MAX({c}) AS DOUBLE) AS max_num,"
+                " CAST(NULL AS VARCHAR) AS min_str,"
+                " CAST(NULL AS VARCHAR) AS max_str"
+                if c in ("o_custkey", "o_totalprice")
+                else " CAST(NULL AS DOUBLE) AS min_num,"
+                " CAST(NULL AS DOUBLE) AS max_num,"
+                f" MIN(CAST({c} AS VARCHAR)) AS min_str,"
+                f" MAX(CAST({c} AS VARCHAR)) AS max_str"
+            )
+            + " FROM orders"
+        )
+        for c in _Y86_COLS
+    )
+    + " ORDER BY column_name",
+    "one-pass ANALYZE-style table profile (orders): per-column row /"
+    " null / EXACT-distinct counts plus typed min/max — numeric columns"
+    " carry DOUBLE bounds (exact selection, bit-stable), string columns"
+    " the ASCII bounds. One aggregation pass; exact multi-column"
+    " distinct plans through Expand (one input replica per distinct"
+    " agg) — the honest exact cost, with y61's HLL sketch as the"
+    " documented 100 TB swap (operators/stats.py::profile_table)."
+    " y-prefix: past the gate window by design; the c19 twin pulls it"
+    " into the driver's window",
+)
+def y86(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        statsops.profile_table(_t(spark, sf, "orders"), _Y86_COLS)
+        .repartition(1)
+        .sortWithinPartitions("column_name")
+    )
+
+
 from pw_etl_scrumptious_squad_spark.catalog import register_twin  # noqa: E402
 
 _WINDOW_TWINS = {
@@ -6534,6 +6617,11 @@ _WINDOW_TWINS = {
     "c15_heavy_hitters": "y82_heavy_hitters",
     "c16_zorder_skipping": "y83_zorder_skipping",
     "c17_entity_resolution": "y84_entity_resolution",
+    # second round-9-continuation batch (evicts r05_watermark_max /
+    # r06_cdc_filter — driver-certified since round 1, same standing
+    # coverage as every prior evictee)
+    "c18_exact_quantiles": "y85_exact_quantiles",
+    "c19_table_profile": "y86_table_profile",
 }
 
 for _twin, _src in _WINDOW_TWINS.items():

@@ -1,0 +1,164 @@
+"""Table statistics at scale: exact quantiles without a sort, and a
+one-pass column profiler.
+
+Exact percentiles are the canonical "you cannot afford the obvious
+plan" statistic: the textbook answer is a global sort (or a
+row_number window), which at 100 TB is a full shuffle of every byte
+just to read back three rows. :func:`exact_quantiles` replaces it with
+iterative histogram refinement — a constant number of MAP-SIDE
+partial-aggregation passes:
+
+1. The value range [lo, hi] splits into ``branch`` equal buckets; one
+   pass counts each bucket (a groupBy on a computed bucket id —
+   map-side combine makes the shuffle ``branch`` rows per partition).
+2. The driver walks the ``branch``-row histogram (bounded metadata,
+   never data) to find the bucket containing the target rank, narrows
+   [lo, hi] to it, and adjusts the rank by the mass below.
+3. Repeat until the range is small, then one exact value-count pass
+   picks the k-th smallest directly.
+
+Passes = ceil(log_branch(range)) ≈ 5-6 for 40-bit integer domains with
+branch=128 — each touching the (cached) value column only. Rank
+semantics are pinned integer arithmetic: the p-th percentile is the
+k-th smallest with k = (n-1)*p DIV 100 + 1 (1-indexed), so the result
+is a VALUE FROM THE DATA, bit-exact, no interpolation to diverge on.
+
+The reference has no statistics surface at all (its pandas frames are
+48 rows, src/transform.py); this is infrastructure for the curation
+operators (perplexity terciles, length cutoffs, mixture planning) that
+currently derive cutoffs from window functions — the refinement form
+is what survives when the column stops fitting in a shuffle.
+
+:func:`profile_table` is the ANALYZE-TABLE companion: one aggregation
+pass emits per-column row/null/exact-distinct counts plus typed
+min/max. Exact multi-column distinct plans through Spark's Expand (one
+replica of the input per distinct aggregate) — the honest exact cost;
+at 100 TB swap exact distinct for the HLL sketch (y61's
+approx_count_distinct) column by column.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pw_etl_scrumptious_squad_spark.checkpoint import materialize
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value: Column | str,
+    percentiles: Sequence[int] = (50, 90, 99),
+    branch: int = 128,
+    max_passes: int = 64,
+) -> DataFrame:
+    """Exact percentiles of a BIGINT-valued expression by iterative
+    histogram refinement (see module docstring). Returns a small frame
+    ``(quantile STRING, value BIGINT)`` with one row per requested
+    percentile (``'p50'`` etc.), built from driver-side literals the
+    refinement produced — the histogram collects are ``branch`` rows
+    per pass, never data rows. NULLs are excluded; an all-NULL/empty
+    input yields NULL values."""
+    spark = df.sparkSession
+    v = F.col(value) if isinstance(value, str) else value
+    vals = (
+        df.select(v.cast("bigint").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .transform(materialize)
+    )
+    n = vals.count()
+    out = []
+    if n == 0:
+        return spark.createDataFrame(
+            [(f"p{p}", None) for p in percentiles],
+            "quantile STRING, value BIGINT",
+        )
+    b = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
+    for p in percentiles:
+        k = (n - 1) * p // 100 + 1  # 1-indexed k-th smallest
+        lo, hi = int(b["lo"]), int(b["hi"])
+        for _ in range(max_passes):
+            if hi - lo <= branch:
+                break
+            width = (hi - lo) // branch + 1
+            hist = (
+                vals.filter(F.col("v").between(lo, hi))
+                .groupBy(
+                    ((F.col("v") - F.lit(lo)) / F.lit(width))
+                    .cast("bigint")
+                    .alias("b")
+                )
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            cum = 0
+            for bid, c in sorted((int(r["b"]), int(r["c"])) for r in hist):
+                if cum + c >= k:
+                    lo, hi = lo + bid * width, min(hi, lo + (bid + 1) * width - 1)
+                    k -= cum
+                    break
+                cum += c
+            else:  # pragma: no cover - rank beyond range is impossible
+                raise AssertionError("rank walked past the histogram")
+        # exact finish: value counts over the narrowed range
+        tail = sorted(
+            (int(r["v"]), int(r["c"]))
+            for r in vals.filter(F.col("v").between(lo, hi))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        cum = 0
+        got = None
+        for val, c in tail:
+            if cum + c >= k:
+                got = val
+                break
+            cum += c
+        assert got is not None, "rank not found in final range"
+        out.append((f"p{p}", got))
+    return spark.createDataFrame(out, "quantile STRING, value BIGINT")
+
+
+def profile_table(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """One-pass ANALYZE-style profile: for each named column emit
+    ``(column_name, n_rows, n_nulls, n_distinct, min_num, max_num,
+    min_str, max_str)``. Numeric columns carry typed DOUBLE min/max (exact
+    selection, bit-stable — never a sum); everything else carries the
+    string form (dates/strings order identically as ISO/ASCII text).
+    Exact distinct counts; see module docstring for the 100 TB swap."""
+    num_types = {"int", "bigint", "smallint", "tinyint", "double", "float"}
+    kinds = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for c in columns:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__nulls_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("bigint").alias(f"__nd_{c}"))
+        if kinds[c] in num_types or kinds[c].startswith("decimal"):
+            aggs.append(F.min(c).cast("double").alias(f"__mn_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"__mx_{c}"))
+        else:
+            aggs.append(F.min(F.col(c).cast("string")).alias(f"__mn_{c}"))
+            aggs.append(F.max(F.col(c).cast("string")).alias(f"__mx_{c}"))
+    wide = df.agg(*aggs)
+    rows = []
+    for c in columns:
+        numeric = kinds[c] in num_types or kinds[c].startswith("decimal")
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                (F.col(f"__mn_{c}") if numeric else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"__mx_{c}") if numeric else F.lit(None).cast("double")).alias("max_num"),
+                (F.lit(None).cast("string") if numeric else F.col(f"__mn_{c}")).alias("min_str"),
+                (F.lit(None).cast("string") if numeric else F.col(f"__mx_{c}")).alias("max_str"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")

@@ -125,7 +125,7 @@ DRIVER_WINDOW = [
     "c09_curation_pipeline", "c10_bloom_semi_join", "c11_star_lifecycle",
     "c12_bucketed_join", "c13_warehouse_snapshots",
     "c14_part_pagerank", "c15_heavy_hitters", "c16_zorder_skipping",
-    "c17_entity_resolution",
+    "c17_entity_resolution", "c18_exact_quantiles", "c19_table_profile",
     "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_signatures",
     "d04_simhash", "d05_minhash_lsh_pairs", "d06_embedding_neardup",
     "d07_simhash_neardup", "m01_media_features", "m02_video_frames",
@@ -136,8 +136,7 @@ DRIVER_WINDOW = [
     "q13_string_funcs", "q14_math_funcs", "q15_shipping_priority",
     "q16_local_supplier_volume", "q18_lead_lag", "q20_pivot",
     "r01_projection_rename", "r02_equi_join_dim",
-    "r03_equi_join_shared_key", "r04_sort", "r05_watermark_max",
-    "r06_cdc_filter",
+    "r03_equi_join_shared_key", "r04_sort",
 ]
 
 

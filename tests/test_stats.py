@@ -1,0 +1,100 @@
+"""Exact-quantile refinement and the one-pass profiler
+(operators/stats.py): brute-force twins over adversarial value
+distributions (duplicates, negatives, huge ranges, single value), the
+pinned rank semantics, and profiler null/distinct/min-max accounting."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from pw_etl_scrumptious_squad_spark.operators.stats import (
+    exact_quantiles,
+    profile_table,
+)
+
+
+def _brute(vals, p):
+    s = sorted(vals)
+    k = (len(s) - 1) * p // 100 + 1
+    return s[k - 1]
+
+
+def _check(spark, vals, ps=(50, 90, 99), branch=16):
+    df = spark.createDataFrame([(v,) for v in vals], "v BIGINT")
+    got = {
+        r["quantile"]: r["value"]
+        for r in exact_quantiles(df, "v", ps, branch=branch).collect()
+    }
+    assert got == {f"p{p}": _brute(vals, p) for p in ps}, (got, vals[:10])
+
+
+def test_quantiles_random_with_duplicates(spark):
+    rng = random.Random(42)
+    vals = [rng.randrange(0, 1000) for _ in range(997)]
+    _check(spark, vals)
+
+
+def test_quantiles_huge_range_and_negatives(spark):
+    rng = random.Random(7)
+    vals = [rng.randrange(-(10**12), 10**12) for _ in range(500)]
+    _check(spark, vals, branch=128)
+
+
+def test_quantiles_all_equal_and_single(spark):
+    _check(spark, [5] * 100)
+    _check(spark, [-3])
+
+
+def test_quantiles_skewed_mass_in_one_bucket(spark):
+    # 99% of the mass at one value forces the walk to narrow INTO a
+    # duplicate-heavy bucket and finish by value counts
+    vals = [1000000] * 990 + list(range(10))
+    _check(spark, vals)
+
+
+def test_quantiles_empty_yields_nulls(spark):
+    df = spark.createDataFrame([], "v BIGINT")
+    rows = exact_quantiles(df, "v").collect()
+    assert [r["value"] for r in rows] == [None, None, None]
+
+
+def test_quantiles_partitioning_invariance(spark):
+    vals = list(range(0, 5000, 3)) * 2
+    a = exact_quantiles(
+        spark.createDataFrame([(v,) for v in vals], "v BIGINT").repartition(1),
+        "v",
+    ).collect()
+    b = exact_quantiles(
+        spark.createDataFrame([(v,) for v in vals], "v BIGINT").repartition(29),
+        "v",
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_profile_counts_nulls_distinct_and_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, None, -1.0), (2, "b", None), (None, "a", 9.0)],
+        "k BIGINT, s STRING, x DOUBLE",
+    )
+    got = {r["column_name"]: r for r in profile_table(df, ["k", "s", "x"]).collect()}
+    assert got["k"]["n_rows"] == 4 and got["k"]["n_nulls"] == 1
+    assert got["k"]["n_distinct"] == 2
+    assert got["k"]["min_num"] == 1.0 and got["k"]["max_num"] == 2.0
+    assert got["k"]["min_str"] is None
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["min_str"] == "a" and got["s"]["max_str"] == "b"
+    assert got["s"]["min_num"] is None
+    assert got["x"]["min_num"] == -1.0 and got["x"]["max_num"] == 9.0
+
+
+def test_profile_is_one_aggregation_pass(spark):
+    df = spark.createDataFrame([(1, "a")], "k BIGINT, s STRING")
+    plan = (
+        profile_table(df, ["k", "s"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exact multi-distinct goes through Expand — but there must be no
+    # join or union of per-column subplans (the one-pass claim)
+    assert "Join" not in plan and "Union" not in plan

@@ -118,6 +118,11 @@ CATALOG_QUERIES = [
                                # mentions grow 100x, the blocked
                                # pair/CC core stays constant — the
                                # curve should be FLAT past the scan
+    "y85_exact_quantiles",     # ~5 histogram passes per percentile
+                               # over the cached cents column — the
+                               # no-sort exact-percentile path; growth
+                               # tracks the scan, passes stay constant
+    "y86_table_profile",       # one Expand-widened aggregation pass
 ]
 
 # Entries measured only up to a size. (Round-4 capped y31 at x10 because
