@@ -6269,8 +6269,7 @@ def _y80_oracle(sf: str) -> str:
         " m AS (SELECT f.doc_id, SUM(f.c * w.wq) AS mq"
         " FROM feat f JOIN w ON f.bkt = w.bkt GROUP BY 1)"
         " SELECT d.doc_id,"
-        " ROUND(CAST(coalesce(m.mq, 0) AS DOUBLE) / 1000000000000.0, 9)"
-        " AS margin,"
+        " CAST(coalesce(m.mq, 0) AS BIGINT) AS margin_pq,"
         " coalesce(m.mq, 0) > 0 AS keep"
         " FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id"
         " ORDER BY d.doc_id"

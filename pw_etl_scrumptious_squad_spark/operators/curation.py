@@ -1807,8 +1807,13 @@ def quality_classifier_apply(
     (n_buckets-bounded) broadcasts into the join, and the margin is an
     exact fixed-point sum, so keep/drop decisions can never flip across
     engines or partitionings. Returns
-    ``(doc_id, margin DOUBLE(9dp), keep BOOLEAN)``;
-    ``keep = margin > 0`` decided on the exact integer margin."""
+    ``(doc_id, margin_pq BIGINT, keep BOOLEAN)`` — margin_pq is the
+    EXACT margin in 1e-12 units (divide for the real-valued reading;
+    the first cut emitted round(mq/1e12, 9) as a DOUBLE and the sf1
+    organic sweep caught a real tie: mq tails of ...0500 round
+    differently between Spark's decimal-string HALF_UP and DuckDB's
+    binary-double rounding — the exact integer has nothing to tie);
+    ``keep = margin_pq > 0``."""
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     feats = hashed_feature_counts(d, "doc_id", "text", n_buckets)
     mq = (
@@ -1825,8 +1830,6 @@ def quality_classifier_apply(
     )
     return d.join(mq, "doc_id", "left").select(
         "doc_id",
-        F.round(
-            F.coalesce(F.col("mq"), F.lit(0)).cast("double") / _QC_SCALE, 9
-        ).alias("margin"),
+        F.coalesce(F.col("mq"), F.lit(0)).cast("bigint").alias("margin_pq"),
         (F.coalesce(F.col("mq"), F.lit(0)) > 0).alias("keep"),
     )

@@ -803,7 +803,7 @@ def test_quality_classifier_train_matches_python_twin(spark):
     # the classifier actually separates the seed sets: every positive
     # doc scores a strictly higher margin than every negative doc
     scored = {
-        r["doc_id"]: (r["margin"], r["keep"])
+        r["doc_id"]: (r["margin_pq"], r["keep"])
         for r in curation.quality_classifier_apply(
             df,
             spark.createDataFrame(sorted(got.items()), "bkt BIGINT, wq BIGINT"),
@@ -845,4 +845,4 @@ def test_quality_classifier_degenerate_inputs(spark):
         w1.filter(F.col("bkt") != -1),  # drop intercept: no shared buckets
         n_buckets=16,
     ).collect()[0]
-    assert out["margin"] == 0.0 and out["keep"] is False
+    assert out["margin_pq"] == 0 and out["keep"] is False

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import traceback
 from datetime import date, datetime
@@ -69,9 +70,12 @@ def main():
     spark = get_spark(app_name="check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver testdata ships single-file tables; Spark-written sets
+        # (the organic sf1 dir) are DIRECTORIES of part files
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql(sf_dir)
