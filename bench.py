@@ -145,6 +145,12 @@ HEADLINE = [
     # its fit is hoisted + timed separately as qc_train_seconds and the
     # recurring map-side APPLY is the headline entry
     "y80_quality_classifier_apply",
+    "y81_part_pagerank",
+    "y82_heavy_hitters",
+    # y83's one-time layout write is a per-process memoized hoist; the
+    # min-of-N protocol reports the recurring manifest-skipped read
+    "y83_zorder_skipping",
+    "y84_entity_resolution",
     "y85_exact_quantiles",
     "y86_table_profile",
 ]

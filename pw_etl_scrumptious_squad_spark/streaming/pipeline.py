@@ -759,3 +759,145 @@ def streaming_cardinality_monitor(
     return regs.select(
         F.col("win.start").alias("hour_start"), "__bucket", "__r"
     )
+
+
+def streaming_heavy_hitters(
+    texts_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    capacity: int = 4096,
+    text_col: str = "text",
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Streaming heavy hitters with BOUNDED state: maintain a mergeable
+    Misra-Gries summary of at most ``capacity`` token counters across
+    micro-batches — the streaming half of
+    ``text.heavy_hitters_exact``'s sketch-then-recount design, with the
+    same one-sided guarantee.
+
+    Per trigger (all JVM built-ins, one bounded-store rewrite):
+
+    1. Exact batch token counts (explode + map-side-combined groupBy).
+    2. Merge with the persisted summary (union + sum — the summary is
+       <= capacity rows, the batch vocabulary is batch-bounded).
+    3. If the merge exceeds ``capacity``: subtract the (capacity+1)-th
+       largest merged count from EVERY counter and drop the non-positive
+       rest — the mergeable-summaries trim (Agarwal et al.), which
+       preserves the invariant that any token's true delivered count
+       exceeds its counter by at most the cumulative trimmed amount D,
+       and D <= total/(capacity+1). The trim value is a count (not a
+       token pick), so ties cannot make the store partition-dependent.
+    4. Publish: the summary and a 1-row meta table (cumulative token
+       total, cumulative D) each write a versioned snapshot, one
+       warehouse marker CAS-pins the pair — readers never see a total
+       from one batch against counters from another, a crashed batch
+       publishes nothing, and a replayed batch recommits identically
+       (delta-vs-marker idempotence, the CC store convention).
+
+    Guarantee read back by :func:`read_heavy_hitters`: every token with
+    true frequency >= ceil(total/denom) is IN the summary whenever
+    capacity + 1 > denom (the sketch over-admits, never misses);
+    counters are exact lower bounds and counter+D exact upper bounds.
+    Final-state parity vs the batch operator is pinned in
+    tests/test_streaming.py (recounting the summary's candidates over
+    the full delivered corpus reproduces heavy_hitters_exact)."""
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as W
+    from pw_etl_scrumptious_squad_spark.sources.parquet import (
+        snapshot_read,
+        write_table_snapshot,
+    )
+
+    spark = texts_stream.sparkSession
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        toks = (
+            batch.select(F.explode(F.split(text_col, " ")).alias("token"))
+            .filter(F.col("token") != "")
+        )
+        counts = toks.groupBy("token").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        ).transform(materialize)
+        row = counts.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("t")
+        ).first()
+        batch_total = int(row["t"])
+        if batch_total == 0:
+            return
+        if W.warehouse_version(store_dir, spark) > 0:
+            pinned = W.warehouse_snapshot_tables(store_dir, None, spark)
+            prior = snapshot_read(
+                spark, store_dir, "mg", version=pinned["mg"]
+            )
+            meta = snapshot_read(
+                spark, store_dir, "meta", version=pinned["meta"]
+            ).first()
+            total, dec = int(meta["total"]) + batch_total, int(meta["dec"])
+            merged = (
+                prior.unionByName(counts)
+                .groupBy("token")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+                .transform(materialize)
+            )
+        else:
+            total, dec = batch_total, 0
+            merged = counts
+        n = merged.count()
+        if n > capacity:
+            # the (capacity+1)-th largest count — a 1-row driver read
+            # over the bounded (summary + batch-vocab) table
+            v = int(
+                merged.orderBy(F.col("cnt").desc(), "token")
+                .offset(capacity)
+                .limit(1)
+                .first()["cnt"]
+            )
+            merged = merged.withColumn(
+                "cnt", (F.col("cnt") - F.lit(v)).cast("bigint")
+            ).filter(F.col("cnt") > 0)
+            dec += v
+        mv = write_table_snapshot(merged, store_dir, "mg")
+        meta_df = spark.createDataFrame(
+            [(total, dec)], "total BIGINT, dec BIGINT"
+        )
+        tv = write_table_snapshot(meta_df, store_dir, "meta")
+        W.commit_warehouse_snapshot(store_dir, {"mg": mv, "meta": tv}, spark)
+
+    return run_foreach_batch(
+        texts_stream, checkpoint_dir, batch_fn, processing_time=processing_time
+    )
+
+
+def read_heavy_hitters(
+    spark: SparkSession,
+    store_dir: str,
+    denom: int = 2000,
+    snapshot: int | None = None,
+) -> DataFrame:
+    """Read the streaming MG store as of a warehouse snapshot: rows
+    ``(token, cnt_min, cnt_max, threshold, guaranteed)`` for every
+    summary token whose upper bound reaches the ceil(total/denom)
+    threshold — the candidate set (provably a superset of the true
+    heavy hitters when the store's capacity + 1 > denom); ``guaranteed``
+    marks tokens whose LOWER bound already clears it. Exact counts, if
+    needed, come from one recount pass over the corpus — the y82
+    two-phase contract."""
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as W
+    from pw_etl_scrumptious_squad_spark.sources.parquet import snapshot_read
+
+    pinned = W.warehouse_snapshot_tables(store_dir, snapshot, spark)
+    mg = snapshot_read(spark, store_dir, "mg", version=pinned["mg"])
+    meta = snapshot_read(
+        spark, store_dir, "meta", version=pinned["meta"]
+    ).first()
+    total, dec = int(meta["total"]), int(meta["dec"])
+    thr = (total + denom - 1) // denom
+    return (
+        mg.select(
+            "token",
+            F.col("cnt").alias("cnt_min"),
+            (F.col("cnt") + F.lit(dec)).cast("bigint").alias("cnt_max"),
+            F.lit(thr).cast("bigint").alias("threshold"),
+            (F.col("cnt") >= F.lit(thr)).alias("guaranteed"),
+        )
+        .filter(F.col("cnt_max") >= F.lit(thr))
+    )

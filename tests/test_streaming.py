@@ -750,3 +750,108 @@ def test_streaming_incremental_cc_retention_bounds_store(spark, tmp_path):
         mdir = os.path.join(labels_dir, f"labels_p{i}.manifest")
         data_dirs = [n for n in os.listdir(mdir) if n.endswith(".data")]
         assert len(data_dirs) <= 2, (i, data_dirs)
+
+
+HH_BATCHES = [
+    # batch 0: "hot" dominates, assorted rare tokens
+    [(i, "hot hot hot rare%d filler%d" % (i % 7, i)) for i in range(40)],
+    # batch 1: a SECOND hitter emerges ("warm"), more noise
+    [(100 + i, "warm warm hot noise%d" % (i % 23)) for i in range(40)],
+    # batch 2: pure noise — trims must not evict the real hitters
+    [(200 + i, "junk%d junk%d blah%d" % (i, (i * 3) % 31, i % 17))
+     for i in range(40)],
+    # batch 3: reinforce both hitters
+    [(300 + i, "hot warm") for i in range(30)],
+]
+
+
+def _write_hh_batches(spark, src):
+    src.mkdir()
+    for i, rows in enumerate(HH_BATCHES):
+        spark.createDataFrame(rows, "doc_id LONG, text STRING").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"arrival={i}.parquet"))
+    return (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/arrival=*.parquet")
+    )
+
+
+def test_streaming_heavy_hitters_bounded_state_and_batch_parity(
+    spark, tmp_path
+):
+    """Four text micro-batches fold into a capacity-16 mergeable
+    Misra-Gries store (trims forced: each batch's vocabulary alone
+    exceeds capacity). Pins: state stays bounded, the true heavy
+    hitters are never evicted (candidate superset guarantee), every
+    'guaranteed' row really is a heavy hitter, and recounting the
+    candidates over the full delivered corpus reproduces the BATCH
+    operator exactly — the streaming half of the y82 two-phase
+    contract."""
+    from pw_etl_scrumptious_squad_spark.operators.text import (
+        heavy_hitters_exact,
+    )
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as W
+    from pw_etl_scrumptious_squad_spark.sources.parquet import snapshot_read
+
+    stream = _write_hh_batches(spark, tmp_path / "texts")
+    store = str(tmp_path / "hhstore")
+    q = sp.streaming_heavy_hitters(
+        stream, store, str(tmp_path / "ckpt"), capacity=16
+    )
+    q.awaitTermination(180)
+
+    # one committed snapshot per non-empty batch; bounded summary
+    assert W.warehouse_version(store, spark) == len(HH_BATCHES)
+    pinned = W.warehouse_snapshot_tables(store, None, spark)
+    assert snapshot_read(spark, store, "mg", version=pinned["mg"]).count() <= 16
+
+    denom = 10  # capacity + 1 = 17 > denom -> superset guarantee holds
+    hh = sp.read_heavy_hitters(spark, store, denom=denom)
+    rows = {r["token"]: r for r in hh.collect()}
+
+    full = spark.createDataFrame(
+        [r for b in HH_BATCHES for r in b], "doc_id LONG, text STRING"
+    )
+    want = {
+        r["token"]: r["n_occurrences"]
+        for r in heavy_hitters_exact(full, denom=denom, capacity=64).collect()
+    }
+    assert want, "fixture must produce real heavy hitters"
+    # superset: every true heavy hitter is a candidate, bounds bracket it
+    for tok, n in want.items():
+        assert tok in rows, (tok, rows.keys())
+        assert rows[tok]["cnt_min"] <= n <= rows[tok]["cnt_max"]
+    # soundness: 'guaranteed' rows are true heavy hitters
+    for tok, r in rows.items():
+        if r["guaranteed"]:
+            assert tok in want
+    # the two-phase contract: exact recount of the candidate set over
+    # the delivered corpus == the batch operator's answer
+    from pyspark.sql import functions as F
+
+    cands = hh.select("token")
+    toks = full.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    thr = rows[next(iter(rows))]["threshold"]
+    recount = {
+        r["token"]: r["n"]
+        for r in toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= thr)
+        .collect()
+    }
+    assert recount == want
+
+    # time travel: the snapshot after batch 0 knows only batch 0's total
+    b0_total = sum(
+        len([t for t in txt.split(" ") if t]) for _, txt in HH_BATCHES[0]
+    )
+    meta0 = snapshot_read(
+        spark, store, "meta",
+        version=W.warehouse_snapshot_tables(store, 1, spark)["meta"],
+    ).first()
+    assert int(meta0["total"]) == b0_total
