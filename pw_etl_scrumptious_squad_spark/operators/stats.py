@@ -122,13 +122,19 @@ def exact_quantiles(
     return spark.createDataFrame(out, "quantile STRING, value BIGINT")
 
 
-def profile_table(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+def profile_table(
+    df: DataFrame, columns: Sequence[str], exact_distinct: bool = True
+) -> DataFrame:
     """One-pass ANALYZE-style profile: for each named column emit
     ``(column_name, n_rows, n_nulls, n_distinct, min_num, max_num,
     min_str, max_str)``. Numeric columns carry typed DOUBLE min/max (exact
     selection, bit-stable — never a sum); everything else carries the
     string form (dates/strings order identically as ISO/ASCII text).
-    Exact distinct counts; see module docstring for the 100 TB swap."""
+    ``exact_distinct=False`` is the documented 100 TB swap: per-column
+    HLL sketches (``approx_count_distinct``) remove the Expand replica
+    per distinct aggregate — ONE pass with no input blow-up, ~2%
+    relative error, the right profile tier for a first look at a
+    petabyte table (the exact tier stays the oracle-checked default)."""
     num_types = {"int", "bigint", "smallint", "tinyint", "double", "float"}
     kinds = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
@@ -138,7 +144,12 @@ def profile_table(df: DataFrame, columns: Sequence[str]) -> DataFrame:
             .cast("bigint")
             .alias(f"__nulls_{c}")
         )
-        aggs.append(F.countDistinct(c).cast("bigint").alias(f"__nd_{c}"))
+        nd = (
+            F.countDistinct(c)
+            if exact_distinct
+            else F.approx_count_distinct(c)
+        )
+        aggs.append(nd.cast("bigint").alias(f"__nd_{c}"))
         if kinds[c] in num_types or kinds[c].startswith("decimal"):
             aggs.append(F.min(c).cast("double").alias(f"__mn_{c}"))
             aggs.append(F.max(c).cast("double").alias(f"__mx_{c}"))

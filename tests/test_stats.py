@@ -98,3 +98,29 @@ def test_profile_is_one_aggregation_pass(spark):
     # exact multi-distinct goes through Expand — but there must be no
     # join or union of per-column subplans (the one-pass claim)
     assert "Join" not in plan and "Union" not in plan
+
+
+def test_profile_hll_tier_no_expand_and_close_counts(spark):
+    import random
+
+    rng = random.Random(3)
+    df = spark.createDataFrame(
+        [(rng.randrange(500),) for _ in range(5000)], "k BIGINT"
+    )
+    exact = {r["column_name"]: r for r in profile_table(df, ["k"]).collect()}
+    approx = {
+        r["column_name"]: r
+        for r in profile_table(df, ["k"], exact_distinct=False).collect()
+    }
+    # the HLL tier removes the per-distinct Expand input replica
+    plan = (
+        profile_table(df, ["k"], exact_distinct=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan
+    # counts agree within HLL's documented error envelope
+    e, a = exact["k"]["n_distinct"], approx["k"]["n_distinct"]
+    assert abs(a - e) <= max(3, 0.1 * e)
+    assert approx["k"]["n_rows"] == 5000 and approx["k"]["n_nulls"] == 0

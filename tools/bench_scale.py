@@ -48,7 +48,9 @@ from pw_etl_scrumptious_squad_spark.operators import (
     bucketed,
     curation,
     dedup,
+    linkage,
     similarity,
+    stats,
     text,
 )
 from pw_etl_scrumptious_squad_spark.session import get_spark
@@ -123,6 +125,9 @@ CATALOG_QUERIES = [
                                # no-sort exact-percentile path; growth
                                # tracks the scan, passes stay constant
     "y86_table_profile",       # one Expand-widened aggregation pass
+                               # (exact distinct — the oracle tier; the
+                               # HLL tier is curved as
+                               # op_table_profile_hll)
 ]
 
 # Entries measured only up to a size. (Round-4 capped y31 at x10 because
@@ -275,6 +280,40 @@ def _image_neardup_scaled(docs_df, n_docs: int):
         "doc_id", F.length("text").cast("int").alias("quality_score")
     )
     return dedup.keep_canonical(scored, pairs, score_col="quality_score")
+
+
+def _er_dirty_names(spark, n_docs: int):
+    """Synthetic dirty-name corpus for the ER scale route: the catalog
+    entry's part-name universe is vocab-bounded (the y84 curve is
+    deliberately flat), so this route grows the DISTINCT-name universe
+    with the corpus — last-token blocking keys with cardinality
+    ~n/50 keep blocks ~constant-size (the selective-key regime real
+    blocking is tuned for), so candidate pairs grow LINEARLY while
+    every stage (distinct, blocked self-join, levenshtein verify, CC,
+    broadcast map-back) runs at full width."""
+    adj = F.array(*[F.lit(a) for a in (
+        "amber", "brisk", "coral", "dusty", "eager", "frost", "gilt",
+        "hazel", "ivory", "jade", "khaki", "lilac", "mauve", "noble",
+        "ochre", "pearl",
+    )])
+    n_blocks = max(4, n_docs // 50)
+    base = spark.range(n_docs).select(
+        F.concat(
+            F.element_at(adj, (F.pmod(F.xxhash64("id"), F.lit(16)) + 1).cast("int")),
+            F.lit(" item"),
+            F.pmod(F.col("id"), F.lit(n_blocks)).cast("string"),
+        ).alias("clean"),
+        F.col("id"),
+    )
+    return base.select(
+        F.when(F.col("id") % 7 == 0, F.expr("substring(clean, 2)"))
+        .when(
+            F.col("id") % 7 == 1,
+            F.concat(F.expr("substring(clean, 1, 1)"), F.col("clean")),
+        )
+        .otherwise(F.col("clean"))
+        .alias("mention")
+    )
 
 
 def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
@@ -459,6 +498,23 @@ def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
         # the min-of-2 protocol, the size_cents convention).
         "op_incremental_cc": lambda: dedup.incremental_connected_components(
             *inc_cc_parts()
+        ),
+        # blocked entity resolution at GROWING name cardinality (round
+        # 9): the y84 catalog curve is flat by design (vocab-bounded
+        # part names); this route grows distinct names ~n/3 with
+        # selective last-token blocks (~constant size), so the full
+        # distinct -> blocked-verify -> CC -> map-back pipeline scales
+        # linearly in the corpus
+        "op_entity_resolution_blocked": lambda: linkage.resolve_entities(
+            _er_dirty_names(spark, n_docs), "mention", max_dist=2
+        ),
+        # profiler HLL tier (round 9): approx_count_distinct removes
+        # the Expand input replica per distinct column — the 100 TB
+        # profile tier; exact stays the oracle-checked catalog default
+        "op_table_profile_hll": lambda: stats.profile_table(
+            read_table(spark, d, "orders"),
+            ["o_custkey", "o_orderpriority", "o_orderstatus", "o_totalprice"],
+            exact_distinct=False,
         ),
         # bucketed co-located join (round 8): the layout write is the
         # one-time amortized shuffle (memoized per session — absorbed by
