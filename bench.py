@@ -153,6 +153,7 @@ HEADLINE = [
     "y84_entity_resolution",
     "y85_exact_quantiles",
     "y86_table_profile",
+    "y87_gap_fill_hourly",
 ]
 
 

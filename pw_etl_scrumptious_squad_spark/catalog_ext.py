@@ -6580,6 +6580,50 @@ def y86(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+from pw_etl_scrumptious_squad_spark.operators import timeseries as tsops  # noqa: E402
+
+
+@register(
+    "y87_gap_fill_hourly",
+    "WITH ph AS (SELECT user_id AS key, date_trunc('hour', ts) AS hour,"
+    " max_by(value, printf('%020d-%020d', epoch_us(ts), event_id))"
+    " AS obs_value FROM events GROUP BY 1, 2),"
+    " sp AS (SELECT key, MIN(hour) AS f, MAX(hour) AS l FROM ph"
+    " GROUP BY key),"
+    " grid AS (SELECT key, unnest(generate_series(f, l, INTERVAL 1 HOUR))"
+    " AS hour FROM sp),"
+    " j AS (SELECT g.key, g.hour, ph.obs_value FROM grid g"
+    " LEFT JOIN ph ON g.key = ph.key AND g.hour = ph.hour)"
+    " SELECT key, hour,"
+    " last_value(obs_value IGNORE NULLS) OVER (PARTITION BY key"
+    " ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    " AS value,"
+    " obs_value IS NOT NULL AS observed"
+    " FROM j ORDER BY key, hour",
+    "time-series regularization (gap-fill + forward-fill): bucket"
+    " events to the hour per user, materialize every missing hour from"
+    " each key's first to last observation (sequence() exploded"
+    " map-side — grid size is the sum of per-key spans, never"
+    " keys x global span), and carry the last observation forward with"
+    " ONE per-key window — the only shuffle, on the same key as the"
+    " bucketing agg. The hour's representative is picked by a"
+    " zero-padded (epoch_us, event_id) STRING order key because DuckDB"
+    " max_by takes scalar keys only; fixed-width digits make"
+    " lexicographic = numeric, so both engines pick the identical row"
+    " (operators/timeseries.py::gap_fill_hourly)."
+    " y-prefix: past the gate window by design; the c20 twin pulls it"
+    " into the driver's window",
+)
+def y87(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        tsops.gap_fill_hourly(
+            _t(spark, sf, "events"), "user_id", "ts", "value", "event_id"
+        )
+        .repartition(1)
+        .sortWithinPartitions("key", "hour")
+    )
+
+
 from pw_etl_scrumptious_squad_spark.catalog import register_twin  # noqa: E402
 
 _WINDOW_TWINS = {
@@ -6621,6 +6665,8 @@ _WINDOW_TWINS = {
     # coverage as every prior evictee)
     "c18_exact_quantiles": "y85_exact_quantiles",
     "c19_table_profile": "y86_table_profile",
+    # (evicts r04_sort — driver-certified since round 1, same coverage)
+    "c20_gap_fill_hourly": "y87_gap_fill_hourly",
 }
 
 for _twin, _src in _WINDOW_TWINS.items():

@@ -113,11 +113,13 @@ def test_every_query_names_match_oracle(catalog_schemas):
 # the ten never-driver-certified entries y73/y76/y15/y30/y14/y25/y05/
 # y28/x01/z29; the round-8 occupants are now in CORRECTNESS_r08.json
 # and keep tools/check.py + pytest coverage.
-# Round-9 continuation: c14..c17 (PageRank, heavy hitters, z-order
-# skipping, entity resolution) enter the window the round they ship
-# (the c12/c13 precedent), evicting r07_case_mapping / r08_ts_split /
-# r09_dim_date / r11_fact_build — driver-certified since round 1,
-# still covered by tools/check.py + pytest + the sample audit.
+# Round-9 continuation: c14..c20 (PageRank, heavy hitters, z-order
+# skipping, entity resolution, exact quantiles, table profile, hourly
+# gap-fill) enter the window the round they ship (the c12/c13
+# precedent), evicting r04_sort / r05_watermark_max / r06_cdc_filter /
+# r07_case_mapping / r08_ts_split / r09_dim_date / r11_fact_build —
+# all driver-certified since round 1, still covered by tools/check.py
+# + pytest + the sample audit.
 DRIVER_WINDOW = [
     "c01_incremental_cc", "c02_prefix_filter_pairs",
     "c03_embedding_srp", "c04_srp_wide", "c05_incremental_neardup",
@@ -126,6 +128,7 @@ DRIVER_WINDOW = [
     "c12_bucketed_join", "c13_warehouse_snapshots",
     "c14_part_pagerank", "c15_heavy_hitters", "c16_zorder_skipping",
     "c17_entity_resolution", "c18_exact_quantiles", "c19_table_profile",
+    "c20_gap_fill_hourly",
     "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_signatures",
     "d04_simhash", "d05_minhash_lsh_pairs", "d06_embedding_neardup",
     "d07_simhash_neardup", "m01_media_features", "m02_video_frames",
@@ -136,7 +139,7 @@ DRIVER_WINDOW = [
     "q13_string_funcs", "q14_math_funcs", "q15_shipping_priority",
     "q16_local_supplier_volume", "q18_lead_lag", "q20_pivot",
     "r01_projection_rename", "r02_equi_join_dim",
-    "r03_equi_join_shared_key", "r04_sort",
+    "r03_equi_join_shared_key",
 ]
 
 

@@ -128,6 +128,8 @@ CATALOG_QUERIES = [
                                # (exact distinct — the oracle tier; the
                                # HLL tier is curved as
                                # op_table_profile_hll)
+    "y87_gap_fill_hourly",     # per-key hour grid + ONE per-key window
+                               # forward fill; grid grows with events
 ]
 
 # Entries measured only up to a size. (Round-4 capped y31 at x10 because
