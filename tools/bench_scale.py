@@ -284,6 +284,30 @@ def _image_neardup_scaled(docs_df, n_docs: int):
     return dedup.keep_canonical(scored, pairs, score_col="quality_score")
 
 
+def _pf_large_vocab_docs(spark, n_docs: int):
+    """Large-vocabulary near-dup corpus for the prefix-filter route:
+    docs 2k and 2k+1 share a 6-token md5 core (vocabulary ~3.5 x
+    n_docs distinct tokens overall);
+    each doc = 6-token shared core + 1 private noise token, so a mate
+    pair has J = 6/8 = 0.75 >= the 0.7 threshold and every non-mate
+    pair shares nothing. Tokens are
+    md5-derived (no real-vocab skew), so document frequencies are ~2
+    for cores and ~1 for noise — the regime prefix filtering is FOR."""
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            # 6-token core shared with the pair mate (id DIV 2)
+            *[
+                F.md5(F.concat(F.lit(f"core{j}_"), (F.col("id") / 2).cast("bigint").cast("string")))
+                for j in range(6)
+            ],
+            # 1 per-doc noise token
+            F.md5(F.concat(F.lit("noise_"), F.col("id").cast("string"))),
+        ).alias("text"),
+    )
+
+
 def _er_dirty_names(spark, n_docs: int):
     """Synthetic dirty-name corpus for the ER scale route: the catalog
     entry's part-name universe is vocab-bounded (the y84 curve is
@@ -509,6 +533,18 @@ def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
         # linearly in the corpus
         "op_entity_resolution_blocked": lambda: linkage.resolve_entities(
             _er_dirty_names(spark, n_docs), "mention", max_dist=2
+        ),
+        # prefix-filter exact join in its INTENDED regime (round 9):
+        # the catalog y76 point runs on the testdata's 31-word
+        # vocabulary, where every token is a stopword and prefixes
+        # cannot prune (15.8 s at sf0.1 — an honest worst case). This
+        # route generates a realistic LARGE vocabulary (md5 tokens,
+        # Zipf-ish mix of one shared rare tail + per-doc noise) where
+        # the rarest-first prefixes do the pruning the design promises;
+        # near-dup pairs come from duplicated rare cores
+        "op_prefix_filter_large_vocab": lambda: dedup.prefix_filter_jaccard_pairs(
+            _pf_large_vocab_docs(spark, n_docs), "doc_id", "text",
+            threshold=0.7,
         ),
         # profiler HLL tier (round 9): approx_count_distinct removes
         # the Expand input replica per distinct column — the 100 TB
