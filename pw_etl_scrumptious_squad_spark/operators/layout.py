@@ -39,13 +39,24 @@ and the snapshot/warehouse ACID layer.
 from __future__ import annotations
 
 import json
-import os
 from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pw_etl_scrumptious_squad_spark.sources.parquet import (
+    fs_read_text,
+    fs_write_text,
+    list_store,
+)
+
 MANIFEST_NAME = "_skipping_manifest.json"
+
+
+def _join(path: str, name: str) -> str:
+    """Scheme-agnostic child path (URIs and POSIX paths both use '/' —
+    never ``os.path.join``, which is wrong on schemed URIs)."""
+    return path.rstrip("/") + "/" + name
 
 
 def zorder_key(
@@ -97,7 +108,18 @@ def write_zorder_layout(
     for c in cols:
         aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
     b = df.agg(*aggs).first()
-    bounds = {c: (b[f"mn_{c}"], b[f"mx_{c}"]) for c in cols}
+    # fail fast BEFORE any file lands: an empty input (or an all-NULL
+    # z-column) yields NULL bounds, and discovering that mid-write
+    # would leave a layout directory with no manifest that
+    # read_with_skipping then chokes on
+    bad = [c for c in cols if b[f"mn_{c}"] is None or b[f"mx_{c}"] is None]
+    if bad:
+        raise ValueError(
+            f"write_zorder_layout: no non-NULL values to bound for"
+            f" column(s) {bad} — empty input or all-NULL z-columns;"
+            " nothing was written"
+        )
+    bounds = {c: (int(b[f"mn_{c}"]), int(b[f"mx_{c}"])) for c in cols}
 
     z = zorder_key(bounds, bits)
     (
@@ -130,7 +152,10 @@ def write_zorder_layout(
         "cols": list(cols),
         "files": [
             {
-                "file": os.path.basename(r["file"]),
+                # last URI segment: input_file_name() returns full URIs
+                # on schemed stores, and '/' is the separator for every
+                # Hadoop scheme (os.path.basename is a POSIX-ism)
+                "file": r["file"].rstrip("/").rsplit("/", 1)[-1],
                 "n_rows": int(r["n_rows"]),
                 **{f"mn_{c}": int(r[f"mn_{c}"]) for c in cols},
                 **{f"mx_{c}": int(r[f"mx_{c}"]) for c in cols},
@@ -138,8 +163,10 @@ def write_zorder_layout(
             for r in per_file
         ],
     }
-    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
-        json.dump(manifest, fh)
+    # Hadoop FileSystem chain (not plain open()): the manifest must
+    # publish wherever the data files live — file://, viewfs://,
+    # s3a://, hdfs:// alike
+    fs_write_text(_join(path, MANIFEST_NAME), json.dumps(manifest), spark)
     return manifest
 
 
@@ -150,9 +177,21 @@ def read_with_skipping(
 ) -> tuple[DataFrame, int, int]:
     """Read the layout at ``path`` keeping only manifest files whose
     [min,max] intersects ``ranges`` on every column, then apply the
-    residual filter. Returns (df, n_files_selected, n_files_total)."""
-    with open(os.path.join(path, MANIFEST_NAME)) as fh:
-        manifest = json.load(fh)
+    residual filter. Returns (df, n_files_selected, n_files_total).
+
+    Manifest and file resolution both ride the Hadoop FileSystem chain:
+    surviving manifest names are resolved against an FS LISTING of the
+    layout directory (never naive path concatenation against assumed
+    local basenames), so a vacuumed/renamed file fails loudly here
+    instead of surfacing as a scan error mid-job."""
+    raw = fs_read_text(_join(path, MANIFEST_NAME), spark)
+    if raw is None:
+        raise FileNotFoundError(
+            f"no {MANIFEST_NAME} under {path} — not a z-order layout"
+            " (write_zorder_layout publishes the manifest with the data)"
+        )
+    manifest = json.loads(raw)
+    listed = {name for name, is_dir in list_store(spark, path) if not is_dir}
     keep = []
     for entry in manifest["files"]:
         ok = True
@@ -161,7 +200,13 @@ def read_with_skipping(
                 ok = False
                 break
         if ok:
-            keep.append(os.path.join(path, entry["file"]))
+            if entry["file"] not in listed:
+                raise FileNotFoundError(
+                    f"manifest names {entry['file']} but the layout dir"
+                    f" {path} does not contain it — layout and manifest"
+                    " are out of sync"
+                )
+            keep.append(_join(path, entry["file"]))
     total = len(manifest["files"])
     cond = None
     for c, (lo, hi) in ranges.items():

@@ -79,16 +79,33 @@ def exact_quantiles(
     for p in percentiles:
         k = (n - 1) * p // 100 + 1  # 1-indexed k-th smallest
         lo, hi = int(b["lo"]), int(b["hi"])
+        # Full-BIGINT-domain guard: if (v - lo) cannot be computed in
+        # int64 (span >= 2^63 when min is deeply negative), halve the
+        # range by midpoint count first — comparisons only, no column
+        # arithmetic, so no overflow. At most two such passes are ever
+        # needed (full-domain span is < 2^64).
+        while hi - lo >= (1 << 63):
+            mid = (lo + hi) // 2  # Python int: exact at any magnitude
+            n_lo = vals.filter(F.col("v").between(lo, mid)).count()
+            if k <= n_lo:
+                hi = mid
+            else:
+                k -= n_lo
+                lo = mid + 1
         for _ in range(max_passes):
             if hi - lo <= branch:
                 break
             width = (hi - lo) // branch + 1
+            # integer floor division (DIV) for the bucket id: Column `/`
+            # is DOUBLE division, which misbuckets boundary values once
+            # the range passes ~2^53 and breaks the exact-for-BIGINT
+            # contract; v - lo is non-negative here (v between lo, hi),
+            # so DIV == floor and Spark's bucketing matches the driver's
+            # exact integer narrowing over the full domain.
             hist = (
                 vals.filter(F.col("v").between(lo, hi))
                 .groupBy(
-                    ((F.col("v") - F.lit(lo)) / F.lit(width))
-                    .cast("bigint")
-                    .alias("b")
+                    F.expr(f"(v - {lo}) DIV {width}").alias("b")
                 )
                 .agg(F.count(F.lit(1)).alias("c"))
                 .collect()

@@ -49,10 +49,20 @@ def gap_fill_hourly(
     the hour's last observation — (ts, tiebreak) total order — carried
     forward across gap hours, and ``observed`` marks real hours."""
     hour = F.date_trunc("hour", F.col(ts_col))
+    # Bias both components by 2^62 before zero-padding: for a negative
+    # epoch (pre-1970 ts) or tiebreak, lpad('-123', ...) puts the sign
+    # mid-string, breaking lexicographic==numeric AND diverging from
+    # DuckDB's printf('%020d') rendering. Biased values are non-negative
+    # for any input in [-2^62, 2^62) — ±146k years of microseconds, the
+    # documented domain — and at most 19 digits, so fixed-width
+    # lexicographic order IS numeric order in both engines (inputs
+    # outside the domain overflow loudly under ANSI mode, never
+    # silently misorder).
+    bias = 1 << 62
     order_key = (
         f"concat(lpad(cast(unix_micros(cast({ts_col} as timestamp))"
-        " as string), 20, '0'),"
-        f" '-', lpad(cast({tiebreak_col} as string), 20, '0'))"
+        f" + {bias} as string), 20, '0'),"
+        f" '-', lpad(cast({tiebreak_col} + {bias} as string), 20, '0'))"
     )
     per_hour = (
         df.groupBy(F.col(key_col).alias("key"), hour.alias("hour"))

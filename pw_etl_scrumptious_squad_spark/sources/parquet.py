@@ -665,25 +665,24 @@ def compact_table(
     return n_files
 
 
-def _warehouse_pinned_versions(base_dir: str, name: str) -> set[int]:
+def _warehouse_pinned_versions(
+    base_dir: str, name: str, spark: SparkSession | None = None
+) -> set[int]:
     """Versions of ``name`` pinned by COMMITTED ``__warehouse__`` markers
     (sources/warehouse.py writes each marker's content as the JSON map
     ``{table: version}``). Vacuum must never reclaim these: a warehouse
     snapshot's whole point is that every table it pins stays readable
-    until the snapshot itself is retired. Local-path scan, matching
-    :func:`vacuum_table`'s surface."""
+    until the snapshot itself is retired. Scheme-agnostic (round-10:
+    streaming-store retention runs on object-store paths too)."""
     mdir = _manifest_dir(base_dir, "__warehouse__")
-    if not os.path.isdir(mdir):
-        return set()
     import json
 
     pinned: set[int] = set()
-    for entry in os.listdir(mdir):
+    for entry in fs_list_names(mdir, spark):
         if not (entry.startswith("v") and entry[1:].isdigit()):
             continue
         try:
-            with open(os.path.join(mdir, entry)) as fh:
-                content = fh.read().strip()
+            content = (fs_read_text(os.path.join(mdir, entry), spark) or "").strip()
             m = json.loads(content) if content else {}
         except (OSError, ValueError):
             continue
@@ -694,7 +693,10 @@ def _warehouse_pinned_versions(base_dir: str, name: str) -> set[int]:
 
 
 def vacuum_table(
-    base_dir: str, name: str, keep_last: int = 2
+    base_dir: str,
+    name: str,
+    keep_last: int = 2,
+    spark: SparkSession | None = None,
 ) -> list[str]:
     """Reclaim superseded snapshot data dirs, keeping the most recent
     ``keep_last`` committed versions readable (time travel window).
@@ -709,30 +711,27 @@ def vacuum_table(
     ``__warehouse__`` marker pins survives regardless of ``keep_last``
     (round-8 verdict item — manual keep_last coordination silently
     broke cross-table time travel; retire snapshots with
-    ``warehouse.vacuum_warehouse`` to unpin). Local paths only (the
-    sandbox's mutating-table surface). Returns the deleted dir names."""
-    import shutil
-
+    ``warehouse.vacuum_warehouse`` to unpin). Scheme-agnostic
+    (round-10): schemed paths route listing/read/delete through the
+    Hadoop FileSystem chain, so streaming-store retention bounds an
+    object-store soak too. Returns the deleted dir names."""
     mdir = _manifest_dir(base_dir, name)
-    if not os.path.isdir(mdir):
+    entries = fs_list_names(mdir, spark)
+    if not entries:
         return []
-    latest = table_version(base_dir, name)
+    latest = table_version(base_dir, name, spark)
     keep_floor = max(1, latest - keep_last + 1)
     pinned = (
         set() if name == "__warehouse__"
-        else _warehouse_pinned_versions(base_dir, name)
+        else _warehouse_pinned_versions(base_dir, name, spark)
     )
     referenced: dict[str, int] = {}
     for v in range(1, latest + 1):
-        try:
-            with open(os.path.join(mdir, f"v{v}")) as fh:
-                rel = fh.read().strip()
-        except FileNotFoundError:
-            continue
-        if rel:
-            referenced[rel] = v
+        rel = fs_read_text(os.path.join(mdir, f"v{v}"), spark)
+        if rel and rel.strip():
+            referenced[rel.strip()] = v
     deleted = []
-    for entry in os.listdir(mdir):
+    for entry in entries:
         if not entry.endswith(".data"):
             continue
         ref_v = referenced.get(entry)
@@ -749,7 +748,7 @@ def vacuum_table(
                 continue
         elif ref_v >= keep_floor or ref_v in pinned:
             continue
-        shutil.rmtree(os.path.join(mdir, entry), ignore_errors=True)
+        fs_delete(os.path.join(mdir, entry), recursive=True, spark=spark)
         deleted.append(entry)
     return sorted(deleted)
 
@@ -949,6 +948,95 @@ def _hadoop_fs(spark: SparkSession, uri: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(uri)
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def fs_write_text(path: str, text: str, spark: SparkSession | None = None) -> None:
+    """Write a small text file at ``path`` on whatever filesystem its
+    scheme resolves to — plain ``open()`` for local paths (no Py4J
+    round trips), the Hadoop FileSystem API for
+    ``s3a://``/``viewfs://``/``hdfs://``-class URIs (same chain as the
+    snapshot markers). For metadata-sized sidecar files (manifests,
+    markers) only, never data."""
+    if "://" not in path:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as fh:
+            fh.write(text)
+        return
+    s = _get_spark(spark)
+    jvm = s._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(s._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)  # overwrite
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_text(path: str, spark: SparkSession | None = None) -> str | None:
+    """Read a small text file from any scheme (see :func:`fs_write_text`);
+    returns ``None`` when the file does not exist."""
+    if "://" not in path:
+        try:
+            with open(path) as fh:
+                return fh.read()
+        except FileNotFoundError:
+            return None
+    s = _get_spark(spark)
+    jvm = s._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(s._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        data = bytes(
+            jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return data.decode("utf-8")
+
+
+def fs_list_names(path: str, spark: SparkSession | None = None) -> list[str]:
+    """Immediate child names of a directory on any scheme; ``[]`` when
+    the directory does not exist. The scheme-agnostic twin of
+    ``os.listdir`` the retention/vacuum layer routes through."""
+    if "://" not in path:
+        try:
+            return os.listdir(path)
+        except FileNotFoundError:
+            return []
+    s = _get_spark(spark)
+    jpath = s._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(s._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+
+def fs_delete(
+    path: str, recursive: bool = False, spark: SparkSession | None = None
+) -> bool:
+    """Delete a file (or, with ``recursive``, a directory tree) on any
+    scheme; returns whether anything was deleted. Missing paths are a
+    no-op — vacuum callers race benignly with each other."""
+    if "://" not in path:
+        if recursive:
+            import shutil
+
+            existed = os.path.exists(path)
+            shutil.rmtree(path, ignore_errors=True)
+            return existed
+        try:
+            os.remove(path)
+            return True
+        except FileNotFoundError:
+            return False
+    s = _get_spark(spark)
+    jpath = s._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(s._jsc.hadoopConfiguration())
+    return bool(fs.delete(jpath, bool(recursive)))
 
 
 def list_store(spark: SparkSession, uri: str) -> list[tuple[str, bool]]:

@@ -136,7 +136,9 @@ def warehouse_snapshot_tables(
     return {t: int(c) for t, c in json.loads(data.decode()).items()}
 
 
-def vacuum_warehouse(base_dir: str, keep_last: int = 2) -> list[str]:
+def vacuum_warehouse(
+    base_dir: str, keep_last: int = 2, spark: SparkSession | None = None
+) -> list[str]:
     """Retire warehouse snapshots older than the most recent
     ``keep_last`` by deleting their markers — the explicit UNPIN step.
 
@@ -147,18 +149,17 @@ def vacuum_warehouse(base_dir: str, keep_last: int = 2) -> list[str]:
     therefore two explicit moves: retire old warehouse snapshots here,
     THEN vacuum tables — never a silent keep_last mismatch. Deleting
     old markers can't change the latest version (``table_version`` is
-    the max marker). Local paths only, like ``vacuum_table``. Returns
-    the deleted marker names."""
-    latest = warehouse_version(base_dir)
+    the max marker). Scheme-agnostic like ``vacuum_table`` (round-10).
+    Returns the deleted marker names."""
+    from pw_etl_scrumptious_squad_spark.sources.parquet import fs_delete
+
+    latest = warehouse_version(base_dir, spark)
     keep_floor = max(1, latest - keep_last + 1)
     mdir = _manifest_dir(base_dir, _WH)
     deleted = []
     for v in range(1, keep_floor):
-        try:
-            os.remove(os.path.join(mdir, f"v{v}"))
+        if fs_delete(os.path.join(mdir, f"v{v}"), spark=spark):
             deleted.append(f"v{v}")
-        except FileNotFoundError:
-            pass
     return deleted
 
 

@@ -521,10 +521,12 @@ def streaming_incremental_cc(
     the rewrite volume per batch is (touched sub-tables) x that bound,
     ∝ touched labels for fixed sizing.
 
-    ``retain_snapshots`` (local paths only): retire warehouse markers
-    beyond the newest N after each commit and vacuum unpinned sub-table
-    versions, bounding store growth for soak runs; None keeps every
-    batch's snapshot readable (full time travel).
+    ``retain_snapshots``: retire warehouse markers beyond the newest N
+    after each commit and vacuum unpinned sub-table versions, bounding
+    store growth for soak runs; None keeps every batch's snapshot
+    readable (full time travel). Scheme-agnostic — the vacuum
+    primitives route through the Hadoop FileSystem chain, so retention
+    bounds a viewfs://-or-s3a://-hosted store the same as a local one.
 
     Final labels equal a batch :func:`dedup.connected_components` over
     the union of all delivered edges (pinned in tests, including
@@ -541,10 +543,15 @@ def streaming_incremental_cc(
 
     def _commit(pinned: dict[str, int]) -> None:
         W.commit_warehouse_snapshot(labels_dir, pinned, spark)
-        if retain_snapshots is not None and "://" not in labels_dir:
-            W.vacuum_warehouse(labels_dir, keep_last=retain_snapshots)
+        if retain_snapshots is not None:
+            # scheme-agnostic since round 10: the vacuum primitives ride
+            # the Hadoop FileSystem chain, so an object-store soak stays
+            # bounded too (previously local-paths-only)
+            W.vacuum_warehouse(
+                labels_dir, keep_last=retain_snapshots, spark=spark
+            )
             for name in pinned:
-                vacuum_table(labels_dir, name, keep_last=1)
+                vacuum_table(labels_dir, name, keep_last=1, spark=spark)
 
     def batch_fn(batch: DataFrame, batch_id: int) -> None:
         batch = batch.select("doc_a", "doc_b").transform(materialize)
@@ -788,11 +795,17 @@ def streaming_heavy_hitters(
        and D <= total/(capacity+1). The trim value is a count (not a
        token pick), so ties cannot make the store partition-dependent.
     4. Publish: the summary and a 1-row meta table (cumulative token
-       total, cumulative D) each write a versioned snapshot, one
-       warehouse marker CAS-pins the pair — readers never see a total
-       from one batch against counters from another, a crashed batch
-       publishes nothing, and a replayed batch recommits identically
-       (delta-vs-marker idempotence, the CC store convention).
+       total, cumulative D, last applied batch id) each write a
+       versioned snapshot, one warehouse marker CAS-pins the pair —
+       readers never see a total from one batch against counters from
+       another, and a crashed batch publishes data dirs but no marker.
+       Unlike the CC store (whose merge is naturally idempotent),
+       re-merging the same counts is NOT — foreachBatch is
+       at-least-once, so a batch replayed after its marker committed
+       (crash between warehouse commit and streaming-checkpoint
+       commit) would double-count. The meta row's ``last_bid`` makes
+       the commit idempotent: an incoming ``batch_id <= last_bid``
+       returns without touching the store.
 
     Guarantee read back by :func:`read_heavy_hitters`: every token with
     true frequency >= ceil(total/denom) is IN the summary whenever
@@ -830,7 +843,15 @@ def streaming_heavy_hitters(
             )
             meta = snapshot_read(
                 spark, store_dir, "meta", version=pinned["meta"]
-            ).first()
+            ).first().asDict()
+            # replay guard: at-least-once delivery can re-run a batch
+            # whose marker already committed — re-merging would
+            # double-count, so the commit is keyed on batch_id
+            # (pre-round-10 stores have no last_bid column: None skips
+            # the guard, never a spurious skip)
+            last_bid = meta.get("last_bid")
+            if last_bid is not None and int(batch_id) <= int(last_bid):
+                return
             total, dec = int(meta["total"]) + batch_total, int(meta["dec"])
             merged = (
                 prior.unionByName(counts)
@@ -857,7 +878,8 @@ def streaming_heavy_hitters(
             dec += v
         mv = write_table_snapshot(merged, store_dir, "mg")
         meta_df = spark.createDataFrame(
-            [(total, dec)], "total BIGINT, dec BIGINT"
+            [(total, dec, int(batch_id))],
+            "total BIGINT, dec BIGINT, last_bid BIGINT",
         )
         tv = write_table_snapshot(meta_df, store_dir, "meta")
         W.commit_warehouse_snapshot(store_dir, {"mg": mv, "meta": tv}, spark)

@@ -120,11 +120,16 @@ def test_every_query_names_match_oracle(catalog_schemas):
 # r07_case_mapping / r08_ts_split / r09_dim_date / r11_fact_build —
 # all driver-certified since round 1, still covered by tools/check.py
 # + pytest + the sample audit.
+# Round-10 rotation (VERDICT.md round-9 item 3): c01..c10 re-aimed at
+# the judge's suggested quality/curation-belt ten (y34/y39/y40/y41/
+# y43/y47/y55/y57/y62/y63); the round-9 occupants are now in
+# CORRECTNESS_r09.json and keep tools/check.py + pytest coverage.
 DRIVER_WINDOW = [
-    "c01_incremental_cc", "c02_prefix_filter_pairs",
-    "c03_embedding_srp", "c04_srp_wide", "c05_incremental_neardup",
-    "c06_cluster_canon", "c07_dup_clusters", "c08_dup_span_removal",
-    "c09_curation_pipeline", "c10_bloom_semi_join", "c11_star_lifecycle",
+    "c01_quality_rules", "c02_ppl_buckets",
+    "c03_shingle_novelty", "c04_source_overlap_sketch",
+    "c05_mixture_plan", "c06_rule_vs_model_matrix", "c07_source_kl",
+    "c08_oov_rate", "c09_weighted_sample", "c10_pmi_collocations",
+    "c11_star_lifecycle",
     "c12_bucketed_join", "c13_warehouse_snapshots",
     "c14_part_pagerank", "c15_heavy_hitters", "c16_zorder_skipping",
     "c17_entity_resolution", "c18_exact_quantiles", "c19_table_profile",

@@ -40,6 +40,30 @@ def test_quantiles_huge_range_and_negatives(spark):
     _check(spark, vals, branch=128)
 
 
+def test_quantiles_full_bigint_domain(spark):
+    # values beyond 2^53: DOUBLE division would misbucket boundary
+    # values (the reason the bucket id is integer DIV), and a span
+    # >= 2^63 (min near Long.MIN, max near Long.MAX) cannot even be
+    # subtracted in int64 — the midpoint guard narrows by comparison
+    # counts first. Both regimes in one fixture.
+    lo, hi = -(2**63), 2**63 - 1
+    rng = random.Random(11)
+    vals = (
+        [lo, lo + 1, hi, hi - 1, 0, -1, 1]
+        + [rng.randrange(lo, hi) for _ in range(200)]
+    )
+    _check(spark, vals, branch=128)
+
+
+def test_quantiles_boundary_past_2_53(spark):
+    # a two-value distribution whose bucket boundary rounding under
+    # DOUBLE division flips the bucket: exactness must not depend on
+    # float rounding of (v - lo) / width
+    base = (1 << 60) + 12345
+    vals = [base] * 60 + [base + (1 << 40) + 1] * 40
+    _check(spark, vals, ps=(50, 90), branch=16)
+
+
 def test_quantiles_all_equal_and_single(spark):
     _check(spark, [5] * 100)
     _check(spark, [-3])

@@ -855,3 +855,103 @@ def test_streaming_heavy_hitters_bounded_state_and_batch_parity(
         version=W.warehouse_snapshot_tables(store, 1, spark)["meta"],
     ).first()
     assert int(meta0["total"]) == b0_total
+
+
+def test_streaming_heavy_hitters_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch replayed after its
+    warehouse marker committed (crash between the store commit and the
+    streaming checkpoint commit) must NOT re-merge its counts. The meta
+    snapshot's last_bid keys the commit: replaying every batch from a
+    FRESH checkpoint (ids restart at 0, all <= stored last_bid) leaves
+    the store byte-identical — totals, decrements, and counters."""
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as W
+    from pw_etl_scrumptious_squad_spark.sources.parquet import snapshot_read
+
+    stream = _write_hh_batches(spark, tmp_path / "texts")
+    store = str(tmp_path / "hhstore")
+    q = sp.streaming_heavy_hitters(
+        stream, store, str(tmp_path / "ckpt"), capacity=16
+    )
+    q.awaitTermination(180)
+
+    def _state():
+        pinned = W.warehouse_snapshot_tables(store, None, spark)
+        meta = snapshot_read(
+            spark, store, "meta", version=pinned["meta"]
+        ).first()
+        mg = sorted(
+            map(
+                tuple,
+                snapshot_read(
+                    spark, store, "mg", version=pinned["mg"]
+                ).collect(),
+            )
+        )
+        return (
+            W.warehouse_version(store, spark),
+            int(meta["total"]),
+            int(meta["dec"]),
+            int(meta["last_bid"]),
+            mg,
+        )
+
+    before = _state()
+    assert before[3] == len(HH_BATCHES) - 1  # last applied batch id
+
+    # replay: same source, same store, NEW checkpoint -> every batch is
+    # redelivered with batch_id 0..3, all <= last_bid
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "texts") + "/arrival=*.parquet")
+    )
+    q2 = sp.streaming_heavy_hitters(
+        stream2, store, str(tmp_path / "ckpt2"), capacity=16
+    )
+    q2.awaitTermination(180)
+    assert _state() == before
+
+
+def test_streaming_cc_retention_on_non_file_scheme(spark, tmp_path):
+    """Round-9 verdict item 2: store retention must be scheme-agnostic.
+    Run the three-batch CC fold against a viewfs:// store WITH
+    retain_snapshots — per-batch retention has to bound the store
+    (markers + data dirs) through the Hadoop FileSystem chain, and the
+    final labels must still equal the batch fold."""
+    import os
+
+    from pw_etl_scrumptious_squad_spark.sources.parquet import (
+        configure_object_store,
+    )
+
+    stream = _write_cc_batches(spark, tmp_path / "edges")
+    (tmp_path / "labels").mkdir()
+    configure_object_store(
+        spark,
+        scheme="viewfs",
+        extra_conf={
+            "fs.viewfs.mounttable.ccret.link./data": f"file:{tmp_path}"
+        },
+    )
+    labels_dir = "viewfs://ccret/data/labels"
+    q = sp.streaming_incremental_cc(
+        stream, labels_dir, str(tmp_path / "ckpt"),
+        num_parts=4, retain_snapshots=1,
+    )
+    q.awaitTermination(180)
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in sp.read_cc_labels(spark, labels_dir).collect()
+    }
+    assert got == _batch_cc_labels(spark)
+    # bound enforced THROUGH the scheme: inspect the local backing dir
+    # the viewfs mount points at — one surviving warehouse marker, each
+    # sub-table at most pinned + keep_last=1 data dirs
+    backing = tmp_path / "labels"
+    wdir = backing / "__warehouse__.manifest"
+    markers = [n for n in os.listdir(wdir) if n.startswith("v")]
+    assert len(markers) == 1, markers
+    for i in range(4):
+        mdir = backing / f"labels_p{i}.manifest"
+        data_dirs = [n for n in os.listdir(mdir) if n.endswith(".data")]
+        assert len(data_dirs) <= 2, (i, data_dirs)

@@ -64,3 +64,17 @@ def test_grid_is_per_key_not_global(spark):
 def test_single_observation_key_is_one_observed_row(spark):
     got = _run(spark, [(1, _ts(4, 30), 7, 9.5)])
     assert got == {(7, 4): (9.5, True)}
+
+
+def test_negative_epoch_and_tiebreak_keep_numeric_order(spark):
+    # pre-1970 timestamps: unix_micros is NEGATIVE, so an unbiased
+    # zero-pad would put the '-' mid-string and make '-100' sort AFTER
+    # '-999' lexicographically; the 2^62 bias keeps fixed-width
+    # lexicographic == numeric. Same for negative tiebreak ids.
+    rows = [
+        (-5, datetime(1969, 12, 31, 2, 10), 7, 1.0),
+        (-9, datetime(1969, 12, 31, 2, 50), 7, 2.0),  # later ts wins
+        (-3, datetime(1969, 12, 31, 2, 50), 7, 3.0),  # -3 > -9: wins tie
+    ]
+    got = _run(spark, rows)
+    assert got[(7, 2)] == (3.0, True)
