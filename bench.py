@@ -154,6 +154,11 @@ HEADLINE = [
     "y85_exact_quantiles",
     "y86_table_profile",
     "y87_gap_fill_hourly",
+    # round-10 additions
+    # y88_unigram_train is a TRAINING job (the y51 pattern) — driver
+    # EM rounds, not a query; tools/check parity + tests cover it. The
+    # per-sf vocab memo hoists training out of y89's recurring timing.
+    "y89_unigram_encode",
 ]
 
 

@@ -6626,6 +6626,131 @@ def y87(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (round-10 verdict item 4: the SentencePiece-style
+# companion to the y51/y58 BPE family)
+# ---------------------------------------------------------------------------
+
+from pw_etl_scrumptious_squad_spark.operators import text as textops  # noqa: E402
+
+_UNI_PARAMS = dict(vocab_size=48, max_piece_len=4, seed_size=128, iters=2)
+_UNI_VOCAB_CACHE: dict[str, list[tuple[str, int]]] = {}
+
+
+def unigram_vocab_literals(
+    sf_dir: str, spark: SparkSession | None = None
+) -> list[tuple[str, int]]:
+    """Train (and memoize per sf) the unigram vocabulary the y89 oracle
+    embeds as literals — the s02 trained-centroid pattern: training is
+    deterministic for a fixed input (integer counts; the only float op
+    is Python's own math.log, quantized to BIGINT nano-nats on the
+    driver), so the collected (piece, cost_q) pairs round-trip
+    losslessly into SQL literals and the APPLY semantics (Viterbi
+    segmentation) are what the oracle checks."""
+    import os
+
+    key = os.path.abspath(sf_dir)
+    if key not in _UNI_VOCAB_CACHE:
+        if spark is None:
+            spark = SparkSession.getActiveSession() or (
+                SparkSession.builder.master("local[8]")
+                .appName("unigram-oracle-train")
+                .config("spark.ui.enabled", "false")
+                .getOrCreate()
+            )
+        vocab = textops.unigram_train(
+            _t(spark, sf_dir, "documents"), **_UNI_PARAMS
+        )
+        _UNI_VOCAB_CACHE[key] = [
+            (r["piece"], int(r["cost_q"]))
+            for r in vocab.orderBy("rank").collect()
+        ]
+    return _UNI_VOCAB_CACHE[key]
+
+
+def _y89_oracle(sf_dir: str) -> str:
+    """DuckDB twin of unigram APPLY with the trained vocabulary embedded
+    as literals: a recursive CTE enumerates segmentation paths over the
+    DISTINCT words (states dedup on (word, pos, cost, n)), then takes
+    min cost and, among minimum-cost paths, min piece count — exactly
+    the additive (cost, n_pieces) lexicographic optimum the Spark DP
+    computes, independently derived (path enumeration vs DP)."""
+    lits = unigram_vocab_literals(sf_dir)
+    vals = ", ".join(
+        "('%s', CAST(%d AS BIGINT))" % (p.replace("'", "''"), c)
+        for p, c in lits
+    )
+    return (
+        f"WITH RECURSIVE pieces(s, c) AS (SELECT * FROM (VALUES {vals})),"
+        " tok AS (SELECT doc_id, unnest(string_split(lower(text), ' '))"
+        " AS w FROM documents),"
+        " words AS (SELECT DISTINCT w FROM tok WHERE w <> ''),"
+        " walk(w, pos, cost, np) AS ("
+        " SELECT w, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM words"
+        " UNION"
+        " SELECT walk.w, walk.pos + length(p.s), walk.cost + p.c,"
+        " walk.np + 1 FROM walk, pieces p"
+        " WHERE walk.pos < length(walk.w)"
+        " AND substr(walk.w, walk.pos + 1, length(p.s)) = p.s),"
+        " done AS (SELECT w, cost, np FROM walk WHERE pos = length(w)),"
+        " mc AS (SELECT w, min(cost) AS cost FROM done GROUP BY w),"
+        " best AS (SELECT d.w, mc.cost, min(d.np) AS np FROM done d"
+        " JOIN mc ON d.w = mc.w AND d.cost = mc.cost GROUP BY d.w, mc.cost),"
+        " agg AS (SELECT t.doc_id, count(*) AS n_words,"
+        " sum(b.np) AS n_pieces, sum(b.cost) AS total_cost_q"
+        " FROM tok t JOIN best b ON t.w = b.w GROUP BY t.doc_id)"
+        " SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,"
+        " CAST(n_pieces AS BIGINT) AS n_pieces,"
+        " CAST(total_cost_q AS BIGINT) AS total_cost_q,"
+        " ROUND(CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE), 9)"
+        " AS pieces_per_word"
+        " FROM agg ORDER BY doc_id"
+    )
+
+
+@register(
+    "y88_unigram_train",
+    None,  # iterative hard-EM training — not SQL-expressible; exact
+    # parity vs a pure-Python sequential trainer is pinned in
+    # tests/test_unigram.py (the y51 rows-only pattern)
+    "Unigram-LM tokenizer TRAINING (Kudo 2018, SentencePiece's unigram"
+    " model; hard-EM): learn a 48-piece vocabulary with quantized"
+    " -ln(p) costs over the word-frequency table — corpus touched"
+    " once, every EM round one JVM Viterbi pass + a vocabulary-sized"
+    " recount hash-agg; ln only ever computed in Python on the"
+    " driver's bounded count table, so the engine-side DP is"
+    " integer-exact (operators/text.py::unigram_train)."
+    " y-prefix: past the gate window by design",
+)
+def y88(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.unigram_train(_t(spark, sf, "documents"), **_UNI_PARAMS)
+
+
+@register(
+    "y89_unigram_encode",
+    _y89_oracle,  # data-dependent: trained vocab embedded as literals
+    "Unigram-LM tokenizer APPLY (the y88 trainer's other half):"
+    " Viterbi-segment every document under the trained vocabulary —"
+    " per-doc word/piece counts, summed quantized cost, fertility."
+    " The DP runs on the DISTINCT-WORD table (vocabulary-sized) as one"
+    " JVM higher-order aggregate with the vocab broadcast as a map"
+    " literal; the corpus is touched twice (word explode; broadcast"
+    " map-back + doc agg). Tie-robust (cost, n_pieces) contract makes"
+    " it VALUE-oracle-able: the DuckDB twin path-enumerates by"
+    " recursive CTE over the same trained literals"
+    " (operators/text.py::unigram_encode)."
+    " y-prefix: past the gate window by design; the c21 twin pulls it"
+    " into the driver's window",
+)
+def y89(spark: SparkSession, sf: str) -> DataFrame:
+    vocab = unigram_vocab_literals(sf, spark)
+    return (
+        textops.unigram_encode(_t(spark, sf, "documents"), vocab)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
 from pw_etl_scrumptious_squad_spark.catalog import register_twin  # noqa: E402
 
 _WINDOW_TWINS = {
@@ -6670,6 +6795,11 @@ _WINDOW_TWINS = {
     "c19_table_profile": "y86_table_profile",
     # (evicts r04_sort — driver-certified since round 1, same coverage)
     "c20_gap_fill_hourly": "y87_gap_fill_hourly",
+    # round-10: the unigram-LM tokenizer APPLY enters the window the
+    # round it ships (the c12/c13 precedent; evicts
+    # r03_equi_join_shared_key — driver-certified since round 1, same
+    # standing tools/check.py + pytest + sample-audit coverage)
+    "c21_unigram_encode": "y89_unigram_encode",
 }
 
 for _twin, _src in _WINDOW_TWINS.items():

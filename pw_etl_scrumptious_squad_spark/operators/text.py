@@ -1445,3 +1445,330 @@ def heavy_hitters_exact(
         )
         .select("token", "n_occurrences")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style; Kudo 2018) — the standard
+# alternative tokenizer family next to BPE (bpe_train/bpe_encode above)
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_BIG = 10**15  # unreachable-prefix sentinel; any real path < 1e14
+
+
+def _sql_str(s: str) -> str:
+    """Escape a piece string into a Spark SQL single-quoted literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _unigram_cost_map_sql(costs: dict[str, int]) -> str:
+    items = ", ".join(
+        f"{_sql_str(p)}, cast({int(c)} as bigint)"
+        for p, c in sorted(costs.items())
+    )
+    return f"map({items})"
+
+
+def _viterbi_expr(
+    word_col: str,
+    costs: dict[str, int],
+    max_piece_len: int,
+    with_tokens: bool,
+) -> str:
+    """Spark SQL Viterbi over one word: exact integer min-cost
+    segmentation under quantized piece costs, as ONE JVM higher-order
+    ``aggregate`` (no UDF). The accumulator is the dp array (1-indexed;
+    element j+1 = best for the j-char prefix); per position the
+    candidate set is the <= ``max_piece_len`` suffix pieces looked up
+    in the broadcast cost-map literal (try_element_at: missing piece ->
+    NULL -> filtered). Comparator is the ADDITIVE total order
+    (cost, then piece count) — equivalent to a single additive cost
+    ``c*M + n`` with M > any n, so optimal substructure holds and the
+    result is the global lexicographic (cost, n_pieces) minimum, which
+    is what the DuckDB path-enumeration oracle computes independently.
+    ``with_tokens`` additionally carries the argmin token stream for
+    the trainer's E-step (ties broken by the token-stream string — a
+    deterministic total order both engines share).
+
+    At 100 TB the map-literal lookup is the broadcast-vocab pattern:
+    the word table this runs on is vocabulary-sized (the Sennrich
+    word-freq trick — see bpe_encode), never the corpus, and per word
+    the DP does O(len * max_piece_len) map probes."""
+    w = word_col
+    K = int(max_piece_len)
+    mp = _unigram_cost_map_sql(costs)
+    if with_tokens:
+        stype = "struct<c: bigint, n: bigint, t: array<string>>"
+        init = (
+            "array(named_struct('c', cast(0 as bigint),"
+            " 'n', cast(0 as bigint), 't', cast(array() as array<string>)))"
+        )
+        sentinel = (
+            f"named_struct('c', cast({_UNIGRAM_BIG} as bigint),"
+            " 'n', cast(0 as bigint), 't', cast(array() as array<string>))"
+        )
+        cand = (
+            f"element_at(transform(array(try_element_at({mp},"
+            f" substring({w}, j - l + 1, l))), pc ->"
+            f" if(pc is null, cast(null as {stype}),"
+            " named_struct("
+            "'c', element_at(acc, j - l + 1).c + pc,"
+            " 'n', element_at(acc, j - l + 1).n + cast(1 as bigint),"
+            f" 't', array_append(element_at(acc, j - l + 1).t,"
+            f" substring({w}, j - l + 1, l))))), 1)"
+        )
+        # space as the join separator: words are whitespace-split, so
+        # no piece can contain one — the joined stream is injective
+        better = (
+            "x.c < b.c or (x.c = b.c and (x.n < b.n or (x.n = b.n"
+            " and concat_ws(' ', x.t) < concat_ws(' ', b.t))))"
+        )
+    else:
+        stype = "struct<c: bigint, n: bigint>"
+        init = (
+            "array(named_struct('c', cast(0 as bigint),"
+            " 'n', cast(0 as bigint)))"
+        )
+        sentinel = (
+            f"named_struct('c', cast({_UNIGRAM_BIG} as bigint),"
+            " 'n', cast(0 as bigint))"
+        )
+        cand = (
+            f"element_at(transform(array(try_element_at({mp},"
+            f" substring({w}, j - l + 1, l))), pc ->"
+            f" if(pc is null, cast(null as {stype}),"
+            " named_struct("
+            "'c', element_at(acc, j - l + 1).c + pc,"
+            " 'n', element_at(acc, j - l + 1).n + cast(1 as bigint)))), 1)"
+        )
+        better = "x.c < b.c or (x.c = b.c and x.n < b.n)"
+    return (
+        f"aggregate(sequence(1, length({w})), {init},"
+        " (acc, j) -> array_append(acc,"
+        f" aggregate(filter(transform(sequence(1, least(j, {K})),"
+        f" l -> {cand}), x -> x is not null),"
+        f" {sentinel}, (b, x) -> if({better}, x, b))),"
+        " acc -> element_at(acc, size(acc)))"
+    )
+
+
+def _unigram_costs(counts: dict[str, int]) -> dict[str, int]:
+    """Quantized negative log-probs: cost = round(-ln(count/total)*1e9)
+    as BIGINT 'nano-nats'. Computed in PYTHON on the driver over the
+    vocabulary-sized count table — Spark never evaluates a logarithm,
+    so the pure-Python parity twin shares the exact float path and the
+    engine-side DP is integer-only (the y51/y80 bit-parity posture)."""
+    import math
+
+    total = sum(counts.values())
+    return {
+        p: int(round(-math.log(c / total) * 1_000_000_000.0))
+        for p, c in counts.items()
+    }
+
+
+def unigram_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 64,
+    max_piece_len: int = 4,
+    seed_size: int = 256,
+    iters: int = 3,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (Kudo 2018, SentencePiece's
+    unigram model; hard-EM variant): learn a ``vocab_size`` piece
+    vocabulary with quantized -ln(p) costs. Output: one row per piece,
+    ``(rank, piece, n_count, cost_q)`` ordered by (count desc, piece) —
+    the vocab :func:`unigram_encode` applies.
+
+    Algorithm (every stage deterministic, corpus touched ONCE):
+
+    1. Word-frequency table — lowercased whitespace words, one
+       map-side-combined hash-agg (the same Sennrich trick bpe_train
+       uses: all iterations below run on the VOCABULARY-sized table).
+    2. Seed vocabulary: every substring of length 1..``max_piece_len``
+       weighted by word freq (one explode over the word table); keep
+       ALL single characters (coverage guarantee: any word stays
+       segmentable forever) plus the top multi-char substrings by
+       (count desc, piece asc) up to ``seed_size``.
+    3. Hard-EM ``iters`` rounds: Viterbi-segment the word table under
+       current costs (:func:`_viterbi_expr` — one JVM pass, ties
+       broken (cost, n_pieces, token-stream) so the E-step is engine-
+       independent), recount pieces weighted by word freq (hash-agg,
+       vocabulary-sized collect), drop multi-char pieces with zero
+       count, floor single-char counts at 1, re-quantize costs in
+       Python.
+    4. Final prune to ``vocab_size`` (all singles + top multis by
+       (count desc, piece asc)), one recount pass under the pruned
+       vocab, final costs from that recount — counts floored at 1 so
+       the pruned vocabulary stays FIXED (encode applies exactly the
+       returned piece set; a zero-count survivor just carries the max
+       cost instead of vanishing).
+
+    Driver traffic per round is the piece-count table (<= seed_size
+    rows) — bounded metadata, never data. Not SQL-expressible
+    (iterative EM); exact parity vs a pure-Python reference trainer is
+    pinned in tests/test_unigram.py (the y51 rows-only pattern).
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .transform(materialize)
+    )
+    subs = (
+        words.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(w)),"
+                    f" i -> transform(sequence(1, least({int(max_piece_len)},"
+                    " length(w) - i + 1)), l -> substring(w, i, l))))"
+                )
+            ).alias("p"),
+            "freq",
+        )
+        .groupBy("p")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .transform(materialize)
+    )
+    singles = {
+        r["p"]: int(r["cnt"])
+        for r in subs.filter(F.length("p") == 1).collect()
+    }
+    n_multi = max(0, int(seed_size) - len(singles))
+    multis = {
+        r["p"]: int(r["cnt"])
+        for r in subs.filter(F.length("p") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("p").asc())
+        .limit(n_multi)
+        .collect()
+    }
+    counts = {**singles, **multis}
+    if not counts:  # empty corpus: empty vocab frame, stable schema
+        return spark.createDataFrame(
+            [], "rank INT, piece STRING, n_count BIGINT, cost_q BIGINT"
+        )
+    costs = _unigram_costs(counts)
+    rounds = 0
+
+    def _recount(cur_costs: dict[str, int]) -> dict[str, int]:
+        expr = _viterbi_expr("w", cur_costs, max_piece_len, with_tokens=True)
+        got = (
+            words.select(F.expr(expr).alias("v"), "freq")
+            .select(F.explode("v.t").alias("p"), "freq")
+            .groupBy("p")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .collect()
+        )
+        return {r["p"]: int(r["cnt"]) for r in got}
+
+    for _ in range(int(iters)):
+        new = _recount(costs)
+        rounds += 1
+        counts = {
+            p: max(new.get(p, 0), 1) if len(p) == 1 else new[p]
+            for p in counts
+            if len(p) == 1 or new.get(p, 0) > 0
+        }
+        costs = _unigram_costs(counts)
+    # final prune to vocab_size (singles always survive), then one
+    # recount so reported counts/costs describe the PRUNED vocab
+    keep_multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: max(0, int(vocab_size) - len(singles))]
+    counts = {
+        **{p: c for p, c in counts.items() if len(p) == 1},
+        **dict(keep_multi),
+    }
+    costs = _unigram_costs(counts)
+    new = _recount(costs)
+    rounds += 1
+    counts = {
+        p: max(new.get(p, 0), 1) if len(p) == 1 else max(new.get(p, 0), 1)
+        for p in counts
+    }
+    costs = _unigram_costs(counts)
+    if stats is not None:
+        stats["driver_rounds"] = rounds
+    out = sorted(counts.items(), key=lambda pc: (-pc[1], pc[0]))
+    return spark.createDataFrame(
+        [
+            (i + 1, p, c, costs[p])
+            for i, (p, c) in enumerate(out)
+        ],
+        "rank INT, piece STRING, n_count BIGINT, cost_q BIGINT",
+    )
+
+
+def unigram_encode(
+    docs: DataFrame,
+    vocab,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM tokenizer APPLY: Viterbi-segment every document under
+    a trained vocabulary (:func:`unigram_train` output, or any
+    ``(piece, cost_q)`` mapping). Returns one row per document with at
+    least one word: ``(doc_id, n_words, n_pieces, total_cost_q,
+    pieces_per_word)`` where ``n_pieces``/``total_cost_q`` are the
+    lexicographic (cost, piece-count) minimum summed over words — a
+    tie-robust contract (any two minimum-cost segmentations with the
+    same piece count yield identical output), which is what makes the
+    entry VALUE-oracle-able: the DuckDB twin enumerates segmentation
+    paths by recursive CTE over the same piece literals and takes the
+    same (min cost, then min count).
+
+    100 TB shape: the Viterbi loop runs on the DISTINCT-WORD table
+    (vocabulary-sized), the corpus is touched twice (word explode;
+    broadcast word->(cost, n) map-back + per-doc agg), and the whole
+    DP is one JVM higher-order expression — no Python in the data
+    path. Coverage contract: the vocabulary must contain every single
+    character of the corpus (unigram_train guarantees it for its own
+    training corpus); words with uncovered characters surface with
+    ``total_cost_q >= 1e14`` (the documented sentinel) rather than
+    failing mid-job."""
+    if isinstance(vocab, DataFrame):
+        costs = {
+            r["piece"]: int(r["cost_q"]) for r in vocab.collect()
+        }
+    elif isinstance(vocab, dict):
+        costs = {p: int(c) for p, c in vocab.items()}
+    else:
+        costs = {p: int(c) for p, c in vocab}
+    if not costs:
+        raise ValueError("unigram_encode: empty vocabulary")
+    K = max(len(p) for p in costs)
+    wpos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+    ).filter(F.col("w") != "")
+    expr = _viterbi_expr("w", costs, K, with_tokens=False)
+    mapping = (
+        wpos.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.expr(expr).alias("v"),
+        )
+        .select(
+            "w",
+            F.col("v.c").alias("wc"),
+            F.col("v.n").alias("wn"),
+        )
+    )
+    return (
+        wpos.join(F.broadcast(mapping), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("wn").cast("bigint").alias("n_pieces"),
+            F.sum("wc").cast("bigint").alias("total_cost_q"),
+            F.round(
+                F.sum("wn").cast("double") / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("pieces_per_word"),
+        )
+    )

@@ -230,6 +230,14 @@ EXCLUDED = {
         "TakeOrdered; t06 curves the identical skeleton",
     "y57_oov_rate": "explode + hash-agg + broadcast left join + doc "
         "agg; t06 curves the identical skeleton",
+    "y88_unigram_train": "driver-loop iterative (the y51 exclusion): "
+        "the corpus is touched once by a t01-shaped word-freq "
+        "hash-agg; every EM round runs on the vocabulary-sized word "
+        "table, so a size sweep measures the synthetic corpus's vocab "
+        "growth, not the operator's corpus exponent",
+    "y89_unigram_encode": "trains in-query before the apply (the y58 "
+        "convention); the apply itself is curved as op_unigram_encode "
+        "under a per-size pre-trained vocab",
 }
 
 
@@ -399,6 +407,24 @@ def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
             _inc_cc_cache.append((base_labels, batch_pairs, new_nodes))
         return _inc_cc_cache[0]
 
+    _uni_vocab_cache = []
+
+    def uni_vocab():
+        # unigram vocab trained once per size (amortized like size_cents:
+        # the first, discarded run of the min-of-2 protocol absorbs the
+        # driver-loop training) — the timed thunk measures the APPLY
+        # shape: Viterbi DP on the distinct-word table + broadcast
+        # map-back + per-doc agg
+        if not _uni_vocab_cache:
+            v = text.unigram_train(
+                docs(), vocab_size=48, max_piece_len=4,
+                seed_size=128, iters=2,
+            )
+            _uni_vocab_cache.append(
+                {r["piece"]: int(r["cost_q"]) for r in v.collect()}
+            )
+        return _uni_vocab_cache[0]
+
     _size_cb_cache = []
 
     def size_cb():
@@ -516,6 +542,13 @@ def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
         # pinned in tests/test_bpe_entropy.py)
         "op_bpe_train_batched": lambda: text.bpe_train(
             docs(), num_merges=24, batch_merges=8
+        ),
+        # unigram-LM APPLY (round 10): Viterbi DP over the distinct-word
+        # table under a per-size pre-trained 48-piece vocab (uni_vocab,
+        # amortized) + broadcast map-back + per-doc agg — the encode
+        # shape y89 pins by oracle at gate scale
+        "op_unigram_encode": lambda: text.unigram_encode(
+            docs(), uni_vocab()
         ),
         # incremental CC (round 8): timed portion = fold a ~2% batch's
         # edges into committed labels (contract: per-ingest cost ∝
