@@ -159,6 +159,7 @@ HEADLINE = [
     # EM rounds, not a query; tools/check parity + tests cover it. The
     # per-sf vocab memo hoists training out of y89's recurring timing.
     "y89_unigram_encode",
+    "y90_quantile_sketch",
 ]
 
 

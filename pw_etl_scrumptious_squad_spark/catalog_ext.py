@@ -6751,6 +6751,71 @@ def y89(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (round-10 verdict item 5: the constant-state
+# streaming/100 TB companion to y85's exact refinement tier)
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of the integer HDR bucket geometry: keep the top 7
+# significant bits of |v| (bit length via length(bin(|v|)) — no float
+# log anywhere, so no engine can disagree at a bucket boundary), then
+# rank-walk the cumulative bucket counts with y85's pinned k-th-smallest
+# semantics. Independently derived (SQL window walk vs the Spark
+# driver walk).
+_Y90_REP = (
+    "CASE WHEN v = 0 THEN CAST(0 AS BIGINT) ELSE"
+    " CAST(CASE WHEN v < 0 THEN -1 ELSE 1 END AS BIGINT) *"
+    " ((abs(v) >> greatest(length(bin(abs(v))) - 7, 0))"
+    " << greatest(length(bin(abs(v))) - 7, 0)) END"
+)
+
+_Y90_ORACLE = (
+    "WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v"
+    " FROM lineitem WHERE l_extendedprice IS NOT NULL),"
+    f" b AS (SELECT {_Y90_REP} AS rep, count(*) AS n FROM c GROUP BY 1),"
+    " tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM b),"
+    " cum AS (SELECT rep, sum(n) OVER (ORDER BY rep) AS cum FROM b)"
+    " SELECT 'p50' AS quantile, (SELECT MIN(rep) FROM cum WHERE cum >="
+    " (SELECT (n - 1) * 50 // 100 + 1 FROM tot)) AS value"
+    " UNION ALL SELECT 'p90', (SELECT MIN(rep) FROM cum WHERE cum >="
+    " (SELECT (n - 1) * 90 // 100 + 1 FROM tot))"
+    " UNION ALL SELECT 'p99', (SELECT MIN(rep) FROM cum WHERE cum >="
+    " (SELECT (n - 1) * 99 // 100 + 1 FROM tot))"
+    " ORDER BY quantile"
+)
+
+
+@register(
+    "y90_quantile_sketch",
+    _Y90_ORACLE,
+    "MERGEABLE quantile sketch (p50/p90/p99 of order-line price in"
+    " integer cents): HDR-histogram integer buckets — top-7-bit"
+    " mantissa geometry with bit-length via bin(), NO floating-point"
+    " log, so the sketch is deterministic and value-oracle-able, not"
+    " approximately compared. ONE map-side-combined hash-agg pass; the"
+    " shuffle is the <= 64*128-row bucket universe regardless of input"
+    " size; sketches merge associatively (union + re-sum), the"
+    " property the streaming twin"
+    " (streaming/pipeline.py::streaming_quantile_sketch) and a"
+    " 1000-executor tree-aggregate both need. Any percentile reads"
+    " back at relative error < 2^-6 (~1.6%) — the error envelope the"
+    " tests pin against y85's exact tier"
+    " (operators/stats.py::quantile_sketch,sketch_quantiles)."
+    " y-prefix: past the gate window by design; the c22 twin pulls it"
+    " into the driver's window",
+)
+def y90(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    sk = statsops.quantile_sketch(
+        li, F.round(F.col("l_extendedprice") * 100), sub_bits=7
+    )
+    return (
+        statsops.sketch_quantiles(sk, (50, 90, 99), sub_bits=7)
+        .repartition(1)
+        .sortWithinPartitions("quantile")
+    )
+
+
 from pw_etl_scrumptious_squad_spark.catalog import register_twin  # noqa: E402
 
 _WINDOW_TWINS = {
@@ -6800,6 +6865,10 @@ _WINDOW_TWINS = {
     # r03_equi_join_shared_key — driver-certified since round 1, same
     # standing tools/check.py + pytest + sample-audit coverage)
     "c21_unigram_encode": "y89_unigram_encode",
+    # round-10: the mergeable quantile sketch enters the window the
+    # round it ships (evicts r02_equi_join_dim — driver-certified since
+    # round 1, same standing coverage)
+    "c22_quantile_sketch": "y90_quantile_sketch",
 }
 
 for _twin, _src in _WINDOW_TWINS.items():

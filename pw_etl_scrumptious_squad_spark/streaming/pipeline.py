@@ -923,3 +923,111 @@ def read_heavy_hitters(
         )
         .filter(F.col("cnt_max") >= F.lit(thr))
     )
+
+
+def streaming_quantile_sketch(
+    values_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    sub_bits: int = 7,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Streaming quantile sketch with BOUNDED state: fold each
+    micro-batch's HDR-histogram bucket counts
+    (operators/stats.py::quantile_sketch) into a persisted sketch store
+    — the streaming twin of the batch sketch, made possible by the
+    sketch being EXACTLY mergeable (union + re-sum is associative), so
+    the landed store equals the batch sketch over everything delivered,
+    bit-for-bit, whatever the batch boundaries were.
+
+    Per trigger: one map-side-combined bucket hash-agg over the batch,
+    one union+re-sum with the <= 64 * 2^sub_bits-row persisted store,
+    one versioned snapshot publish; a warehouse marker CAS-pins the
+    (sketch, meta) pair. The commit is keyed on batch_id in the meta
+    row (the streaming_heavy_hitters convention): foreachBatch is
+    at-least-once and a re-merged replay would double every count, so
+    an incoming batch_id <= the stored one returns untouched.
+
+    Read back with :func:`read_sketch_quantiles` — any percentile at
+    relative error < 2^(1-sub_bits), time-travelable by warehouse
+    snapshot. The exact tier (stats.exact_quantiles) remains the
+    oracle-checked batch companion (y85/c18)."""
+    from pw_etl_scrumptious_squad_spark.operators import stats as S
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as W
+    from pw_etl_scrumptious_squad_spark.sources.parquet import (
+        snapshot_read,
+        write_table_snapshot,
+    )
+
+    spark = values_stream.sparkSession
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        counts = S.quantile_sketch(batch, value_col, sub_bits).transform(
+            materialize
+        )
+        row = counts.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("t")
+        ).first()
+        batch_total = int(row["t"])
+        if batch_total == 0:
+            return
+        if W.warehouse_version(store_dir, spark) > 0:
+            pinned = W.warehouse_snapshot_tables(store_dir, None, spark)
+            meta = snapshot_read(
+                spark, store_dir, "meta", version=pinned["meta"]
+            ).first().asDict()
+            last_bid = meta.get("last_bid")
+            if last_bid is not None and int(batch_id) <= int(last_bid):
+                return  # at-least-once replay of a committed batch
+            prior = snapshot_read(
+                spark, store_dir, "sketch", version=pinned["sketch"]
+            )
+            merged = (
+                prior.unionByName(counts)
+                .groupBy("rep")
+                .agg(F.sum("n").cast("bigint").alias("n"))
+            )
+            total = int(meta["total"]) + batch_total
+        else:
+            merged, total = counts, batch_total
+        sv = write_table_snapshot(merged, store_dir, "sketch")
+        meta_df = spark.createDataFrame(
+            [(total, int(sub_bits), int(batch_id))],
+            "total BIGINT, sub_bits BIGINT, last_bid BIGINT",
+        )
+        tv = write_table_snapshot(meta_df, store_dir, "meta")
+        W.commit_warehouse_snapshot(
+            store_dir, {"sketch": sv, "meta": tv}, spark
+        )
+
+    return run_foreach_batch(
+        values_stream, checkpoint_dir, batch_fn, processing_time=processing_time
+    )
+
+
+def read_sketch_quantiles(
+    spark: SparkSession,
+    store_dir: str,
+    percentiles=(50, 90, 99),
+    snapshot: int | None = None,
+) -> DataFrame:
+    """Read percentiles off the streaming sketch store as of a warehouse
+    snapshot (None = latest): ``(quantile STRING, value BIGINT)`` at
+    relative error < 2^(1-sub_bits), identical to the batch
+    ``sketch_quantiles`` over everything delivered up to that
+    snapshot."""
+    from pw_etl_scrumptious_squad_spark.operators import stats as S
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as W
+    from pw_etl_scrumptious_squad_spark.sources.parquet import snapshot_read
+
+    pinned = W.warehouse_snapshot_tables(store_dir, snapshot, spark)
+    meta = snapshot_read(
+        spark, store_dir, "meta", version=pinned["meta"]
+    ).first()
+    sketch = snapshot_read(
+        spark, store_dir, "sketch", version=pinned["sketch"]
+    )
+    return S.sketch_quantiles(
+        sketch, percentiles, sub_bits=int(meta["sub_bits"])
+    )

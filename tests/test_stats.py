@@ -148,3 +148,110 @@ def test_profile_hll_tier_no_expand_and_close_counts(spark):
     e, a = exact["k"]["n_distinct"], approx["k"]["n_distinct"]
     assert abs(a - e) <= max(3, 0.1 * e)
     assert approx["k"]["n_rows"] == 5000 and approx["k"]["n_nulls"] == 0
+
+
+# ----- mergeable quantile sketch (round 10) -----
+
+from pw_etl_scrumptious_squad_spark.operators.stats import (  # noqa: E402
+    merge_quantile_sketches,
+    quantile_sketch,
+    sketch_quantiles,
+)
+
+
+def _sketch_check_envelope(spark, vals, sub_bits=7, ps=(50, 90, 99)):
+    df = spark.createDataFrame([(v,) for v in vals], "v BIGINT")
+    sk = quantile_sketch(df, "v", sub_bits=sub_bits)
+    got = {
+        r["quantile"]: r["value"]
+        for r in sketch_quantiles(sk, ps, sub_bits).collect()
+    }
+    for p in ps:
+        exact = _brute(vals, p)
+        g = got[f"p{p}"]
+        # the answer is the true quantile's bucket representative:
+        # toward-zero, relative error < 2^(1-sub_bits)
+        assert abs(g) <= abs(exact) or exact == 0
+        assert abs(g - exact) <= max(1, abs(exact)) * 2 ** (1 - sub_bits), (
+            p, g, exact,
+        )
+
+
+def test_sketch_error_envelope_random(spark):
+    rng = random.Random(5)
+    _sketch_check_envelope(spark, [rng.randrange(1, 10**12) for _ in range(2000)])
+
+
+def test_sketch_error_envelope_negatives_and_skew(spark):
+    rng = random.Random(9)
+    vals = (
+        [rng.randrange(-(10**9), 10**9) for _ in range(500)]
+        + [0] * 50
+        + [10**15] * 30
+    )
+    _sketch_check_envelope(spark, vals)
+
+
+def test_sketch_matches_exact_on_small_values(spark):
+    # |v| < 2^(sub_bits-1): every value is its own bucket -> the sketch
+    # IS exact there
+    vals = list(range(-60, 60)) * 3
+    df = spark.createDataFrame([(v,) for v in vals], "v BIGINT")
+    got = {
+        r["quantile"]: r["value"]
+        for r in sketch_quantiles(quantile_sketch(df, "v")).collect()
+    }
+    assert got == {f"p{p}": _brute(vals, p) for p in (50, 90, 99)}
+
+
+def test_sketch_merge_is_exact_and_associative(spark):
+    rng = random.Random(21)
+    a = [rng.randrange(0, 10**10) for _ in range(700)]
+    b = [rng.randrange(0, 10**10) for _ in range(300)]
+    c = [rng.randrange(-(10**6), 0) for _ in range(200)]
+    dfa = spark.createDataFrame([(v,) for v in a], "v BIGINT")
+    dfb = spark.createDataFrame([(v,) for v in b], "v BIGINT")
+    dfc = spark.createDataFrame([(v,) for v in c], "v BIGINT")
+    dfall = spark.createDataFrame([(v,) for v in a + b + c], "v BIGINT")
+    direct = sorted(
+        map(tuple, quantile_sketch(dfall, "v").collect())
+    )
+    m1 = merge_quantile_sketches(
+        quantile_sketch(dfa, "v"),
+        merge_quantile_sketches(
+            quantile_sketch(dfb, "v"), quantile_sketch(dfc, "v")
+        ),
+    )
+    m2 = merge_quantile_sketches(
+        merge_quantile_sketches(
+            quantile_sketch(dfc, "v"), quantile_sketch(dfa, "v")
+        ),
+        quantile_sketch(dfb, "v"),
+    )
+    assert sorted(map(tuple, m1.collect())) == direct
+    assert sorted(map(tuple, m2.collect())) == direct
+
+
+def test_sketch_state_is_bounded(spark):
+    # 200k values over the full positive range: occupied buckets stay
+    # below the bucket-universe bound regardless of input size
+    rng = random.Random(3)
+    df = spark.createDataFrame(
+        [(rng.randrange(1, 2**62),) for _ in range(200_000)], "v BIGINT"
+    )
+    n_buckets = quantile_sketch(df, "v", sub_bits=7).count()
+    assert n_buckets < 64 * 2**7
+
+
+def test_sketch_partition_invariance_and_empty(spark):
+    vals = [v * 977 for v in range(4000)]
+    a = sorted(map(tuple, quantile_sketch(
+        spark.createDataFrame([(v,) for v in vals], "v BIGINT").repartition(1),
+        "v").collect()))
+    b = sorted(map(tuple, quantile_sketch(
+        spark.createDataFrame([(v,) for v in vals], "v BIGINT").repartition(31),
+        "v").collect()))
+    assert a == b
+    empty = spark.createDataFrame([], "v BIGINT")
+    rows = sketch_quantiles(quantile_sketch(empty, "v")).collect()
+    assert [r["value"] for r in rows] == [None, None, None]

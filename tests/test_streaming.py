@@ -955,3 +955,93 @@ def test_streaming_cc_retention_on_non_file_scheme(spark, tmp_path):
         mdir = backing / f"labels_p{i}.manifest"
         data_dirs = [n for n in os.listdir(mdir) if n.endswith(".data")]
         assert len(data_dirs) <= 2, (i, data_dirs)
+
+
+def test_streaming_quantile_sketch_equals_batch_and_is_idempotent(
+    spark, tmp_path
+):
+    """The sketch is exactly mergeable, so the streaming store after N
+    micro-batches must equal the BATCH sketch over everything delivered
+    bit-for-bit (not just within error); replaying all batches from a
+    fresh checkpoint must leave the store untouched (last_bid guard);
+    state stays under the bucket-universe bound."""
+    import random
+
+    from pw_etl_scrumptious_squad_spark.operators.stats import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as W
+    from pw_etl_scrumptious_squad_spark.sources.parquet import snapshot_read
+
+    rng = random.Random(13)
+    batches = [
+        [(i, rng.randrange(-(10**9), 10**12)) for i in range(400)]
+        for _ in range(4)
+    ]
+    src = tmp_path / "vals"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "id LONG, value LONG").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"arrival={i}.parquet"))
+
+    def stream():
+        return (
+            spark.readStream.schema("id long, value long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/arrival=*.parquet")
+        )
+
+    store = str(tmp_path / "skstore")
+    q = sp.streaming_quantile_sketch(
+        stream(), store, str(tmp_path / "ckpt"), value_col="value"
+    )
+    q.awaitTermination(180)
+
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], "id LONG, value LONG"
+    )
+    want_sketch = sorted(
+        map(tuple, quantile_sketch(full, "value").collect())
+    )
+    pinned = W.warehouse_snapshot_tables(store, None, spark)
+    got_sketch = sorted(
+        map(
+            tuple,
+            snapshot_read(
+                spark, store, "sketch", version=pinned["sketch"]
+            ).collect(),
+        )
+    )
+    assert got_sketch == want_sketch
+    assert len(got_sketch) < 64 * 2**7  # bounded state
+
+    got_q = sorted(
+        map(tuple, sp.read_sketch_quantiles(spark, store).collect())
+    )
+    want_q = sorted(
+        map(
+            tuple,
+            sketch_quantiles(quantile_sketch(full, "value")).collect(),
+        )
+    )
+    assert got_q == want_q
+
+    # replay from a fresh checkpoint: every batch_id <= stored last_bid
+    before_version = W.warehouse_version(store, spark)
+    q2 = sp.streaming_quantile_sketch(
+        stream(), store, str(tmp_path / "ckpt2"), value_col="value"
+    )
+    q2.awaitTermination(180)
+    assert W.warehouse_version(store, spark) == before_version
+    got2 = sorted(
+        map(
+            tuple,
+            snapshot_read(
+                spark, store, "sketch",
+                version=W.warehouse_snapshot_tables(store, None, spark)["sketch"],
+            ).collect(),
+        )
+    )
+    assert got2 == want_sketch

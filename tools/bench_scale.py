@@ -130,6 +130,10 @@ CATALOG_QUERIES = [
                                # op_table_profile_hll)
     "y87_gap_fill_hourly",     # per-key hour grid + ONE per-key window
                                # forward fill; grid grows with events
+    "y90_quantile_sketch",     # one map-side bucket hash-agg; the
+                               # shuffle is the <=8k-row bucket
+                               # universe whatever the input size —
+                               # the curve should track the scan
 ]
 
 # Entries measured only up to a size. (Round-4 capped y31 at x10 because
