@@ -8,7 +8,7 @@ The reference has no time-series surface (its facts keep raw
 timestamps, src/transform.py:34-62); this is the batch companion to
 the engine's streaming session/window operators.
 
-Scale shape (three map-friendly stages, one window):
+Scale shape (two shuffles over OBSERVED rows; grid rows never shuffle):
 
 1. Per (key, hour) last observation — ONE hash-agg with a max_by on
    the total order (ts, tiebreak), so ties cannot make the carried
@@ -17,14 +17,24 @@ Scale shape (three map-friendly stages, one window):
    takes scalar keys only (no struct comparators): for non-negative
    fixed-width digits, lexicographic order IS numeric order, so both
    engines pick the identical row.
-2. The dense grid — ``sequence()`` between each key's first and last
-   hour, exploded map-side: grid size is sum over keys of their own
-   span (never |keys| x |global span|), and no join against a
-   generated calendar table is needed.
-3. Forward fill — ``last(value, ignorenulls=True)`` over (key ORDER BY
-   hour), ONE window whose partitioning is the natural key; at cluster
-   scale this is the only shuffle, and it reuses the stage-1
-   aggregation's hash partitioning on the key.
+2. Per-key observation array — ``collect_list`` of (hour, value)
+   structs, sorted (hours are unique per key, so the sort is total).
+3. Fill + densify ENTIRELY MAP-SIDE: each observation covers the span
+   [its hour, next observation's hour), so one JVM
+   ``transform``-with-index over the array emits every grid hour with
+   its carried value and observed flag, then a single explode.
+
+Round-10 replan: the previous formulation exploded the dense grid
+FIRST and then shuffled it twice (a (key, hour) join against the
+observations plus a per-key last-value window). Grid rows outnumber
+observed rows ~10x on the measured sets — at 100 TB that's the
+difference between shuffling the input and shuffling 10x the input.
+Now only observed rows shuffle (the stage-1 agg and the stage-2
+collect on the same key); the 10x grid exists only inside the final
+map stage. Cost model caveat: one key's OBSERVED (hour, value) pairs
+must fit in an executor array (the dense span never materializes as
+an array — the per-observation sequences are exploded streamingly);
+a key observed every hour for 30 years is ~263k structs, still fine.
 
 Leading hours before a key's first observation cannot exist by
 construction (the grid starts at the first observed hour), so the
@@ -33,7 +43,7 @@ output has no NULL carried values.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -70,28 +80,28 @@ def gap_fill_hourly(
             F.expr(f"max_by({value_col}, {order_key})").alias("obs_value")
         )
     )
-    spans = per_hour.groupBy("key").agg(
-        F.min("hour").alias("first_hour"), F.max("hour").alias("last_hour")
+    # per-key sorted observation array (hours unique per key -> total
+    # order), then the fill is pure map-side: observation i covers
+    # [hour_i, hour_{i+1}) — its own hour observed, the gap hours
+    # carried — and the last observation covers only itself
+    per_key = per_hour.groupBy("key").agg(
+        F.sort_array(
+            F.collect_list(F.struct("hour", "obs_value"))
+        ).alias("obs")
     )
-    grid = spans.select(
+    fill = F.expr(
+        "flatten(transform(obs, (o, i) ->"
+        " transform("
+        "  sequence(o.hour,"
+        "   if(i = size(obs) - 1, o.hour,"
+        "      element_at(obs, i + 2).hour - INTERVAL 1 HOUR),"
+        "   INTERVAL 1 HOUR),"
+        "  h -> named_struct("
+        "   'hour', h, 'value', o.obs_value, 'observed', h = o.hour))))"
+    )
+    return per_key.select("key", F.explode(fill).alias("g")).select(
         "key",
-        F.explode(
-            F.sequence(
-                "first_hour", "last_hour", F.expr("INTERVAL 1 HOUR")
-            )
-        ).alias("hour"),
-    )
-    w = (
-        Window.partitionBy("key")
-        .orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        grid.join(per_hour, ["key", "hour"], "left")
-        .select(
-            "key",
-            "hour",
-            F.last("obs_value", ignorenulls=True).over(w).alias("value"),
-            F.col("obs_value").isNotNull().alias("observed"),
-        )
+        F.col("g.hour").alias("hour"),
+        F.col("g.value").alias("value"),
+        F.col("g.observed").alias("observed"),
     )
