@@ -176,6 +176,16 @@ def extract_jdbc(
     consumers). Empty deltas return a literal empty frame for the same
     reason: a re-executed "empty" scan may no longer be empty.
 
+    Schema drift (round 10): the CDC subquery is ``SELECT *``, so an
+    upstream ``ALTER TABLE ADD COLUMN`` lands in the next delta
+    automatically; the keyed merge path (``parquet.upsert_table``)
+    NULL-backfills the new column onto already-loaded history and
+    keeps retired columns as NULLs on new rows, while a TYPE change of
+    an existing column fails loudly (``_align_evolving``) — never a
+    silent cast. E2E-pinned against a live-Derby
+    ``ALTER TABLE ADD COLUMN`` between cycles in
+    tests/test_jdbc_roundtrip.py.
+
     ``probe=True`` prepends a pushed-down source-side watermark probe
     (``jdbc.probe_watermarks`` — one max-agg ROW per table, evaluated by
     the database): tables whose source maxima have not advanced past the

@@ -562,6 +562,41 @@ def write_table_snapshot(
     raise last  # type: ignore[misc]
 
 
+def _align_evolving(
+    current: DataFrame, delta: DataFrame, name: str
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-drift alignment for the merge path (round-10: JDBC CDC
+    sources are NOT frozen — an upstream ``ALTER TABLE ADD COLUMN``
+    lands mid-stream): a column only in the delta is NULL-backfilled
+    onto the current table (the table's schema GROWS), a column only in
+    the current table is NULL-filled onto the delta (a source column
+    retired — warehouse history keeps it). A column present on both
+    sides with a DIFFERENT type is a loud error: silently casting a
+    type change would corrupt history, so type migrations must be an
+    explicit rewrite, never an upsert side effect."""
+    cur_types = {f.name: f.dataType for f in current.schema.fields}
+    new_types = {f.name: f.dataType for f in delta.schema.fields}
+    clashes = {
+        c: (cur_types[c].simpleString(), new_types[c].simpleString())
+        for c in sorted(cur_types.keys() & new_types.keys())
+        if cur_types[c] != new_types[c]
+    }
+    if clashes:
+        raise TypeError(
+            f"{name}: column type changed between the stored table and"
+            f" the delta: {clashes} — schema evolution supports"
+            " added/removed columns only; migrate types with an"
+            " explicit rewrite"
+        )
+    for c, t in new_types.items():
+        if c not in cur_types:
+            current = current.withColumn(c, F.lit(None).cast(t))
+    for c, t in cur_types.items():
+        if c not in new_types:
+            delta = delta.withColumn(c, F.lit(None).cast(t))
+    return current, delta
+
+
 def _upsert_once(
     spark: SparkSession,
     delta: DataFrame,
@@ -577,6 +612,7 @@ def _upsert_once(
         from pyspark.sql import Window
 
         current = _read_parquet_normalized(spark, snap_path, name)
+        current, delta = _align_evolving(current, delta, name)
         if order_col is not None:
             w = Window.partitionBy(*key_cols).orderBy(
                 F.col(order_col).desc(), *[F.col(k) for k in key_cols]
