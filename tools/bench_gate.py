@@ -49,6 +49,13 @@ GATE_QUERIES = [
     "y52_char_entropy",
     "y71_script_detect",
     "y74_bucketed_join",
+    # round-10 fast paths — regressions here mean the unigram apply
+    # regrew a corpus-sized DP (y89) or the sketch lost its
+    # bucket-bounded shuffle (y90) or the gap-fill regrew a grid
+    # shuffle (y87, replanned this round)
+    "y89_unigram_encode",
+    "y90_quantile_sketch",
+    "y87_gap_fill_hourly",
 ]
 
 DEFAULT_FLOORS = os.path.join(os.path.dirname(__file__), "bench_floors.json")
