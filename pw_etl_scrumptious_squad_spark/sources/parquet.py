@@ -612,6 +612,15 @@ def _upsert_once(
         from pyspark.sql import Window
 
         current = _read_parquet_normalized(spark, snap_path, name)
+        # key columns may never be NULL-filled: a delta that lost its
+        # natural key would collapse onto one NULL key and merge-destroy
+        # unrelated rows — refuse loudly before alignment
+        lost_keys = [k for k in key_cols if k not in delta.columns]
+        if lost_keys:
+            raise ValueError(
+                f"{name}: delta is missing key column(s) {lost_keys} —"
+                " schema evolution cannot drop the merge key"
+            )
         current, delta = _align_evolving(current, delta, name)
         if order_col is not None:
             w = Window.partitionBy(*key_cols).orderBy(

@@ -280,3 +280,17 @@ def test_cdc_schema_drift_add_column_between_cycles(spark, cfg, tmp_path):
     )
     with pytest.raises(TypeError, match="type changed"):
         lake.upsert_table(spark, bad, wh, "customers", ["id"])
+
+
+def test_upsert_refuses_delta_missing_key_column(spark, tmp_path):
+    """A delta that lost its merge KEY must be refused, never NULL-filled:
+    alignment would collapse every delta row onto one NULL key and
+    merge-destroy unrelated history."""
+    from pw_etl_scrumptious_squad_spark.sources import parquet as lake
+
+    wh = str(tmp_path / "lake")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id INT, name STRING")
+    lake.upsert_table(spark, base, wh, "t", ["id"])
+    keyless = spark.createDataFrame([("c",)], "name STRING")
+    with pytest.raises(ValueError, match="missing key column"):
+        lake.upsert_table(spark, keyless, wh, "t", ["id"])

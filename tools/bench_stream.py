@@ -159,6 +159,50 @@ def main() -> None:
             rec_big["wall_sec"] / wall_b, 3
         )
 
+        # ---- point 3b (round 10): streaming quantile sketch fold ----
+        # 10 micro-batches of events values through the bounded-state
+        # sketch store; cost per trigger is the bucket hash-agg + two
+        # snapshot publishes + one marker, independent of history size
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id", F.round(F.col("value") * 100).cast("bigint").alias("v")
+        )
+        n_ev = ev.count()
+        src_sk = os.path.join(work, "arrivals_sketch")
+        for i in range(n_batches):
+            ev.filter(F.col("event_id") % n_batches == i).coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                os.path.join(src_sk, f"arrival={i}.parquet")
+            )
+        stream_sk = (
+            spark.readStream.schema("event_id long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_sk + "/arrival=*.parquet")
+        )
+        store_sk = os.path.join(work, "sk_store")
+        t0 = time.perf_counter()
+        q = sp.streaming_quantile_sketch(
+            stream_sk, store_sk, os.path.join(work, "ckpt_sk"), value_col="v"
+        )
+        q.awaitTermination(600)
+        wall_sk = time.perf_counter() - t0
+        from pw_etl_scrumptious_squad_spark.sources.parquet import (
+            snapshot_read as _snap,
+        )
+        from pw_etl_scrumptious_squad_spark.sources import warehouse as _W
+
+        sk_rows = _snap(
+            spark, store_sk, "sketch",
+            version=_W.warehouse_snapshot_tables(store_sk, None, spark)["sketch"],
+        ).count()
+        streaming["stream_quantile_sketch"] = {
+            "rows": n_ev,
+            "batches": n_batches,
+            "wall_sec": round(wall_sk, 3),
+            "rows_per_sec": round(n_ev / wall_sk, 1),
+            "state_store_rows": sk_rows,
+        }
+
         # ---- point 4: rate-source sustained stream_to_jdbc ----
         from pw_etl_scrumptious_squad_spark.sources import jdbc as J
 
