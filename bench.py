@@ -160,6 +160,10 @@ HEADLINE = [
     # per-sf vocab memo hoists training out of y89's recurring timing.
     "y89_unigram_encode",
     "y90_quantile_sketch",
+    # y91's clustered write + Bloom index is a per-process memoized
+    # hoist (the y83 convention); the min-of-N protocol reports the
+    # recurring sidecar-probed point lookup
+    "y91_bloom_point_lookup",
 ]
 
 

@@ -6816,6 +6816,88 @@ def y90(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-file Bloom sidecar point lookup (round 10): equality file skipping,
+# the companion to y83's range skipping
+# ---------------------------------------------------------------------------
+
+_Y91_LAYOUTS: dict = {}
+
+
+def _y91_layout(spark: SparkSession, sf: str) -> str:
+    """Build (once per process+sf) the orderkey-clustered lineitem
+    layout with its Bloom sidecar — the hoisted one-time prep, like
+    y83's z-order write: at 100 TB you index once and every later
+    point lookup skips files forever after."""
+    import tempfile
+
+    key = __import__("os").path.abspath(sf)
+    if key not in _Y91_LAYOUTS:
+        li = _t(spark, sf, "lineitem")
+        path = tempfile.mkdtemp(prefix="pw_etl_y91_")
+        li.repartitionByRange(32, "l_orderkey").write.mode(
+            "overwrite"
+        ).parquet(path)
+        layoutops.write_bloom_sidecar(spark, path, "l_orderkey")
+        _Y91_LAYOUTS[key] = path
+    return _Y91_LAYOUTS[key]
+
+
+@register(
+    "y91_bloom_point_lookup",
+    "WITH b AS (SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx"
+    " FROM lineitem),"
+    " keys AS (SELECT DISTINCT k FROM ("
+    " SELECT mn AS k FROM b"
+    " UNION ALL SELECT mn + (mx - mn) // 3 FROM b"
+    " UNION ALL SELECT mn + 2 * (mx - mn) // 3 FROM b"
+    " UNION ALL SELECT mx FROM b))"
+    " SELECT keys.k AS probe_key,"
+    " CAST(count(l.l_orderkey) AS BIGINT) AS n_rows,"
+    " CAST(COALESCE(SUM(CAST(l.l_quantity AS BIGINT)), 0) AS BIGINT)"
+    " AS sum_qty"
+    " FROM keys LEFT JOIN lineitem l ON l.l_orderkey = keys.k"
+    " GROUP BY keys.k ORDER BY probe_key",
+    "Per-file BLOOM sidecar point lookup (operators/layout.py::"
+    "write_bloom_sidecar/read_with_bloom) — EQUALITY file skipping"
+    " next to y83's range skipping: each data file's Bloom (md5"
+    " double-hash positions OR-ed into sparse 64-bit words, one"
+    " parquet sidecar table + FS-chain meta) is probed at PLANNING"
+    " with one pushdown-filtered metadata scan; only admitting files"
+    " are listed/opened/scheduled. No false negatives by construction"
+    " (every present key set all its bits), so equality with the"
+    " full-scan oracle IS the losslessness proof; two of the four"
+    " derived probe keys are typically absent, exercising the"
+    " zero-file path. The clustered write + index is the hoisted"
+    " one-time prep. y-prefix: past the gate window by design; the"
+    " c23 twin pulls it into the driver's window",
+)
+def y91(spark: SparkSession, sf: str) -> DataFrame:
+    path = _y91_layout(spark, sf)
+    li = _t(spark, sf, "lineitem")
+    b = li.agg(
+        F.min("l_orderkey").alias("mn"), F.max("l_orderkey").alias("mx")
+    ).first()
+    mn, mx = int(b["mn"]), int(b["mx"])
+    ks = sorted({mn, mn + (mx - mn) // 3, mn + 2 * (mx - mn) // 3, mx})
+    df, _, _ = layoutops.read_with_bloom(spark, path, "l_orderkey", ks)
+    agg = df.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("__q"),
+    )
+    keys_df = spark.createDataFrame([(k,) for k in ks], "probe_key BIGINT")
+    return (
+        keys_df.join(agg, keys_df.probe_key == agg.l_orderkey, "left")
+        .select(
+            "probe_key",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.col("__q"), F.lit(0)).cast("bigint").alias("sum_qty"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("probe_key")
+    )
+
+
 from pw_etl_scrumptious_squad_spark.catalog import register_twin  # noqa: E402
 
 _WINDOW_TWINS = {
@@ -6869,6 +6951,10 @@ _WINDOW_TWINS = {
     # round it ships (evicts r02_equi_join_dim — driver-certified since
     # round 1, same standing coverage)
     "c22_quantile_sketch": "y90_quantile_sketch",
+    # round-10: Bloom point-lookup file skipping enters the window the
+    # round it ships (evicts r01_projection_rename — driver-certified
+    # since round 1, same standing coverage)
+    "c23_bloom_point_lookup": "y91_bloom_point_lookup",
 }
 
 for _twin, _src in _WINDOW_TWINS.items():

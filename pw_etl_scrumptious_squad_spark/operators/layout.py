@@ -217,3 +217,165 @@ def read_with_skipping(
         return spark.read.parquet(path).filter(F.lit(False)), 0, total
     df = spark.read.parquet(*keep)
     return (df.filter(cond) if cond is not None else df), len(keep), total
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom sidecar (round 10): EQUALITY file skipping — the point-
+# lookup companion to the z-order manifest's range skipping above
+# ---------------------------------------------------------------------------
+
+BLOOM_META_NAME = "_bloom_meta.json"
+
+
+def _bloom_dir(path: str, key_col: str) -> str:
+    # leading underscore: Spark's parquet reader ignores the sidecar
+    # when scanning the data directory itself
+    return _join(path, f"_bloom_{key_col}")
+
+
+def _bloom_pos_expr(key_expr: str, i_expr: str, m: int) -> str:
+    """Bit position of hash i for a key: first 60 bits of
+    md5(key '#' i) mod m — the repo's established cross-engine md5
+    idiom (see curation._md5_unit_interval), all integer/JVM ops."""
+    return (
+        f"pmod(CAST(conv(substring(md5(concat(CAST({key_expr} AS STRING),"
+        f" '#', CAST({i_expr} AS STRING))), 1, 15), 16, 10) AS BIGINT),"
+        f" {int(m)})"
+    )
+
+
+def write_bloom_sidecar(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    m_bits: int = 1 << 18,
+    n_hashes: int = 4,
+) -> dict:
+    """Build a per-file Bloom index over ``key_col`` for the parquet
+    layout at ``path``: for every data file, the positions
+    ``md5(key '#' i) % m_bits`` (i < n_hashes) of every key in the file
+    are OR-ed into a fixed-size bit array, stored SPARSELY as one
+    parquet sidecar table ``(file, word, bits)`` of the non-zero 64-bit
+    words (so an index over a low-cardinality file costs rows ∝ its
+    distinct keys, not m_bits), plus a tiny JSON meta published through
+    the Hadoop FS chain.
+
+    Why file-level: parquet's own bloom filters prune ROW GROUPS inside
+    files already opened; this sidecar prunes at PLANNING — skipped
+    files are never listed, opened, or scheduled (the same layer as the
+    z-order manifest, for equality predicates instead of boxes). At
+    100 TB the sidecar is a metadata-sized table the driver probes with
+    one pushdown-filtered scan.
+
+    Build cost: ONE pass over the layout — explode the n_hashes
+    positions per row (map-side), bit_or per (file, word). No false
+    negatives BY CONSTRUCTION: every position of every present key is
+    set, so :func:`read_with_bloom` can never skip a file containing
+    the probed key (losslessness is equality-tested, not sampled).
+    Sizing: FP rate per file ~ (1 - e^(-k*n/m))^k; the default
+    m=262144, k=4 holds ~1% at 16k distinct keys per file."""
+    df = spark.read.parquet(path)
+    if key_col not in df.columns:
+        raise ValueError(f"{key_col} not in layout columns {df.columns}")
+    pos = _bloom_pos_expr(key_col, "i", m_bits)
+    words = (
+        df.select(
+            F.input_file_name().alias("f"),
+            F.explode(F.expr(f"sequence(0, {int(n_hashes) - 1})")).alias("i"),
+            F.col(key_col),
+        )
+        .select(
+            F.expr(
+                "reverse(split(f, '/'))[0]"
+            ).alias("file"),
+            F.expr(pos).alias("pos"),
+        )
+        .select(
+            "file",
+            F.expr("pos DIV 64").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("file", "word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    words.write.mode("overwrite").parquet(_bloom_dir(path, key_col))
+    meta = {"key_col": key_col, "m_bits": int(m_bits), "n_hashes": int(n_hashes)}
+    fs_write_text(
+        _join(_bloom_dir(path, key_col), BLOOM_META_NAME),
+        json.dumps(meta),
+        spark,
+    )
+    return meta
+
+
+def read_with_bloom(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    values,
+) -> tuple[DataFrame, int, int]:
+    """Point-lookup read through the Bloom sidecar: keep only files
+    whose Bloom admits at least one probed value, then apply the exact
+    ``key IN (values)`` filter (skipping is lossless — no false
+    negatives; Bloom false positives only cost a scanned file, never a
+    wrong row). Returns (df, n_files_selected, n_files_total).
+
+    The probe is ONE filtered scan of the metadata-sized sidecar: the
+    k probe positions per value are computed JVM-side with the same
+    expression the build used (no cross-engine/driver hash parity to
+    maintain), joined against the sidecar words, and a file survives a
+    value when all k of its positions hit."""
+    raw = fs_read_text(
+        _join(_bloom_dir(path, key_col), BLOOM_META_NAME), spark
+    )
+    if raw is None:
+        raise FileNotFoundError(
+            f"no Bloom sidecar for {key_col} under {path} —"
+            " write_bloom_sidecar publishes it with the meta"
+        )
+    meta = json.loads(raw)
+    m, k = int(meta["m_bits"]), int(meta["n_hashes"])
+    vals = list(values) if isinstance(values, (list, tuple, set)) else [values]
+    if not vals:
+        raise ValueError("read_with_bloom: empty probe value list")
+    probe_rows = [(str(v), i) for v in vals for i in range(k)]
+    probe = (
+        spark.createDataFrame(probe_rows, "v STRING, i INT")
+        .select(
+            "v",
+            F.expr(_bloom_pos_expr("v", "i", m)).alias("pos"),
+        )
+        .select(
+            "v",
+            F.expr("pos DIV 64").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("mask"),
+        )
+    )
+    sidecar = spark.read.parquet(_bloom_dir(path, key_col)).filter(
+        F.col("file") != BLOOM_META_NAME
+    )
+    hits = (
+        sidecar.join(F.broadcast(probe), "word")
+        .filter(F.expr("(bits & mask) != 0"))
+        .groupBy("file", "v")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == k)
+        .select("file")
+        .distinct()
+        .collect()
+    )
+    listed = {
+        name for name, is_dir in list_store(spark, path)
+        if not is_dir and name.endswith(".parquet")
+    }
+    total = len(listed)
+    keep = sorted(r["file"] for r in hits if r["file"] in listed)
+    cond = F.col(key_col).isin([v for v in vals])
+    if not keep:
+        return spark.read.parquet(path).filter(F.lit(False)), 0, total
+    df = spark.read.parquet(*[_join(path, name) for name in keep])
+    return df.filter(cond), len(keep), total

@@ -124,10 +124,11 @@ def test_every_query_names_match_oracle(catalog_schemas):
 # the judge's suggested quality/curation-belt ten (y34/y39/y40/y41/
 # y43/y47/y55/y57/y62/y63); the round-9 occupants are now in
 # CORRECTNESS_r09.json and keep tools/check.py + pytest coverage.
-# Round-10 adds: c21 (unigram-LM tokenizer APPLY) and c22 (mergeable
-# quantile sketch) enter the window the round they ship, evicting
-# r03_equi_join_shared_key and r02_equi_join_dim (driver-certified
-# since round 1, standing coverage).
+# Round-10 adds: c21 (unigram-LM tokenizer APPLY), c22 (mergeable
+# quantile sketch) and c23 (Bloom point-lookup skipping) enter the
+# window the round they ship, evicting r03_equi_join_shared_key,
+# r02_equi_join_dim and r01_projection_rename (driver-certified since
+# round 1, standing coverage).
 DRIVER_WINDOW = [
     "c01_quality_rules", "c02_ppl_buckets",
     "c03_shingle_novelty", "c04_source_overlap_sketch",
@@ -138,7 +139,7 @@ DRIVER_WINDOW = [
     "c14_part_pagerank", "c15_heavy_hitters", "c16_zorder_skipping",
     "c17_entity_resolution", "c18_exact_quantiles", "c19_table_profile",
     "c20_gap_fill_hourly", "c21_unigram_encode",
-    "c22_quantile_sketch",
+    "c22_quantile_sketch", "c23_bloom_point_lookup",
     "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_signatures",
     "d04_simhash", "d05_minhash_lsh_pairs", "d06_embedding_neardup",
     "d07_simhash_neardup", "m01_media_features", "m02_video_frames",
@@ -148,7 +149,6 @@ DRIVER_WINDOW = [
     "q10_sessionize", "q11_outer_join_agg", "q12_json_extract",
     "q13_string_funcs", "q14_math_funcs", "q15_shipping_priority",
     "q16_local_supplier_volume", "q18_lead_lag", "q20_pivot",
-    "r01_projection_rename",
 ]
 
 

@@ -181,3 +181,81 @@ def test_manifest_file_drift_fails_loudly(spark, tmp_path):
             spark, path,
             {"l_partkey": (b[0], b[1]), "l_suppkey": (b[2], b[3])},
         )
+
+
+# ----- per-file Bloom sidecar (round 10): equality file skipping -----
+
+def _bloom_layout(spark, tmp_path, n_files=24):
+    li = read_table(spark, SF, "lineitem")
+    path = str(tmp_path / "blayout")
+    li.repartitionByRange(n_files, "l_orderkey").write.mode(
+        "overwrite"
+    ).parquet(path)
+    L.write_bloom_sidecar(spark, path, "l_orderkey")
+    return li, path
+
+
+def test_bloom_lookup_is_lossless_and_skips(spark, tmp_path):
+    li, path = _bloom_layout(spark, tmp_path)
+    keys = [r[0] for r in li.select("l_orderkey").distinct().limit(3).collect()]
+    df, n_sel, n_tot = L.read_with_bloom(spark, path, "l_orderkey", keys)
+    # point lookups on a range-clustered layout must skip most files
+    assert 0 < n_sel <= len(keys) and n_sel < n_tot / 2
+    got = sorted(
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in df.select("l_orderkey", "l_linenumber").collect()
+    )
+    exp = sorted(
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in li.filter(F.col("l_orderkey").isin(keys))
+        .select("l_orderkey", "l_linenumber").collect()
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_bloom_never_false_negative(spark, tmp_path):
+    # the hard guarantee: EVERY present key must survive the skip —
+    # probe a sample of 40 real keys one by one
+    li, path = _bloom_layout(spark, tmp_path)
+    keys = [
+        r[0]
+        for r in li.select("l_orderkey").distinct().limit(40).collect()
+    ]
+    df, n_sel, _ = L.read_with_bloom(spark, path, "l_orderkey", keys)
+    want = li.filter(F.col("l_orderkey").isin(keys)).count()
+    assert df.count() == want
+
+
+def test_bloom_absent_key_and_missing_sidecar(spark, tmp_path):
+    li, path = _bloom_layout(spark, tmp_path)
+    df, n_sel, _ = L.read_with_bloom(spark, path, "l_orderkey", 10**12)
+    # an absent key usually selects zero files (FP possible but ~1%);
+    # rows are ALWAYS zero because the exact filter still applies
+    assert n_sel <= 1
+    assert df.count() == 0
+    assert "l_partkey" in df.columns
+    with pytest.raises(FileNotFoundError, match="no Bloom sidecar"):
+        L.read_with_bloom(spark, path, "l_suppkey", 5)
+
+
+def test_bloom_sidecar_through_non_file_scheme(spark, tmp_path):
+    from pw_etl_scrumptious_squad_spark.sources.parquet import (
+        configure_object_store,
+    )
+
+    (tmp_path / "blake").mkdir()
+    configure_object_store(
+        spark,
+        scheme="viewfs",
+        extra_conf={
+            "fs.viewfs.mounttable.blake.link./data": f"file:{tmp_path}/blake"
+        },
+    )
+    li = read_table(spark, SF, "lineitem")
+    path = "viewfs://blake/data/blayout"
+    li.repartitionByRange(16, "l_orderkey").write.mode("overwrite").parquet(path)
+    L.write_bloom_sidecar(spark, path, "l_orderkey")
+    key = li.select("l_orderkey").first()[0]
+    df, n_sel, n_tot = L.read_with_bloom(spark, path, "l_orderkey", key)
+    assert 0 < n_sel < n_tot
+    assert df.count() == li.filter(F.col("l_orderkey") == key).count()

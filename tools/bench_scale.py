@@ -134,6 +134,12 @@ CATALOG_QUERIES = [
                                # shuffle is the <=8k-row bucket
                                # universe whatever the input size —
                                # the curve should track the scan
+    "y91_bloom_point_lookup",  # sidecar-probed point lookup: one
+                               # metadata-scan probe + <=4 admitted
+                               # files whatever the corpus size — the
+                               # curve should be nearly FLAT (the
+                               # one-time clustered write + index is
+                               # the amortized hoist)
 ]
 
 # Entries measured only up to a size. (Round-4 capped y31 at x10 because
