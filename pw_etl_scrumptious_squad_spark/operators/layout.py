@@ -277,6 +277,18 @@ def write_bloom_sidecar(
     df = spark.read.parquet(path)
     if key_col not in df.columns:
         raise ValueError(f"{key_col} not in layout columns {df.columns}")
+    # integral/string keys only: positions hash CAST(key AS STRING) at
+    # build time but the probe stringifies in PYTHON — identical for
+    # ints and strings, but float/decimal renderings can differ between
+    # the two (e.g. trailing zeros), which would silently break the
+    # no-false-negative guarantee
+    kind = dict(df.dtypes)[key_col]
+    if kind not in ("tinyint", "smallint", "int", "bigint", "string"):
+        raise TypeError(
+            f"bloom sidecar key must be an integral or string column,"
+            f" got {key_col}: {kind} (float/decimal string renderings"
+            " differ between the build and the probe)"
+        )
     pos = _bloom_pos_expr(key_col, "i", m_bits)
     words = (
         df.select(
@@ -355,9 +367,7 @@ def read_with_bloom(
             ).alias("mask"),
         )
     )
-    sidecar = spark.read.parquet(_bloom_dir(path, key_col)).filter(
-        F.col("file") != BLOOM_META_NAME
-    )
+    sidecar = spark.read.parquet(_bloom_dir(path, key_col))
     hits = (
         sidecar.join(F.broadcast(probe), "word")
         .filter(F.expr("(bits & mask) != 0"))

@@ -477,3 +477,95 @@ def test_gopher_top_token_ratio_single_pass_matches_naive(spark):
         toks = text.split()
         expected = round(Counter(toks).most_common(1)[0][1] / len(toks), 6)
         assert abs(got[doc_id][0] - expected) < 1e-9, doc_id
+
+
+# ----- round-10 operators under hypothesis -----
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=1,
+        max_size=60,
+    ),
+    p=st.sampled_from([1, 50, 90, 99, 100]),
+)
+@SLOW
+def test_quantile_sketch_envelope_and_small_exactness(spark, vals, p):
+    from pw_etl_scrumptious_squad_spark.operators.stats import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v BIGINT")
+    got = sketch_quantiles(
+        quantile_sketch(df, "v", sub_bits=7), (p,), sub_bits=7
+    ).first()["value"]
+    s = sorted(vals)
+    exact = s[(len(s) - 1) * p // 100]
+    # representative is toward zero with relative error < 2^-6
+    assert abs(got) <= abs(exact) or exact == 0
+    assert abs(got - exact) <= max(1, abs(exact)) * 2 ** (1 - 7)
+
+
+@given(texts=docs_strategy)
+@SLOW
+def test_unigram_viterbi_matches_python_dp(spark, texts):
+    """Spark's JVM-aggregate Viterbi must equal a plain Python DP for
+    every word under an arbitrary small trained vocab."""
+    from pw_etl_scrumptious_squad_spark.operators.text import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    vocab = unigram_train(
+        df, vocab_size=12, max_piece_len=3, seed_size=24, iters=1
+    )
+    costs = {r["piece"]: r["cost_q"] for r in vocab.collect()}
+    if not costs:
+        return
+    K = max(len(x) for x in costs)
+    got = {
+        r["doc_id"]: (r["n_pieces"], r["total_cost_q"])
+        for r in unigram_encode(df, vocab).collect()
+    }
+    BIG = 10**15
+    for i, t in enumerate(texts):
+        words = [w for w in t.lower().split(" ") if w]
+        tot_c = tot_n = 0
+        for w in words:
+            dp = [(0, 0)]
+            for j in range(1, len(w) + 1):
+                best = (BIG, 0)
+                for l in range(1, min(j, K) + 1):
+                    c = costs.get(w[j - l : j])
+                    if c is None:
+                        continue
+                    cand = (dp[j - l][0] + c, dp[j - l][1] + 1)
+                    if cand < best:
+                        best = cand
+                dp.append(best)
+            tot_c += dp[-1][0]
+            tot_n += dp[-1][1]
+        assert got[i] == (tot_n, tot_c), (t, got[i], (tot_n, tot_c))
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1, max_size=40, unique=True,
+    ),
+)
+@SLOW
+def test_bloom_sidecar_never_misses_any_present_key(spark, tmp_path_factory, keys):
+    from pw_etl_scrumptious_squad_spark.operators import layout as L
+
+    tmp = tmp_path_factory.mktemp("bloomprop")
+    df = spark.createDataFrame([(k, f"r{k}") for k in keys], "k BIGINT, s STRING")
+    path = str(tmp / "lay")
+    df.repartition(4).write.mode("overwrite").parquet(path)
+    L.write_bloom_sidecar(spark, path, "k", m_bits=1 << 12, n_hashes=3)
+    out, n_sel, n_tot = L.read_with_bloom(spark, path, "k", keys)
+    # EVERY present key must survive the skip — no false negatives
+    assert sorted(r["k"] for r in out.collect()) == sorted(keys)
