@@ -6898,6 +6898,349 @@ def y91(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Count-Min + KMV sketches (round-10 continuation): the estimate-any-key
+# frequency companion to y82's exact heavy hitters, and the distinct sketch
+# with UNION/INTERSECTION set algebra that HLL (y61) cannot do
+# ---------------------------------------------------------------------------
+
+from pw_etl_scrumptious_squad_spark.operators import sketches as sketchops  # noqa: E402
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 4096
+_KMV_K = 256
+_KMV_SRCS = ("src0", "src1", "src2")
+_KMV_PAIRS = [("src0", "src1"), ("src0", "src2"), ("src1", "src2")]
+
+# DuckDB twin of text.with_shingles over documents (the d03 oracle's
+# shingle construction verbatim): 5-token shingle md5s, one row per
+# OCCURRENCE, short docs falling back to the whole-text shingle via the
+# greatest(.., 1) clamp + slice truncation.
+_SHINGLE_OCC = (
+    "tk AS (SELECT doc_id, source, string_split(text, ' ') AS toks"
+    " FROM documents),"
+    " sh AS (SELECT doc_id, source,"
+    " unnest(list_transform(range(1, greatest(len(toks) - 4, 1) + 1),"
+    " i -> md5(array_to_string(toks[i:i+4], ' ')))) AS item FROM tk)"
+)
+
+
+def _y92_oracle() -> str:
+    d, w = _CMS_DEPTH, _CMS_WIDTH
+    return (
+        f"WITH {_SHINGLE_OCC},"
+        " h AS (SELECT item,"
+        " CAST(concat('0x', substr(md5(item), 1, 15)) AS BIGINT) AS h1,"
+        " CAST(concat('0x', substr(md5(item), 17, 14)) AS BIGINT) AS h2"
+        " FROM sh),"
+        f" rr AS (SELECT unnest(range(0, {d})) AS r),"
+        f" pos AS (SELECT r, (h1 + r * h2) % {w} AS bucket FROM h, rr),"
+        " sk AS (SELECT r, bucket, count(*) AS n FROM pos GROUP BY 1, 2),"
+        " probe AS (SELECT DISTINCT item FROM sh WHERE doc_id ="
+        " (SELECT min(doc_id) FROM documents)"
+        " UNION ALL SELECT 'zzz#absent#1' UNION ALL SELECT 'zzz#absent#2'),"
+        " ph AS (SELECT item,"
+        " CAST(concat('0x', substr(md5(item), 1, 15)) AS BIGINT) AS h1,"
+        " CAST(concat('0x', substr(md5(item), 17, 14)) AS BIGINT) AS h2"
+        " FROM probe),"
+        f" ppos AS (SELECT item, r, (h1 + r * h2) % {w} AS bucket"
+        " FROM ph, rr),"
+        " est AS (SELECT item, min(coalesce(sk.n, 0)) AS e FROM ppos"
+        " LEFT JOIN sk USING (r, bucket) GROUP BY item),"
+        " ex AS (SELECT item, count(*) AS c FROM sh GROUP BY item)"
+        " SELECT p.item, CAST(est.e AS BIGINT) AS est_count,"
+        " CAST(coalesce(ex.c, 0) AS BIGINT) AS exact_count,"
+        " CAST(est.e - coalesce(ex.c, 0) AS BIGINT) AS over_count"
+        " FROM probe p JOIN est ON p.item = est.item"
+        " LEFT JOIN ex ON p.item = ex.item"
+        " ORDER BY p.item"
+    )
+
+
+@register(
+    "y92_cms_counts",
+    _y92_oracle(),
+    "Count-Min sketch point queries (Cormode & Muthukrishnan 2005)"
+    " over 5-token shingle occurrences: a 4x4096 counter matrix built"
+    " in ONE map-side-combined hash-agg whose shuffle is bounded by"
+    " the counter universe (16k rows) regardless of corpus or"
+    " vocabulary size, probed for the min-doc's shingles plus two"
+    " never-seen sentinels. Estimates are one-sided by construction"
+    " (est >= exact always — the over_count column is the audited"
+    " overestimate, bounded in expectation by total/width); counters"
+    " sum associatively, the property the streaming twin"
+    " (streaming/pipeline.py::streaming_cms) folds on. All hashing is"
+    " the repo's md5 Carter-Wegman split, so even the ESTIMATES are"
+    " value-exact cross-engine — the oracle replicates the sketch"
+    " bit-for-bit, it does not wave at an epsilon"
+    " (operators/sketches.py::cms_sketch,cms_estimate)."
+    " y-prefix: past the gate window by design; the c24 twin pulls it"
+    " into the driver's window",
+)
+def y92(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    items = sketchops.shingle_occurrences(
+        docs, keep_cols=("doc_id",)
+    ).transform(materialize)
+    sk = sketchops.cms_sketch(items, depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    mind = int(docs.agg(F.min("doc_id")).first()[0])
+    probes = (
+        items.filter(F.col("doc_id") == mind)
+        .select("item")
+        .distinct()
+        .unionByName(
+            spark.createDataFrame(
+                [("zzz#absent#1",), ("zzz#absent#2",)], "item STRING"
+            )
+        )
+    )
+    est = sketchops.cms_estimate(
+        sk, probes, depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    exact = (
+        items.join(F.broadcast(probes), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    return (
+        est.join(exact, "item", "left")
+        .select(
+            "item",
+            "est_count",
+            F.coalesce(F.col("__c"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_count"),
+            (F.col("est_count") - F.coalesce(F.col("__c"), F.lit(0)))
+            .cast("bigint")
+            .alias("over_count"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("item")
+    )
+
+
+def _y93_oracle() -> str:
+    k = _KMV_K
+    srcs = ", ".join(f"'{s}'" for s in _KMV_SRCS)
+    est_hugeint = (
+        "CAST((CAST({km1} AS HUGEINT) *"
+        " CAST(1152921504606846976 AS HUGEINT)) // {theta} AS BIGINT)"
+    )
+    parts = []
+    for s in _KMV_SRCS:
+        e = est_hugeint.format(km1=k - 1, theta=f"hs[{k}]")
+        parts.append(
+            f"SELECT '{s}' AS set_expr,"
+            f" CAST(len(hs) AS BIGINT) AS n_kept,"
+            f" CAST(CASE WHEN nd < {k} THEN nd ELSE {e} END AS BIGINT)"
+            " AS est_distinct,"
+            " CAST(nd AS BIGINT) AS exact_distinct"
+            f" FROM kept WHERE source = '{s}'"
+        )
+    for a, b in _KMV_PAIRS:
+        eu = est_hugeint.format(km1=k - 1, theta=f"mg[{k}]")
+        parts.append(
+            f"SELECT '{a}|{b}|union',"
+            f" CAST(CASE WHEN be THEN len(mg) ELSE least(len(mg), {k})"
+            " END AS BIGINT),"
+            f" CAST(CASE WHEN be THEN len(mg) ELSE {eu} END AS BIGINT),"
+            " (SELECT CAST(count(DISTINCT h) AS BIGINT) FROM d"
+            f" WHERE source IN ('{a}', '{b}'))"
+            f" FROM (SELECT ka.nd < {k} AND kb.nd < {k} AS be,"
+            " list_sort(list_distinct(ka.hs || kb.hs)) AS mg"
+            f" FROM kept ka, kept kb WHERE ka.source = '{a}'"
+            f" AND kb.source = '{b}')"
+        )
+        parts.append(
+            f"SELECT '{a}|{b}|intersect',"
+            " CAST(m AS BIGINT),"
+            " CAST(CASE WHEN be THEN m"
+            f" ELSE (CAST(m AS HUGEINT) * eu) // {k} END AS BIGINT),"
+            " (SELECT CAST(count(*) AS BIGINT) FROM d da JOIN d db"
+            f" ON da.h = db.h WHERE da.source = '{a}'"
+            f" AND db.source = '{b}')"
+            " FROM (SELECT be, CASE WHEN be THEN"
+            " len(list_filter(ah, x -> list_contains(bh, x)))"
+            " ELSE len(list_filter(K, x -> list_contains(ah, x)"
+            " AND list_contains(bh, x))) END AS m,"
+            f" CASE WHEN be THEN CAST(len(mg) AS HUGEINT) ELSE {est_hugeint.format(km1=k - 1, theta=f'mg[{k}]')} END AS eu"
+            f" FROM (SELECT ka.nd < {k} AND kb.nd < {k} AS be,"
+            " ka.hs AS ah, kb.hs AS bh,"
+            " list_sort(list_distinct(ka.hs || kb.hs)) AS mg,"
+            f" list_sort(list_distinct(ka.hs || kb.hs))[1:{k}] AS K"
+            f" FROM kept ka, kept kb WHERE ka.source = '{a}'"
+            f" AND kb.source = '{b}'))"
+        )
+    return (
+        f"WITH {_SHINGLE_OCC},"
+        " d AS (SELECT DISTINCT source,"
+        " CAST(concat('0x', substr(md5(item), 1, 15)) AS BIGINT) AS h"
+        f" FROM sh WHERE source IN ({srcs})),"
+        f" kept AS (SELECT source, (list_sort(list(h)))[1:{k}] AS hs,"
+        " count(*) AS nd FROM d GROUP BY source) "
+        + " UNION ALL ".join(parts)
+        + " ORDER BY set_expr"
+    )
+
+
+@register(
+    "y93_kmv_distinct",
+    _y93_oracle(),
+    "KMV / k-minimum-values distinct sketch with SET ALGEBRA"
+    " (Bar-Yossef et al. 2002; Beyer et al. 2007): per-source k=256"
+    " smallest distinct shingle hashes, folded per partition with"
+    " bounded state (numpy unique + head-k per Arrow batch — the"
+    " (group, item) universe never shuffles, the exact cost KMV"
+    " replaces at 100 TB), finalized driver-side with"
+    " arbitrary-precision integer math (the y85/y90 driver-walk"
+    " pattern; (k-1)*2^60 needs ~69 bits). Reports per-source distinct"
+    " estimates PLUS union and theta-style intersection estimates per"
+    " source pair — computable from the constant-size sketches alone,"
+    " the set operation HLL (y61) cannot answer; exact_distinct is the"
+    " audited verification tier the tests and oracle compare against."
+    " Fully md5-deterministic: estimator floor-division replicated in"
+    " HUGEINT by the oracle, so the ESTIMATES are value-exact"
+    " cross-engine (operators/sketches.py::kmv_sketch,"
+    "kmv_set_estimates). y-prefix: past the gate window by design; the"
+    " c25 twin pulls it into the driver's window",
+)
+def y93(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").filter(
+        F.col("source").isin(*_KMV_SRCS)
+    )
+    items = sketchops.shingle_occurrences(
+        docs, keep_cols=("source",)
+    ).transform(materialize)
+    sk = sketchops.kmv_sketch(items, "source", k=_KMV_K)
+    est = sketchops.kmv_set_estimates(sk, k=_KMV_K, pairs=_KMV_PAIRS)
+    # exact verification tier: distinct 60-bit hashes per source and the
+    # pairwise union/intersection counts, one distinct agg + one
+    # bounded conditional-sum pass (driver-assembled: the est rows are
+    # already driver-side, and every collect here is O(sources) rows)
+    d = (
+        items.select(
+            "source",
+            F.expr(
+                "cast(conv(substring(md5(item), 1, 15), 16, 10) as bigint)"
+            ).alias("h"),
+        )
+        .distinct()
+        .transform(materialize)
+    )
+    per_src = {
+        r["source"]: int(r["n"])
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    grouped = d.groupBy("h").agg(F.collect_set("source").alias("ss"))
+    pair_aggs = []
+    for a, b in _KMV_PAIRS:
+        ca = F.array_contains("ss", a)
+        cb = F.array_contains("ss", b)
+        pair_aggs.append(
+            F.sum((ca | cb).cast("bigint")).alias(f"u_{a}_{b}")
+        )
+        pair_aggs.append(
+            F.sum((ca & cb).cast("bigint")).alias(f"i_{a}_{b}")
+        )
+    pr = grouped.agg(*pair_aggs).first()
+    exact = dict(per_src)
+    for a, b in _KMV_PAIRS:
+        exact[f"{a}|{b}|union"] = int(pr[f"u_{a}_{b}"])
+        exact[f"{a}|{b}|intersect"] = int(pr[f"i_{a}_{b}"])
+    rows = [
+        (
+            r["set_expr"],
+            int(r["n_kept"]),
+            int(r["est_distinct"]),
+            exact[r["set_expr"]],
+        )
+        for r in est.collect()
+    ]
+    return (
+        spark.createDataFrame(
+            rows,
+            "set_expr STRING, n_kept BIGINT, est_distinct BIGINT,"
+            " exact_distinct BIGINT",
+        )
+        .repartition(1)
+        .sortWithinPartitions("set_expr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode text normalization (round-10 continuation)
+# ---------------------------------------------------------------------------
+
+# deterministic "messy" suffix appended to every 7th doc so the entry
+# exercises every normalization path on the (pure-ASCII) testdata:
+# doubled spaces, a DECOMPOSED accent (e + U+0301, which NFC composes
+# to U+00E9), a tab, a zero-width space, an NBSP, trailing whitespace.
+# Written with explicit escapes so the code points are unambiguous;
+# the literal is embedded verbatim (raw UTF-8, tab included) in the
+# oracle SQL string.
+_Y94_SUFFIX = "  cafe\u0301\t\u200bzero\u00a0one  "
+
+# RE2 forms of the Spark-side Java classes (text.py::_CTRL_ZW_JAVA /
+# _WS_JAVA): control chars stay \x escapes IN the SQL string (a raw
+# NUL cannot live in a SQL literal; DuckDB single-quote strings pass
+# backslashes through to RE2), zero-widths and NBSP as literal UTF-8
+# characters built from Python escapes.
+_Y94_CTRL_RE2 = (
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f"
+    "\u200b\u200c\u200d\ufeff]"
+)
+_Y94_WS_RE2 = "[ \\t\\n\\r\u00a0]+"
+
+
+def _y94_oracle() -> str:
+    return (
+        "WITH t AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN"
+        f" text || '{_Y94_SUFFIX}' ELSE text END AS orig FROM documents),"
+        " n AS (SELECT doc_id, orig, nfc_normalize(trim(regexp_replace("
+        f"regexp_replace(orig, '{_Y94_CTRL_RE2}', '', 'g'),"
+        f" '{_Y94_WS_RE2}', ' ', 'g'))) AS text_norm FROM t)"
+        " SELECT doc_id, text_norm, text_norm <> orig AS changed,"
+        " CAST(length(orig) AS BIGINT) AS n_chars_before,"
+        " CAST(length(text_norm) AS BIGINT) AS n_chars_after"
+        " FROM n ORDER BY doc_id"
+    )
+
+
+@register(
+    "y94_normalize_text",
+    _y94_oracle(),
+    "Unicode text normalization (operators/text.py::normalize_text):"
+    " strip C0-control/DEL/zero-width characters, collapse whitespace"
+    " runs (incl. NBSP) to single spaces, trim, NFC-compose — the"
+    " standard first stage of a web-scale text pipeline. The"
+    " strip/collapse chain is pure JVM regexp with EXPLICIT character"
+    " classes (no \\s dialect drift between Java regex and RE2); NFC"
+    " — identity on pure ASCII by definition — runs in an"
+    " Arrow-batched mapInPandas stage that only the rows still"
+    " non-ASCII after cleanup enter, so Python never touches the"
+    " ASCII bulk of the corpus. Every 7th doc gets a deterministic"
+    " messy suffix (combining accent, zero-width, tab, doubled"
+    " spaces) so composition, removal, and collapse are all exercised"
+    " against the oracle's nfc_normalize on otherwise-ASCII testdata."
+    " y-prefix: past the gate window by design; the c26 twin pulls it"
+    " into the driver's window",
+)
+def y94(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(_Y94_SUFFIX)),
+        ).otherwise(F.col("text")),
+    )
+    return (
+        textops.normalize_text(docs)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
 from pw_etl_scrumptious_squad_spark.catalog import register_twin  # noqa: E402
 
 _WINDOW_TWINS = {
@@ -6955,6 +7298,16 @@ _WINDOW_TWINS = {
     # round it ships (evicts r01_projection_rename — driver-certified
     # since round 1, same standing coverage)
     "c23_bloom_point_lookup": "y91_bloom_point_lookup",
+    # round-10 continuation: the Count-Min and KMV sketch families
+    # enter the window the round they ship (the c12/c13 precedent;
+    # evict q18_lead_lag / q20_pivot from the alphabetical first-50 —
+    # both driver-certified in earlier rounds, same standing
+    # tools/check.py + pytest + sample-audit coverage)
+    "c24_cms_counts": "y92_cms_counts",
+    "c25_kmv_distinct": "y93_kmv_distinct",
+    # (evicts q16_local_supplier_volume from the first-50 window —
+    # driver-certified in earlier rounds, same standing coverage)
+    "c26_normalize_text": "y94_normalize_text",
 }
 
 for _twin, _src in _WINDOW_TWINS.items():

@@ -1792,3 +1792,91 @@ def unigram_encode(
             ).alias("pieces_per_word"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode text normalization (round-10 continuation): the standard first
+# stage of any web-scale text pipeline — strip controls / zero-widths,
+# canonicalize whitespace, NFC-compose — with Python touching ONLY the
+# rows that can possibly need it
+# ---------------------------------------------------------------------------
+
+# control chars (C0 minus \t\n\r, plus DEL) and the zero-width family —
+# removed outright; Java regex escapes (Spark side)
+_CTRL_ZW_JAVA = (
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+    "\\u200B\\u200C\\u200D\\uFEFF]"
+)
+# whitespace canonicalized to a single ASCII space (incl. NBSP — the
+# NFKC mapping a pure-NFC pass would miss)
+_WS_JAVA = "[ \\t\\n\\r\\u00A0]+"
+_NONASCII_JAVA = "[^\\x00-\\x7F]"
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Unicode-normalize a text column: drop control and zero-width
+    characters, collapse whitespace runs (incl. NBSP) to single spaces,
+    trim, then NFC-compose combining sequences. Returns ``(id_col,
+    keep_cols..., text_norm, changed BOOLEAN, n_chars_before BIGINT,
+    n_chars_after BIGINT)`` — one row per input row, lengths in code
+    points on both engines.
+
+    100 TB shape: the strip/collapse/trim chain is pure JVM regexp
+    (whole-stage codegen, no shuffle). NFC is the one step Spark has no
+    built-in for — and it is EXACTLY an identity on pure-ASCII strings,
+    so the corpus splits on one cheap ``rlike`` and only rows still
+    containing a non-ASCII character after cleanup enter the
+    Arrow-batched mapInPandas stage (unicodedata.normalize per batch);
+    on web corpora that is a small fraction, and the split is the
+    difference between "Python sees every row" and "Python sees the
+    rows the JVM cannot handle". Both branches are narrow projections;
+    the union restores nothing shuffled. NULL text passes through as
+    NULL (changed = NULL), matching SQL three-valued semantics.
+
+    Determinism: the regex classes are explicit character sets (no \\s
+    dialect drift between Java regex and RE2), and NFC is the Unicode
+    standard composition both unicodedata and DuckDB's nfc_normalize
+    implement — the catalog entry carries a full value oracle."""
+    cleaned = df.select(
+        id_col, *keep_cols, F.col(text_col).alias("__orig")
+    ).withColumn(
+        "__c",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("__orig", _CTRL_ZW_JAVA, ""),
+                _WS_JAVA,
+                " ",
+            )
+        ),
+    )
+    nonascii = F.coalesce(
+        F.col("__c").rlike(_NONASCII_JAVA), F.lit(False)
+    )
+    ascii_rows = cleaned.filter(~nonascii)
+    needs_nfc = cleaned.filter(nonascii)
+
+    def _nfc(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__c"] = [
+                None if s is None else unicodedata.normalize("NFC", s)
+                for s in pdf["__c"]
+            ]
+            yield pdf
+
+    fixed = needs_nfc.mapInPandas(_nfc, needs_nfc.schema)
+    return ascii_rows.unionByName(fixed).select(
+        id_col,
+        *keep_cols,
+        F.col("__c").alias("text_norm"),
+        (F.col("__c") != F.col("__orig")).alias("changed"),
+        F.length("__orig").cast("bigint").alias("n_chars_before"),
+        F.length("__c").cast("bigint").alias("n_chars_after"),
+    )

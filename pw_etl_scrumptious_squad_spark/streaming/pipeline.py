@@ -1031,3 +1031,116 @@ def read_sketch_quantiles(
     return S.sketch_quantiles(
         sketch, percentiles, sub_bits=int(meta["sub_bits"])
     )
+
+
+def streaming_cms(
+    items_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 4096,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Streaming Count-Min sketch with BOUNDED state: fold each
+    micro-batch's ``depth x width`` counter deltas
+    (operators/sketches.py::cms_sketch) into a persisted sketch store —
+    possible because Count-Min counters sum associatively, so the
+    landed store equals the batch sketch over everything delivered,
+    bit-for-bit, whatever the batch boundaries were (pinned by the
+    batch==stream parity test).
+
+    Per trigger: one map-side-combined counter hash-agg over the batch
+    (shuffle bounded by the counter universe, never the batch
+    vocabulary), one union+re-sum with the <= depth*width-row persisted
+    store, one versioned snapshot publish; a warehouse marker CAS-pins
+    the (sketch, meta) pair. The commit is keyed on batch_id in the
+    meta row (the streaming_heavy_hitters convention): foreachBatch is
+    at-least-once and a re-merged replay would double every counter, so
+    an incoming batch_id <= the stored one returns untouched.
+
+    Read estimates back with :func:`read_cms_estimates` — the same
+    one-sided (never-undercount) guarantee as the batch sketch, time-
+    travelable by warehouse snapshot."""
+    from pw_etl_scrumptious_squad_spark.operators import sketches as SK
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as W
+    from pw_etl_scrumptious_squad_spark.sources.parquet import (
+        snapshot_read,
+        write_table_snapshot,
+    )
+
+    spark = items_stream.sparkSession
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        counts = SK.cms_sketch(batch, item_col, depth, width).transform(
+            materialize
+        )
+        row = counts.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("t")
+        ).first()
+        batch_total = int(row["t"])
+        if batch_total == 0:
+            return
+        if W.warehouse_version(store_dir, spark) > 0:
+            pinned = W.warehouse_snapshot_tables(store_dir, None, spark)
+            meta = snapshot_read(
+                spark, store_dir, "meta", version=pinned["meta"]
+            ).first().asDict()
+            last_bid = meta.get("last_bid")
+            if last_bid is not None and int(batch_id) <= int(last_bid):
+                return  # at-least-once replay of a committed batch
+            prior = snapshot_read(
+                spark, store_dir, "sketch", version=pinned["sketch"]
+            )
+            merged = (
+                prior.unionByName(counts)
+                .groupBy("r", "bucket")
+                .agg(F.sum("n").cast("bigint").alias("n"))
+            )
+            total = int(meta["total"]) + batch_total
+        else:
+            merged, total = counts, batch_total
+        sv = write_table_snapshot(merged, store_dir, "sketch")
+        meta_df = spark.createDataFrame(
+            [(total, int(depth), int(width), int(batch_id))],
+            "total BIGINT, depth BIGINT, width BIGINT, last_bid BIGINT",
+        )
+        tv = write_table_snapshot(meta_df, store_dir, "meta")
+        W.commit_warehouse_snapshot(
+            store_dir, {"sketch": sv, "meta": tv}, spark
+        )
+
+    return run_foreach_batch(
+        items_stream, checkpoint_dir, batch_fn, processing_time=processing_time
+    )
+
+
+def read_cms_estimates(
+    spark: SparkSession,
+    store_dir: str,
+    probes: DataFrame,
+    item_col: str = "item",
+    snapshot: int | None = None,
+) -> DataFrame:
+    """Point-query the streaming Count-Min store as of a warehouse
+    snapshot (None = latest): ``(item, est_count BIGINT)``, identical
+    to the batch ``cms_estimate`` over everything delivered up to that
+    snapshot."""
+    from pw_etl_scrumptious_squad_spark.operators import sketches as SK
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as W
+    from pw_etl_scrumptious_squad_spark.sources.parquet import snapshot_read
+
+    pinned = W.warehouse_snapshot_tables(store_dir, snapshot, spark)
+    meta = snapshot_read(
+        spark, store_dir, "meta", version=pinned["meta"]
+    ).first()
+    sketch = snapshot_read(
+        spark, store_dir, "sketch", version=pinned["sketch"]
+    )
+    return SK.cms_estimate(
+        sketch,
+        probes,
+        item_col,
+        depth=int(meta["depth"]),
+        width=int(meta["width"]),
+    )

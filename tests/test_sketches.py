@@ -1,0 +1,253 @@
+"""Count-Min + KMV sketch battery (operators/sketches.py): one-sided
+error, exact mergeability, partition invariance, exact-regime behavior,
+set-algebra estimates vs ground truth, and the streaming Count-Min
+twin's batch==stream bit-parity + replay idempotence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pw_etl_scrumptious_squad_spark.operators import sketches as sk
+from pw_etl_scrumptious_squad_spark.streaming import pipeline as sp
+
+
+def _items(spark, counts: dict[str, int], parts: int = 5):
+    rows = [(t,) for t, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "item STRING").repartition(parts)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # 600 distinct items, zipf-ish counts 1..13 — small enough to be
+    # exact everywhere, large enough to collide in a narrow sketch
+    counts = {f"it{i:04d}": 1 + (i % 13) for i in range(600)}
+    return counts, _items(spark, counts)
+
+
+def test_cms_never_undercounts_and_zero_for_unseen_buckets(spark, corpus):
+    counts, df = corpus
+    sketch = sk.cms_sketch(df, depth=4, width=256).cache()
+    probes = spark.createDataFrame(
+        [(t,) for t in list(counts)[:50]] + [("never-seen-item",)],
+        "item STRING",
+    )
+    est = {
+        r["item"]: r["est_count"]
+        for r in sk.cms_estimate(sketch, probes, depth=4, width=256).collect()
+    }
+    for t in list(counts)[:50]:
+        assert est[t] >= counts[t], t  # one-sided: never an undercount
+    assert est["never-seen-item"] >= 0
+    # total mass conservation: each of the depth rows holds every occurrence
+    total = sum(counts.values())
+    per_row = {
+        r["r"]: r["t"]
+        for r in sketch.groupBy("r").agg(F.sum("n").alias("t")).collect()
+    }
+    assert per_row == {r: total for r in range(4)}
+
+
+def test_cms_merge_equals_whole_and_partition_invariance(spark, corpus):
+    counts, df = corpus
+    whole = sorted(map(tuple, sk.cms_sketch(df, depth=3, width=128).collect()))
+    items = list(counts.items())
+    half1 = _items(spark, dict(items[: len(items) // 2]))
+    half2 = _items(spark, dict(items[len(items) // 2:]))
+    merged = sorted(
+        map(
+            tuple,
+            sk.merge_cms_sketches(
+                sk.cms_sketch(half1, depth=3, width=128),
+                sk.cms_sketch(half2, depth=3, width=128),
+            ).collect(),
+        )
+    )
+    assert merged == whole
+    repart = sorted(
+        map(
+            tuple,
+            sk.cms_sketch(df.repartition(1), depth=3, width=128).collect(),
+        )
+    )
+    assert repart == whole
+
+
+def test_cms_parameter_validation(spark, corpus):
+    _, df = corpus
+    with pytest.raises(ValueError):
+        sk.cms_sketch(df, depth=0)
+    with pytest.raises(ValueError):
+        sk.cms_sketch(df, depth=65)
+    with pytest.raises(ValueError):
+        sk.cms_sketch(df, width=1)
+
+
+def _grouped(spark, spec: dict[str, range], parts: int = 7):
+    rows = [(g, f"item{i}") for g, rng in spec.items() for i in rng]
+    return spark.createDataFrame(rows, "grp STRING, item STRING").repartition(
+        parts
+    )
+
+
+def test_kmv_exact_regime_reports_true_distinct(spark):
+    df = _grouped(spark, {"a": range(100), "b": range(50, 150)})
+    sketch = sk.kmv_sketch(df, "grp", k=256)
+    est = {
+        r["set_expr"]: (r["n_kept"], r["est_distinct"])
+        for r in sk.kmv_set_estimates(
+            sketch, k=256, pairs=[("a", "b")]
+        ).collect()
+    }
+    assert est["a"] == (100, 100)
+    assert est["b"] == (100, 100)
+    assert est["a|b|union"] == (150, 150)  # both-exact: true values
+    assert est["a|b|intersect"] == (50, 50)
+
+
+def test_kmv_estimator_regime_error_envelope_and_set_algebra(spark):
+    # 1000/1000 distinct with a 500-item overlap: well past k=64, so the
+    # (k-1)/theta estimator is genuinely exercised. All hashing is
+    # deterministic md5 — the assertions pin a generous multiple of the
+    # 1/sqrt(k) standard error, not a flaky tolerance.
+    df = _grouped(spark, {"a": range(1000), "b": range(500, 1500)})
+    sketch = sk.kmv_sketch(df, "grp", k=64)
+    est = {
+        r["set_expr"]: r["est_distinct"]
+        for r in sk.kmv_set_estimates(
+            sketch, k=64, pairs=[("a", "b")]
+        ).collect()
+    }
+    assert abs(est["a"] - 1000) / 1000 < 0.4
+    assert abs(est["b"] - 1000) / 1000 < 0.4
+    assert abs(est["a|b|union"] - 1500) / 1500 < 0.4
+    assert abs(est["a|b|intersect"] - 500) / 500 < 0.6
+    # sanity ordering: union >= each side's estimate, intersect <= union
+    assert est["a|b|union"] >= max(est["a"], est["b"])
+    assert est["a|b|intersect"] <= est["a|b|union"]
+
+
+def test_kmv_partition_invariance_and_k_bound(spark):
+    df = _grouped(spark, {"a": range(2000)})
+    one = {
+        r["grp"]: r["hs"]
+        for r in sk.kmv_sketch(df.repartition(1), "grp", k=32).collect()
+    }
+    many = {
+        r["grp"]: r["hs"]
+        for r in sk.kmv_sketch(df.repartition(13), "grp", k=32).collect()
+    }
+    assert one == many
+    assert len(one["a"]) == 32
+    assert one["a"] == sorted(one["a"])
+
+
+def test_kmv_sketch_of_union_equals_merged_heads(spark):
+    """The k smallest of a union are computable from per-group sketches
+    alone — the property every set-algebra estimate rests on."""
+    df = _grouped(spark, {"a": range(800), "b": range(400, 1200)})
+    per = {
+        r["grp"]: set(r["hs"])
+        for r in sk.kmv_sketch(df, "grp", k=48).collect()
+    }
+    both = df.withColumn("grp", F.lit("u"))
+    direct = [
+        r["hs"] for r in sk.kmv_sketch(both, "grp", k=48).collect()
+    ][0]
+    merged_head = sorted(per["a"] | per["b"])[:48]
+    assert direct == merged_head
+
+
+def test_streaming_cms_equals_batch_and_is_idempotent(spark, tmp_path):
+    """Counters sum associatively, so the streaming store after N
+    micro-batches must equal the BATCH sketch bit-for-bit; replaying
+    all batches from a fresh checkpoint must leave the store untouched
+    (last_bid guard); state stays under the counter-universe bound."""
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as W
+    from pw_etl_scrumptious_squad_spark.sources.parquet import snapshot_read
+
+    batches = [
+        [(f"it{(7 * i + b) % 300:03d}",) for i in range(500)]
+        for b in range(4)
+    ]
+    src = tmp_path / "items"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "item STRING").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"arrival={i}.parquet"))
+
+    def stream():
+        return (
+            spark.readStream.schema("item string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/arrival=*.parquet")
+        )
+
+    store = str(tmp_path / "cmsstore")
+    q = sp.streaming_cms(
+        stream(), store, str(tmp_path / "ckpt"), depth=3, width=64
+    )
+    q.awaitTermination(180)
+
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], "item STRING"
+    )
+    want = sorted(
+        map(tuple, sk.cms_sketch(full, depth=3, width=64).collect())
+    )
+    pinned = W.warehouse_snapshot_tables(store, None, spark)
+    got = sorted(
+        map(
+            tuple,
+            snapshot_read(
+                spark, store, "sketch", version=pinned["sketch"]
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert len(got) <= 3 * 64  # bounded state
+
+    probes = spark.createDataFrame(
+        [("it000",), ("it123",), ("absent",)], "item STRING"
+    )
+    got_est = sorted(
+        map(
+            tuple,
+            sp.read_cms_estimates(spark, store, probes).collect(),
+        )
+    )
+    want_est = sorted(
+        map(
+            tuple,
+            sk.cms_estimate(
+                sk.cms_sketch(full, depth=3, width=64),
+                probes,
+                depth=3,
+                width=64,
+            ).collect(),
+        )
+    )
+    assert got_est == want_est
+
+    # replay from a fresh checkpoint: every batch_id <= stored last_bid
+    before_version = W.warehouse_version(store, spark)
+    q2 = sp.streaming_cms(
+        stream(), store, str(tmp_path / "ckpt2"), depth=3, width=64
+    )
+    q2.awaitTermination(180)
+    assert W.warehouse_version(store, spark) == before_version
+    got2 = sorted(
+        map(
+            tuple,
+            snapshot_read(
+                spark,
+                store,
+                "sketch",
+                version=W.warehouse_snapshot_tables(store, None, spark)[
+                    "sketch"
+                ],
+            ).collect(),
+        )
+    )
+    assert got2 == want
