@@ -7167,6 +7167,148 @@ def y93(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# WordPiece tokenizer (round-10 continuation): completes the tokenizer
+# triple — BPE (y51/y58), unigram-LM (y88/y89), WordPiece (y95/y96)
+# ---------------------------------------------------------------------------
+
+_WP_PARAMS = dict(num_merges=32, min_pair_count=2)
+_WP_VOCAB_CACHE: dict[str, list[str]] = {}
+
+
+def wordpiece_pieces(
+    sf_dir: str, spark: SparkSession | None = None
+) -> list[str]:
+    """Train (and memoize per sf) the WordPiece piece inventory the y96
+    oracle embeds as literals — the y89 trained-literal pattern:
+    training is integer-exact deterministic, so alphabet + merged
+    pieces round-trip losslessly into SQL and the APPLY semantics
+    (greedy longest-match) are what the oracle checks."""
+    import os
+
+    key = os.path.abspath(sf_dir)
+    if key not in _WP_VOCAB_CACHE:
+        if spark is None:
+            spark = SparkSession.getActiveSession() or (
+                SparkSession.builder.master("local[8]")
+                .appName("wordpiece-oracle-train")
+                .config("spark.ui.enabled", "false")
+                .getOrCreate()
+            )
+        docs = _t(spark, sf_dir, "documents")
+        from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+        merges = textops.wordpiece_train(docs, **_WP_PARAMS)
+        alpha = textops.wordpiece_alphabet(docs)
+        _WP_VOCAB_CACHE[key] = alpha + [
+            r["merged"] for r in merges.orderBy("rank").collect()
+        ]
+    return _WP_VOCAB_CACHE[key]
+
+
+def _y96_oracle(sf_dir: str) -> str:
+    """DuckDB twin of WordPiece APPLY with the trained pieces embedded
+    as literals: a (word, pos) jump table holds the LONGEST piece
+    matching at each position (bare at 0, '##'-continuation after),
+    and a recursive CTE walks it — greedy is single-path
+    deterministic, so the walk IS the segmentation. A word whose walk
+    never reaches length(w) has a matchless frontier -> [UNK] (one
+    piece, flagged), exactly the engine's semantics."""
+    pieces = wordpiece_pieces(sf_dir)
+    vals = ", ".join(
+        "('%s')" % p.replace("'", "''") for p in sorted(set(pieces))
+    )
+    return (
+        "WITH RECURSIVE"
+        f" pieces(p) AS MATERIALIZED (SELECT * FROM (VALUES {vals})),"
+        " tok AS MATERIALIZED (SELECT doc_id,"
+        " unnest(string_split(lower(text), ' ')) AS w FROM documents),"
+        " tok2 AS MATERIALIZED (SELECT doc_id, w FROM tok WHERE w <> ''),"
+        " words AS MATERIALIZED (SELECT DISTINCT w FROM tok2),"
+        " pos AS MATERIALIZED (SELECT w, unnest(range(0, length(w)))"
+        " AS pos FROM words),"
+        " cand AS MATERIALIZED (SELECT pos.w, pos.pos,"
+        " CASE WHEN p.p LIKE '##%' THEN length(p.p) - 2"
+        " ELSE length(p.p) END AS mlen"
+        " FROM pos JOIN pieces p ON"
+        " CASE WHEN pos.pos = 0 THEN p.p NOT LIKE '##%'"
+        " AND substr(pos.w, 1, length(p.p)) = p.p"
+        " ELSE p.p LIKE '##%' AND length(p.p) > 2"
+        " AND substr(pos.w, pos.pos + 1, length(p.p) - 2)"
+        " = substr(p.p, 3) END),"
+        " jump AS MATERIALIZED (SELECT w, pos, max(mlen) AS mlen"
+        " FROM cand WHERE mlen >= 1 GROUP BY w, pos),"
+        " walk(w, pos, np) AS ("
+        " SELECT w, 0, CAST(0 AS BIGINT) FROM words"
+        " UNION ALL"
+        " SELECT walk.w, walk.pos + j.mlen, walk.np + 1 FROM walk"
+        " JOIN jump j ON walk.w = j.w AND walk.pos = j.pos"
+        " WHERE walk.pos < length(walk.w)),"
+        " done AS (SELECT w, np FROM walk WHERE pos = length(w)),"
+        " wenc AS (SELECT words.w, coalesce(done.np, 1) AS wn,"
+        " CASE WHEN done.w IS NULL THEN 1 ELSE 0 END AS wu"
+        " FROM words LEFT JOIN done ON words.w = done.w)"
+        " SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,"
+        " CAST(sum(e.wn) AS BIGINT) AS n_pieces,"
+        " CAST(sum(e.wu) AS BIGINT) AS n_unk_words,"
+        " ROUND(CAST(sum(e.wn) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)"
+        " AS pieces_per_word"
+        " FROM tok2 t JOIN wenc e ON t.w = e.w"
+        " GROUP BY t.doc_id ORDER BY t.doc_id"
+    )
+
+
+@register(
+    "y95_wordpiece_train",
+    None,  # iterative likelihood-scored merge learning — not
+    # SQL-expressible; exact parity vs a pure-Python sequential
+    # trainer is pinned in tests/test_wordpiece.py (the y51 pattern)
+    "WordPiece tokenizer TRAINING (Schuster & Nakajima 2012; the BERT"
+    " tokenizer): iteratively merge the adjacent symbol pair with the"
+    " best LIKELIHOOD score count(l,r)/(freq(l)*freq(r)) — computed as"
+    " exact BIGINT fixed-point (pair_count * 1e9 DIV fl*fr), so the"
+    " distributed argmax is bit-identical to the pure-Python twin."
+    " Corpus touched once (word-freq hash-agg); each round is three"
+    " vocabulary-sized jobs + a 1-row collect; merges couple through"
+    " the score denominator so batching is unsound BY DESIGN (the"
+    " bpe_train batch proof does not transfer) and rounds stay"
+    " corpus-independent instead (operators/text.py::wordpiece_train)."
+    " y-prefix: past the gate window by design",
+)
+def y95(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    return textops.wordpiece_train(_t(spark, sf, "documents"), **_WP_PARAMS)
+
+
+@register(
+    "y96_wordpiece_encode",
+    _y96_oracle,  # data-dependent: trained pieces embedded as literals
+    "WordPiece tokenizer APPLY (greedy longest-match-first, the BERT"
+    " algorithm): segment every document's words under the trained"
+    " piece inventory — bare pieces at word start, '##' continuations"
+    " after, matchless frontier -> [UNK]. The walk is ONE JVM"
+    " higher-order aggregate per DISTINCT word (vocabulary-sized,"
+    " never the corpus) with the piece set broadcast as a map literal;"
+    " greedy is single-path deterministic, so the entry carries a FULL"
+    " value oracle: the DuckDB twin builds a (word, pos) longest-match"
+    " jump table and walks it by recursive CTE — independently derived"
+    " (jump walk vs in-expression argmax)"
+    " (operators/text.py::wordpiece_encode)."
+    " y-prefix: past the gate window by design; the c27 twin pulls it"
+    " into the driver's window",
+)
+def y96(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    pieces = wordpiece_pieces(sf, spark)
+    return (
+        textops.wordpiece_encode(_t(spark, sf, "documents"), pieces)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unicode text normalization (round-10 continuation)
 # ---------------------------------------------------------------------------
 
@@ -7308,6 +7450,9 @@ _WINDOW_TWINS = {
     # (evicts q16_local_supplier_volume from the first-50 window —
     # driver-certified in earlier rounds, same standing coverage)
     "c26_normalize_text": "y94_normalize_text",
+    # (evicts q15_shipping_priority — driver-certified in earlier
+    # rounds, same standing coverage)
+    "c27_wordpiece_encode": "y96_wordpiece_encode",
 }
 
 for _twin, _src in _WINDOW_TWINS.items():

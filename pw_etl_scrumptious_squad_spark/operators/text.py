@@ -1880,3 +1880,267 @@ def normalize_text(
         F.length("__orig").cast("bigint").alias("n_chars_before"),
         F.length("__c").cast("bigint").alias("n_chars_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer (Schuster & Nakajima 2012; the BERT tokenizer) —
+# completes the tokenizer triple next to BPE (bpe_train/bpe_encode) and
+# unigram-LM (unigram_train/unigram_encode)
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for the WordPiece likelihood score:
+#: score_q = pair_count * _WP_SCALE DIV (freq(left) * freq(right)).
+#: BIGINT-exact while pair_count < 2^33 and freq(l)*freq(r) < 2^63
+#: (ANSI overflow is a LOUD error, never a silent wrap) — comfortably
+#: past any single-trainer corpus; a 1e13-token run would shard the
+#: word table per language/domain first, which is also what you want
+#: linguistically.
+_WP_SCALE = 1_000_000_000
+
+
+def wordpiece_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 30,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 4,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Distributed WordPiece tokenizer TRAINING (Schuster & Nakajima
+    2012, as popularized by BERT): like BPE, iteratively merge the best
+    adjacent symbol pair — but ranked by the LIKELIHOOD score
+    ``count(l,r) / (freq(l) * freq(r))`` rather than raw pair count,
+    so rare-but-coherent units win over frequent-but-uninformative
+    ones. Output: one row per learned merge, ``(rank, left, right,
+    merged, pair_count, score_q)``, in learning order; word-interior
+    symbols carry the ``##`` continuation prefix and a merge
+    concatenates ``left + strip_##(right)``.
+
+    Scoring is EXACT integer fixed-point: ``score_q = pair_count *
+    _WP_SCALE DIV (freq(left) * freq(right))`` — no float division
+    anywhere, so the distributed argmax (score_q desc, pair_count
+    desc, then lexicographic) is bit-identical to the pure-Python
+    sequential twin the parity tests run (the y51/y80 posture).
+
+    100 TB shape: the corpus is touched ONCE (the word-frequency
+    hash-agg); every round then runs three vocabulary-sized jobs —
+    pair counts, symbol frequencies (both map-side-combined aggs over
+    the word-symbol table), a 1-row argmax collect — plus the same
+    JVM greedy merge fold as bpe_train, with lineage truncated through
+    the injectable checkpoint policy. Unlike BPE, merges COUPLE
+    through the score's denominator (an applied merge changes
+    freq(l)/freq(r) for every pair sharing a side, and the newly
+    created symbol's LOW frequency often vaults its pairs to the top
+    — the opposite of BPE's count-bounded interaction argument), so
+    the bpe_train batch-acceptance proof does not transfer: training
+    is one merge per driver round BY DESIGN, and rounds are cheap
+    because nothing in them scales with the corpus."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # first char bare, every later char '##'-prefixed (no '</w>'
+    # terminal: the continuation prefix already encodes boundaries)
+    syms = words.select(
+        F.expr(
+            "transform(sequence(1, length(w)),"
+            " i -> if(i = 1, substring(w, i, 1),"
+            " concat('##', substring(w, i, 1))))"
+        ).alias("s"),
+        "freq",
+    ).transform(materialize)
+    pair_expr = F.expr(
+        "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1),"
+        " (a, b) -> struct(a as l, b as r))"
+    )
+    learned: list[tuple] = []
+    rounds = 0
+    while len(learned) < num_merges:
+        freqs = (
+            syms.select(F.explode("s").alias("sym"), "freq")
+            .groupBy("sym")
+            .agg(F.sum("freq").alias("f"))
+        )
+        top = (
+            syms.select(F.explode(pair_expr).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+            .join(
+                F.broadcast(freqs.withColumnRenamed("sym", "l")), "l"
+            )
+            .withColumnRenamed("f", "fl")
+            .join(
+                F.broadcast(freqs.withColumnRenamed("sym", "r")), "r"
+            )
+            .withColumnRenamed("f", "fr")
+            .withColumn(
+                "score_q", F.expr(f"c * {_WP_SCALE}L DIV (fl * fr)")
+            )
+            .orderBy(
+                F.col("score_q").desc(),
+                F.col("c").desc(),
+                F.col("l").asc(),
+                F.col("r").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        rounds += 1
+        if not top or int(top[0]["c"]) < min_pair_count:
+            break
+        row = top[0]
+        if int(row["c"]) >= 1 << 33:
+            raise ValueError(
+                "pair_count exceeds the BIGINT fixed-point budget; "
+                "shard the word table before training"
+            )
+        left, right = row["l"], row["r"]
+        assert right.startswith("##"), right  # every right is interior
+        merged = left + right[2:]
+        learned.append(
+            (
+                len(learned),
+                left,
+                right,
+                merged,
+                int(row["c"]),
+                int(row["score_q"]),
+            )
+        )
+        lit_l, lit_r, lit_m = F.lit(left), F.lit(right), F.lit(merged)
+        syms = syms.select(
+            F.aggregate(
+                "s",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == lit_l)
+                    & (x == lit_r),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(lit_m)
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("s"),
+            "freq",
+        )
+        if len(learned) % checkpoint_every == 0:
+            syms = syms.transform(materialize)
+    if stats is not None:
+        stats["driver_rounds"] = rounds
+    return spark.createDataFrame(
+        learned,
+        "rank INT, left STRING, right STRING, merged STRING,"
+        " pair_count BIGINT, score_q BIGINT",
+    )
+
+
+def wordpiece_alphabet(docs: DataFrame, text_col: str = "text") -> list[str]:
+    """The trainer's initial symbol inventory: every word-initial char
+    bare plus every interior char '##'-prefixed — one vocabulary-sized
+    distinct agg (the piece set an encoder needs alongside the learned
+    merges)."""
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    rows = (
+        words.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w)),"
+                    " i -> if(i = 1, substring(w, i, 1),"
+                    " concat('##', substring(w, i, 1))))"
+                )
+            ).alias("sym")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(r["sym"] for r in rows)
+
+
+def _wp_piece_map_sql(pieces: list[str]) -> str:
+    items = ", ".join(
+        f"{_sql_str(p)}, 1" for p in sorted(set(pieces))
+    )
+    return f"map({items})"
+
+
+def wordpiece_encode(
+    docs: DataFrame,
+    pieces: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WordPiece tokenizer APPLY: greedy longest-match-first
+    segmentation of every word under a piece vocabulary (bare pieces
+    at word start, '##'-prefixed continuations after), the BERT
+    tokenizer's algorithm: at each frontier take the LONGEST vocab
+    piece matching; a word with a frontier no piece matches is [UNK]
+    (one piece, flagged). Returns per-document ``(doc_id, n_words,
+    n_pieces, n_unk_words, pieces_per_word)``.
+
+    The greedy walk is ONE JVM higher-order ``aggregate`` per DISTINCT
+    word (the Sennrich word-freq trick — the DP table is
+    vocabulary-sized, never the corpus), with the piece set broadcast
+    as a map literal probed via try_element_at; the longest match at a
+    frontier is ``array_max`` over the <= max-piece-len candidate
+    lengths, a single bounded lambda with ONE copy of the map in the
+    expression tree. The corpus is touched twice: word explode, and
+    the broadcast map-back + per-doc agg. Greedy is single-path
+    deterministic, so the entry carries a FULL value oracle (the
+    DuckDB twin walks a jump table by recursive CTE)."""
+    if not pieces:
+        raise ValueError("pieces must be non-empty")
+    K = max(
+        len(p) - 2 if p.startswith("##") else len(p) for p in pieces
+    )
+    mp = _wp_piece_map_sql(pieces)
+    walk = (
+        "aggregate(sequence(1, length(w)),"
+        " named_struct('pos', 0, 'np', cast(0 as bigint), 'unk', false),"
+        " (acc, j) -> if(acc.unk or acc.pos != j - 1, acc,"
+        " element_at(transform(array("
+        f" array_max(filter(transform(sequence(1, least({K},"
+        " length(w) - j + 1)),"
+        f" l -> if(try_element_at({mp}, if(j = 1, substring(w, j, l),"
+        " concat('##', substring(w, j, l)))) is not null,"
+        " l, cast(null as int))), x -> x is not null))), plen ->"
+        " if(plen is null,"
+        " named_struct('pos', acc.pos, 'np', acc.np, 'unk', true),"
+        " named_struct('pos', acc.pos + plen,"
+        " 'np', acc.np + cast(1 as bigint), 'unk', false))), 1)),"
+        " acc -> acc)"
+    )
+    wpos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+    ).filter(F.col("w") != "")
+    distinct_words = wpos.select("w").distinct()
+    encoded = distinct_words.select(
+        "w", F.expr(walk).alias("v")
+    ).select(
+        "w",
+        F.when(F.col("v.unk"), F.lit(1))
+        .otherwise(F.col("v.np"))
+        .cast("bigint")
+        .alias("wn"),
+        F.col("v.unk").cast("bigint").alias("wu"),
+    )
+    return (
+        wpos.join(F.broadcast(encoded), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("wn").cast("bigint").alias("n_pieces"),
+            F.sum("wu").cast("bigint").alias("n_unk_words"),
+            F.round(
+                F.sum("wn").cast("double") / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("pieces_per_word"),
+        )
+    )
