@@ -164,6 +164,14 @@ HEADLINE = [
     # hoist (the y83 convention); the min-of-N protocol reports the
     # recurring sidecar-probed point lookup
     "y91_bloom_point_lookup",
+    # round-10 continuation additions
+    "y92_cms_counts",
+    "y93_kmv_distinct",
+    "y94_normalize_text",
+    # y95_wordpiece_train is a TRAINING job (the y51/y88 pattern); the
+    # per-sf piece memo hoists training out of y96's recurring timing
+    "y96_wordpiece_encode",
+    "y97_triangle_count",
 ]
 
 

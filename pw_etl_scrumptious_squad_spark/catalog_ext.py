@@ -7167,6 +7167,63 @@ def y93(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Triangle counting (round-10 continuation): third graph-family member
+# next to PageRank (y81) and connected components (y05/y73)
+# ---------------------------------------------------------------------------
+
+_Y97_ORACLE = (
+    "WITH pr AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,"
+    " l_partkey AS pk FROM lineitem),"
+    " keep AS MATERIALIZED (SELECT ok FROM pr GROUP BY ok"
+    " HAVING count(*) <= 64),"
+    " kp AS MATERIALIZED (SELECT pr.ok, pr.pk FROM pr"
+    " JOIN keep USING (ok)),"
+    " e AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b FROM kp a"
+    " JOIN kp b ON a.ok = b.ok AND a.pk < b.pk),"
+    " deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d"
+    " FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)"
+    " GROUP BY v),"
+    " tri AS (SELECT CAST(count(*) AS BIGINT) AS t FROM e e1"
+    " JOIN e e2 ON e2.a = e1.b"
+    " JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),"
+    " s AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,"
+    " CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),"
+    " ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)"
+    " SELECT n_nodes, n_edges, n_wedges, t AS n_triangles,"
+    " CAST(CASE WHEN n_wedges > 0 THEN (3 * t * 1000000000) // n_wedges"
+    " ELSE 0 END AS BIGINT) AS global_cc_ppb"
+    " FROM s, ne, tri"
+)
+
+
+@register(
+    "y97_triangle_count",
+    _Y97_ORACLE,
+    "Exact triangle count + global clustering coefficient of the part"
+    " co-purchase graph via DEGREE-ORDERED ORIENTATION (Schank &"
+    " Wagner 2005): orient each edge toward the higher-(degree, id)"
+    " endpoint, enumerate wedges as ordered out-neighbor pairs, close"
+    " against the oriented edge set — out-degree is bounded by"
+    " O(sqrt(m)) for ANY degree distribution, so no celebrity node"
+    " contributes C(deg, 2) wedges from one key (the skew that kills"
+    " the naive join at 100 TB). The coefficient is exact"
+    " parts-per-billion integer arithmetic; the oracle counts the"
+    " same triangles by id-ordered 3-way self-join — independently"
+    " derived. Per-order pair generation carries the documented"
+    " 64-distinct-parts cap (the LSH bucket-cap rule), mirrored in"
+    " the oracle (operators/graph.py::cooccurrence_edges,"
+    "triangle_stats). y-prefix: past the gate window by design; the"
+    " c28 twin pulls it into the driver's window",
+)
+def y97(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import graph as graphops
+
+    return graphops.triangle_stats(
+        graphops.cooccurrence_edges(_t(spark, sf, "lineitem"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # WordPiece tokenizer (round-10 continuation): completes the tokenizer
 # triple — BPE (y51/y58), unigram-LM (y88/y89), WordPiece (y95/y96)
 # ---------------------------------------------------------------------------
@@ -7453,6 +7510,9 @@ _WINDOW_TWINS = {
     # (evicts q15_shipping_priority — driver-certified in earlier
     # rounds, same standing coverage)
     "c27_wordpiece_encode": "y96_wordpiece_encode",
+    # (evicts q14_math_funcs — driver-certified in earlier rounds,
+    # same standing coverage)
+    "c28_triangle_count": "y97_triangle_count",
 }
 
 for _twin, _src in _WINDOW_TWINS.items():

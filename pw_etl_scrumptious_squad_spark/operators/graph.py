@@ -204,3 +204,135 @@ def pagerank_oracle_sql(
         + f" SELECT node, score AS pico_rank FROM s{iterations}"
         " ORDER BY node"
     )
+
+
+def cooccurrence_edges(
+    lineitem: DataFrame, max_parts_per_order: int = 64
+) -> DataFrame:
+    """Derive an UNDIRECTED part co-purchase graph: an edge (a, b) with
+    ``a < b`` for every pair of distinct parts appearing in the same
+    order, deduplicated across orders. Orders with more than
+    ``max_parts_per_order`` distinct parts are EXCLUDED before pairing
+    — a B-part order emits B^2/2 pairs from one task, so one
+    pathological basket could wedge the stage (the LSH bucket-cap
+    rule); the cap is a documented contract the oracle mirrors, not a
+    silent truncation, and TPC-H-shaped orders (<= 7 lines) never
+    approach it."""
+    parts = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    small = (
+        parts.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_parts_per_order)
+        .select("ok")
+    )
+    kept = parts.join(small, "ok")
+    a = kept.select("ok", F.col("pk").alias("a"))
+    b = kept.select("ok", F.col("pk").alias("b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def triangle_stats(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient over an
+    undirected edge list, via DEGREE-ORDERED ORIENTATION (the classic
+    O(m^1.5) algorithm; Schank & Wagner 2005): orient every edge from
+    its lower-(degree, id) endpoint to the higher, enumerate wedges as
+    ordered out-neighbor pairs, and close them against the oriented
+    edge set. Returns ONE row: ``(n_nodes, n_edges, n_wedges,
+    n_triangles, global_cc_ppb)`` — all BIGINT, the coefficient as
+    exact parts-per-billion ``(3 * T * 1e9) DIV wedges`` so the value
+    oracle compares integers, never a float ratio.
+
+    Why orientation is the 100 TB shape: the naive wedge count per
+    node is C(deg, 2) — a celebrity node with degree 1e6 contributes
+    5e11 wedges from ONE key, the skew that kills the naive
+    triangle join. Orienting by (degree, id) bounds every node's
+    OUT-degree by O(sqrt(m)) for any degree distribution (a node with
+    out-degree d has d neighbors of degree >= its own, so
+    d^2 <= sum of degrees = 2m), so the wedge explosion is bounded by
+    m^1.5 total and no single key dominates. Each triangle is counted
+    exactly once (its three vertices have a unique (degree, id)
+    order). Shuffles: a degree agg, two node-keyed key-attach joins,
+    the wedge self-join on the oriented source, and the closing join
+    on the wedge endpoints — every one on explicit keys, nothing
+    quadratic in any degree. n_wedges reports the UNDIRECTED wedge
+    count (sum of C(deg, 2)) — the clustering-coefficient denominator
+    — computed from the degree table, not enumerated."""
+    und = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = materialize(und)
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    deg = materialize(deg)
+    keyed = (
+        und.join(deg.withColumnRenamed("v", "a"), "a")
+        .withColumnRenamed("d", "da")
+        .join(deg.withColumnRenamed("v", "b"), "b")
+        .withColumnRenamed("d", "db")
+    )
+    oriented = keyed.select(
+        F.when(
+            F.struct("da", "a") < F.struct("db", "b"), F.col("a")
+        )
+        .otherwise(F.col("b"))
+        .alias("src"),
+        F.when(
+            F.struct("da", "a") < F.struct("db", "b"), F.col("b")
+        )
+        .otherwise(F.col("a"))
+        .alias("dst"),
+        F.when(
+            F.struct("da", "a") < F.struct("db", "b"), F.col("db")
+        )
+        .otherwise(F.col("da"))
+        .alias("dd"),
+    )
+    oriented = materialize(oriented)
+    e1 = oriented.select("src", F.col("dst").alias("v"), F.col("dd").alias("dv"))
+    e2 = oriented.select("src", F.col("dst").alias("w"), F.col("dd").alias("dw"))
+    wedges = e1.join(e2, "src").filter(
+        F.struct("dv", "v") < F.struct("dw", "w")
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    summary = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        summary.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("t").alias("n_triangles"),
+            F.when(F.col("n_wedges") > 0, F.expr("3L * t * 1000000000L DIV n_wedges"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("global_cc_ppb"),
+        )
+    )

@@ -1144,3 +1144,108 @@ def read_cms_estimates(
         depth=int(meta["depth"]),
         width=int(meta["width"]),
     )
+
+
+def streaming_kmv(
+    items_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    group_col: str = "grp",
+    item_col: str = "item",
+    k: int = 256,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Streaming KMV distinct sketch with BOUNDED state: fold each
+    micro-batch's per-group k-min-distinct hashes
+    (operators/sketches.py::kmv_sketch) into a persisted sketch store.
+    KMV merges EXACTLY (the k smallest distinct of a union are
+    computable from the per-input k-min sets alone), so the landed
+    store equals the batch sketch over everything delivered,
+    bit-for-bit, whatever the batch boundaries were — which also means
+    the set-algebra estimates (union / intersection distinct counts
+    per group pair) read identically off the stream store.
+
+    Per trigger: the batch's bounded fold, one groupBy-merge with the
+    <= groups*k-row persisted store (flatten + distinct + head-k, all
+    JVM array ops), one versioned snapshot publish CAS-pinned by a
+    warehouse marker. Replay-idempotent by the last_bid meta guard —
+    KMV merge is naturally idempotent (re-merging the same hashes is
+    a no-op), but the guard keeps the store version history 1:1 with
+    delivered batches and skips the wasted write.
+
+    Read back with :func:`read_kmv_estimates`."""
+    from pw_etl_scrumptious_squad_spark.operators import sketches as SK
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as W
+    from pw_etl_scrumptious_squad_spark.sources.parquet import (
+        snapshot_read,
+        write_table_snapshot,
+    )
+
+    spark = items_stream.sparkSession
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        partial = SK.kmv_sketch(batch, group_col, item_col, k).transform(
+            materialize
+        )
+        if partial.limit(1).count() == 0:
+            return
+        if W.warehouse_version(store_dir, spark) > 0:
+            pinned = W.warehouse_snapshot_tables(store_dir, None, spark)
+            meta = snapshot_read(
+                spark, store_dir, "meta", version=pinned["meta"]
+            ).first().asDict()
+            last_bid = meta.get("last_bid")
+            if last_bid is not None and int(batch_id) <= int(last_bid):
+                return  # at-least-once replay of a committed batch
+            prior = snapshot_read(
+                spark, store_dir, "sketch", version=pinned["sketch"]
+            )
+            merged = (
+                prior.unionByName(partial)
+                .groupBy("grp")
+                .agg(
+                    F.expr(
+                        f"slice(array_sort(array_distinct(flatten("
+                        f"collect_list(hs)))), 1, {k})"
+                    ).alias("hs")
+                )
+            )
+        else:
+            merged = partial
+        sv = write_table_snapshot(merged, store_dir, "sketch")
+        meta_df = spark.createDataFrame(
+            [(int(k), int(batch_id))], "k BIGINT, last_bid BIGINT"
+        )
+        tv = write_table_snapshot(meta_df, store_dir, "meta")
+        W.commit_warehouse_snapshot(
+            store_dir, {"sketch": sv, "meta": tv}, spark
+        )
+
+    return run_foreach_batch(
+        items_stream, checkpoint_dir, batch_fn, processing_time=processing_time
+    )
+
+
+def read_kmv_estimates(
+    spark: SparkSession,
+    store_dir: str,
+    pairs: list[tuple[str, str]] | None = None,
+    snapshot: int | None = None,
+) -> DataFrame:
+    """Finalize the streaming KMV store as of a warehouse snapshot
+    (None = latest) into per-group distinct estimates plus
+    union/intersection rows per requested pair — identical to the
+    batch ``kmv_set_estimates`` over everything delivered up to that
+    snapshot."""
+    from pw_etl_scrumptious_squad_spark.operators import sketches as SK
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as W
+    from pw_etl_scrumptious_squad_spark.sources.parquet import snapshot_read
+
+    pinned = W.warehouse_snapshot_tables(store_dir, snapshot, spark)
+    meta = snapshot_read(
+        spark, store_dir, "meta", version=pinned["meta"]
+    ).first()
+    sketch = snapshot_read(
+        spark, store_dir, "sketch", version=pinned["sketch"]
+    )
+    return SK.kmv_set_estimates(sketch, k=int(meta["k"]), pairs=pairs)

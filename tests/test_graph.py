@@ -95,3 +95,106 @@ def test_plan_has_no_cartesian_or_row_python(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (round-10 continuation)
+# ---------------------------------------------------------------------------
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "a LONG, b LONG")
+    return G.triangle_stats(df).first().asDict()
+
+
+def test_triangles_known_graphs(spark):
+    # K4: 4 triangles, 12 wedges, cc = 1.0 exactly
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    got = _tri(spark, k4)
+    assert got == {
+        "n_nodes": 4,
+        "n_edges": 6,
+        "n_wedges": 12,
+        "n_triangles": 4,
+        "global_cc_ppb": 1_000_000_000,
+    }
+    # path 1-2-3: one wedge, no triangle
+    assert _tri(spark, [(1, 2), (2, 3)]) == {
+        "n_nodes": 3,
+        "n_edges": 2,
+        "n_wedges": 1,
+        "n_triangles": 0,
+        "global_cc_ppb": 0,
+    }
+    # star K1,5: the celebrity-hub shape the orientation defuses —
+    # C(5,2)=10 wedges from the degree table, zero triangles
+    star = [(0, i) for i in range(1, 6)]
+    got = _tri(spark, star)
+    assert (got["n_wedges"], got["n_triangles"]) == (10, 0)
+    # two disjoint triangles + a bridge edge
+    g = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    got = _tri(spark, g)
+    assert got["n_triangles"] == 2
+    assert got["n_edges"] == 7
+
+
+def test_triangles_input_canonicalization_and_invariance(spark):
+    # duplicate edges, reversed orientation, self-loops: all cleaned up
+    messy = [(2, 1), (1, 2), (2, 3), (3, 1), (1, 1), (3, 3), (1, 3)]
+    got = _tri(spark, messy)
+    assert got == {
+        "n_nodes": 3,
+        "n_edges": 3,
+        "n_wedges": 3,
+        "n_triangles": 1,
+        "global_cc_ppb": 1_000_000_000,
+    }
+    # partition invariance
+    df = spark.createDataFrame(messy, "a LONG, b LONG")
+    one = G.triangle_stats(df.repartition(1)).first().asDict()
+    many = G.triangle_stats(df.repartition(9)).first().asDict()
+    assert one == many == got
+
+
+def test_triangles_match_bruteforce_on_random_graph(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+            )
+            if a != b
+        }
+    )
+    eset = set(edges)
+    want = sum(
+        1
+        for x, y, z in itertools.combinations(nodes, 3)
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset
+    )
+    got = _tri(spark, edges)
+    assert got["n_triangles"] == want
+    assert got["n_edges"] == len(edges)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert got["n_wedges"] == sum(d * (d - 1) // 2 for d in deg.values())
+
+
+def test_cooccurrence_cap_excludes_big_baskets(spark):
+    rows = [(1, i, 100 + i) for i in range(1, 4)] + [
+        (2, i, 200 + i) for i in range(1, 70)
+    ]
+    li = spark.createDataFrame(
+        rows, "l_orderkey BIGINT, l_linenumber INT, l_partkey BIGINT"
+    )
+    e = G.cooccurrence_edges(li, max_parts_per_order=64)
+    # order 2 (69 distinct parts) is excluded entirely; order 1 gives
+    # C(3,2)=3 edges
+    assert e.count() == 3
+    assert e.filter(F.col("a") >= 200).count() == 0

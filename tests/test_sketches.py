@@ -251,3 +251,78 @@ def test_streaming_cms_equals_batch_and_is_idempotent(spark, tmp_path):
         )
     )
     assert got2 == want
+
+
+def test_streaming_kmv_equals_batch_and_is_idempotent(spark, tmp_path):
+    """KMV merges exactly (k smallest distinct of a union from per-batch
+    k-min sets), so the streaming store after N micro-batches must equal
+    the BATCH sketch bit-for-bit, and the set-algebra estimates must
+    read identically; replay from a fresh checkpoint leaves the store
+    untouched (last_bid guard)."""
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as W
+    from pw_etl_scrumptious_squad_spark.sources.parquet import snapshot_read
+
+    batches = [
+        [("a" if i % 2 else "b", f"item{(97 * i + bi) % 700}") for i in range(400)]
+        for bi in range(4)
+    ]
+    src = tmp_path / "kitems"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "grp STRING, item STRING").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"arrival={i}.parquet"))
+
+    def stream():
+        return (
+            spark.readStream.schema("grp string, item string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/arrival=*.parquet")
+        )
+
+    store = str(tmp_path / "kmvstore")
+    q = sp.streaming_kmv(
+        stream(), store, str(tmp_path / "kckpt"), k=64
+    )
+    q.awaitTermination(180)
+
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], "grp STRING, item STRING"
+    )
+    want = {
+        r["grp"]: r["hs"] for r in sk.kmv_sketch(full, "grp", k=64).collect()
+    }
+    pinned = W.warehouse_snapshot_tables(store, None, spark)
+    got = {
+        r["grp"]: r["hs"]
+        for r in snapshot_read(
+            spark, store, "sketch", version=pinned["sketch"]
+        ).collect()
+    }
+    assert got == want
+    assert all(len(h) <= 64 for h in got.values())  # bounded state
+
+    got_est = sorted(
+        map(
+            tuple,
+            sp.read_kmv_estimates(
+                spark, store, pairs=[("a", "b")]
+            ).collect(),
+        )
+    )
+    want_est = sorted(
+        map(
+            tuple,
+            sk.kmv_set_estimates(
+                sk.kmv_sketch(full, "grp", k=64), k=64, pairs=[("a", "b")]
+            ).collect(),
+        )
+    )
+    assert got_est == want_est
+
+    before_version = W.warehouse_version(store, spark)
+    q2 = sp.streaming_kmv(
+        stream(), store, str(tmp_path / "kckpt2"), k=64
+    )
+    q2.awaitTermination(180)
+    assert W.warehouse_version(store, spark) == before_version

@@ -56,6 +56,13 @@ GATE_QUERIES = [
     "y89_unigram_encode",
     "y90_quantile_sketch",
     "y87_gap_fill_hourly",
+    # round-10 continuation fast paths — regressions here mean the CMS
+    # sketch lost its counter-universe-bounded shuffle (y92), the
+    # normalize chain started routing ASCII rows through Python (y94),
+    # or the WordPiece walk regrew a corpus-sized table (y96)
+    "y92_cms_counts",
+    "y94_normalize_text",
+    "y96_wordpiece_encode",
 ]
 
 DEFAULT_FLOORS = os.path.join(os.path.dirname(__file__), "bench_floors.json")

@@ -48,8 +48,10 @@ from pw_etl_scrumptious_squad_spark.operators import (
     bucketed,
     curation,
     dedup,
+    graph,
     linkage,
     similarity,
+    sketches,
     stats,
     text,
 )
@@ -150,7 +152,14 @@ CATALOG_QUERIES = [
 # x1/x10 point (round-6 verdict item 3): past x10 the synthetic corpus
 # stops growing the vocabulary, so larger sizes only re-measure the
 # word-freq scan that t01 already curves.
-MAX_SIZE: dict[str, int] = {"op_bpe_train_batched": 10}
+MAX_SIZE: dict[str, int] = {
+    "op_bpe_train_batched": 10,
+    # triangle closing joins a per-copy ~1e7-row wedge stream; copies
+    # are inert so cost is exactly linear in k — the x10 point already
+    # demonstrates it, and x100 would only re-measure join throughput
+    # for ~10 minutes
+    "op_triangle_count": 10,
+}
 
 # Headline bench entries NOT in the curve, each with its exclusion
 # reason — a curve entry already measures the identical physical shape,
@@ -435,6 +444,20 @@ def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
             )
         return _uni_vocab_cache[0]
 
+    _wp_vocab_cache = []
+
+    def wp_pieces():
+        # WordPiece vocab trained once per size (amortized like
+        # uni_vocab: the first, discarded run of the min-of-2 protocol
+        # absorbs the driver-loop training)
+        if not _wp_vocab_cache:
+            merges = text.wordpiece_train(docs(), num_merges=24)
+            _wp_vocab_cache.append(
+                text.wordpiece_alphabet(docs())
+                + [r["merged"] for r in merges.collect()]
+            )
+        return _wp_vocab_cache[0]
+
     _size_cb_cache = []
 
     def size_cb():
@@ -625,6 +648,68 @@ def operator_queries(spark, d: str, n_docs: int, n_vecs: int, cents):
                 spark, read_table(spark, d, "orders"), "orders", d,
                 "o_orderkey",
             ),
+        ),
+        # Count-Min over shingle occurrences (round-10 continuation):
+        # the shuffle is the 4x4096 counter universe at every size, so
+        # the curve should track the map-side explode+hash (alpha ~1);
+        # probes are fixed literals — the estimate join is
+        # broadcast-bounded and size-independent
+        "op_cms_sketch_probe": lambda: sketches.cms_estimate(
+            sketches.cms_sketch(
+                sketches.shingle_occurrences(docs()), depth=4, width=4096
+            ),
+            spark.createDataFrame(
+                [(f"probe{i}",) for i in range(24)], "item STRING"
+            ),
+            depth=4,
+            width=4096,
+        ),
+        # KMV per-source distinct + set algebra (round-10
+        # continuation): the per-partition k-min-distinct fold keeps
+        # state at groups x k; the final merge aggregates candidate
+        # rows, never the (source, shingle) universe — the curve
+        # should track the hash+fold scan
+        "op_kmv_distinct_sets": lambda: sketches.kmv_set_estimates(
+            sketches.kmv_sketch(
+                sketches.shingle_occurrences(
+                    docs(), keep_cols=("source",)
+                ),
+                "source",
+                k=256,
+            ),
+            k=256,
+            pairs=[("src0", "src1"), ("src0", "src2"), ("src1", "src2")],
+        ),
+        # Unicode normalization (round-10 continuation): pure-JVM
+        # regexp chain; every 7th doc gets the messy suffix so the
+        # Arrow NFC branch processes its honest ~14% share while the
+        # ASCII bulk bypasses Python entirely
+        "op_normalize_text": lambda: text.normalize_text(
+            docs().withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(
+                        F.col("text"),
+                        F.lit("  café\t​zero one  "),
+                    ),
+                ).otherwise(F.col("text")),
+            )
+        ),
+        # WordPiece APPLY (round-10 continuation): vocab trained once
+        # per size (amortized by the first, discarded run — the
+        # uni_vocab convention); the timed thunk measures the greedy
+        # walk on the distinct-word table + broadcast map-back +
+        # per-doc agg
+        "op_wordpiece_encode": lambda: text.wordpiece_encode(
+            docs(), wp_pieces()
+        ),
+        # degree-oriented triangle counting (round-10 continuation):
+        # copies are key-inert, so edges/wedges/triangles all scale
+        # linearly in k and the curve isolates the operator's join
+        # throughput; the orientation bounds per-key wedge fan-out
+        "op_triangle_count": lambda: graph.triangle_stats(
+            graph.cooccurrence_edges(read_table(spark, d, "lineitem"))
         ),
     }
 
