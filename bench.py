@@ -172,6 +172,7 @@ HEADLINE = [
     # per-sf piece memo hoists training out of y96's recurring timing
     "y96_wordpiece_encode",
     "y97_triangle_count",
+    "y98_cumulative_distinct",
 ]
 
 

@@ -7167,6 +7167,91 @@ def y93(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cumulative distinct over a day series (round-10 continuation): the
+# time-series companion to y61's per-group HLL — register max-merge
+# across window frames, so "users seen to date" never rescans history
+# ---------------------------------------------------------------------------
+
+def _y98_oracle() -> str:
+    m, zrho = 256, 53
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}.0))"
+    e_raw = (
+        f"({alpha} * {m}.0 * {m}.0 * CAST((1::BIGINT << {zrho})"
+        " AS DOUBLE)) / CAST(s AS DOUBLE)"
+    )
+    e_lc = f"{m}.0 * ln({m}.0 / CAST(v AS DOUBLE))"
+    est = (
+        f"CASE WHEN ({e_raw}) <= {2.5 * m} AND v > 0"
+        f" THEN ({e_lc}) ELSE ({e_raw}) END"
+    )
+    return (
+        "WITH d0 AS MATERIALIZED (SELECT CAST(ts AS DATE) AS day,"
+        " CAST(user_id AS VARCHAR) AS v FROM events"
+        " WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
+        " alld AS MATERIALIZED (SELECT DISTINCT day FROM d0),"
+        " news AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM"
+        " (SELECT v, min(day) AS day FROM d0 GROUP BY v) GROUP BY day),"
+        " ex AS MATERIALIZED (SELECT alld.day,"
+        " CAST(coalesce(news.n_new, 0) AS BIGINT) AS n_new,"
+        " CAST(sum(coalesce(news.n_new, 0)) OVER (ORDER BY alld.day"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        " AS exact_cum FROM alld LEFT JOIN news ON alld.day = news.day),"
+        " h AS (SELECT day,"
+        " CAST(concat('0x', substr(md5(v), 1, 15)) AS BIGINT) AS h"
+        " FROM d0),"
+        f" b AS (SELECT day, h % {m} AS bucket, h // {m} AS w FROM h),"
+        f" rr AS (SELECT day, bucket, CASE WHEN w > 0"
+        f" THEN {zrho} - length(bin(w)) ELSE {zrho} END AS rho FROM b),"
+        " regs AS MATERIALIZED (SELECT day, bucket, max(rho) AS r"
+        " FROM rr GROUP BY day, bucket),"
+        " grid AS (SELECT alld.day, bk.b AS bucket,"
+        " coalesce(regs.r, 0) AS r0 FROM alld"
+        f" CROSS JOIN range(0, {m}) AS bk(b)"
+        " LEFT JOIN regs ON regs.day = alld.day AND regs.bucket = bk.b),"
+        " cum AS (SELECT day, bucket, max(r0) OVER (PARTITION BY bucket"
+        " ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS rc FROM grid),"
+        f" agg AS (SELECT day, CAST(sum(1::BIGINT << ({zrho} - rc))"
+        " AS BIGINT) AS s,"
+        " CAST(sum(CASE WHEN rc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v"
+        " FROM cum GROUP BY day),"
+        f" est AS (SELECT day, ROUND({est}, 6) AS hll_cum_estimate"
+        " FROM agg)"
+        " SELECT ex.day, ex.n_new, ex.exact_cum AS exact_cum_distinct,"
+        " est.hll_cum_estimate,"
+        " ROUND((est.hll_cum_estimate - ex.exact_cum) / ex.exact_cum, 6)"
+        " AS rel_error"
+        " FROM ex JOIN est ON ex.day = est.day ORDER BY ex.day"
+    )
+
+
+@register(
+    "y98_cumulative_distinct",
+    _y98_oracle(),
+    "Cumulative distinct users over the event-day series ('seen to"
+    " date'), exact AND sketched, neither tier rescanning history:"
+    " exact via FIRST APPEARANCE (min day per user — the one"
+    " entity-sized shuffle — then a day-grid running sum) and HLL via"
+    " per-day registers CUMULATIVELY MAX-MERGED across the day"
+    " sequence on the days x 256 register grid (bounded metadata) —"
+    " registers merge by max, so day d's cumulative sketch equals the"
+    " sketch of all events <= d without touching them again; a new"
+    " day folds in at register cost, the incremental-daily and"
+    " streaming-store shape. Sketch stages are the y61 value-exact"
+    " HLL, so even the estimates hash-compare"
+    " (operators/curation.py::cumulative_distinct_daily)."
+    " y-prefix: past the gate window by design; the c29 twin pulls it"
+    " into the driver's window",
+)
+def y98(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        curation.cumulative_distinct_daily(_t(spark, sf, "events"))
+        .repartition(1)
+        .sortWithinPartitions("day")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Triangle counting (round-10 continuation): third graph-family member
 # next to PageRank (y81) and connected components (y05/y73)
 # ---------------------------------------------------------------------------
@@ -7513,6 +7598,9 @@ _WINDOW_TWINS = {
     # (evicts q14_math_funcs — driver-certified in earlier rounds,
     # same standing coverage)
     "c28_triangle_count": "y97_triangle_count",
+    # (evicts q13_string_funcs — driver-certified in earlier rounds,
+    # same standing coverage)
+    "c29_cumulative_distinct": "y98_cumulative_distinct",
 }
 
 for _twin, _src in _WINDOW_TWINS.items():

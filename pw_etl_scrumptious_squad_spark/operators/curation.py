@@ -1833,3 +1833,111 @@ def quality_classifier_apply(
         F.coalesce(F.col("mq"), F.lit(0)).cast("bigint").alias("margin_pq"),
         (F.coalesce(F.col("mq"), F.lit(0)) > 0).alias("keep"),
     )
+
+
+def cumulative_distinct_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    p: int = 8,
+) -> DataFrame:
+    """Cumulative distinct-entity counts over a day series ("users seen
+    to date"), exact AND sketched, per day: ``(day, n_new,
+    exact_cum_distinct, hll_cum_estimate, rel_error)``.
+
+    Two scale-honest tiers, each avoiding the naive
+    rescan-history-per-day shape:
+
+    - EXACT via FIRST APPEARANCE: cumulative distinct at day d is the
+      number of entities whose first-seen day is <= d — one entity-
+      keyed agg (min day per entity, the only entity-sized shuffle)
+      + a day-table-sized running sum. History is never rescanned.
+    - SKETCH via REGISTER MAX-MERGE: per-day HLL registers
+      (:func:`hll_registers`), then a cumulative per-bucket MAX over
+      the day sequence — registers merge by max, so day d's cumulative
+      sketch is exactly the sketch of all events <= d without touching
+      them again. The window runs on the days x 2^p register grid
+      (bounded metadata, never data); a NEW day folds in at register
+      cost, which is what an incremental daily pipeline and the
+      streaming stores both exploit.
+
+    Every sketch stage is the y61 value-exact HLL (md5 buckets,
+    integer rho, exact BIGINT 2^-r fold, one double expression at the
+    end), so the oracle checks the ESTIMATES bit-for-bit; rel_error
+    audits the sketch against the exact tier per day."""
+    m = 1 << p
+    zrho = (60 - p) + 1
+    days = events.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.col(id_col).cast("string").alias("v"),
+    ).filter(F.col("v").isNotNull() & F.col("day").isNotNull())
+    all_days = days.select("day").distinct()
+    # exact tier: first appearance per entity -> day-grid running sum
+    news = (
+        days.groupBy("v")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    wday = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exact = (
+        all_days.join(news, "day", "left")
+        .select("day", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .withColumn(
+            "exact_cum_distinct",
+            F.sum("n_new").over(wday).cast("bigint"),
+        )
+    )
+    # sketch tier: per-day registers -> bucket grid -> cumulative max
+    regs = hll_registers(days, ["day"], "v", p)
+    grid = all_days.crossJoin(
+        F.broadcast(
+            days.sparkSession.range(m).select(
+                F.col("id").cast("bigint").alias("__bucket")
+            )
+        )
+    )
+    wbucket = (
+        Window.partitionBy("__bucket")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        grid.join(regs, ["day", "__bucket"], "left")
+        .select(
+            "day",
+            "__bucket",
+            F.coalesce("__r", F.lit(0)).alias("__r0"),
+        )
+        .withColumn("__rc", F.max("__r0").over(wbucket))
+    )
+    agg = cum.groupBy("day").agg(
+        F.sum(F.expr(f"shiftleft(1L, {zrho} - __rc)"))
+        .cast("bigint")
+        .alias("__s"),
+        F.sum((F.col("__rc") == 0).cast("bigint")).alias("__v"),
+    )
+    alpha = "(0.7213 / (1.0 + 1.079 / %d.0))" % m
+    e_raw = (
+        f"({alpha} * {m}.0 * {m}.0 * cast(shiftleft(1L, {zrho})"
+        " as double)) / cast(__s as double)"
+    )
+    e_lc = f"{m}.0 * ln({m}.0 / cast(__v as double))"
+    est = (
+        f"case when ({e_raw}) <= {2.5 * m} and __v > 0"
+        f" then ({e_lc}) else ({e_raw}) end"
+    )
+    sk = agg.select("day", F.expr(f"round({est}, 6)").alias("hll_cum_estimate"))
+    return exact.join(sk, "day").select(
+        "day",
+        "n_new",
+        "exact_cum_distinct",
+        "hll_cum_estimate",
+        F.round(
+            (F.col("hll_cum_estimate") - F.col("exact_cum_distinct"))
+            / F.col("exact_cum_distinct"),
+            6,
+        ).alias("rel_error"),
+    )
