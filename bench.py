@@ -173,6 +173,7 @@ HEADLINE = [
     "y96_wordpiece_encode",
     "y97_triangle_count",
     "y98_cumulative_distinct",
+    "y99_grouped_quantiles",
 ]
 
 

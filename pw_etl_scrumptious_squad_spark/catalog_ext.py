@@ -7167,6 +7167,66 @@ def y93(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-group sketch quantiles (round-10 continuation): the groupwise
+# companion to y90 — pure-DataFrame rank walk, no driver loop, so the
+# same sketch answers percentiles for millions of groups
+# ---------------------------------------------------------------------------
+
+# the y90 HDR bucket representative, over the per-group value column
+_Y99_REP = (
+    "CASE WHEN v = 0 THEN CAST(0 AS BIGINT) ELSE"
+    " CAST(CASE WHEN v < 0 THEN -1 ELSE 1 END AS BIGINT) *"
+    " ((abs(v) >> greatest(length(bin(abs(v))) - 7, 0))"
+    " << greatest(length(bin(abs(v))) - 7, 0)) END"
+)
+
+_Y99_ORACLE = (
+    "WITH c AS (SELECT source AS grp, n_chars AS v FROM documents"
+    " WHERE n_chars IS NOT NULL),"
+    f" b AS (SELECT grp, {_Y99_REP} AS rep, count(*) AS n FROM c"
+    " GROUP BY 1, 2),"
+    " tot AS (SELECT grp, CAST(sum(n) AS BIGINT) AS total FROM b"
+    " GROUP BY grp),"
+    " cum AS (SELECT grp, rep, sum(n) OVER (PARTITION BY grp"
+    " ORDER BY rep) AS cum FROM b),"
+    " r AS (SELECT tot.grp, tot.total, pp.p FROM tot,"
+    " (SELECT unnest([50, 90, 99]) AS p) pp),"
+    " sel AS (SELECT r.grp, r.p, min(cum.rep) AS value FROM r"
+    " JOIN cum ON cum.grp = r.grp"
+    " AND cum.cum >= (r.total - 1) * r.p // 100 + 1"
+    " GROUP BY r.grp, r.p)"
+    " SELECT grp, 'p' || CAST(p AS VARCHAR) AS quantile,"
+    " CAST(value AS BIGINT) AS value FROM sel"
+    " ORDER BY grp, quantile"
+)
+
+
+@register(
+    "y99_grouped_quantiles",
+    _Y99_ORACLE,
+    "PER-GROUP quantiles (p50/p90/p99 of document length per source)"
+    " off the y90 mergeable HDR sketch, with the rank walk done as"
+    " pure DataFrame ops — per-group bucket counts, a per-group"
+    " running sum over the rep order, min-rep-meeting-rank — so"
+    " NOTHING collects and the same sketch answers millions of groups"
+    " (the global reader's driver walk is bounded by one sketch; this"
+    " is its groupwise scale form). Same k-th-smallest rank semantics"
+    " and integer-only bucket geometry as y85/y90, hence a full value"
+    " oracle (operators/stats.py::grouped_sketch_quantiles)."
+    " y-prefix: past the gate window by design; the c30 twin pulls it"
+    " into the driver's window",
+)
+def y99(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        statsops.grouped_sketch_quantiles(
+            _t(spark, sf, "documents"), "source", "n_chars"
+        )
+        .repartition(1)
+        .sortWithinPartitions("grp", "quantile")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cumulative distinct over a day series (round-10 continuation): the
 # time-series companion to y61's per-group HLL — register max-merge
 # across window frames, so "users seen to date" never rescans history
@@ -7601,6 +7661,9 @@ _WINDOW_TWINS = {
     # (evicts q13_string_funcs — driver-certified in earlier rounds,
     # same standing coverage)
     "c29_cumulative_distinct": "y98_cumulative_distinct",
+    # (evicts q12_json_extract — driver-certified in earlier rounds,
+    # same standing coverage)
+    "c30_grouped_quantiles": "y99_grouped_quantiles",
 }
 
 for _twin, _src in _WINDOW_TWINS.items():

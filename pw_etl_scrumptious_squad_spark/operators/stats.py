@@ -41,7 +41,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pw_etl_scrumptious_squad_spark.checkpoint import materialize
@@ -303,3 +303,64 @@ def sketch_quantiles(
                 break
         out.append((f"p{p}", got))
     return spark.createDataFrame(out, "quantile STRING, value BIGINT")
+
+
+def grouped_sketch_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value: Column | str,
+    percentiles: Sequence[int] = (50, 90, 99),
+    sub_bits: int = 7,
+) -> DataFrame:
+    """PER-GROUP percentiles off the mergeable HDR sketch — the
+    groupwise companion to :func:`quantile_sketch` +
+    :func:`sketch_quantiles`: ``(grp, quantile STRING, value BIGINT)``
+    with the same k-th-smallest rank semantics
+    (``k = (n-1)*p DIV 100 + 1``) answered by each group's bucket
+    representative holding that rank.
+
+    Unlike the global reader's driver walk (bounded there by ONE
+    sketch), the per-group rank walk here is pure DataFrame: bucket
+    counts per (group, rep), a per-group running sum over the rep
+    order, and a min-rep-meeting-rank agg per (group, percentile) —
+    so the operator scales to MILLIONS of groups (nothing collects;
+    the widest shuffle is groups x occupied-buckets, <= 8k rows per
+    group at sub_bits=7, and the percentile explode multiplies the
+    bounded bucket table, never the input). Exactly the percentile a
+    per-group sort + row_number would pick, up to the bucket
+    representative (relative error < 2^(1-sub_bits)); deterministic
+    integer bucket geometry, so the catalog entry carries a full value
+    oracle. NULL values excluded per group, matching exact_quantiles;
+    groups with no non-NULL values produce no rows."""
+    v = F.col(value) if isinstance(value, str) else value
+    base = (
+        df.select(F.col(group_col).alias("grp"), v.cast("bigint").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .select("grp", F.expr(_bucket_rep_sql("v", sub_bits)).alias("rep"))
+        .groupBy("grp", "rep")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("rep")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("cum", F.sum("n").over(w))
+    tot = base.groupBy("grp").agg(F.sum("n").cast("bigint").alias("total"))
+    pcts = F.array(*[F.lit(int(p)) for p in percentiles])
+    ranks = tot.select(
+        "grp", "total", F.explode(pcts).alias("p")
+    ).withColumn("k", F.expr("(total - 1) * p DIV 100 + 1"))
+    return (
+        cum.join(ranks, "grp")
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("grp", "p")
+        .agg(F.min("rep").cast("bigint").alias("value"))
+        .select(
+            "grp",
+            F.concat(F.lit("p"), F.col("p").cast("string")).alias(
+                "quantile"
+            ),
+            "value",
+        )
+    )

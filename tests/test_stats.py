@@ -255,3 +255,78 @@ def test_sketch_partition_invariance_and_empty(spark):
     empty = spark.createDataFrame([], "v BIGINT")
     rows = sketch_quantiles(quantile_sketch(empty, "v")).collect()
     assert [r["value"] for r in rows] == [None, None, None]
+
+
+# ---------------------------------------------------------------------------
+# Per-group sketch quantiles (round-10 continuation)
+# ---------------------------------------------------------------------------
+
+def test_grouped_sketch_quantiles_match_global_reader_per_group(spark):
+    from pw_etl_scrumptious_squad_spark.operators.stats import (
+        grouped_sketch_quantiles,
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    rows = [
+        (g, (i * 7919 + hash(g) % 97) % 100_000 - 20_000)
+        for g in ("a", "b", "c")
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "grp STRING, v LONG").repartition(7)
+    got = {
+        (r["grp"], r["quantile"]): r["value"]
+        for r in grouped_sketch_quantiles(df, "grp", "v").collect()
+    }
+    for g in ("a", "b", "c"):
+        sub = df.filter(df.grp == g)
+        want = {
+            r["quantile"]: r["value"]
+            for r in sketch_quantiles(quantile_sketch(sub, "v")).collect()
+        }
+        for q, v in want.items():
+            assert got[(g, q)] == v, (g, q)
+
+
+def test_grouped_sketch_quantiles_envelope_and_null_handling(spark):
+    from pw_etl_scrumptious_squad_spark.operators.stats import (
+        grouped_sketch_quantiles,
+    )
+
+    rows = [("g", i * 13 + 1) for i in range(1, 2000)] + [
+        ("g", None),
+        ("empty", None),
+    ]
+    df = spark.createDataFrame(rows, "grp STRING, v LONG")
+    got = {
+        r["quantile"]: r["value"]
+        for r in grouped_sketch_quantiles(df, "grp", "v").collect()
+        if r["grp"] == "g"
+    }
+    import statistics
+
+    vals = sorted(i * 13 + 1 for i in range(1, 2000))
+    for p in (50, 90, 99):
+        k = (len(vals) - 1) * p // 100  # 0-indexed k-th smallest
+        true = vals[k]
+        rep = got[f"p{p}"]
+        assert rep <= true  # bucket rep collapses toward zero
+        assert (true - rep) / true < 2 ** -6  # sub_bits=7 envelope
+    # a group with only NULLs produces no rows
+    all_rows = grouped_sketch_quantiles(df, "grp", "v").collect()
+    assert {r["grp"] for r in all_rows} == {"g"}
+
+
+def test_grouped_sketch_quantiles_plan_has_no_collect_or_python(spark):
+    from pw_etl_scrumptious_squad_spark.operators.stats import (
+        grouped_sketch_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 9)], "grp STRING, v LONG"
+    )
+    out = grouped_sketch_quantiles(df, "grp", "v")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
