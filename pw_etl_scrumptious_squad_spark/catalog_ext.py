@@ -7167,6 +7167,90 @@ def y93(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Join-size estimation from CMS inner products (round-10 continuation)
+# ---------------------------------------------------------------------------
+
+_Y100_D, _Y100_W = 4, 2048
+
+
+def _y100_sketch_sql(table: str, key: str, name: str) -> str:
+    """CTE chain building one side's CMS over its join-key occurrences
+    (named ``<name>`` — caller avoids SQL reserved words)."""
+    w = _Y100_W
+    return (
+        f"{name}_x AS (SELECT"
+        " CAST(concat('0x', substr(md5(CAST("
+        f"{key} AS VARCHAR)), 1, 15)) AS BIGINT) AS h1,"
+        " CAST(concat('0x', substr(md5(CAST("
+        f"{key} AS VARCHAR)), 17, 14)) AS BIGINT) AS h2"
+        f" FROM {table}),"
+        f" {name} AS (SELECT r, (h1 + r * h2) % {w} AS bucket,"
+        f" CAST(count(*) AS BIGINT) AS n FROM {name}_x, rr"
+        " GROUP BY 1, 2)"
+    )
+
+
+def _y100_oracle() -> str:
+    return (
+        f"WITH rr AS (SELECT unnest(range(0, {_Y100_D})) AS r),"
+        f" {_y100_sketch_sql('lineitem', 'l_orderkey', 'ska')},"
+        f" {_y100_sketch_sql('orders', 'o_orderkey', 'skb')},"
+        " ip AS (SELECT ska.r, sum(ska.n * skb.n) AS ip FROM ska"
+        " JOIN skb ON ska.r = skb.r AND ska.bucket = skb.bucket"
+        " GROUP BY ska.r),"
+        " est AS (SELECT CAST(min(ip) AS BIGINT) AS e FROM ip),"
+        " ex AS (SELECT CAST(count(*) AS BIGINT) AS x FROM lineitem l"
+        " JOIN orders o ON l.l_orderkey = o.o_orderkey)"
+        " SELECT est.e AS est_join_size, ex.x AS exact_join_size,"
+        " CAST(est.e - ex.x AS BIGINT) AS over_count FROM est, ex"
+    )
+
+
+@register(
+    "y100_join_size_sketch",
+    _y100_oracle(),
+    "Equi-join OUTPUT-CARDINALITY estimation from Count-Min inner"
+    " products (AMS-style; Cormode & Muthukrishnan 2005 §4.2):"
+    " sketch each side's join-key occurrences in one map-side pass,"
+    " then the min-over-rows inner product of the two counter"
+    " matrices bounds the true join size from ABOVE (collision"
+    " cross-terms only ever add) — a planner/pipeline guard can"
+    " price a join (catch a key-explosion blowup) for the cost of"
+    " two scans and a <= depth*width-row metadata join, before"
+    " committing the real shuffle. exact_join_size is the audited"
+    " verification tier; over_count the one-sided error"
+    " (operators/sketches.py::cms_join_size)."
+    " y-prefix: past the gate window by design; tools/check.py +"
+    " the sample audit cover it",
+)
+def y100(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("item")
+    )
+    od = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("string").alias("item")
+    )
+    sa = sketchops.cms_sketch(li, depth=_Y100_D, width=_Y100_W)
+    sb = sketchops.cms_sketch(od, depth=_Y100_D, width=_Y100_W)
+    est = sketchops.cms_join_size(sa, sb)
+    exact = (
+        _t(spark, sf, "lineitem")
+        .join(
+            _t(spark, sf, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_join_size"))
+    )
+    return est.crossJoin(exact).select(
+        "est_join_size",
+        "exact_join_size",
+        (F.col("est_join_size") - F.col("exact_join_size"))
+        .cast("bigint")
+        .alias("over_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-group sketch quantiles (round-10 continuation): the groupwise
 # companion to y90 — pure-DataFrame rank walk, no driver loop, so the
 # same sketch answers percentiles for millions of groups

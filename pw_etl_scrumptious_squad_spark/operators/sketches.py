@@ -306,3 +306,38 @@ def kmv_set_estimates(
     return spark.createDataFrame(
         out, "set_expr STRING, n_kept BIGINT, est_distinct BIGINT"
     )
+
+
+def cms_join_size(
+    sketch_a: DataFrame, sketch_b: DataFrame
+) -> DataFrame:
+    """Estimate an equi-join's OUTPUT CARDINALITY from two Count-Min
+    sketches of the join keys, without executing the join: the
+    inner product of matching counter rows, minimized over the depth
+    rows (the AMS/CMS inner-product estimator — Cormode &
+    Muthukrishnan 2005 §4.2). Returns one row ``(est_join_size
+    BIGINT)``.
+
+    The true join size is ``sum over keys of count_a(k) * count_b(k)``;
+    each sketch row's inner product equals that sum PLUS cross-terms
+    from colliding keys — always an overestimate, never an
+    undercount, so the min over rows is a one-sided bound with error
+    <= (N_a * N_b) * e / width in expectation.
+
+    Why it matters at 100 TB: the sketches are depth*width counters
+    built in one map-side pass per table (and mergeable, so per-
+    partition or per-day sketches fold); the estimate itself joins two
+    <= depth*width-row tables — a query planner or pipeline guard can
+    price a join (detect a key-explosion blowup) for the cost of two
+    scans and a metadata join, before committing a shuffle of the real
+    tables. Both sketches must share (depth, width)."""
+    a = sketch_a.select("r", "bucket", F.col("n").alias("na"))
+    b = sketch_b.select("r", "bucket", F.col("n").alias("nb"))
+    per_row = (
+        a.join(b, ["r", "bucket"])
+        .groupBy("r")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("ip"))
+    )
+    return per_row.agg(
+        F.min("ip").cast("bigint").alias("est_join_size")
+    )

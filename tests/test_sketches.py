@@ -326,3 +326,29 @@ def test_streaming_kmv_equals_batch_and_is_idempotent(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert W.warehouse_version(store, spark) == before_version
+
+
+def test_cms_join_size_one_sided_and_exact_when_wide(spark):
+    """Inner-product estimate never undercounts; with width >> keys the
+    cross-terms vanish and the estimate is exactly the true join size,
+    including a deterministic skew case (one hot key)."""
+    a_counts = {f"k{i}": 1 + (i % 5) for i in range(40)}
+    a_counts["hot"] = 500
+    b_counts = {f"k{i}": 2 for i in range(20, 60)}
+    b_counts["hot"] = 30
+    a = _items(spark, a_counts)
+    b = _items(spark, b_counts)
+    true = sum(
+        a_counts.get(k, 0) * b_counts.get(k, 0)
+        for k in set(a_counts) | set(b_counts)
+    )
+    wide_a = sk.cms_sketch(a, depth=4, width=4096)
+    wide_b = sk.cms_sketch(b, depth=4, width=4096)
+    est_wide = sk.cms_join_size(wide_a, wide_b).first()["est_join_size"]
+    assert est_wide == true  # no collisions at this width
+    narrow_a = sk.cms_sketch(a, depth=3, width=16)
+    narrow_b = sk.cms_sketch(b, depth=3, width=16)
+    est_narrow = sk.cms_join_size(narrow_a, narrow_b).first()[
+        "est_join_size"
+    ]
+    assert est_narrow >= true  # collisions only ever ADD

@@ -203,6 +203,53 @@ def main() -> None:
             "state_store_rows": sk_rows,
         }
 
+        # ---- point 3c (round-10 continuation): streaming Count-Min
+        # fold — token occurrences through the depth*width-bounded
+        # counter store; per trigger one counter hash-agg + two
+        # snapshot publishes + one marker, independent of history
+        from pw_etl_scrumptious_squad_spark.operators import (
+            sketches as SK,  # noqa: F401  (parity read below)
+        )
+
+        toks = docs.select(
+            F.col("doc_id"),
+            F.explode(F.split("text", " ")).alias("item"),
+        ).filter(F.col("item") != "")
+        n_tok = toks.count()
+        src_cms = os.path.join(work, "arrivals_cms")
+        for i in range(n_batches):
+            toks.filter(F.col("doc_id") % n_batches == i).select(
+                "item"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src_cms, f"arrival={i}.parquet")
+            )
+        stream_cms = (
+            spark.readStream.schema("item string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_cms + "/arrival=*.parquet")
+        )
+        store_cms = os.path.join(work, "cms_store")
+        t0 = time.perf_counter()
+        q = sp.streaming_cms(
+            stream_cms, store_cms, os.path.join(work, "ckpt_cms"),
+            depth=4, width=4096,
+        )
+        q.awaitTermination(600)
+        wall_cms = time.perf_counter() - t0
+        cms_rows = _snap(
+            spark, store_cms, "sketch",
+            version=_W.warehouse_snapshot_tables(store_cms, None, spark)[
+                "sketch"
+            ],
+        ).count()
+        streaming["stream_cms"] = {
+            "rows": n_tok,
+            "batches": n_batches,
+            "wall_sec": round(wall_cms, 3),
+            "rows_per_sec": round(n_tok / wall_cms, 1),
+            "state_store_rows": cms_rows,
+        }
+
         # ---- point 4: rate-source sustained stream_to_jdbc ----
         from pw_etl_scrumptious_squad_spark.sources import jdbc as J
 
