@@ -203,3 +203,67 @@ def test_zorder_layout_datasource_schedules_only_intersecting_files(
         assert "l_orderkey" in none.columns
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_bloom_layout_datasource_schedules_only_admitting_files(
+    spark, tmp_path
+):
+    """Equality skipping composed with Spark's OWN planner (the
+    round-10 layout_datasource pattern, Bloom leg): an EqualTo on the
+    key column reaches the reader during planning, partitions()
+    schedules only sidecar-admitting files (pinned by scan partition
+    count), values match the plain read exactly (filters stay residual
+    -> lossless), an absent key yields one empty schema-stable
+    partition, and an unfiltered read schedules every file."""
+    from pyspark.sql import functions as F
+
+    from pw_etl_scrumptious_squad_spark.operators import layout as L
+    from pw_etl_scrumptious_squad_spark.sources.bloom_datasource import (
+        BloomLayoutDataSource,
+    )
+    from pw_etl_scrumptious_squad_spark.sources.parquet import read_table
+
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    path = str(tmp_path / "bl")
+    li.repartitionByRange(16, "l_orderkey").write.mode("overwrite").parquet(
+        path
+    )
+    L.write_bloom_sidecar(spark, path, "l_orderkey")
+    n_files = len(
+        [n for n in __import__("os").listdir(path) if n.endswith(".parquet")]
+    )
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(BloomLayoutDataSource)
+        full = (
+            spark.read.format("bloom_layout")
+            .option("path", path)
+            .option("key", "l_orderkey")
+            .load()
+        )
+        assert full.rdd.getNumPartitions() == n_files
+        assert full.count() == li.count()
+
+        probe = int(li.agg(F.min("l_orderkey")).first()[0])
+        hit = full.filter(F.col("l_orderkey") == probe)
+        # the skip happens AT PLANNING: clustered layout -> the key
+        # lives in few files, so most are never scheduled
+        assert hit.rdd.getNumPartitions() < max(2, n_files // 2)
+        got = sorted(
+            r["l_linenumber"] for r in hit.select("l_linenumber").collect()
+        )
+        exp = sorted(
+            r["l_linenumber"]
+            for r in li.filter(F.col("l_orderkey") == probe)
+            .select("l_linenumber")
+            .collect()
+        )
+        assert got == exp and len(got) > 0
+
+        absent = full.filter(F.col("l_orderkey") == 10**12)
+        assert absent.rdd.getNumPartitions() == 1  # single empty partition
+        assert absent.count() == 0
+        assert "l_linenumber" in absent.columns
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
