@@ -1249,3 +1249,106 @@ def read_kmv_estimates(
         spark, store_dir, "sketch", version=pinned["sketch"]
     )
     return SK.kmv_set_estimates(sketch, k=int(meta["k"]), pairs=pairs)
+
+
+def streaming_hll(
+    items_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    group_col: str = "grp",
+    item_col: str = "item",
+    p: int = 8,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Streaming HLL distinct-count store with BOUNDED state: fold each
+    micro-batch's per-group registers
+    (operators/curation.py::hll_registers) into a persisted register
+    table by element-wise MAX — registers merge by max, so the landed
+    store equals the batch registers over everything delivered,
+    bit-for-bit, whatever the batch boundaries were (the property
+    y98's cumulative time series uses along the day axis; this twin
+    uses it along the arrival axis).
+
+    Per trigger: one map-side register agg over the batch (shuffle
+    bounded by groups x 2^p), one max-merge with the persisted store,
+    one versioned snapshot publish CAS-pinned by a warehouse marker.
+    Replay-idempotent twice over: max-merge re-applied is a no-op, and
+    the last_bid meta guard skips the wasted write (the
+    streaming_heavy_hitters convention).
+
+    Read back with :func:`read_hll_estimates` — identical to the batch
+    ``hll_estimate_from_registers`` over everything delivered."""
+    from pw_etl_scrumptious_squad_spark.operators import curation as C
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as W
+    from pw_etl_scrumptious_squad_spark.sources.parquet import (
+        snapshot_read,
+        write_table_snapshot,
+    )
+
+    spark = items_stream.sparkSession
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        regs = C.hll_registers(
+            batch.select(
+                F.col(group_col).cast("string").alias("grp"),
+                F.col(item_col).alias("__item"),
+            ),
+            ["grp"],
+            "__item",
+            p,
+        ).transform(materialize)
+        if regs.limit(1).count() == 0:
+            return
+        if W.warehouse_version(store_dir, spark) > 0:
+            pinned = W.warehouse_snapshot_tables(store_dir, None, spark)
+            meta = snapshot_read(
+                spark, store_dir, "meta", version=pinned["meta"]
+            ).first().asDict()
+            last_bid = meta.get("last_bid")
+            if last_bid is not None and int(batch_id) <= int(last_bid):
+                return  # at-least-once replay of a committed batch
+            prior = snapshot_read(
+                spark, store_dir, "regs", version=pinned["regs"]
+            )
+            merged = (
+                prior.unionByName(regs)
+                .groupBy("grp", "__bucket")
+                .agg(F.max("__r").alias("__r"))
+            )
+        else:
+            merged = regs
+        sv = write_table_snapshot(merged, store_dir, "regs")
+        meta_df = spark.createDataFrame(
+            [(int(p), int(batch_id))], "p BIGINT, last_bid BIGINT"
+        )
+        tv = write_table_snapshot(meta_df, store_dir, "meta")
+        W.commit_warehouse_snapshot(
+            store_dir, {"regs": sv, "meta": tv}, spark
+        )
+
+    return run_foreach_batch(
+        items_stream, checkpoint_dir, batch_fn, processing_time=processing_time
+    )
+
+
+def read_hll_estimates(
+    spark: SparkSession,
+    store_dir: str,
+    snapshot: int | None = None,
+) -> DataFrame:
+    """Finalize the streaming HLL register store as of a warehouse
+    snapshot (None = latest): ``(grp, hll_estimate)``, identical to
+    the batch estimate over everything delivered up to that
+    snapshot."""
+    from pw_etl_scrumptious_squad_spark.operators import curation as C
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as W
+    from pw_etl_scrumptious_squad_spark.sources.parquet import snapshot_read
+
+    pinned = W.warehouse_snapshot_tables(store_dir, snapshot, spark)
+    meta = snapshot_read(
+        spark, store_dir, "meta", version=pinned["meta"]
+    ).first()
+    regs = snapshot_read(
+        spark, store_dir, "regs", version=pinned["regs"]
+    )
+    return C.hll_estimate_from_registers(regs, ["grp"], int(meta["p"]))

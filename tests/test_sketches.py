@@ -352,3 +352,77 @@ def test_cms_join_size_one_sided_and_exact_when_wide(spark):
         "est_join_size"
     ]
     assert est_narrow >= true  # collisions only ever ADD
+
+
+def test_streaming_hll_equals_batch_and_is_idempotent(spark, tmp_path):
+    """HLL registers merge by element-wise max, so the streaming store
+    after N micro-batches must equal the BATCH registers bit-for-bit
+    and the finalized estimates must match the batch path; replay from
+    a fresh checkpoint leaves the store untouched."""
+    from pw_etl_scrumptious_squad_spark.operators import curation as C
+    from pw_etl_scrumptious_squad_spark.sources import warehouse as W
+    from pw_etl_scrumptious_squad_spark.sources.parquet import snapshot_read
+
+    batches = [
+        [
+            ("a" if i % 3 else "b", f"item{(53 * i + bi) % 900}")
+            for i in range(400)
+        ]
+        for bi in range(4)
+    ]
+    src = tmp_path / "hitems"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "grp STRING, item STRING").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"arrival={i}.parquet"))
+
+    def stream():
+        return (
+            spark.readStream.schema("grp string, item string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/arrival=*.parquet")
+        )
+
+    store = str(tmp_path / "hllstore")
+    q = sp.streaming_hll(stream(), store, str(tmp_path / "hckpt"), p=6)
+    q.awaitTermination(180)
+
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], "grp STRING, item STRING"
+    )
+    want_regs = sorted(
+        map(
+            tuple,
+            C.hll_registers(full, ["grp"], "item", 6).collect(),
+        )
+    )
+    pinned = W.warehouse_snapshot_tables(store, None, spark)
+    got_regs = sorted(
+        map(
+            tuple,
+            snapshot_read(
+                spark, store, "regs", version=pinned["regs"]
+            ).collect(),
+        )
+    )
+    assert got_regs == want_regs
+    assert len(got_regs) <= 2 * (1 << 6)  # bounded state
+
+    got_est = sorted(
+        map(tuple, sp.read_hll_estimates(spark, store).collect())
+    )
+    want_est = sorted(
+        map(
+            tuple,
+            C.hll_estimate_from_registers(
+                C.hll_registers(full, ["grp"], "item", 6), ["grp"], 6
+            ).collect(),
+        )
+    )
+    assert got_est == want_est
+
+    before = W.warehouse_version(store, spark)
+    q2 = sp.streaming_hll(stream(), store, str(tmp_path / "hckpt2"), p=6)
+    q2.awaitTermination(180)
+    assert W.warehouse_version(store, spark) == before
