@@ -569,3 +569,95 @@ def test_bloom_sidecar_never_misses_any_present_key(spark, tmp_path_factory, key
     out, n_sel, n_tot = L.read_with_bloom(spark, path, "k", keys)
     # EVERY present key must survive the skip — no false negatives
     assert sorted(r["k"] for r in out.collect()) == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 continuation sketches / tokenizers
+# ---------------------------------------------------------------------------
+
+items_strategy = st.lists(
+    st.sampled_from([f"k{i}" for i in range(12)]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(items=items_strategy, width=st.sampled_from([4, 16, 64]))
+@SLOW
+def test_cms_one_sided_on_random_multisets(spark, items, width):
+    from collections import Counter
+
+    from pw_etl_scrumptious_squad_spark.operators import sketches as sk
+
+    df = spark.createDataFrame([(t,) for t in items], "item STRING")
+    sketch = sk.cms_sketch(df, depth=3, width=width)
+    probes = spark.createDataFrame(
+        [(t,) for t in sorted(set(items))] + [("absent-key",)],
+        "item STRING",
+    )
+    est = {
+        r["item"]: r["est_count"]
+        for r in sk.cms_estimate(
+            sketch, probes, depth=3, width=width
+        ).collect()
+    }
+    truth = Counter(items)
+    for t, n in truth.items():
+        assert est[t] >= n  # NEVER an undercount, any width
+    assert est["absent-key"] >= 0
+
+
+@given(
+    a=st.lists(st.integers(0, 400), min_size=1, max_size=60),
+    b=st.lists(st.integers(200, 600), min_size=1, max_size=60),
+    k=st.sampled_from([4, 16]),
+)
+@SLOW
+def test_kmv_merge_head_property_on_random_sets(spark, a, b, k):
+    """The k smallest distinct hashes of a union must be computable
+    from the per-group heads alone — for ANY inputs and k."""
+    from pw_etl_scrumptious_squad_spark.operators import sketches as sk
+
+    rows = [("a", f"i{x}") for x in a] + [("b", f"i{x}") for x in b]
+    df = spark.createDataFrame(rows, "grp STRING, item STRING")
+    per = {
+        r["grp"]: r["hs"] for r in sk.kmv_sketch(df, "grp", k=k).collect()
+    }
+    direct = [
+        r["hs"]
+        for r in sk.kmv_sketch(
+            df.withColumn("grp", F.lit("u")), "grp", k=k
+        ).collect()
+    ][0]
+    merged_head = sorted(
+        set(per.get("a", [])) | set(per.get("b", []))
+    )[:k]
+    assert direct == merged_head
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(VOCAB), min_size=1, max_size=6).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@SLOW
+def test_wordpiece_roundtrip_of_trained_vocab_has_no_unk(spark, texts):
+    """Encoding the EXACT corpus a WordPiece vocab was trained on can
+    never hit [UNK]: the alphabet alone covers every word."""
+    from pw_etl_scrumptious_squad_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    merges = T.wordpiece_train(df, num_merges=4)
+    pieces = T.wordpiece_alphabet(df) + [
+        r["merged"] for r in merges.collect()
+    ]
+    out = T.wordpiece_encode(df, pieces).collect()
+    assert sum(r["n_unk_words"] for r in out) == 0
+    for r in out:
+        assert r["n_pieces"] >= r["n_words"]  # >= one piece per word
