@@ -7167,6 +7167,124 @@ def y93(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Inverse quantile (rank lookup) off the mergeable sketch
+# (round-10 continuation): the other direction of y90
+# ---------------------------------------------------------------------------
+
+def _duck_rep(col: str) -> str:
+    """DuckDB form of the sub_bits=7 HDR bucket representative over an
+    arbitrary column name (the y90 expression, parameterized)."""
+    return (
+        f"CASE WHEN {col} = 0 THEN CAST(0 AS BIGINT) ELSE"
+        f" CAST(CASE WHEN {col} < 0 THEN -1 ELSE 1 END AS BIGINT) *"
+        f" ((abs({col}) >> greatest(length(bin(abs({col}))) - 7, 0))"
+        f" << greatest(length(bin(abs({col}))) - 7, 0)) END"
+    )
+
+
+_Y102_ORACLE = (
+    "WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v"
+    " FROM lineitem WHERE l_extendedprice IS NOT NULL),"
+    f" b AS (SELECT {_duck_rep('v')} AS rep, count(*) AS n FROM c"
+    " GROUP BY 1),"
+    " bounds AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM c),"
+    " probes AS (SELECT DISTINCT k AS probe FROM ("
+    " SELECT mn AS k FROM bounds"
+    " UNION ALL SELECT mn + (mx - mn) // 3 FROM bounds"
+    " UNION ALL SELECT mn + 2 * (mx - mn) // 3 FROM bounds"
+    " UNION ALL SELECT mx FROM bounds)),"
+    f" pr AS (SELECT probe, {_duck_rep('probe')} AS prep FROM probes),"
+    " est AS (SELECT pr.probe, CAST(coalesce(sum(b.n), 0) AS BIGINT)"
+    " AS est_rank FROM pr LEFT JOIN b ON b.rep <= pr.prep"
+    " GROUP BY pr.probe),"
+    " tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM b)"
+    " SELECT est.probe, est.est_rank, tot.total,"
+    " CAST(CASE WHEN tot.total > 0 THEN"
+    " est.est_rank * 1000000000 // tot.total ELSE 0 END AS BIGINT)"
+    " AS rank_ppb"
+    " FROM est, tot ORDER BY est.probe"
+)
+
+
+@register(
+    "y102_sketch_ranks",
+    _Y102_ORACLE,
+    "INVERSE quantile off the y90 mergeable sketch: for derived probe"
+    " prices (min / thirds / max of order-line cents), the one-sided"
+    " rank estimate — counts of every bucket whose representative is"
+    " <= the probe's own (monotone geometry => est_rank >= true rank,"
+    " over by at most one bucket's population) and the exact-integer"
+    " ppb fraction. The probe path touches ONLY the <= 8k-row sketch"
+    " (probe reps computed with the driver twin of the bucket"
+    " function), which is the point: 'what fraction exceeded X' reads"
+    " straight off a persisted or streaming sketch store without"
+    " touching data (operators/stats.py::sketch_ranks)."
+    " y-prefix: past the gate window by design; tools/check.py +"
+    " the sample audit cover it",
+)
+def y102(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    vals = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v")
+    ).filter(F.col("v").isNotNull())
+    b = vals.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).first()
+    mn, mx = int(b["mn"]), int(b["mx"])
+    probes = sorted({mn, mn + (mx - mn) // 3, mn + 2 * (mx - mn) // 3, mx})
+    sk = statsops.quantile_sketch(
+        li, F.round(F.col("l_extendedprice") * 100), sub_bits=7
+    )
+    return (
+        statsops.sketch_ranks(sk, probes, sub_bits=7)
+        .repartition(1)
+        .sortWithinPartitions("probe")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group exact heavy hitters (round-10 continuation): groupwise form
+# of y82 — the (group, token) universe never shuffles
+# ---------------------------------------------------------------------------
+
+@register(
+    "y101_grouped_heavy_hitters",
+    "WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS"
+    " token FROM documents),"
+    " t2 AS (SELECT source, token FROM tk WHERE token <> ''),"
+    " tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM t2"
+    " GROUP BY source)"
+    " SELECT t2.source, t2.token, CAST(count(*) AS BIGINT)"
+    " AS n_occurrences"
+    " FROM t2 JOIN tot ON t2.source = tot.source"
+    " GROUP BY t2.source, t2.token, tot.n"
+    " HAVING count(*) >= (tot.n + 499) // 500"
+    " ORDER BY t2.source, t2.token",
+    "PER-GROUP exact heavy hitters (tokens with in-source frequency"
+    " >= ceil(source_total/500)) via the groupwise sketch-then-recount"
+    " pattern: one Misra-Gries summary per (partition, group) with the"
+    " Agarwal mergeable trim (bounded state, Arrow-batched Counter"
+    " pre-aggregation), candidate (group, token) pairs recounted"
+    " exactly and filtered per-group — the full (group, token)"
+    " universe never shuffles, and the per-group admission guarantee"
+    " (absent => freq <= total_g/(capacity+1)) makes the answer"
+    " partition-invariant and EXACT, which the naive per-group"
+    " groupBy oracle certifies"
+    " (operators/text.py::heavy_hitters_exact_grouped)."
+    " y-prefix: past the gate window by design; tools/check.py +"
+    " the sample audit cover it",
+)
+def y101(spark: SparkSession, sf: str) -> DataFrame:
+    from pw_etl_scrumptious_squad_spark.operators import text as textops
+
+    return (
+        textops.heavy_hitters_exact_grouped(
+            _t(spark, sf, "documents"), "source", denom=500, capacity=1024
+        )
+        .repartition(1)
+        .sortWithinPartitions("source", "token")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Join-size estimation from CMS inner products (round-10 continuation)
 # ---------------------------------------------------------------------------
 

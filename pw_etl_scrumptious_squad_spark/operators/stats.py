@@ -364,3 +364,70 @@ def grouped_sketch_quantiles(
             "value",
         )
     )
+
+
+def _bucket_rep_py(v: int, sub_bits: int) -> int:
+    """Driver twin of :func:`_bucket_rep_sql` — Python ints, same
+    integer-only HDR geometry (bit_length == length(bin(...)))."""
+    if v == 0:
+        return 0
+    sign = -1 if v < 0 else 1
+    a = abs(v)
+    shift = max(a.bit_length() - int(sub_bits), 0)
+    return sign * ((a >> shift) << shift)
+
+
+def sketch_ranks(
+    sketch: DataFrame,
+    values: Sequence[int],
+    sub_bits: int = 7,
+) -> DataFrame:
+    """INVERSE quantile off the mergeable sketch: for each probe value,
+    how many (and what fraction of) sketched values are <= it —
+    ``(probe BIGINT, est_rank BIGINT, total BIGINT, rank_ppb
+    BIGINT)``.
+
+    ``est_rank`` sums the counts of every bucket whose representative
+    is <= the probe's OWN bucket representative. The bucket function
+    is monotone (w <= v implies rep(w) <= rep(v)), so the estimate is
+    ONE-SIDED: est_rank >= true rank(v) = |{w : w <= v}|, over by at
+    most the probe bucket's population — the same bounded-error
+    contract as the forward reader, in the other direction.
+    ``rank_ppb = est_rank * 1e9 DIV total`` keeps the fraction an
+    exact integer for the value oracle.
+
+    Shape: probe reps are computed driver-side with the Python twin of
+    the bucket function (exact integers), then ONE broadcast join +
+    agg against the <= 8k-row sketch — the probe path never touches
+    data, which is the point: a monitoring system can ask 'what
+    fraction of yesterday's latencies exceeded X' straight off the
+    persisted (or streaming) sketch store."""
+    spark = sketch.sparkSession
+    probes = spark.createDataFrame(
+        [(int(v), _bucket_rep_py(int(v), sub_bits)) for v in values],
+        "probe BIGINT, prep BIGINT",
+    )
+    total = sketch.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("total")
+    )
+    ranked = (
+        probes.join(F.broadcast(sketch), F.col("rep") <= F.col("prep"), "left")
+        .groupBy("probe")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0))
+            .cast("bigint")
+            .alias("est_rank")
+        )
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "probe",
+        "est_rank",
+        "total",
+        F.when(
+            F.col("total") > 0,
+            F.expr("est_rank * 1000000000L DIV total"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rank_ppb"),
+    )

@@ -2144,3 +2144,98 @@ def wordpiece_encode(
             ).alias("pieces_per_word"),
         )
     )
+
+
+def heavy_hitters_exact_grouped(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    denom: int = 500,
+    capacity: int = 1024,
+) -> DataFrame:
+    """PER-GROUP exact heavy hitters: for every group, the tokens with
+    in-group frequency >= ceil(group_total / ``denom``) — the groupwise
+    form of :func:`heavy_hitters_exact`, keeping its central discipline:
+    the full (group, token) universe is NEVER shuffled.
+
+    Phase 1 streams each partition's (group, token) pairs through ONE
+    Misra-Gries summary PER GROUP PRESENT IN THE PARTITION (bounded
+    state: groups-per-partition x ``capacity``; per Arrow batch the
+    pairs pre-aggregate into a Counter, then fold with the Agarwal
+    et al. mergeable trim per group). The admission guarantee is
+    per-group: a token absent from every summary of group g has
+    frequency <= total_g/(capacity+1) < ceil(total_g/denom) whenever
+    ``capacity + 1 > denom`` — the candidate union can only
+    over-admit. Phase 2 recounts ONLY candidate (group, token) pairs
+    exactly (the candidate table is bounded by partitions x groups x
+    capacity — Catalyst/AQE picks broadcast vs shuffle join by its
+    actual size) and filters against per-group totals. Deterministic
+    by construction: the sketch decides WHAT to recount, never a
+    reported count. Returns ``(group_col, token, n_occurrences
+    BIGINT)``."""
+    if capacity + 1 <= denom:
+        raise ValueError(
+            f"capacity {capacity} must exceed denom {denom} for exactness"
+        )
+    import pandas as pd
+
+    narrow = _spread_narrow_input(
+        df.select(
+            F.col(group_col).cast("string").alias("g"),
+            F.col(text_col).alias("t"),
+        )
+    )
+
+    def _mg(batches):
+        from collections import Counter
+
+        summaries: dict[str, dict[str, int]] = {}
+        for pdf in batches:
+            bc: Counter = Counter()
+            for g, text in zip(pdf["g"], pdf["t"]):
+                if text is None or g is None:
+                    continue
+                for tok in text.split(" "):
+                    if tok:
+                        bc[(g, tok)] += 1
+            for (g, tok), w in bc.items():
+                counters = summaries.setdefault(g, {})
+                counters[tok] = counters.get(tok, 0) + w
+            for g, counters in summaries.items():
+                if len(counters) > capacity:
+                    vals = sorted(counters.values(), reverse=True)
+                    v = vals[capacity]
+                    summaries[g] = {
+                        k: c - v for k, c in counters.items() if c > v
+                    }
+        rows = [
+            (g, tok) for g, counters in summaries.items() for tok in counters
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=["g", "token"])
+
+    candidates = narrow.mapInPandas(
+        _mg, "g STRING, token STRING"
+    ).distinct()
+
+    toks = narrow.select(
+        "g", F.explode(F.split("t", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    totals = toks.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total")
+    )
+    counted = (
+        toks.join(candidates, ["g", "token"])
+        .groupBy("g", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )
+    return (
+        counted.join(totals, "g")
+        .filter(
+            F.col("n_occurrences")
+            >= F.expr(f"(total + {denom - 1}) DIV {denom}")
+        )
+        .select(
+            F.col("g").alias(group_col), "token", "n_occurrences"
+        )
+    )

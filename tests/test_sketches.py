@@ -426,3 +426,73 @@ def test_streaming_hll_equals_batch_and_is_idempotent(spark, tmp_path):
     q2 = sp.streaming_hll(stream(), store, str(tmp_path / "hckpt2"), p=6)
     q2.awaitTermination(180)
     assert W.warehouse_version(store, spark) == before
+
+
+def test_sketch_ranks_one_sided_and_monotone(spark):
+    from pw_etl_scrumptious_squad_spark.operators.stats import (
+        quantile_sketch,
+        sketch_ranks,
+    )
+
+    vals = [i * 997 - 300_000 for i in range(1, 1500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v LONG")
+    sk_df = quantile_sketch(df, "v")
+    probes = [min(vals), -1, 0, 250_000, max(vals), max(vals) + 10**6]
+    got = {
+        r["probe"]: (r["est_rank"], r["total"], r["rank_ppb"])
+        for r in sketch_ranks(sk_df, probes).collect()
+    }
+    svals = sorted(vals)
+    for p in probes:
+        true_rank = sum(1 for v in svals if v <= p)
+        est, total, ppb = got[p]
+        assert est >= true_rank, p  # one-sided, never an underrank
+        assert total == len(vals)
+        assert ppb == est * 10**9 // total
+    ranks = [got[p][0] for p in sorted(probes)]
+    assert ranks == sorted(ranks)  # monotone in the probe
+    assert got[max(vals) + 10**6][0] == len(vals)  # above-max = all
+
+
+def test_grouped_heavy_hitters_match_naive_and_are_partition_invariant(
+    spark,
+):
+    from collections import Counter
+
+    from pw_etl_scrumptious_squad_spark.operators.text import (
+        heavy_hitters_exact_grouped,
+    )
+
+    import pytest as _pytest
+
+    rows = []
+    for g in ("x", "y", "z"):
+        toks = []
+        for i in range(300):
+            toks.append(f"{g}common{i % 3}")  # per-group heavy
+            toks.append(f"rare{i}{g}")  # singletons
+        rows.append((g, " ".join(toks)))
+    df = spark.createDataFrame(rows, "source STRING, text STRING")
+
+    def naive():
+        want = {}
+        for g, text in rows:
+            c = Counter(t for t in text.split(" ") if t)
+            total = sum(c.values())
+            thresh = -(-total // 50)
+            for tok, n in c.items():
+                if n >= thresh:
+                    want[(g, tok)] = n
+        return want
+
+    for parts in (1, 7):
+        got = {
+            (r["source"], r["token"]): r["n_occurrences"]
+            for r in heavy_hitters_exact_grouped(
+                df.repartition(parts), "source", denom=50, capacity=64
+            ).collect()
+        }
+        assert got == naive(), parts
+
+    with _pytest.raises(ValueError):
+        heavy_hitters_exact_grouped(df, "source", denom=100, capacity=64)
