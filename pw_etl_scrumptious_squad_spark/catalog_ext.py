@@ -7866,6 +7866,12 @@ _WINDOW_TWINS = {
     # (evicts q12_json_extract — driver-certified in earlier rounds,
     # same standing coverage)
     "c30_grouped_quantiles": "y99_grouped_quantiles",
+    # (evict q09_events_hourly / q10_sessionize / q11_outer_join_agg —
+    # all driver-certified since the early rounds, same standing
+    # tools/check.py + pytest + sample-audit coverage)
+    "c31_join_size_sketch": "y100_join_size_sketch",
+    "c32_grouped_heavy_hitters": "y101_grouped_heavy_hitters",
+    "c33_sketch_ranks": "y102_sketch_ranks",
 }
 
 for _twin, _src in _WINDOW_TWINS.items():
