@@ -6637,6 +6637,18 @@ _UNI_PARAMS = dict(vocab_size=48, max_piece_len=4, seed_size=128, iters=2)
 _UNI_VOCAB_CACHE: dict[str, list[tuple[str, int]]] = {}
 
 
+def _piece_sql_lit(piece: str) -> str:
+    """A DuckDB string literal for a trained tokenizer piece. A plain
+    quoted literal cannot carry a NUL byte (the parser reads it as
+    end-of-string: 'unterminated quoted string' on the degenerate-corpus
+    battery, where a document with embedded NULs puts \\x00 into the
+    trained alphabet) — such pieces round-trip through their UTF-8 hex
+    via decode(unhex(...)) instead."""
+    if "\x00" in piece:
+        return "decode(unhex('%s'))" % piece.encode("utf-8").hex()
+    return "'%s'" % piece.replace("'", "''")
+
+
 def unigram_vocab_literals(
     sf_dir: str, spark: SparkSession | None = None
 ) -> list[tuple[str, int]]:
@@ -6677,7 +6689,7 @@ def _y89_oracle(sf_dir: str) -> str:
     computes, independently derived (path enumeration vs DP)."""
     lits = unigram_vocab_literals(sf_dir)
     vals = ", ".join(
-        "('%s', CAST(%d AS BIGINT))" % (p.replace("'", "''"), c)
+        "(%s, CAST(%d AS BIGINT))" % (_piece_sql_lit(p), c)
         for p, c in lits
     )
     return (
@@ -7619,7 +7631,7 @@ def _y96_oracle(sf_dir: str) -> str:
     piece, flagged), exactly the engine's semantics."""
     pieces = wordpiece_pieces(sf_dir)
     vals = ", ".join(
-        "('%s')" % p.replace("'", "''") for p in sorted(set(pieces))
+        "(%s)" % _piece_sql_lit(p) for p in sorted(set(pieces))
     )
     return (
         "WITH RECURSIVE"
