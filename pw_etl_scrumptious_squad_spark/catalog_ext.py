@@ -7578,7 +7578,10 @@ def y97(spark: SparkSession, sf: str) -> DataFrame:
     from pw_etl_scrumptious_squad_spark.operators import graph as graphops
 
     return graphops.triangle_stats(
-        graphops.cooccurrence_edges(_t(spark, sf, "lineitem"))
+        graphops.cooccurrence_edges(_t(spark, sf, "lineitem")),
+        # cooccurrence_edges emits (a < b, distinct) by construction, so
+        # the canonicalization shuffle inside triangle_stats is skipped
+        assume_canonical=True,
     )
 
 

@@ -363,11 +363,45 @@ def prefix_filter_jaccard_pairs(
     brute-forces random corpora).
     """
     tq = threshold - 1e-6
+    # the token table feeds THREE consumers (the document-frequency agg
+    # chain and both sides of the verify join) — materialize once so the
+    # tokenize/array_distinct subtree is computed once, not three times
+    # (optimization guide §2.4/§5: duplicated subtrees under self-joins)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("tk"),
-    ).withColumn("n", F.size("tk"))
+    ).withColumn("n", F.size("tk")).transform(materialize)
+    # COST-BASED TIER ROUTE between two EXACT plans (the route changes
+    # the plan, never the pairs): prefix filtering prunes by putting only
+    # each set's RAREST tokens in the inverted index — but when the
+    # vocabulary is not much larger than a typical document (stopword-only
+    # corpora, enum-like columns), every token is frequent, prefixes
+    # cannot be rare, and the candidate join degenerates to all-pairs
+    # WITH an extra explode + join + distinct on top (measured at sf0.1's
+    # 31-word vocabulary: 27.1M pre-distinct candidate rows vs 2.5M
+    # blocked all-pairs rows — the "candidates" stage costs 10x the plan
+    # it was supposed to avoid). Pigeonhole reading: a prefix holds
+    # >= (1-t)·n tokens drawn from V, so when V <= ~4·avg(n) every token
+    # lands in a constant fraction of prefixes and candidate volume is
+    # Ω(n_docs²) regardless. In that regime the blocked all-pairs bitmask
+    # join (the d02 exact tier) is the strictly cheaper exact plan; the
+    # row cap keeps its broadcast side bounded exactly as d02 guards it.
+    # One 2-value agg decides (count + mean doc size — map-side, no
+    # shuffle of data); at a healthy vocabulary (V >> doc size) the
+    # decision always picks the prefix path, which is the 100 TB shape.
+    probe = toks.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.avg("n").alias("avg_n")
+    ).first()
+    n_rows, avg_n = int(probe["n_rows"]), float(probe["avg_n"] or 0.0)
+    if 0 < n_rows <= _MAX_EXACT_PAIR_ROWS:
+        v_count = int(
+            toks.select(F.explode("tk").alias("t"))
+            .agg(F.countDistinct("t").alias("v"))
+            .first()["v"]
+        )
+        if 0 < v_count <= min(_BITMASK_VOCAB_CAP, 4 * avg_n):
+            return _ngram_jaccard_exact(df, toks, threshold)
     dfreq = (
         toks.select(F.explode("tk").alias("tok"))
         .groupBy("tok")
@@ -391,6 +425,10 @@ def prefix_filter_jaccard_pairs(
             " as int) + 1))"
         ),
     ).select("doc_id", "blk", "n", F.explode("prefix").alias("tok"))
+    # both sides of the candidate self-join are THIS subtree (dfreq join +
+    # per-doc sort assembly) — materialize so it is computed once, not
+    # twice under the a/b aliases
+    prefixed = prefixed.transform(materialize)
     a, b = prefixed.alias("a"), prefixed.alias("b")
     cand = (
         a.join(

@@ -220,36 +220,52 @@ def cooccurrence_edges(
     approach it."""
     parts = lineitem.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    small = (
-        parts.groupBy("ok")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= max_parts_per_order)
-        .select("ok")
     )
-    kept = parts.join(small, "ok")
-    a = kept.select("ok", F.col("pk").alias("a"))
-    b = kept.select("ok", F.col("pk").alias("b"))
+    # One groupBy instead of distinct + count-agg + key-attach join +
+    # self-join (the round-10 plan fix: the old shape shuffled the
+    # (ok, pk) table FOUR times and computed the kept-orders subtree
+    # twice under the a/b aliases; collect_set makes a pre-distinct
+    # redundant — set semantics dedup per order during the partial
+    # aggregation). A basket is <= max_parts_per_order parts by the cap,
+    # so the per-order pair expansion is a bounded map-side higher-order
+    # expression over the sorted part array — a < b falls out of the
+    # sort, no join anywhere. Shuffles: basket groupBy, final pair
+    # distinct.
+    baskets = (
+        parts.groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("ps"))
+        .filter(F.size("ps") <= max_parts_per_order)
+        .filter(F.size("ps") >= 2)
+    )
+    combos = F.expr(
+        "flatten(transform(ps, (x, i) ->"
+        " transform(slice(ps, i + 2, size(ps) - i - 1),"
+        " y -> struct(x AS a, y AS b))))"
+    )
     return (
-        a.join(b, "ok")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        baskets.select(F.explode(combos).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
 
 
 def triangle_stats(
-    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Exact triangle count + global clustering coefficient over an
     undirected edge list, via DEGREE-ORDERED ORIENTATION (the classic
-    O(m^1.5) algorithm; Schank & Wagner 2005): orient every edge from
-    its lower-(degree, id) endpoint to the higher, enumerate wedges as
-    ordered out-neighbor pairs, and close them against the oriented
-    edge set. Returns ONE row: ``(n_nodes, n_edges, n_wedges,
-    n_triangles, global_cc_ppb)`` — all BIGINT, the coefficient as
-    exact parts-per-billion ``(3 * T * 1e9) DIV wedges`` so the value
-    oracle compares integers, never a float ratio.
+    O(m^1.5) algorithm; Schank & Wagner 2005) closed by ADJACENCY
+    INTERSECTION (the edge-iterator formulation): orient every edge
+    from its lower-(degree, id) endpoint to the higher, build each
+    source's sorted out-neighbor array once, and count per oriented
+    edge (u, v) the size of N+(u) ∩ N+(v). Returns ONE row:
+    ``(n_nodes, n_edges, n_wedges, n_triangles, global_cc_ppb)`` — all
+    BIGINT, the coefficient as exact parts-per-billion
+    ``(3 * T * 1e9) DIV wedges`` so the value oracle compares
+    integers, never a float ratio.
 
     Why orientation is the 100 TB shape: the naive wedge count per
     node is C(deg, 2) — a celebrity node with degree 1e6 contributes
@@ -257,23 +273,38 @@ def triangle_stats(
     triangle join. Orienting by (degree, id) bounds every node's
     OUT-degree by O(sqrt(m)) for any degree distribution (a node with
     out-degree d has d neighbors of degree >= its own, so
-    d^2 <= sum of degrees = 2m), so the wedge explosion is bounded by
-    m^1.5 total and no single key dominates. Each triangle is counted
-    exactly once (its three vertices have a unique (degree, id)
-    order). Shuffles: a degree agg, two node-keyed key-attach joins,
-    the wedge self-join on the oriented source, and the closing join
-    on the wedge endpoints — every one on explicit keys, nothing
-    quadratic in any degree. n_wedges reports the UNDIRECTED wedge
-    count (sum of C(deg, 2)) — the clustering-coefficient denominator
-    — computed from the degree table, not enumerated."""
-    und = (
-        edges.select(
-            F.least(F.col(a_col), F.col(b_col)).alias("a"),
-            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+    d^2 <= sum of degrees = 2m), so per-edge intersection work is
+    bounded by O(sqrt(m)) and m^1.5 total. Each triangle is counted
+    exactly once: for a triangle ordered a < b < c by (degree, id),
+    only the edge (a, b) has c in both out-neighborhoods. Why
+    intersection instead of the textbook wedge self-join: the wedge
+    stream IS the m^1.5 term — enumerating it as rows means an
+    m^1.5-row join input, whereas the adjacency table holds the same
+    information in O(m) cells, so nothing bigger than the edge list is
+    ever shuffled (optimization guide §2.3/§8: move decisions onto the
+    compact representation). Shuffles: a degree agg, two node-keyed
+    key-attach joins, the adjacency groupBy, and the two
+    adjacency-attach joins (broadcast when the driver-known edge count
+    fits the session budget, sort-merge past it — O(m) either way).
+    n_wedges reports the UNDIRECTED wedge count (sum of C(deg, 2)) —
+    the clustering-coefficient denominator — computed from the degree
+    table, not enumerated."""
+    # ``assume_canonical=True`` is the caller's guarantee that the edge
+    # list is already (a < b, distinct) — cooccurrence_edges emits exactly
+    # that — which drops a full corpus-sized canonicalization shuffle
+    # (least/greatest + distinct over every edge) from the plan. The
+    # general entry point keeps the canonicalization for arbitrary input.
+    if assume_canonical:
+        und = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    else:
+        und = (
+            edges.select(
+                F.least(F.col(a_col), F.col(b_col)).alias("a"),
+                F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
     und = materialize(und)
     deg = (
         und.select(F.col("a").alias("v"))
@@ -299,23 +330,47 @@ def triangle_stats(
         )
         .otherwise(F.col("a"))
         .alias("dst"),
-        F.when(
-            F.struct("da", "a") < F.struct("db", "b"), F.col("db")
-        )
-        .otherwise(F.col("da"))
-        .alias("dd"),
     )
     oriented = materialize(oriented)
-    e1 = oriented.select("src", F.col("dst").alias("v"), F.col("dd").alias("dv"))
-    e2 = oriented.select("src", F.col("dst").alias("w"), F.col("dd").alias("dw"))
-    wedges = e1.join(e2, "src").filter(
-        F.struct("dv", "v") < F.struct("dw", "w")
+    # adjacency closing: ONE groupBy folds the oriented edges into each
+    # source's sorted out-neighbor array (total cells = m, per-array
+    # length <= O(sqrt(m)) by the orientation bound), then every
+    # oriented edge (u, v) contributes |N+(u) ∩ N+(v)| triangles via a
+    # codegen'd array_intersect — the m^1.5 wedge stream of the
+    # self-join formulation never exists as rows. Join-strategy pick
+    # (guide §3.1): the adjacency relation's size is driver-known
+    # metadata (the materialized edge count — a checkpoint scan carries
+    # no size statistics, so Spark cannot make this call itself); when
+    # it fits the session's broadcast budget both attach joins are
+    # broadcast and the edge list is never shuffled at all, past the
+    # budget they are plain key joins — O(m) bytes either way.
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nb")
     )
-    closing = oriented.select(
-        F.col("src").alias("v"), F.col("dst").alias("w")
-    )
-    tri = wedges.join(closing, ["v", "w"]).agg(
-        F.count(F.lit(1)).cast("bigint").alias("t")
+    adj = materialize(adj)
+    n_e = und.count()  # cached blocks; a 1-value metadata read
+    try:
+        bcast_budget = int(
+            und.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except (TypeError, ValueError):
+        bcast_budget = 10 * 1024 * 1024
+    adj_u = adj.select(F.col("src"), F.col("nb").alias("nb_u"))
+    adj_v = adj.select(F.col("src").alias("dst"), F.col("nb").alias("nb_v"))
+    if bcast_budget > 0 and n_e * 16 <= bcast_budget:
+        adj_u, adj_v = F.broadcast(adj_u), F.broadcast(adj_v)
+    tri = (
+        oriented.select("src", "dst")
+        .join(adj_u, "src")
+        .join(adj_v, "dst", "left")
+        .select(
+            F.when(
+                F.col("nb_v").isNull(), F.lit(0)
+            )
+            .otherwise(F.size(F.array_intersect("nb_u", "nb_v")))
+            .alias("c")
+        )
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("t"))
     )
     summary = deg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),

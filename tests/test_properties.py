@@ -71,6 +71,33 @@ def test_prefix_filter_pairs_match_ground_truth(spark, texts, threshold):
     assert got == _ground_truth_pairs(texts, threshold)
 
 
+def test_prefix_filter_wide_vocab_stays_on_prefix_path(spark):
+    # The round-10 cost-based tier route sends degenerate (tiny-vocab)
+    # corpora to the blocked all-pairs tier; this corpus pins the
+    # OPPOSITE regime — every doc carries mostly-unique tokens, so
+    # V >> 4*avg(n) and the route must keep the genuine prefix-filter
+    # path, whose completeness this asserts against brute force.
+    texts = [
+        " ".join([f"u{i}_{j}" for j in range(6)] + ["shared_a", "shared_b"])
+        for i in range(12)
+    ]
+    texts += [texts[0], texts[3]]  # exact dups -> guaranteed J=1.0 pairs
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    # route precondition for this corpus (documented decision rule):
+    # vocabulary 74 > 4 * avg distinct tokens (8) -> prefix path
+    assert 12 * 6 + 2 > 4 * 8
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", None, 0.5
+        ).collect()
+    }
+    assert got == _ground_truth_pairs(texts, 0.5)
+    assert (0, 12) in got and got[(0, 12)] == 1.0
+
+
 @given(texts=docs_strategy)
 @SLOW
 def test_identical_docs_always_lsh_candidates(spark, texts):
