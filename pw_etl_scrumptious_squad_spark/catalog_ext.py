@@ -5203,9 +5203,12 @@ def y59(spark: SparkSession, sf: str) -> DataFrame:
     cb = spark.createDataFrame(
         lits, "sub INT, code INT, center ARRAY<FLOAT>"
     )
-    codes = similarity.pq_encode(emb, cb)
+    # the trained literals are already driver-side — hand them to the
+    # operators so no per-query metadata/collect jobs run against cb
+    codes = similarity.pq_encode(emb, cb, codebook_rows=lits)
     return similarity.pq_adc_topk(
-        codes, cb, emb.filter(F.col("vec_id") < 5), k=_Y59_K
+        codes, cb, emb.filter(F.col("vec_id") < 5), k=_Y59_K,
+        codebook_rows=lits,
     )
 
 
@@ -5582,16 +5585,19 @@ def y68(spark: SparkSession, sf: str) -> DataFrame:
         ivf_centroid_literals(sf, spark),
         "centroid_id INT, embedding ARRAY<FLOAT>",
     )
+    lits = pq_codebook_literals(sf, spark)
     cb = spark.createDataFrame(
-        pq_codebook_literals(sf, spark), "sub INT, code INT, center ARRAY<FLOAT>"
+        lits, "sub INT, code INT, center ARRAY<FLOAT>"
     )
     assigned = similarity.assign_ivf_cells(emb, cent)
-    codes = similarity.pq_encode(emb, cb).join(
+    # literals are already driver-side — hand them to the operators so
+    # no per-query metadata/collect jobs run against cb
+    codes = similarity.pq_encode(emb, cb, codebook_rows=lits).join(
         assigned.select("vec_id", "cell"), "vec_id"
     )
     return similarity.ivfpq_topk(
         codes, cent, cb, emb.filter(F.col("vec_id") < 5),
-        k=_Y59_K, n_probe=_IVF_NPROBE,
+        k=_Y59_K, n_probe=_IVF_NPROBE, codebook_rows=lits,
     )
 
 

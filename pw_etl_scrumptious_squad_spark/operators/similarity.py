@@ -1166,23 +1166,55 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "auto",
+    codebook_rows: list | None = None,
 ) -> DataFrame:
     """Encode every vector as ``m`` subspace codes: per subvector, the
     L2-nearest codebook center. Returns (vec_id, sub, code) — the PQ
     index an ADC scan reads instead of raw vectors.
 
+    ``codebook_rows``: optional pre-collected ``(sub, code, center)``
+    tuples (the trained-literals list the catalog entries already hold
+    driver-side). When given, the vectorized tier skips BOTH driver
+    jobs it would otherwise run against the codebook DataFrame (the
+    m/d metadata agg and the codebook collect) — at corpus scale those
+    are noise, but they are fixed per-query scheduler round-trips the
+    bench's small-SF points pay in full.
+
     Exactness (the y48 integer idiom): centers and subvectors are
     ``floor(x*1e6+0.5)``-quantized, and the L2 argmin compares
     ``sum(c_i^2 - 2*x_i*c_i)`` — an exact BIGINT (the ``x_i^2`` term is
     constant per subvector and cannot change the argmin) — with ties to
-    the lowest code, so codes are value-exact cross-engine. One
-    broadcast join against m x ksub codebook rows; one map-side min_by
-    hash-agg per (vector, sub) — no window, combiner-friendly."""
+    the lowest code, so codes are value-exact cross-engine.
+
+    ``impl``: ``'vectorized'`` (default under ``'auto'``) computes all
+    ``m`` argmins per vector inside one Arrow-batched int64 numpy pass
+    against the task-shipped quantized codebook (the
+    :func:`assign_ivf_cells_matmul` / SRP-matmul route, guide §4.2) —
+    NO explode, NO codebook join, NO shuffle: the expression tier's
+    corpus x ksub row blow-up (n*m*ksub rows through a broadcast join
+    and a hash-agg) never exists. All arithmetic is int64 on the SAME
+    quantized grid, and ``np.argmin`` takes the FIRST minimum over
+    code-ordered rows — exactly the expression tier's
+    ``min_by(code, struct(dist, code))`` tie rule — so codes are
+    bit-identical (asserted in tests). ``'expr'`` keeps the
+    expression/broadcast-join form, the structural twin of the DuckDB
+    oracle: one broadcast join against m x ksub codebook rows, one
+    map-side min_by hash-agg per (vector, sub) — no window,
+    combiner-friendly."""
+    if impl not in ("auto", "vectorized", "expr"):
+        raise ValueError(f"impl must be auto|vectorized|expr, got {impl!r}")
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    if impl in ("auto", "vectorized"):
+        # the vectorized tier collects the (driver-tiny) codebook anyway,
+        # so m/d metadata comes from that one read — no separate agg job
+        return _pq_encode_vectorized(
+            corpus, codebooks, id_col, vec_col, codebook_rows
+        )
     md = codebooks.groupBy().agg(
         F.count_distinct("sub").alias("m"), F.max(F.size("center")).alias("d")
     ).first()
     m, d = int(md["m"]), int(md["d"])
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
     cb = codebooks.select(
         "sub",
         "code",
@@ -1219,6 +1251,90 @@ def pq_encode(
         .groupBy("vec_id", "sub")
         .agg(F.expr("min_by(code, struct(__dist, code))").alias("code"))
     )
+
+
+def _pq_encode_vectorized(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook_rows: list | None = None,
+) -> DataFrame:
+    """Arrow-batched implementation of :func:`pq_encode`: the quantized
+    codebook (m x ksub x d int64 — driver-tiny, the trained-literals
+    table) ships with the task; per batch the subvectors quantize to
+    the identical ``floor(x*1e6+0.5)`` grid and each subspace's argmin
+    of ``cc - 2 * (X_sub @ C_sub^T)`` runs as one integer matmul —
+    int64 end to end, zero floating-point accumulation, so the chosen
+    codes match the expression tier bit-for-bit (first-minimum argmin
+    over code-ordered rows == ``min_by(code, struct(dist, code))``).
+    Centers pass through float32 before quantizing — the codebook
+    column is ARRAY<FLOAT>, and the expression tier quantizes the
+    float32-rounded values; skipping that round-trip would put literal
+    doubles on a different grid."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    if codebook_rows is None:
+        codebook_rows = codebooks.select(
+            "sub", "code", F.col("center").cast("array<double>")
+        ).collect()
+    cb_rows = [(int(r[0]), int(r[1]), r[2]) for r in codebook_rows]
+    m = len({s for s, _, _ in cb_rows})
+    d = max(len(c) for _, _, c in cb_rows)
+    ksub = max(code for _, code, _ in cb_rows) + 1
+    cmat = np.zeros((m, ksub, d), dtype="i8")
+    for sub, code, c in cb_rows:
+        cq = np.asarray(c, dtype="f4").astype("f8")
+        cmat[sub, code, : len(cq)] = np.floor(cq * 1e6 + 0.5).astype("i8")
+    ccsq = (cmat * cmat).sum(axis=2)  # (m, ksub) int64
+
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    subs = np.tile(np.arange(m, dtype="i4"), 1)
+
+    def _encode(parts):
+        import pandas as pd
+
+        for pdf in parts:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = np.zeros((n, m * d), dtype="i8")
+            for i, v in enumerate(pdf["__v"].to_numpy()):
+                q = np.floor(np.asarray(v, dtype="f8") * 1e6 + 0.5).astype(
+                    "i8"
+                )
+                x[i, : min(len(q), m * d)] = q[: m * d]
+            xs = x.reshape(n, m, d)
+            codes = np.empty((n, m), dtype="i4")
+            for s in range(m):
+                dist = ccsq[s][None, :] - 2 * (xs[:, s, :] @ cmat[s].T)
+                codes[:, s] = np.argmin(dist, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), m),
+                    "sub": np.tile(subs, n),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    id_field = base.schema["vec_id"]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", id_field.dataType),
+            T.StructField("sub", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+        ]
+    )
+    # single-file inputs read as one partition; fan out so the matmul
+    # runs on every core (no-op when the input already has parallelism)
+    par = base.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    return base.mapInPandas(_encode, schema)
 
 
 def write_ivfpq_index(
@@ -1261,11 +1377,15 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
+    codebook_rows: list | None = None,
 ) -> DataFrame:
     """ADC top-k over an IVF-PQ index: route each query to its
     ``n_probe`` nearest cells (max cosine vs the coarse centroids), then
     score ONLY the code rows of those cells by asymmetric distance
     (per-subspace lookup tables — the :func:`pq_adc_topk` math).
+    ``codebook_rows``: optional pre-collected codebook tuples; provides
+    the m/d metadata without the per-query agg job (the
+    :func:`pq_encode` convention).
 
     ``codes_with_cells``: ``(vec_id, sub, code, cell)`` —
     :func:`write_ivfpq_index`'s layout read back, or built inline.
@@ -1279,10 +1399,15 @@ def ivfpq_topk(
     (cell pruning + quantization error) — recall vs the exact
     brute-force baseline is a separate, measured property.
     Returns (query_id, match_id, score_q, rank)."""
-    md = codebooks.groupBy().agg(
-        F.count_distinct("sub").alias("m"), F.max(F.size("center")).alias("d")
-    ).first()
-    m, d = int(md["m"]), int(md["d"])
+    if codebook_rows is not None:
+        m = len({int(r[0]) for r in codebook_rows})
+        d = max(len(r[2]) for r in codebook_rows)
+    else:
+        md = codebooks.groupBy().agg(
+            F.count_distinct("sub").alias("m"),
+            F.max(F.size("center")).alias("d"),
+        ).first()
+        m, d = int(md["m"]), int(md["d"])
     cent = centroids.select(
         F.col(centroid_id).alias("cell"),
         F.col(vec_col).cast("array<double>").alias("centv"),
@@ -1417,6 +1542,7 @@ def pq_adc_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook_rows: list | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over a PQ index: approx dot(q, x) =
     sum over subspaces of dot(q_sub, center[code_sub]) — the query stays
@@ -1431,12 +1557,19 @@ def pq_adc_topk(
     map-side to one row per (query, vector). Approximate by
     construction (quantization error), but DETERMINISTIC: every emitted
     score is an exact BIGINT (quantized-integer dots), so a SQL oracle
-    replicates the whole pipeline value-exactly.
+    replicates the whole pipeline value-exactly. ``codebook_rows``:
+    optional pre-collected codebook tuples; provides the m/d metadata
+    without the per-query agg job (the :func:`pq_encode` convention).
     """
-    md = codebooks.groupBy().agg(
-        F.count_distinct("sub").alias("m"), F.max(F.size("center")).alias("d")
-    ).first()
-    m, d = int(md["m"]), int(md["d"])
+    if codebook_rows is not None:
+        m = len({int(r[0]) for r in codebook_rows})
+        d = max(len(r[2]) for r in codebook_rows)
+    else:
+        md = codebooks.groupBy().agg(
+            F.count_distinct("sub").alias("m"),
+            F.max(F.size("center")).alias("d"),
+        ).first()
+        m, d = int(md["m"]), int(md["d"])
     cb = codebooks.select(
         "sub", "code", F.expr(_PQ_QUANT.format("center")).alias("__qc")
     )

@@ -375,6 +375,29 @@ def test_pq_encode_matches_python_argmin(spark):
             assert codes[(r["vec_id"], sub)] == best
 
 
+def test_pq_encode_vectorized_matches_expr_tier(spark):
+    """The Arrow/numpy int64-matmul encode tier must choose codes
+    bit-identically to the expression tier (same quantized grid, same
+    min_by(code, struct(dist, code)) tie rule), with and without the
+    driver-side codebook_rows shortcut."""
+    emb = _read(spark, "embeddings").select("vec_id", "embedding")
+    cb = similarity.train_pq_codebooks(emb, m=4, ksub=8)
+    rows = [(r["sub"], r["code"], list(r["center"])) for r in cb.collect()]
+    expr = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in similarity.pq_encode(emb, cb, impl="expr").collect()
+    }
+    vec = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in similarity.pq_encode(emb, cb, impl="vectorized").collect()
+    }
+    lit = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in similarity.pq_encode(emb, cb, codebook_rows=rows).collect()
+    }
+    assert expr == vec == lit and len(expr) > 0
+
+
 def test_pq_adc_recall_sanity(spark):
     """ADC top-5 must overlap the exact cosine top-5 well above chance
     (PQ is lossy, not random) and scores must be deterministic."""
