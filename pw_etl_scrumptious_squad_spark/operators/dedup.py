@@ -1417,8 +1417,12 @@ def simhash(
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round: every node connects its strictly-larger
-    neighbors to the minimum of its closed neighborhood. Input/output
-    edges are directed (src > dst)."""
+    neighbors to the minimum of its closed neighborhood. Input edges
+    are directed (src > dst); output keeps that orientation but MAY
+    CONTAIN DUPLICATES — the window min is duplicate-insensitive and
+    the sole consumer (:func:`_small_star`) ends in a distinct, so the
+    dedup shuffle this round used to pay bought nothing (round-10
+    guide §2.4: remove shuffles outright)."""
     both = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -1427,7 +1431,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         both.withColumn("m", F.least(F.col("src"), F.min("dst").over(w)))
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
@@ -1619,16 +1622,25 @@ def connected_components(
     min-label propagation. Each phase is ONE window shuffle on the edge
     list (no label join), materialized per round (checkpoint.materialize:
     reliable checkpoints when a checkpoint dir is set) so lineage stays
-    flat. Convergence is detected by a map-side single-row aggregate
-    (edge count + xxhash64 bit_xor) instead of a join-and-count over the
-    label table — at 100 TB that check is a partial-aggregate pass, not
-    a shuffle. A hash-sum tie on a CHANGED edge set would need a 2^-64
-    collision in the same round as an identical count; ``max_iter``
-    still backstops with a raise rather than silently-wrong labels.
+    flat.
 
-    At the fixpoint the edge set is a star forest rooted at each
-    component's minimum id, so labels read directly off the edges; roots
-    and singletons label themselves.
+    Convergence is detected DIRECTLY: the iteration's fixpoints are
+    exactly the star forests rooted at each component's minimum id
+    (every src appears once, no node is both a src and a dst — both
+    star phases provably map such a forest to itself), and that
+    structural test is one groupBy + 1-row agg over the just-
+    checkpointed edges. Testing the output itself — rather than the
+    round-10-replaced fingerprint comparison against the PREVIOUS round
+    — both drops the per-round xxhash pass and saves one entire star
+    round: equality-with-previous can only certify round k by computing
+    round k+1, while the structural test certifies round k as soon as
+    it exists (and certifies an already-converged INPUT before any
+    round runs — the common case for the contracted delta graphs the
+    incremental fold feeds in). ``max_iter`` still backstops with a
+    raise rather than silently-wrong labels.
+
+    At the fixpoint labels read directly off the edges; roots and
+    singletons label themselves.
     """
     a, b = F.col("doc_a"), F.col("doc_b")
     edges = (
@@ -1639,23 +1651,31 @@ def connected_components(
     )
     node_col = nodes.select(F.col(id_col).alias("node"))
 
-    def _fingerprint(e: DataFrame):
-        # bit_xor, not sum: order-independent like sum but can't overflow
-        # a long under ANSI mode; the edge set is distinct so no two rows
-        # cancel each other out
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
+    def _is_star_forest(e: DataFrame) -> bool:
+        # (max times any node is a src, #nodes that are both src and
+        # dst) — (<=1, 0) iff the edges are disjoint stars; with the
+        # loop's src > dst orientation each star's hub is then its
+        # component minimum, so this IS the fixpoint test
+        role = e.select(
+            F.col("src").alias("v"), F.lit(1).alias("s"), F.lit(0).alias("d")
+        ).unionAll(
+            e.select(F.col("dst").alias("v"), F.lit(0), F.lit(1))
+        )
+        row = (
+            role.groupBy("v")
+            .agg(F.sum("s").alias("ns"), F.sum("d").alias("nd"))
+            .agg(
+                F.max("ns").alias("mx"),
+                F.sum(
+                    ((F.col("ns") > 0) & (F.col("nd") > 0)).cast("int")
+                ).alias("ov"),
+            )
+            .collect()[0]
+        )
+        return row["mx"] is None or (row["mx"] <= 1 and row["ov"] == 0)
 
-    prev = _fingerprint(edges)
-    if prev[0] == 0:
-        return node_col.select("node", F.col("node").alias("cluster_id"))
-    for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).transform(materialize)
-        fp = _fingerprint(edges)
-        if fp == prev:
+    for _ in range(max_iter + 1):
+        if _is_star_forest(edges):
             roots = edges.select(
                 F.col("src").alias("node"), F.col("dst").alias("cluster_id")
             )
@@ -1663,7 +1683,7 @@ def connected_components(
                 "node",
                 F.coalesce("cluster_id", F.col("node")).alias("cluster_id"),
             )
-        prev = fp
+        edges = _small_star(_large_star(edges)).transform(materialize)
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iters")
 
 
