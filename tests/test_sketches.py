@@ -25,6 +25,36 @@ def corpus(spark):
     return counts, _items(spark, counts)
 
 
+def test_shingle_occurrences_vectorized_matches_expr(spark):
+    """The Arrow/hashlib shingle tier must emit the exact multiset of
+    (keep_cols, item) rows the expression tier emits — including the
+    NULL-text md5('') row, the short-doc whole-text fallback, empty
+    strings, consecutive spaces (empty tokens kept), and NUL bytes."""
+    rows = [
+        (1, "en", None),
+        (2, "en", ""),
+        (3, "de", "a b"),
+        (4, "de", "a b c d e f g"),
+        (5, "en", "x  y   z"),
+        (6, "fr", "a a a a a a"),
+        (7, "fr", "nul\x00byte tok1 tok2 tok3 tok4 tok5"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, source STRING, text STRING"
+    ).repartition(3)
+    kw = dict(keep_cols=("doc_id", "source"))
+    expr = sorted(
+        map(tuple, sk.shingle_occurrences(df, impl="expr", **kw).collect())
+    )
+    vec = sorted(
+        map(
+            tuple,
+            sk.shingle_occurrences(df, impl="vectorized", **kw).collect(),
+        )
+    )
+    assert expr == vec and len(expr) > 0
+
+
 def test_cms_never_undercounts_and_zero_for_unseen_buckets(spark, corpus):
     counts, df = corpus
     sketch = sk.cms_sketch(df, depth=4, width=256).cache()
