@@ -59,23 +59,35 @@ def transition_edges(lineitem: DataFrame) -> DataFrame:
     """Derive a directed part->part transition graph from order line
     adjacency: an edge src->dst for every pair of CONSECUTIVE line
     numbers within one order (the market-basket "bought then bought"
-    sequence), self-loops dropped, deduplicated. One self-equi-join on
-    the natural key — at scale both sides are the same bucketed table,
-    so the join is co-located (operators/bucketed.py)."""
-    a = lineitem.select(
+    sequence), self-loops dropped, deduplicated.
+
+    One order-basket groupBy + a map-side pair expansion instead of the
+    self-equi-join (round-10 guide §2.4, the cooccurrence_edges shape):
+    each order's ``(ln, pk)`` structs fold into one array and every
+    element pairs with the elements one line number ahead inside a
+    higher-order expression. Semantics are EXACTLY the join's —
+    including the cross product when a line number repeats within an
+    order (the synthetic testdata does repeat them, which rules out a
+    lead()-window form) — but the join stage and its second shuffle of
+    the aliased table are gone; an order's lines all land in one task,
+    the same bounded-basket posture as cooccurrence_edges (TPC-H
+    orders hold <= 7 lines)."""
+    rows = lineitem.select(
         F.col("l_orderkey").alias("ok"),
         F.col("l_linenumber").alias("ln"),
-        F.col("l_partkey").alias("src"),
+        F.col("l_partkey").alias("pk"),
     )
-    b = lineitem.select(
-        F.col("l_orderkey").alias("ok"),
-        (F.col("l_linenumber") - F.lit(1)).alias("ln"),
-        F.col("l_partkey").alias("dst"),
+    combos = F.expr(
+        "flatten(transform(xs, x ->"
+        " transform(filter(xs, y -> y.ln = x.ln + 1),"
+        " y -> struct(x.pk AS src, y.pk AS dst))))"
     )
     return (
-        a.join(b, ["ok", "ln"])
+        rows.groupBy("ok")
+        .agg(F.collect_list(F.struct("ln", "pk")).alias("xs"))
+        .select(F.explode(combos).alias("p"))
+        .select("p.src", "p.dst")
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
         .distinct()
     )
 
