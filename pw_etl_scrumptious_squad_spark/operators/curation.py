@@ -1147,7 +1147,16 @@ def _semdedup_prune_matmul(
             }
         )
 
-    return assigned.groupBy("cell").applyInPandas(
+    # explicit fixed-width repartition on the cell key (the y78 AQE
+    # lesson): a bare groupBy().applyInPandas lets AQE coalesce the
+    # byte-small shuffle into few partitions and run the O(cell^2)
+    # matmuls sequentially; REPARTITION_BY_NUM is exempt from
+    # coalescing and satisfies the grouped-map's clustered
+    # distribution, so no second exchange appears
+    n_part = max(
+        len(cells), corpus.sparkSession.sparkContext.defaultParallelism
+    )
+    return assigned.repartition(n_part, "cell").groupBy("cell").applyInPandas(
         _cell_prune, "vec_id long, cell int, cent_ppb bigint, kept int"
     )
 

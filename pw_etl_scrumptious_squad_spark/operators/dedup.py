@@ -2189,8 +2189,12 @@ def exact_substring_dedup_sa(
     import pandas as pd
 
     if num_shards is None:
+        # 4x the core count (not 1x): shards land in partitions by hash,
+        # so at shards == partitions the fullest partition holds ~3
+        # shards (balls-in-bins) and finishes 3x after the rest; at 4x
+        # the per-shard work is a quarter and the overload ratio shrinks
         par = max(8, docs.sparkSession.sparkContext.defaultParallelism)
-        num_shards = max(par, math.ceil(docs.count() / 4000))
+        num_shards = max(4 * par, math.ceil(docs.count() / 4000))
 
     def _shard_positions(pdf: pd.DataFrame) -> pd.DataFrame:
         import hashlib as _hl
@@ -2276,10 +2280,20 @@ def exact_substring_dedup_sa(
         )
 
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    positions = d.groupBy(
-        F.pmod(F.col("doc_id"), F.lit(num_shards)).alias("__shard")
-    ).applyInPandas(
-        lambda _key, pdf: _shard_positions(pdf),
+    # EXPLICIT fixed-width repartition on the shard key before the
+    # grouped-map stage (round-10 fix): a bare groupBy().applyInPandas
+    # lets AQE coalesce the shuffle BY BYTES, and a corpus whose text is
+    # small but whose per-shard suffix-array work is not gets folded
+    # into ONE partition — measured at sf0.1: all 32 shards ran
+    # sequentially in a single task (start-time spread 3.36s == the
+    # whole stage). REPARTITION_BY_NUM is exempt from AQE coalescing,
+    # and the grouped-map's ClusteredDistribution(__shard) is satisfied
+    # by the existing hash partitioning, so no second exchange appears.
+    sharded = d.withColumn(
+        "__shard", F.pmod(F.col("doc_id"), F.lit(num_shards))
+    ).repartition(num_shards, "__shard")
+    positions = sharded.groupBy("__shard").applyInPandas(
+        lambda _key, pdf: _shard_positions(pdf.drop(columns="__shard")),
         "doc_id long, p long, g1 long, g2 long, pkey long",
     )
     stats = positions.groupBy("g1", "g2").agg(
