@@ -1674,8 +1674,38 @@ def connected_components(
         )
         return row["mx"] is None or (row["mx"] <= 1 and row["ov"] == 0)
 
-    for _ in range(max_iter + 1):
+    # Per iteration, the convergence check of round k and the
+    # materialization of round k+1 are INDEPENDENT Spark jobs (the
+    # round never reads the check), so they run concurrently (guide
+    # §2.6: overlap independent jobs) — iteration latency is
+    # max(check, round) instead of their sum. The speculative round is
+    # wasted exactly once, on the final iteration, where it runs on an
+    # already-tiny star forest; it is cancelled via its job group the
+    # moment the check passes. Labels are untouched: the same rounds
+    # run in the same order, only their scheduling overlaps.
+    import threading
+    import uuid
+
+    sc = edges.sparkSession.sparkContext
+    for it in range(max_iter + 1):
+        group = f"cc-spec-{uuid.uuid4().hex[:12]}"
+        holder: dict = {}
+
+        def _spec_round(e: DataFrame = edges, out: dict = holder) -> None:
+            # a plain thread gets its own JVM thread under pinned-thread
+            # mode, so the job group tags only the speculative job
+            sc.setJobGroup(group, "cc speculative star round")
+            try:
+                out["edges"] = _small_star(_large_star(e)).transform(
+                    materialize
+                )
+            except Exception as exc:  # surfaced on join() below
+                out["err"] = exc
+
+        th = threading.Thread(target=_spec_round, daemon=True)
+        th.start()
         if _is_star_forest(edges):
+            sc.cancelJobGroup(group)
             roots = edges.select(
                 F.col("src").alias("node"), F.col("dst").alias("cluster_id")
             )
@@ -1683,7 +1713,10 @@ def connected_components(
                 "node",
                 F.coalesce("cluster_id", F.col("node")).alias("cluster_id"),
             )
-        edges = _small_star(_large_star(edges)).transform(materialize)
+        th.join()
+        if "err" in holder:
+            raise holder["err"]
+        edges = holder["edges"]
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iters")
 
 
