@@ -497,7 +497,14 @@ def containment_pairs(
         F.array_distinct(F.col(_SQL_SHINGLES)).alias("sh"),
     )
     counts = shingled.select("doc_id", F.size("sh").alias("n")).transform(materialize)
-    ex = shingled.select("doc_id", F.explode("sh").alias("h"))
+    # materialize the exploded shingle stream ONCE: it feeds BOTH sides
+    # of the self-join below, and without the barrier each side
+    # re-evaluates the interpreted md5 shingle transform over the whole
+    # corpus (the y76 shared-subtree lesson; guide §2.4 duplicated
+    # subtrees under self-joins)
+    ex = shingled.select("doc_id", F.explode("sh").alias("h")).transform(
+        materialize
+    )
     if max_shingle_df is not None:
         light = (
             ex.groupBy("h")

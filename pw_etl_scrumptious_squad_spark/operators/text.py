@@ -706,32 +706,42 @@ def bigram_logprob_scores(
         " i -> struct(element_at(__tk, i) AS w1,"
         " element_at(__tk, i + 1) AS w2))"
     )
-    doc_bigrams = base.filter(F.size("__tk") >= 2).select(
-        "doc_id", F.explode(grams).alias("g")
-    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
-    big_counts = doc_bigrams.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
+    # ONE explode, aggregated to per-doc bigram multiplicities first
+    # (guide §2.3: aggregate before you shuffle / project early). The
+    # corpus counts AND the unigram-left counts both derive from this
+    # table — the unigram event space (every token except each doc's
+    # last) is exactly the bigram lefts, so c1(w) == sum of c12(w, *)
+    # — and the scoring join carries one row per (doc, w1, w2) with a
+    # multiplicity instead of one row per token position. Identical
+    # integers: sum(m * slog) over distinct bigrams == sum(slog) over
+    # positions, and n_bigrams == sum(m).
+    doc_bg = (
+        base.filter(F.size("__tk") >= 2)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .transform(materialize)
     )
-    uni_counts = base.select(
-        # unigram count over the SAME event space as bigram lefts:
-        # every token except each document's last one
-        F.explode(F.expr("slice(__tk, 1, greatest(size(__tk) - 1, 0))")).alias(
-            "w1"
-        )
-    ).groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    big_counts = doc_bg.groupBy("w1", "w2").agg(
+        F.sum("m").cast("bigint").alias("c12")
+    )
+    uni_counts = doc_bg.groupBy("w1").agg(
+        F.sum("m").cast("bigint").alias("c1")
+    )
     scaled_log = F.expr(
         "cast(round(ln(c12 / c1) * 1000000000, 0) as bigint)"
     )
     scored = (
-        doc_bigrams.join(big_counts, ["w1", "w2"])
+        doc_bg.join(big_counts, ["w1", "w2"])
         .join(uni_counts, "w1")
-        .select("doc_id", scaled_log.alias("__slog"))
+        .select("doc_id", "m", scaled_log.alias("__slog"))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("m").cast("bigint").alias("n_bigrams"),
             F.round(
-                F.sum("__slog")
-                / F.count(F.lit(1))
+                F.sum(F.col("m") * F.col("__slog"))
+                / F.sum("m")
                 / F.lit(1000000000.0),
                 6,
             ).alias("avg_logprob"),
