@@ -134,7 +134,11 @@ def test_semdedup_routes_identical(spark):
             F.col("vec_id").cast("int").alias("centroid_id"), "embedding"
         )
     )
-    a = curation.semdedup_prune(corpus, cents, threshold_ppb=400_000_000)
+    # impl='expr' pins the expression tier (the oracle's structural
+    # twin); the default routes to the matmul tier — parity holds
+    a = curation.semdedup_prune(
+        corpus, cents, threshold_ppb=400_000_000, impl="expr"
+    )
     b = curation.semdedup_prune(
         corpus, cents, threshold_ppb=400_000_000, n_rows_hint=10**9
     )
