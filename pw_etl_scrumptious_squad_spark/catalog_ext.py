@@ -2029,6 +2029,7 @@ def y15(spark: SparkSession, sf: str) -> DataFrame:
         _t(spark, sf, "embeddings"),
         bits=_SRP_BITS,
         scale=_SRP_SCALE,
+        dim=_SRP_DIM,  # known width: skips the per-query dim-peek job
     ).transform(materialize)
     return (
         dedup.hamming_near_pairs(
@@ -2120,6 +2121,7 @@ def y30(spark: SparkSession, sf: str) -> DataFrame:
         _t(spark, sf, "embeddings"),
         bits=_SRPW_BITS,
         scale=_SRP_SCALE,
+        dim=_SRP_DIM,  # known width: skips the per-query dim-peek job
     ).transform(materialize)
     return (
         dedup.hamming_near_pairs_words(

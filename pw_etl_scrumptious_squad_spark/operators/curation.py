@@ -28,10 +28,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from pw_etl_scrumptious_squad_spark.operators.text import (
-    _spread_narrow_input,
-    with_shingles,
-)
+from pw_etl_scrumptious_squad_spark.checkpoint import materialize
+
 
 # 2^60: the first 15 md5 hex chars parsed as an integer fall in
 # [0, 2^60); dividing by this maps them to a uniform [0, 1) double.
@@ -67,22 +65,31 @@ def decontaminate(
     counts distinct overlapping shingles. Output keeps every corpus doc
     (left join) with ``n_overlap`` and a ``contaminated`` flag.
     """
-    sh = "__shingles"
+    # Both sides ride the Arrow-batched shingle hasher (the y92/y93
+    # route — the expression tier's interpreted per-shingle
+    # transform/md5 lambda was the whole cost of this stage at sf0.1);
+    # occurrences are deduped WITHIN each doc before anything shuffles
+    # (map-side, == the old explode(array_distinct(...))) — a global
+    # distinct on the exploded (doc_id, shingle) rows would shuffle the
+    # entire shingle stream (measured 2x at sf0.1).
+    from pw_etl_scrumptious_squad_spark.operators.sketches import (
+        shingle_occurrences,
+    )
+
     eval_sh = (
-        with_shingles(eval_docs, text_col, shingle_size)
-        .select(F.explode(sh).alias("shingle"))
+        shingle_occurrences(
+            eval_docs, text_col, shingle_size, distinct_within_row=True
+        )
+        .select(F.col("item").alias("shingle"))
         .distinct()
     )
-    # per-doc dedup via array_distinct BEFORE the explode: map-side, no
-    # shuffle — a global distinct on the exploded (doc_id, shingle) rows
-    # would shuffle the entire shingle stream (measured 2x at sf0.1).
-    # The corpus side's shingle-md5 + explode + broadcast-probe all run
-    # in the SCAN's stage — spread a narrow input across cores first
-    doc_sh = with_shingles(
-        _spread_narrow_input(docs), text_col, shingle_size
-    ).select(
-        F.col(id_col), F.explode(F.array_distinct(F.col(sh))).alias("shingle")
-    )
+    doc_sh = shingle_occurrences(
+        docs,
+        text_col,
+        shingle_size,
+        keep_cols=(id_col,),
+        distinct_within_row=True,
+    ).select(F.col(id_col), F.col("item").alias("shingle"))
     hits = (
         doc_sh.join(broadcast(eval_sh), "shingle")
         .groupBy(id_col)
@@ -529,17 +536,16 @@ def source_overlap_matrix(
     the exact sets for per-group MinHash signatures (union via
     element-wise min) — same report, sketch-sized state.
     """
-    from pw_etl_scrumptious_squad_spark.operators.text import (
-        _SQL_SHINGLES,
-        with_shingles,
+    from pw_etl_scrumptious_squad_spark.operators.sketches import (
+        shingle_occurrences,
     )
 
     sh = (
-        with_shingles(df, text_col, shingle_size)
-        .select(
-            F.col(group_col).alias("grp"),
-            F.explode(F.array_distinct(F.col(_SQL_SHINGLES))).alias("h"),
+        shingle_occurrences(
+            df, text_col, shingle_size, keep_cols=(group_col,),
+            distinct_within_row=True,
         )
+        .select(F.col(group_col).alias("grp"), F.col("item").alias("h"))
         .distinct()
     )
     sizes = sh.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
@@ -1207,6 +1213,11 @@ def dsir_importance(
         target.cast("int").alias("is_t"),
         F.split(F.col(text_col), " ").alias("t"),
     ).filter(F.size("t") >= 2)
+    # materialize the hashed-bucket stream ONCE: it feeds BOTH the
+    # bucket-stats agg and the per-doc scoring join, and without the
+    # barrier each consumer re-runs the bigram explode + md5 over the
+    # whole corpus (the y32/containment shared-subtree lesson; guide
+    # §2.4 duplicated subtrees)
     bg = tk.select(
         "doc_id",
         "is_t",
@@ -1216,12 +1227,13 @@ def dsir_importance(
                 " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
             )
         ).alias("g"),
-    ).withColumn(
-        "bkt",
+    ).select(
+        "doc_id",
+        "is_t",
         F.expr(
             f"cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % {b}"
-        ),
-    )
+        ).alias("bkt"),
+    ).transform(materialize)
     counts = bg.groupBy("bkt").agg(
         F.sum("is_t").alias("ct"),
         (F.count(F.lit(1)) - F.sum("is_t")).alias("cr"),

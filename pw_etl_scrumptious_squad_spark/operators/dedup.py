@@ -23,6 +23,7 @@ from pyspark.sql.functions import broadcast
 from pw_etl_scrumptious_squad_spark.checkpoint import materialize
 from pw_etl_scrumptious_squad_spark.operators.text import (
     _SQL_SHINGLES,
+    _spread_narrow_input,
     with_shingles,
 )
 
@@ -74,6 +75,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_perm: int = 16,
     shingle_size: int = 5,
+    impl: str = "auto",
 ) -> DataFrame:
     """MinHash signature per document: ``minhash`` array<bigint> of length
     ``num_perm``. Narrow projections only — no shuffle.
@@ -85,9 +87,26 @@ def minhash_signatures(
     ``h1 + p*h2 < 2^60 + 127*2^56 < 2^63`` so the arithmetic never
     overflows signed 64-bit on either engine (DuckDB would raise, Spark
     would silently wrap). The (h1, h2) pairs are materialized once per row
-    and shared by all ``num_perm`` mins."""
+    and shared by all ``num_perm`` mins.
+
+    ``impl``: ``'vectorized'`` (default under ``'auto'``) computes the
+    whole signature per Arrow batch — ``hashlib.md5`` shingle hashing
+    (byte-identical to Spark/DuckDB ``md5``) plus ONE
+    ``np.minimum.reduceat`` pass per permutation over the batch's flat
+    (h1, h2) arrays. The expression tier evaluates an INTERPRETED
+    lambda per shingle for the md5, another for the (h1, h2) parse, and
+    then ``num_perm`` MORE interpreted array passes per document for
+    the mins — the measured bulk of every MinHash entry (guide §4.2).
+    ``'expr'`` keeps the expression form, the structural twin of the
+    DuckDB oracles; bit-equality of the tiers is pinned in tests."""
     if num_perm > 128:
         raise ValueError("num_perm > 128 would overflow the 63-bit budget")
+    if impl not in ("auto", "vectorized", "expr"):
+        raise ValueError(f"impl must be auto|vectorized|expr, got {impl!r}")
+    if impl in ("auto", "vectorized"):
+        return _minhash_signatures_vectorized(
+            df, id_col, text_col, num_perm, shingle_size
+        )
     paired = with_shingles(df, text_col, shingle_size).withColumn(
         "__hp",
         F.expr(
@@ -105,6 +124,79 @@ def minhash_signatures(
     return paired.select(F.col(id_col).alias("doc_id"), sig.alias("minhash"))
 
 
+def _minhash_signatures_vectorized(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    shingle_size: int,
+) -> DataFrame:
+    """Arrow-batched twin of :func:`minhash_signatures`'s expression
+    tier: identical shingling (single-space split, whole-text fallback
+    under ``shingle_size`` tokens, NULL -> md5('')), identical
+    h1/h2 split of the hex digest, identical ``min(h1 + p*h2)`` in
+    int64 — asserted bit-equal in tests. Only the narrow
+    (id, text) projection crosses the Python boundary."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    k = shingle_size
+    id_field = df.select(F.col(id_col).alias("doc_id")).schema[0]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            h1s: list[int] = []
+            h2s: list[int] = []
+            offsets = np.empty(len(pdf) + 1, dtype="i8")
+            offsets[0] = 0
+            for j, t in enumerate(pdf["__t"]):
+                if t is None:
+                    digs = [hashlib.md5(b"").hexdigest()]
+                else:
+                    toks = t.split(" ")
+                    if len(toks) >= k:
+                        digs = [
+                            hashlib.md5(
+                                " ".join(toks[i : i + k]).encode("utf-8")
+                            ).hexdigest()
+                            for i in range(len(toks) - k + 1)
+                        ]
+                    else:
+                        digs = [hashlib.md5(t.encode("utf-8")).hexdigest()]
+                h1s.extend(int(d[:15], 16) for d in digs)
+                h2s.extend(int(d[16:30], 16) for d in digs)
+                offsets[j + 1] = len(h1s)
+            h1 = np.asarray(h1s, dtype="i8")
+            h2 = np.asarray(h2s, dtype="i8")
+            starts = offsets[:-1]
+            sig = np.empty((len(pdf), num_perm), dtype="i8")
+            for p in range(num_perm):
+                sig[:, p] = np.minimum.reduceat(h1 + p * h2, starts)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["__id"],
+                    "minhash": [row.tolist() for row in sig],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_field.dataType, id_field.nullable),
+            T.StructField("minhash", T.ArrayType(T.LongType())),
+        ]
+    )
+    narrow = _spread_narrow_input(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    )
+    return narrow.mapInPandas(gen, schema)
+
+
 # A bucket holding B docs contributes B^2/2 candidate pairs from ONE task —
 # one viral/boilerplate document cluster can wedge the whole stage. Above
 # the cap, a bucket is not self-joined all-pairs; its members are instead
@@ -114,12 +206,20 @@ def minhash_signatures(
 _LSH_BUCKET_CAP = 1_000
 
 
-def _band_buckets(signatures: DataFrame, bands: int) -> DataFrame:
+def _band_buckets(
+    signatures: DataFrame, bands: int, sig_len: int | None = None
+) -> DataFrame:
     """Explode each MinHash signature into (doc_id, band, sig) bucket rows:
     the signature is cut into ``bands`` equal slices and each slice is
-    serialized to a comma-joined string key."""
-    # rows per band derived from the signature length (tiny driver-side peek)
-    sig_len = signatures.selectExpr("size(minhash) AS n").first()["n"]
+    serialized to a comma-joined string key.
+
+    ``sig_len``: pass the known signature width (callers that built the
+    signatures know ``num_perm``) to skip the fallback first()-peek —
+    the peek is a whole extra Spark job per LSH call, and with the
+    vectorized MinHash tier it spins a Python worker just to read one
+    array length."""
+    if sig_len is None:
+        sig_len = signatures.selectExpr("size(minhash) AS n").first()["n"]
     rows_per_band = sig_len // bands
     band_rows = []
     for b in range(bands):
@@ -143,7 +243,10 @@ def _band_buckets(signatures: DataFrame, bands: int) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, bucket_cap: int = _LSH_BUCKET_CAP
+    signatures: DataFrame,
+    bands: int = 4,
+    bucket_cap: int = _LSH_BUCKET_CAP,
+    sig_len: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` equal bands, bucket
     on (band index, band content), self-join buckets -> distinct candidate
@@ -157,7 +260,7 @@ def lsh_candidate_pairs(
     cluster through the shared representative.
     """
     buckets = (
-        _band_buckets(signatures, bands)
+        _band_buckets(signatures, bands, sig_len)
         .withColumn(
             "b_size",
             F.count(F.lit(1)).over(Window.partitionBy("band", "sig")),
@@ -249,7 +352,7 @@ def minhash_lsh_dedup(
     sigs = minhash_signatures(
         df, id_col, text_col, num_perm, shingle_size
     ).transform(materialize)
-    pairs = lsh_candidate_pairs(sigs, bands)
+    pairs = lsh_candidate_pairs(sigs, bands, sig_len=num_perm)
     return jaccard_verify(pairs, df, id_col, text_col, shingle_size, threshold)
 
 
@@ -287,8 +390,8 @@ def incremental_lsh_neardup(
         base_sigs = minhash_signatures(
             base_docs, id_col, text_col, num_perm, shingle_size
         )
-    nb = _band_buckets(new_sigs, bands)
-    ab = _band_buckets(base_sigs, bands).unionByName(nb)
+    nb = _band_buckets(new_sigs, bands, sig_len=num_perm)
+    ab = _band_buckets(base_sigs, bands, sig_len=num_perm).unionByName(nb)
     # left side = new batch only; right side = store + batch. Canonicalize
     # with least/greatest (a new doc may have a smaller id than a base
     # doc); distinct collapses new x new pairs seen from both directions.
@@ -492,19 +595,25 @@ def containment_pairs(
     integer division in IEEE double, identical across engines, rounded
     once for display while the threshold compares the raw value.
     """
-    shingled = with_shingles(df, text_col, shingle_size).select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(F.col(_SQL_SHINGLES)).alias("sh"),
+    from pw_etl_scrumptious_squad_spark.operators.sketches import (
+        shingle_occurrences,
     )
-    counts = shingled.select("doc_id", F.size("sh").alias("n")).transform(materialize)
-    # materialize the exploded shingle stream ONCE: it feeds BOTH sides
-    # of the self-join below, and without the barrier each side
-    # re-evaluates the interpreted md5 shingle transform over the whole
-    # corpus (the y76 shared-subtree lesson; guide §2.4 duplicated
-    # subtrees under self-joins)
-    ex = shingled.select("doc_id", F.explode("sh").alias("h")).transform(
-        materialize
-    )
+
+    # materialize the exploded per-doc-DISTINCT shingle stream ONCE
+    # (hashed in Arrow batches — the y92 route — instead of the
+    # interpreted per-shingle md5 lambda): it feeds BOTH sides of the
+    # self-join below AND the per-doc set-size counts, and without the
+    # barrier each consumer re-runs the hashing over the whole corpus
+    # (the y76 shared-subtree lesson; guide §2.4 duplicated subtrees
+    # under self-joins)
+    ex = shingle_occurrences(
+        df, text_col, shingle_size, keep_cols=(id_col,),
+        distinct_within_row=True,
+    ).select(
+        F.col(id_col).alias("doc_id"), F.col("item").alias("h")
+    ).transform(materialize)
+    # |S_doc| = one count over the already-materialized distinct stream
+    counts = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if max_shingle_df is not None:
         light = (
             ex.groupBy("h")
@@ -601,7 +710,7 @@ def _ngram_jaccard_lsh(
         ]
     )
     sigs = paired.select("doc_id", sig.alias("minhash")).transform(materialize)
-    cands = lsh_candidate_pairs(sigs, bands)
+    cands = lsh_candidate_pairs(sigs, bands, sig_len=num_perm)
     a = toks.select(
         F.col("doc_id").alias("doc_a"),
         F.col("blk").alias("blk_a"),

@@ -401,6 +401,7 @@ def srp_signatures(
     vec_col: str = "embedding",
     bits: int = 32,
     scale: int = 1_000_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Signed-random-projection bit signature per embedding — SimHash for
     vectors: bit j = 1 iff the embedding falls on the positive side of
@@ -423,7 +424,10 @@ def srp_signatures(
     with ``dedup.hamming_near_pairs_words`` — same quantize/dot/pack
     shape, selectivity that keeps growing with the corpus.
     """
-    dim = df.selectExpr(f"size({vec_col}) AS n").first()["n"]
+    if dim is None:
+        # fallback driver peek — callers that know the embedding width
+        # pass it to skip this extra Spark job
+        dim = df.selectExpr(f"size({vec_col}) AS n").first()["n"]
     signs = srp_sign_matrix(bits, dim)
     qv = F.expr(
         f"transform(cast({vec_col} as array<double>),"
@@ -453,6 +457,7 @@ def srp_signature_words(
     bits: int = 128,
     scale: int = 1_000_000,
     impl: str = "auto",
+    dim: int | None = None,
 ) -> DataFrame:
     """Wide SRP signature as an ``array<bigint>`` of 64-bit words — the
     cluster-scale variant of :func:`srp_signatures` (which packs at most
@@ -488,7 +493,8 @@ def srp_signature_words(
         raise ValueError("wide SRP signatures need bits as a multiple of 64")
     if impl not in ("auto", "matmul", "expr"):
         raise ValueError(f"impl must be auto|matmul|expr, got {impl!r}")
-    dim = df.selectExpr(f"size({vec_col}) AS n").first()["n"]
+    if dim is None:
+        dim = df.selectExpr(f"size({vec_col}) AS n").first()["n"]
     signs = srp_sign_matrix(bits, dim)
     if impl in ("auto", "matmul"):
         return _srp_signature_words_matmul(

@@ -52,6 +52,7 @@ def shingle_occurrences(
     shingle_size: int = 5,
     keep_cols: tuple[str, ...] = (),
     impl: str = "auto",
+    distinct_within_row: bool = False,
 ) -> DataFrame:
     """One row per shingle OCCURRENCE: ``(keep_cols..., item STRING)``
     where ``item`` is the shingle md5 (text.with_shingles semantics,
@@ -68,7 +69,14 @@ def shingle_occurrences(
     of this stage), where the Python loop pays ~1us and parallelizes
     identically (guide §4.2). ``'expr'`` keeps the expression form,
     the structural twin of the shared-CTE DuckDB oracles; equality is
-    asserted in tests including the degenerate-corpus battery."""
+    asserted in tests including the degenerate-corpus battery.
+
+    ``distinct_within_row``: emit each shingle hash at most ONCE per
+    input row — exactly ``explode(array_distinct(__shingles))``, the
+    map-side per-doc dedup every set-semantics consumer
+    (decontamination, novelty, containment) wants BEFORE anything
+    shuffles. Cross-row duplicates remain (dedup them downstream when
+    global distinct is the contract)."""
     from pw_etl_scrumptious_squad_spark.operators.text import (
         _SQL_SHINGLES,
         _spread_narrow_input,
@@ -81,14 +89,22 @@ def shingle_occurrences(
         df.select(*keep_cols, F.col(text_col).alias("__t"))
     )
     if impl in ("auto", "vectorized"):
-        return _shingle_occurrences_vectorized(narrow, shingle_size, keep_cols)
+        return _shingle_occurrences_vectorized(
+            narrow, shingle_size, keep_cols, distinct_within_row
+        )
+    sh = F.col(_SQL_SHINGLES)
+    if distinct_within_row:
+        sh = F.array_distinct(sh)
     return with_shingles(narrow, "__t", shingle_size).select(
-        *keep_cols, F.explode(_SQL_SHINGLES).alias("item")
+        *keep_cols, F.explode(sh).alias("item")
     )
 
 
 def _shingle_occurrences_vectorized(
-    narrow: DataFrame, shingle_size: int, keep_cols: tuple[str, ...]
+    narrow: DataFrame,
+    shingle_size: int,
+    keep_cols: tuple[str, ...],
+    distinct_within_row: bool = False,
 ) -> DataFrame:
     """Arrow-batched implementation of :func:`shingle_occurrences` over
     the pre-spread narrow ``(keep_cols..., __t)`` projection. Exact
@@ -120,12 +136,18 @@ def _shingle_occurrences_vectorized(
                 toks = t.split(" ")
                 if len(toks) >= k:
                     n0 = len(items)
-                    items.extend(
+                    row_items = (
                         hashlib.md5(
                             " ".join(toks[i : i + k]).encode("utf-8")
                         ).hexdigest()
                         for i in range(len(toks) - k + 1)
                     )
+                    if distinct_within_row:
+                        # == explode(array_distinct(...)): first-
+                        # occurrence order, one row per distinct hash
+                        items.extend(dict.fromkeys(row_items))
+                    else:
+                        items.extend(row_items)
                     counts[j] = len(items) - n0
                 else:
                     items.append(hashlib.md5(t.encode("utf-8")).hexdigest())

@@ -397,20 +397,24 @@ def shingle_novelty(
     Complements dedup: it scores every document instead of emitting
     pairs, so it feeds mixing/weighting decisions directly.
 
-    Shape: per-doc distinct shingle-md5 arrays (map-side dedup BEFORE
-    the explode — the duplicate mass never shuffles), one
-    shingle-keyed document-frequency aggregation (partial-agg
-    absorbed), one join back on the shingle, one doc-keyed count — the
-    same two-shuffle skeleton as TF-IDF. Exact integers + one division
-    rounded at 6 dp.
+    Shape: per-doc distinct shingle-md5s (map-side dedup BEFORE the
+    explode — the duplicate mass never shuffles; hashed in Arrow
+    batches, the y92 route, instead of the interpreted per-shingle
+    md5 lambda), one shingle-keyed document-frequency aggregation
+    (partial-agg absorbed), one join back on the shingle, one
+    doc-keyed count — the same two-shuffle skeleton as TF-IDF. Exact
+    integers + one division rounded at 6 dp.
     """
-    shingled = with_shingles(
-        _spread_narrow_input(df), text_col, shingle_size
+    from pw_etl_scrumptious_squad_spark.operators.sketches import (
+        shingle_occurrences,
+    )
+
+    ex = shingle_occurrences(
+        df, text_col, shingle_size, keep_cols=(id_col,),
+        distinct_within_row=True,
     ).select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(F.col(_SQL_SHINGLES)).alias("__sh"),
+        F.col(id_col).alias("doc_id"), F.col("item").alias("h")
     ).transform(materialize)
-    ex = shingled.select("doc_id", F.explode("__sh").alias("h"))
     dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         ex.join(dfreq, "h")
@@ -438,9 +442,15 @@ def shingle_df_store(
     Maintained like any incremental rollup (``curation.merge_aggregates``
     merges a batch's counts in); at scale write it bucketed by ``h`` so
     the per-batch join co-locates without shuffling the store."""
+    from pw_etl_scrumptious_squad_spark.operators.sketches import (
+        shingle_occurrences,
+    )
+
     return (
-        with_shingles(df, text_col, shingle_size)
-        .select(F.explode(F.array_distinct(F.col(_SQL_SHINGLES))).alias("h"))
+        shingle_occurrences(
+            df, text_col, shingle_size, distinct_within_row=True
+        )
+        .select(F.col("item").alias("h"))
         .groupBy("h")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     )
@@ -466,11 +476,16 @@ def incremental_shingle_novelty(
     bucketed by ``h`` ⇒ co-located), one doc-keyed count. The store
     itself is maintained incrementally (see :func:`shingle_df_store`).
     """
-    shingled = with_shingles(batch, text_col, shingle_size).select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(F.col(_SQL_SHINGLES)).alias("__sh"),
+    from pw_etl_scrumptious_squad_spark.operators.sketches import (
+        shingle_occurrences,
+    )
+
+    ex = shingle_occurrences(
+        batch, text_col, shingle_size, keep_cols=(id_col,),
+        distinct_within_row=True,
+    ).select(
+        F.col(id_col).alias("doc_id"), F.col("item").alias("h")
     ).transform(materialize)
-    ex = shingled.select("doc_id", F.explode("__sh").alias("h"))
     df_batch = ex.groupBy("h").agg(
         F.count(F.lit(1)).cast("bigint").alias("__dfb")
     )

@@ -72,6 +72,17 @@ def get_spark(
         # reader surfaces nanos as LongType and sources/parquet.py converts
         # to TIMESTAMP_NTZ (floor to micros, matching DuckDB's ns->us).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # PySpark 4's DataFrame error-context capture wraps EVERY
+        # DataFrame/Column operation in up to four extra py4j
+        # round-trips (getActiveSession + stackTrace-depth conf.get +
+        # PySparkCurrentOrigin set/clear). Plan CONSTRUCTION for the
+        # wide star/fingerprint builders measured 4475 py4j commands
+        # with it on vs 1485 off — pure driver-side latency on every
+        # query build, worth most on clusters where the driver is far
+        # from the gateway. Plans, results, and executed bytecode are
+        # identical; only error messages lose the "df['x'] referenced
+        # at file:line" breadcrumb.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -435,7 +435,7 @@ def streaming_incremental_dedup(
                 new_sigs=sigs,
             )
         else:  # first batch: plain self-dedup
-            cands = dedup.lsh_candidate_pairs(sigs, bands)
+            cands = dedup.lsh_candidate_pairs(sigs, bands, sig_len=num_perm)
             pairs = dedup.jaccard_verify(
                 cands, batch, id_col, text_col, threshold=threshold
             )

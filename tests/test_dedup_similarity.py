@@ -27,6 +27,36 @@ def docs_with_near_dups(spark):
     return docs.unionByName(planted)
 
 
+def test_minhash_vectorized_bit_equals_expr(docs_with_near_dups, spark):
+    """The Arrow/numpy MinHash tier must be BIT-identical to the
+    expression tier (the DuckDB oracles' structural twin) — same
+    shingling (whole-text fallback, NULL -> md5('')), same h1/h2 digest
+    split, same min(h1 + p*h2) in int64 — across signature widths and
+    shingle sizes, including degenerate rows."""
+    degenerate = spark.createDataFrame(
+        [
+            (9100, None, "en"),
+            (9101, "", "en"),
+            (9102, "a b", "en"),
+            (9103, "x  y   z", "de"),
+            (9104, "a a a a a a a a a a", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    df = docs_with_near_dups.unionByName(degenerate)
+
+    def sig(impl, num_perm, k):
+        return sorted(
+            (r["doc_id"], tuple(r["minhash"]))
+            for r in dedup.minhash_signatures(
+                df, "doc_id", num_perm=num_perm, shingle_size=k, impl=impl
+            ).collect()
+        )
+
+    for num_perm, k in [(16, 5), (8, 9)]:
+        assert sig("vectorized", num_perm, k) == sig("expr", num_perm, k)
+
+
 def test_minhash_lsh_finds_planted_dups(docs_with_near_dups):
     pairs = dedup.minhash_lsh_dedup(
         docs_with_near_dups, "doc_id", "text",

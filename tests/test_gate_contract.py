@@ -129,6 +129,14 @@ def test_every_query_names_match_oracle(catalog_schemas):
 # window the round they ship, evicting r03_equi_join_shared_key,
 # r02_equi_join_dim and r01_projection_rename (driver-certified since
 # round 1, standing coverage).
+# Round-10 continuation adds c24-c33 (CMS, KMV, normalize, WordPiece,
+# triangles, cumulative-distinct, grouped quantiles, join-size sketch,
+# grouped heavy hitters, sketch ranks — the catalog_ext.py twin table
+# documents each), evicting q09_events_hourly, q10_sessionize,
+# q11_outer_join_agg, q12_json_extract, q13_string_funcs,
+# q14_math_funcs, q15_shipping_priority, q16_local_supplier_volume,
+# q18_lead_lag and q20_pivot — all driver-certified in earlier rounds,
+# still covered by tools/check.py + pytest + the sample audit.
 DRIVER_WINDOW = [
     "c01_quality_rules", "c02_ppl_buckets",
     "c03_shingle_novelty", "c04_source_overlap_sketch",
@@ -140,15 +148,17 @@ DRIVER_WINDOW = [
     "c17_entity_resolution", "c18_exact_quantiles", "c19_table_profile",
     "c20_gap_fill_hourly", "c21_unigram_encode",
     "c22_quantile_sketch", "c23_bloom_point_lookup",
+    "c24_cms_counts", "c25_kmv_distinct", "c26_normalize_text",
+    "c27_wordpiece_encode", "c28_triangle_count",
+    "c29_cumulative_distinct", "c30_grouped_quantiles",
+    "c31_join_size_sketch", "c32_grouped_heavy_hitters",
+    "c33_sketch_ranks",
     "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_signatures",
     "d04_simhash", "d05_minhash_lsh_pairs", "d06_embedding_neardup",
     "d07_simhash_neardup", "m01_media_features", "m02_video_frames",
     "m03_resize_images", "m04_image_dhash", "p01_grouped_zscore_pandas",
     "q01_pricing_summary", "q03_window_topn_per_group", "q04_rollup",
-    "q05_semi_anti_join", "q07_set_ops", "q09_events_hourly",
-    "q10_sessionize", "q11_outer_join_agg", "q12_json_extract",
-    "q13_string_funcs", "q14_math_funcs", "q15_shipping_priority",
-    "q16_local_supplier_volume", "q18_lead_lag", "q20_pivot",
+    "q05_semi_anti_join", "q07_set_ops",
 ]
 
 

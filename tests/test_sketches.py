@@ -55,6 +55,60 @@ def test_shingle_occurrences_vectorized_matches_expr(spark):
     assert expr == vec and len(expr) > 0
 
 
+def test_shingle_occurrences_distinct_within_row_matches_array_distinct(
+    spark,
+):
+    """distinct_within_row must equal explode(array_distinct(__shingles))
+    on both tiers — per-row dedup only (cross-row duplicates kept),
+    including the degenerate rows (NULL text, repeated-token docs whose
+    shingles collapse to one, short-doc fallback)."""
+    from pw_etl_scrumptious_squad_spark.operators.text import (
+        _SQL_SHINGLES,
+        with_shingles,
+    )
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "a a a a a a a a a a"),
+        (4, "a b c d e f g h a b c d e f g h"),
+        (5, "x y"),
+        (6, "t1 t2 t3 t4 t5 t6"),
+        (6, "t1 t2 t3 t4 t5 t6"),  # duplicate ROW: kept twice
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING").repartition(
+        3
+    )
+    from pyspark.sql import functions as F
+
+    ref = sorted(
+        map(
+            tuple,
+            with_shingles(df, "text", 5)
+            .select(
+                "doc_id",
+                F.explode(F.array_distinct(F.col(_SQL_SHINGLES))).alias(
+                    "item"
+                ),
+            )
+            .collect(),
+        )
+    )
+    for impl in ("expr", "vectorized"):
+        got = sorted(
+            map(
+                tuple,
+                sk.shingle_occurrences(
+                    df,
+                    keep_cols=("doc_id",),
+                    impl=impl,
+                    distinct_within_row=True,
+                ).collect(),
+            )
+        )
+        assert got == ref and len(ref) > 0, impl
+
+
 def test_cms_never_undercounts_and_zero_for_unseen_buckets(spark, corpus):
     counts, df = corpus
     sketch = sk.cms_sketch(df, depth=4, width=256).cache()
