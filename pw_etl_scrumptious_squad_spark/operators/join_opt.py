@@ -77,15 +77,32 @@ def build_bloom(
     n_bits: int = 1 << 20,
     n_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
-    """ONE-row DataFrame ``(bloom: map<long, long>)`` — the filter packed
-    as sparse 64-bit words keyed by word index (absent word == all zeros).
+    """ONE-row DataFrame ``(bloom: array<long>)`` — the filter packed as
+    DENSE 64-bit words, index == word number.
 
-    Plan shape: project k positions per key → explode → map-side partial
-    ``bit_or`` per word → final ``bit_or`` (shuffle bounded by
-    ``n_bits/64`` rows, NOT by |keys|) → single-row map assembly. NULL
-    keys are dropped (SQL semantics: NULL never matches a join).
+    Dense-array (not map) representation because the probe side pays for
+    it on EVERY fact row: Spark's ``element_at`` on a MAP column is a
+    linear scan of the entries (GetMapValue has no hash index), so a
+    sparse ``map<long,long>`` filter costs O(n_bits/64) per probe —
+    measured as the dominant cost of the z29 probe stage (7 hashes x
+    2048-entry scans per lineitem row). Array ``element_at`` is O(1).
+
+    Plan shape: project k positions per key → explode → union a zero
+    row per word (so the agg yields exactly ``n_bits/64`` rows) →
+    map-side partial ``bit_or`` per word → final ``bit_or`` (shuffle
+    bounded by ``n_bits/64`` rows, NOT by |keys|) → one
+    sort-into-array assembly. NULL keys are dropped (SQL semantics:
+    NULL never matches a join).
     """
+    n_words = (n_bits + _WORD_BITS - 1) // _WORD_BITS
     pos = F.array(*_positions(F.col(key), n_bits, n_hashes))
+    zero_words = (
+        keys.sparkSession.range(n_words)
+        .select(
+            F.col("id").cast("long").alias("__word"),
+            F.lit(0).cast("long").alias("__bit"),
+        )
+    )
     words = (
         keys.where(F.col(key).isNotNull())
         .select(F.explode(pos).alias("__pos"))
@@ -93,21 +110,25 @@ def build_bloom(
             (F.col("__pos") / _WORD_BITS).cast("long").alias("__word"),
             _shifted_bit(F.col("__pos")).alias("__bit"),
         )
+        .unionByName(zero_words)
         .groupBy("__word")
         .agg(F.bit_or("__bit").alias("__bits"))
     )
     return words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("__word"), F.col("__bits")))
+        F.expr(
+            "transform(array_sort(collect_list(struct(__word, __bits))),"
+            " e -> e.__bits)"
         ).alias("bloom")
     )
 
 
 def _might_contain(bloom: Column, key: Column, n_bits: int, n_hashes: int) -> Column:
-    """Membership probe: every one of the k bits must be set."""
+    """Membership probe: every one of the k bits must be set. ``bloom``
+    is the dense word array from :func:`build_bloom` (1-based
+    ``element_at``, O(1) per lookup)."""
     checks = []
     for p in _positions(key, n_bits, n_hashes):
-        word = (p / _WORD_BITS).cast("long")
+        word = (p / _WORD_BITS).cast("int") + F.lit(1)
         bit = _shifted_bit(p)
         checks.append(
             F.coalesce(F.element_at(bloom, word), F.lit(0).cast("long"))
