@@ -2025,11 +2025,14 @@ def _srp_oracle() -> str:
     " centroid-free scale path complementing IVF cells",
 )
 def y15(spark: SparkSession, sf: str) -> DataFrame:
+    # NOTE: dim is deliberately NOT passed — the entry must follow the
+    # actual embedding width of whatever corpus it is pointed at (the
+    # degenerate-embeddings battery swaps in 8-wide vectors), so the
+    # one-row dim peek is load-bearing here.
     sigs = similarity.srp_signatures(
         _t(spark, sf, "embeddings"),
         bits=_SRP_BITS,
         scale=_SRP_SCALE,
-        dim=_SRP_DIM,  # known width: skips the per-query dim-peek job
     ).transform(materialize)
     return (
         dedup.hamming_near_pairs(
@@ -2117,11 +2120,11 @@ def _srp_wide_oracle() -> str:
     " y-prefix: past the gate window by design; tools/check.py covers it",
 )
 def y30(spark: SparkSession, sf: str) -> DataFrame:
+    # NOTE: dim deliberately not passed — see y15; the corpus decides.
     sigs = similarity.srp_signature_words(
         _t(spark, sf, "embeddings"),
         bits=_SRPW_BITS,
         scale=_SRP_SCALE,
-        dim=_SRP_DIM,  # known width: skips the per-query dim-peek job
     ).transform(materialize)
     return (
         dedup.hamming_near_pairs_words(
