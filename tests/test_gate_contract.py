@@ -129,14 +129,28 @@ def test_every_query_names_match_oracle(catalog_schemas):
 # window the round they ship, evicting r03_equi_join_shared_key,
 # r02_equi_join_dim and r01_projection_rename (driver-certified since
 # round 1, standing coverage).
-# Round-10 continuation adds c24-c33 (CMS, KMV, normalize, WordPiece,
-# triangles, cumulative-distinct, grouped quantiles, join-size sketch,
-# grouped heavy hitters, sketch ranks — the catalog_ext.py twin table
-# documents each), evicting q09_events_hourly, q10_sessionize,
-# q11_outer_join_agg, q12_json_extract, q13_string_funcs,
-# q14_math_funcs, q15_shipping_priority, q16_local_supplier_volume,
-# q18_lead_lag and q20_pivot — all driver-certified in earlier rounds,
-# still covered by tools/check.py + pytest + the sample audit.
+# Round-10 continuation added c24-c33, evicting q09…q20 — an
+# UNSANCTIONED eviction of the core reference-derived entries this pin
+# exists to protect (the round-10 verdict, item 1, ordered it reversed).
+# Round-11 restore: the c21–c33 twins are renamed to the w-prefix
+# (outside the window; same registered aliases of y89–y102, same
+# oracles, still swept by tools/check.py + pytest), which restores
+# q09_events_hourly … q20_pivot and r01–r03 to the driver's checked set.
+# CORE_WINDOW_QUERIES below is the non-negotiable invariant: the
+# reference-derived relational/events surface must stay inside the
+# first-50 window. Future twin additions MUST sort after "r" (w/x/y/z
+# prefixes) — entering the window is no longer an allowed side effect
+# of shipping a new entry.
+CORE_WINDOW_QUERIES = [
+    "q01_pricing_summary", "q03_window_topn_per_group", "q04_rollup",
+    "q05_semi_anti_join", "q07_set_ops", "q09_events_hourly",
+    "q10_sessionize", "q11_outer_join_agg", "q12_json_extract",
+    "q13_string_funcs", "q14_math_funcs", "q15_shipping_priority",
+    "q16_local_supplier_volume", "q18_lead_lag", "q20_pivot",
+    "r01_projection_rename", "r02_equi_join_dim",
+    "r03_equi_join_shared_key",
+]
+
 DRIVER_WINDOW = [
     "c01_quality_rules", "c02_ppl_buckets",
     "c03_shingle_novelty", "c04_source_overlap_sketch",
@@ -146,19 +160,18 @@ DRIVER_WINDOW = [
     "c12_bucketed_join", "c13_warehouse_snapshots",
     "c14_part_pagerank", "c15_heavy_hitters", "c16_zorder_skipping",
     "c17_entity_resolution", "c18_exact_quantiles", "c19_table_profile",
-    "c20_gap_fill_hourly", "c21_unigram_encode",
-    "c22_quantile_sketch", "c23_bloom_point_lookup",
-    "c24_cms_counts", "c25_kmv_distinct", "c26_normalize_text",
-    "c27_wordpiece_encode", "c28_triangle_count",
-    "c29_cumulative_distinct", "c30_grouped_quantiles",
-    "c31_join_size_sketch", "c32_grouped_heavy_hitters",
-    "c33_sketch_ranks",
+    "c20_gap_fill_hourly",
     "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_signatures",
     "d04_simhash", "d05_minhash_lsh_pairs", "d06_embedding_neardup",
     "d07_simhash_neardup", "m01_media_features", "m02_video_frames",
     "m03_resize_images", "m04_image_dhash", "p01_grouped_zscore_pandas",
     "q01_pricing_summary", "q03_window_topn_per_group", "q04_rollup",
-    "q05_semi_anti_join", "q07_set_ops",
+    "q05_semi_anti_join", "q07_set_ops", "q09_events_hourly",
+    "q10_sessionize", "q11_outer_join_agg", "q12_json_extract",
+    "q13_string_funcs", "q14_math_funcs", "q15_shipping_priority",
+    "q16_local_supplier_volume", "q18_lead_lag", "q20_pivot",
+    "r01_projection_rename", "r02_equi_join_dim",
+    "r03_equi_join_shared_key",
 ]
 
 
@@ -167,5 +180,20 @@ def test_driver_window_is_pinned():
     assert got == DRIVER_WINDOW, (
         "the driver's first-50 window changed — a new entry evicted a "
         "core query from the checked set; rename the new entry past the "
-        "window (y/z/x prefix) or consciously update DRIVER_WINDOW"
+        "window (w/x/y/z prefix) or consciously update DRIVER_WINDOW"
+    )
+
+
+def test_core_queries_never_leave_the_window():
+    """The reference-derived relational/events surface (q*, r01–r03)
+    must stay externally certified: no future entry may sort into the
+    first 50 ahead of them. Unlike DRIVER_WINDOW (which documents the
+    whole window and may legitimately rotate its c-twin half), this
+    invariant is NOT to be re-pinned — rename the new entry instead."""
+    window = set(sorted(entrymod.queries())[:50])
+    missing = [q for q in CORE_WINDOW_QUERIES if q not in window]
+    assert missing == [], (
+        f"core reference queries evicted from the driver window: "
+        f"{missing} — rename the offending new entries past 'r' "
+        "(w/x/y/z prefix); do not re-pin this list"
     )
