@@ -78,7 +78,12 @@ def minhash_signatures(
     impl: str = "auto",
 ) -> DataFrame:
     """MinHash signature per document: ``minhash`` array<bigint> of length
-    ``num_perm``. Narrow projections only — no shuffle.
+    ``num_perm``. Only the narrow (id, text) projection is touched. The
+    default (vectorized) tier runs ``mapInPandas`` — it needs
+    pandas/numpy/pyarrow on the executors and may apply a guarded
+    repartition to spread single-partition inputs
+    (``_spread_narrow_input``); the ``'expr'`` tier is pure column
+    expressions with no shuffle and no Python-worker dependency.
 
     Carter-Wegman double hashing: the shingle md5 digest is split into
     h1 (first 15 hex chars, 60 bits) and h2 (chars 17-30, 56 bits), and
@@ -382,6 +387,12 @@ def incremental_lsh_neardup(
     partitions on (band, sig) — incremental dedup never touches cold
     corpus partitions except for the handful of verify candidates.
     """
+    # sig_len is threaded ONLY for signatures built right here (their
+    # width is num_perm by construction). A caller-supplied persisted
+    # store may have been built with a different num_perm — assuming the
+    # width would silently band a wrong/empty signature prefix and
+    # degrade candidate recall — so those keep the one-row width peek.
+    new_known, base_known = new_sigs is None, base_sigs is None
     if new_sigs is None:
         new_sigs = minhash_signatures(
             new_docs, id_col, text_col, num_perm, shingle_size
@@ -390,8 +401,12 @@ def incremental_lsh_neardup(
         base_sigs = minhash_signatures(
             base_docs, id_col, text_col, num_perm, shingle_size
         )
-    nb = _band_buckets(new_sigs, bands, sig_len=num_perm)
-    ab = _band_buckets(base_sigs, bands, sig_len=num_perm).unionByName(nb)
+    nb = _band_buckets(
+        new_sigs, bands, sig_len=num_perm if new_known else None
+    )
+    ab = _band_buckets(
+        base_sigs, bands, sig_len=num_perm if base_known else None
+    ).unionByName(nb)
     # left side = new batch only; right side = store + batch. Canonicalize
     # with least/greatest (a new doc may have a smaller id than a base
     # doc); distinct collapses new x new pairs seen from both directions.
@@ -420,6 +435,15 @@ def incremental_lsh_neardup(
 # instead: a full-corpus broadcast OOMs every executor at scale, and the
 # quadratic pair space dwarfs any per-pair savings.
 _MAX_EXACT_PAIR_ROWS = 100_000
+
+# Below this row count the exact tier's 'auto' stays on the expression
+# pair join: the vectorized candidate route pays a fixed ~1.3 s of
+# grouped-map/join-back machinery, while the expr fold cost grows with
+# the pair count (~n^2/blocks). Measured crossover (dim 16, 10 blocks,
+# local[32], min-of-2 noop): 2k rows 0.88 vs 2.16 s, 10k 2.2 vs 2.65 s,
+# 20k 4.8 vs 2.2 s — and at the 100k exact-tier cap the expr form is
+# ~5e8 interpreted folds per block while the matmul stays seconds.
+_VEC_EXACT_MIN_ROWS = 12_000
 
 
 def prefix_filter_jaccard_pairs(
@@ -914,30 +938,106 @@ def hamming_near_pairs(
             for b in range(bands)
         ]
     )
+    # The full signature (ONE long) rides along into the band join so
+    # the hamming test runs INSIDE the join as a codegen'd predicate:
+    # filtering before the pair distinct is value-identical (filter
+    # commutes with distinct) but shrinks the distinct from the raw
+    # candidate count (~n^2/2^width per band at this narrow geometry —
+    # measured ~1M rows at sf0.1's 2000 embeddings) down to the OUTPUT
+    # size, and deletes the two post-distinct signature attach joins
+    # outright (guide §2.3/§2.4: shuffle fewer bytes, remove shuffles;
+    # the extra 8 bytes per bucket row are far cheaper than re-joining
+    # the signatures onto every surviving pair).
     buckets = survivors.select(
-        "doc_id", F.explode(band_structs).alias("bb")
+        "doc_id", "simhash", F.explode(band_structs).alias("bb")
     ).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
+        "doc_id",
+        "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.val").alias("val"),
     )
-    cands = _band_pairs(buckets)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
-    return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
+    # Pin the band-join shuffle width (the r10 y77/y48 grouped-map
+    # lesson, now on a join): the bucket rows are tiny in BYTES but the
+    # self-join's per-key fan-out is quadratic in bucket size, and AQE
+    # coalesces by bytes — measured at organic sf1 (20k embeddings,
+    # 32-bit geometry) the whole ~100M-pair hamming join ran at an
+    # 8-vs-32-core ratio of 1.06, i.e. serialized onto a handful of
+    # coalesced partitions. REPARTITION_BY_NUM is exempt from
+    # coalescing and the join reuses this exact hashpartitioning, so no
+    # exchange is added; parallelism is still capped by the distinct
+    # (band, val) count — the narrow geometry's documented limit.
+    n_parts = buckets.sparkSession.sparkContext.defaultParallelism
+    buckets = buckets.repartition(n_parts, "band", "val")
+    ham = F.bit_count(
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    )
+    pairs = (
+        buckets.alias("l")
+        .join(
+            buckets.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id"))
+            & (ham <= max_hamming),
+        )
         .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-            .cast("int")
-            .alias("hamming"),
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .unionByName(
-            star.select(
-                "doc_a", "doc_b", F.lit(0).cast("int").alias("hamming")
-            )
+        .distinct()
+    )
+    return pairs.unionByName(
+        star.select(
+            "doc_a", "doc_b", F.lit(0).cast("int").alias("hamming")
         )
+    )
+
+
+def _banded_hamming_pairs(
+    sh: DataFrame, band_structs, max_hamming: int
+) -> DataFrame:
+    """(doc_id, sw) rows -> distinct exact pairs
+    ``(doc_a < doc_b, hamming <= max_hamming)`` with the word-array
+    signature riding INTO the band self-join so the hamming test is a
+    codegen'd join predicate (the scalar hamming_near_pairs shape):
+    filtering before the pair distinct is value-identical (filter
+    commutes with distinct) but shrinks the distinct to output size and
+    deletes the two post-distinct signature attach joins (guide
+    §2.3/§2.4). Measured on the scalar twin at sf0.1: y15 2.2 -> 1.25 s,
+    d07 16.2 -> 7.4 s same-window A/B."""
+    buckets = sh.select(
+        "doc_id", "sw", F.explode(band_structs).alias("bb")
+    ).select(
+        "doc_id",
+        "sw",
+        F.col("bb.band").alias("band"),
+        F.col("bb.val").alias("val"),
+    )
+    # pinned shuffle width against AQE byte-coalescing — see the scalar
+    # hamming_near_pairs note (fan-out is quadratic per key, bytes tiny)
+    n_parts = buckets.sparkSession.sparkContext.defaultParallelism
+    buckets = buckets.repartition(n_parts, "band", "val")
+    ham = F.expr(
+        "aggregate(zip_with(l.sw, r.sw,"
+        " (x, y) -> cast(bit_count(x ^ y) as bigint)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    return (
+        buckets.alias("l")
+        .join(
+            buckets.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id"))
+            & (ham <= max_hamming),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
     )
 
 
@@ -1221,21 +1321,8 @@ def hamming_near_pairs_words(
         members = sh.join(
             reps.select(F.col("doc_id").alias("rep"), "sw"), "sw"
         ).select("rep", "doc_id")
-        buckets = reps.select(
-            "doc_id", F.explode(band_structs).alias("bb")
-        ).select(
-            "doc_id",
-            F.col("bb.band").alias("band"),
-            F.col("bb.val").alias("val"),
-        )
-        cands = _band_pairs(buckets)
-        a = reps.select(F.col("doc_id").alias("doc_a"), F.col("sw").alias("wa"))
-        b = reps.select(F.col("doc_id").alias("doc_b"), F.col("sw").alias("wb"))
-        rep_pairs = (
-            cands.join(a, "doc_a")
-            .join(b, "doc_b")
-            .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming)
+        rep_pairs = _banded_hamming_pairs(
+            reps.select("doc_id", "sw"), band_structs, max_hamming
         )
         ma = members.select(
             F.col("rep").alias("doc_a"), F.col("doc_id").alias("ida")
@@ -1267,22 +1354,7 @@ def hamming_near_pairs_words(
         )
         return cross.unionByName(within)
     if exact:
-        buckets = sh.select(
-            "doc_id", F.explode(band_structs).alias("bb")
-        ).select(
-            "doc_id",
-            F.col("bb.band").alias("band"),
-            F.col("bb.val").alias("val"),
-        )
-        cands = _band_pairs(buckets)
-        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sw").alias("wa"))
-        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sw").alias("wb"))
-        return (
-            cands.join(a, "doc_a")
-            .join(b, "doc_b")
-            .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming)
-        )
+        return _banded_hamming_pairs(sh, band_structs, max_hamming)
     star, survivors = _signature_group_containment(sh, "sw", bucket_cap)
     buckets = survivors.select(
         "doc_id", F.explode(band_structs).alias("bb")
@@ -1314,6 +1386,7 @@ def embedding_neardup_pairs(
     max_exact_rows: int = _MAX_EXACT_PAIR_ROWS,
     n_cells: int | None = None,
     n_rows_hint: int | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a < b, round(cosine, 6) >=
     threshold), optionally blocked on ``block_col`` (cluster/label id) —
@@ -1341,7 +1414,30 @@ def embedding_neardup_pairs(
     additionally materializes the sampled centroid set at BUILD time
     (one tiny sort+limit+collect job — k x dim floats to the driver);
     the exact tier stays fully lazy.
+
+    ``impl`` selects the EXACT tier's scoring engine (the cell route is
+    unaffected). ``'expr'`` is the broadcast self-join whose per-pair
+    cosine is an interpreted ``aggregate(zip_with(...))`` fold — the
+    DuckDB oracle's structural twin. ``'vectorized'`` (where ``'auto'``
+    routes when the id column is integral AND the row count exceeds
+    ``_VEC_EXACT_MIN_ROWS`` — measured at sf0.1/2k rows the grouped-map
+    machinery's fixed cost exceeds the whole expr query, 2.16 s vs
+    0.88 s, while the expr fold cost grows ~n^2/blocks and dominates
+    long before the 100k exact-tier cap) finds CANDIDATE pairs with
+    chunked numpy matmuls in an Arrow grouped map (guide §4.2) at a safe
+    threshold margin, then computes the EMITTED cosine of the few
+    survivors with the identical fold expression — so output values are
+    bit-identical to the expr tier by construction (same expression,
+    same rows: a pair whose expression-rounded cosine reaches the
+    threshold has a raw dot within 1 ulp of the numpy dot, far inside
+    the 1e-6 candidate margin; NaN dots — Inf-element vectors — are kept
+    as candidates because Spark's comparator treats NaN as
+    greater-than-everything). Mixed-width vectors never pair in either
+    tier (``zip_with`` NULL-pads, so the fold is NULL), which the
+    candidate stage mirrors by grouping on the vector width.
     """
+    if impl not in ("auto", "vectorized", "expr"):
+        raise ValueError(f"impl must be auto|vectorized|expr, got {impl!r}")
     # hoist the norm into its own column — computing it inside the
     # transform() lambda would redo the O(dim) sum for every element
     unit = (
@@ -1474,13 +1570,22 @@ def embedding_neardup_pairs(
         return side.groupBy("blk", "cell").applyInPandas(
             _cell_pairs, "doc_a long, doc_b long, cosine_sim double"
         )
-    else:
-        n_parts = df.sparkSession.sparkContext.defaultParallelism
-        a = unit.repartition(n_parts, "doc_id").alias("a")
-        b = F.broadcast(unit.alias("b"))
-        cond = (F.col("a.blk") == F.col("b.blk")) & (
-            F.col("a.doc_id") < F.col("b.doc_id")
+    if impl == "auto":
+        id_type = dict(df.dtypes).get(id_col)
+        impl = (
+            "vectorized"
+            if n_rows > _VEC_EXACT_MIN_ROWS
+            and id_type in ("tinyint", "smallint", "int", "bigint")
+            else "expr"
         )
+    if impl == "vectorized":
+        return _embedding_neardup_exact_vectorized(unit, threshold, n_rows)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    a = unit.repartition(n_parts, "doc_id").alias("a")
+    b = F.broadcast(unit.alias("b"))
+    cond = (F.col("a.blk") == F.col("b.blk")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
     cos = F.round(
         F.aggregate(
             F.zip_with("a.uv", "b.uv", lambda x, y: x * y),
@@ -1494,6 +1599,129 @@ def embedding_neardup_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            cos.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _embedding_neardup_exact_vectorized(
+    unit: DataFrame, threshold: float, n_rows: int
+) -> DataFrame:
+    """Exact-tier scoring with the quadratic stage as numpy matmuls
+    (guide §4.2, the y48/_cell_pairs pattern) while keeping the expr
+    tier's emitted values BIT-IDENTICAL (guide §8: decide on the compact
+    representation, compute the published value once on the survivors).
+
+    Stage 1 — candidates: rows are hash-chunked within their block
+    (chunks sized ~1k so one task's similarity matrix stays ~8 MB and
+    the work spreads over chunk PAIRS, not blocks — a single huge block
+    cannot serialize the stage); every (block, width, chunk-pair) group
+    computes its raw cosine matrix with one BLAS matmul and emits only
+    the (doc_a, doc_b) ids whose raw dot clears ``threshold - 1e-6``
+    (or is NaN — Spark's NaN-is-greatest comparator semantics). The
+    margin is loose by ~1e-6 while fold-vs-BLAS summation differs by
+    ~1 ulp, so no qualifying pair can be missed; false candidates are
+    dropped by the exact filter below.
+
+    Stage 2 — values: the surviving pairs (output-sized, not
+    pair-count-sized) join their unit vectors back and the emitted
+    ``cosine_sim`` is the SAME ``round(aggregate(zip_with(...)), 6)``
+    expression the expr tier (and the DuckDB oracle's structural twin)
+    evaluates — bit-identical outputs by construction.
+
+    Builds lazily: no job runs until an action (the n_rows_hint
+    contract)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    spark = unit.sparkSession
+    n_chunks = max(1, min(64, math.ceil(max(n_rows, 1) / 1024)))
+    side = unit.select(
+        "doc_id",
+        "blk",
+        "uv",
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_chunks))
+        .cast("int")
+        .alias("__c"),
+        F.size("uv").alias("__w"),
+    )
+    chunk_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_chunks) for j in range(i, n_chunks)],
+        "ci INT, cj INT",
+    )
+    left = side.join(
+        F.broadcast(chunk_pairs), side["__c"] == chunk_pairs["ci"]
+    ).select("blk", "__w", "ci", "cj", "doc_id", "uv", F.lit(0).alias("__s"))
+    right = side.join(
+        F.broadcast(chunk_pairs.filter(F.col("ci") != F.col("cj"))),
+        side["__c"] == chunk_pairs["cj"],
+    ).select("blk", "__w", "ci", "cj", "doc_id", "uv", F.lit(1).alias("__s"))
+    tagged = left.unionByName(right)
+
+    lo = float(threshold) - 1e-6
+
+    def _cands(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) == 0 or pdf["__w"].iloc[0] == 0:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        if int(pdf["ci"].iloc[0]) == int(pdf["cj"].iloc[0]):
+            pdf = pdf.sort_values("doc_id")
+            ids = pdf["doc_id"].to_numpy()
+            m = np.stack(pdf["uv"].to_numpy())
+            s = m @ m.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            sv = s[iu, ju]
+            keep = (sv >= lo) | np.isnan(sv)
+            return pd.DataFrame(
+                {"doc_a": ids[iu[keep]], "doc_b": ids[ju[keep]]}
+            )
+        a = pdf[pdf["__s"] == 0]
+        b = pdf[pdf["__s"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        ia = a["doc_id"].to_numpy()
+        ib = b["doc_id"].to_numpy()
+        s = np.stack(a["uv"].to_numpy()) @ np.stack(b["uv"].to_numpy()).T
+        keep = (s >= lo) | np.isnan(s)
+        ii, jj = np.nonzero(keep)
+        xa, xb = ia[ii], ib[jj]
+        return pd.DataFrame(
+            {"doc_a": np.minimum(xa, xb), "doc_b": np.maximum(xa, xb)}
+        )
+
+    cands = tagged.groupBy("blk", "__w", "ci", "cj").applyInPandas(
+        _cands, T.StructType(
+            [
+                T.StructField("doc_a", T.LongType()),
+                T.StructField("doc_b", T.LongType()),
+            ]
+        )
+    )
+    ua = unit.select(
+        F.col("doc_id").alias("doc_a"), F.col("uv").alias("uv_a")
+    )
+    ub = unit.select(
+        F.col("doc_id").alias("doc_b"), F.col("uv").alias("uv_b")
+    )
+    cos = F.round(
+        F.aggregate(
+            F.zip_with("uv_a", "uv_b", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    id_type = unit.schema["doc_id"].dataType
+    return (
+        cands.join(F.broadcast(ua), "doc_a")
+        .join(F.broadcast(ub), "doc_b")
+        .select(
+            F.col("doc_a").cast(id_type).alias("doc_a"),
+            F.col("doc_b").cast(id_type).alias("doc_b"),
             cos.alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)

@@ -33,11 +33,14 @@ integer percentage). All divisions are floor divisions of non-negative
 BIGINTs, so Spark's ``DIV`` and DuckDB's ``//`` agree exactly.
 
 Scale posture: each iteration is one shuffle (the groupBy(dst) of edge
-contributions) plus two broadcast-sized 1-row aggregates (N, dangling
-mass). Scores and out-degrees live on the same key, so AQE reuses the
-exchange across the join chain; at cluster scale you pre-partition the
-edge list by src ONCE (it is iteration-invariant) and only the
-per-iteration score table moves. Lineage is truncated every iteration
+contributions) plus one broadcast-sized 1-row aggregate (dangling
+mass); N is collected once as a driver scalar and folded into the
+update expression as a literal. When the driver-known score-table size
+fits the broadcast budget, the contribution and update joins are
+map-side broadcasts (no edge or score shuffle per round); past it they
+are plain key joins — at cluster scale you pre-partition the edge list
+by src ONCE (it is iteration-invariant) and only the per-iteration
+score table moves. Lineage is truncated every iteration
 via checkpoint.materialize — without it the 8-iteration plan is a
 2^8-leaf join tree that stalls the optimizer long before it stalls the
 executors.
@@ -115,12 +118,22 @@ def pagerank(
     outdeg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("outdeg")
     )
-    # N is a 1-row broadcast, not a collect: the driver never holds data
-    n_frame = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    # N lands on the driver as ONE bigint (the y97 posture: a scalar is
+    # not data). The previous 1-row n_frame broadcast was rebuilt by
+    # every iteration of every materialize window — 9+ broadcast
+    # exchanges and their BroadcastNestedLoopJoin crossJoins for one
+    # constant. As a literal, SCALE DIV N folds at plan time and the
+    # per-iteration crossJoin disappears (guide §1.2: don't compute
+    # things you already know). Arithmetic is unchanged: Python's //
+    # equals SQL DIV on non-negative BIGINTs.
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            "node", F.lit(None).cast("bigint").alias("pico_rank")
+        )
+    base_score = scale // n_nodes
 
-    scores = nodes.crossJoin(broadcast(n_frame)).select(
-        "node", F.expr(f"CAST({scale} AS BIGINT) DIV n_nodes").alias("score")
-    )
+    scores = nodes.select("node", F.lit(base_score).cast("bigint").alias("score"))
     # out-degree sits beside the score for the whole fold so the
     # per-iteration contribution is a projection, not a join
     scored = (
@@ -129,15 +142,37 @@ def pagerank(
         .transform(materialize)
     )
 
+    # Driver-decided join strategy for the per-iteration joins (guide
+    # §3.1): the score table has exactly n_nodes rows of three BIGINTs
+    # and the contribution table at most n_nodes of two, but both sit
+    # behind checkpoint scans that carry no statistics, so Spark plans
+    # sort-merge unless told. When the driver-known size fits the
+    # session broadcast budget, broadcasting the score side of the
+    # contribution join and the contribution side of the update join
+    # leaves ONE exchange per iteration (the groupBy(dst) partial agg)
+    # instead of shuffling edges and scores every round. Past the
+    # budget the original shuffle-join shape stands.
+    try:
+        bcast_budget = int(
+            edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except (TypeError, ValueError):
+        bcast_budget = 10 * 1024 * 1024
+    small = bcast_budget > 0 and n_nodes * 32 <= bcast_budget
+
     for it in range(iterations):
+        senders = scored.filter(F.col("outdeg") > 0)
+        if small:
+            senders = broadcast(senders)
         contrib = (
-            scored.filter(F.col("outdeg") > 0)
-            .join(edges, scored["node"] == edges["src"])
+            senders.join(edges, senders["node"] == edges["src"])
             .groupBy("dst")
             .agg(
                 F.sum(F.expr("score DIV outdeg")).cast("bigint").alias("inc")
             )
         )
+        if small:
+            contrib = broadcast(contrib)
         dang = scored.agg(
             F.coalesce(
                 F.sum(F.when(F.col("outdeg") == 0, F.col("score"))), F.lit(0)
@@ -148,13 +183,13 @@ def pagerank(
         scored = (
             scored.join(contrib, scored["node"] == contrib["dst"], "left")
             .crossJoin(broadcast(dang))
-            .crossJoin(broadcast(n_frame))
             .select(
                 "node",
                 F.expr(
-                    f"CAST(({100 - damping_pct} * (CAST({scale} AS BIGINT)"
-                    f" DIV n_nodes) + {damping_pct} *"
-                    " (COALESCE(inc, CAST(0 AS BIGINT)) + dang DIV n_nodes))"
+                    f"CAST(({100 - damping_pct} * {base_score}L"
+                    f" + {damping_pct} *"
+                    " (COALESCE(inc, CAST(0 AS BIGINT))"
+                    f" + dang DIV {n_nodes}L))"
                     " DIV 100 AS BIGINT)"
                 ).alias("score"),
                 "outdeg",
@@ -296,8 +331,13 @@ def triangle_stats(
     ever shuffled (optimization guide §2.3/§8: move decisions onto the
     compact representation). Shuffles: a degree agg, two node-keyed
     key-attach joins, the adjacency groupBy, and the two
-    adjacency-attach joins (broadcast when the driver-known edge count
-    fits the session budget, sort-merge past it — O(m) either way).
+    adjacency-attach joins — the degree and adjacency attaches are
+    broadcast (map-side, no edge-list exchange) when the driver-known
+    edge count fits the session budget, plain key joins past it — O(m)
+    either way; in the broadcast regime the oriented projection is a
+    cheap scan, so its materialize barrier is skipped (one fewer
+    sequential job — guide §2.6) and the edge count itself runs
+    concurrently with the degree materialize.
     n_wedges reports the UNDIRECTED wedge count (sum of C(deg, 2)) —
     the clustering-coefficient denominator — computed from the degree
     table, not enumerated."""
@@ -318,6 +358,26 @@ def triangle_stats(
             .distinct()
         )
     und = materialize(und)
+    # the edge count drives two driver-side decisions below (degree
+    # broadcast, adjacency broadcast) but is not needed until after the
+    # degree materialize — run it CONCURRENTLY with that job instead of
+    # as one more entry in the sequential job chain (guide §2.6: overlap
+    # independent jobs; the loop entries' residual cost is exactly this
+    # scheduler-latency floor). InheritableThread propagates the py4j
+    # thread-locals (job group/description) the way the CC speculative
+    # round already relies on.
+    from pyspark import InheritableThread
+
+    n_e_box: dict = {}
+
+    def _count_edges() -> None:
+        try:
+            n_e_box["n"] = und.count()  # cached blocks; a metadata read
+        except Exception as exc:  # pragma: no cover - surfaced on join
+            n_e_box["err"] = exc
+
+    count_thread = InheritableThread(target=_count_edges)
+    count_thread.start()
     deg = (
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
@@ -325,10 +385,34 @@ def triangle_stats(
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     )
     deg = materialize(deg)
+    count_thread.join()
+    if "err" in n_e_box:
+        raise n_e_box["err"]
+    n_e = n_e_box["n"]
+    try:
+        bcast_budget = int(
+            und.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except (TypeError, ValueError):
+        bcast_budget = 10 * 1024 * 1024
+    # Small regime (driver-known sizes — checkpoint scans carry no
+    # statistics, so Spark cannot make these calls itself): the degree
+    # table has at most 2*n_e rows of two BIGINTs; when that fits the
+    # session broadcast budget the two key-attach joins become map-side
+    # broadcasts (no exchange of the edge list) AND the oriented
+    # projection becomes a cheap scan-over-checkpoint, so its
+    # materialize barrier buys nothing — skipping it removes one
+    # sequential job from the chain. Past the budget the original
+    # shape (shuffle joins + oriented barrier, O(m) bytes) stands.
+    small = bcast_budget > 0 and 2 * n_e * 16 <= bcast_budget
+    deg_a = deg.withColumnRenamed("v", "a")
+    deg_b = deg.withColumnRenamed("v", "b")
+    if small:
+        deg_a, deg_b = F.broadcast(deg_a), F.broadcast(deg_b)
     keyed = (
-        und.join(deg.withColumnRenamed("v", "a"), "a")
+        und.join(deg_a, "a")
         .withColumnRenamed("d", "da")
-        .join(deg.withColumnRenamed("v", "b"), "b")
+        .join(deg_b, "b")
         .withColumnRenamed("d", "db")
     )
     oriented = keyed.select(
@@ -343,7 +427,8 @@ def triangle_stats(
         .otherwise(F.col("a"))
         .alias("dst"),
     )
-    oriented = materialize(oriented)
+    if not small:
+        oriented = materialize(oriented)
     # adjacency closing: ONE groupBy folds the oriented edges into each
     # source's sorted out-neighbor array (total cells = m, per-array
     # length <= O(sqrt(m)) by the orientation bound), then every
@@ -360,13 +445,6 @@ def triangle_stats(
         F.sort_array(F.collect_list("dst")).alias("nb")
     )
     adj = materialize(adj)
-    n_e = und.count()  # cached blocks; a 1-value metadata read
-    try:
-        bcast_budget = int(
-            und.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        )
-    except (TypeError, ValueError):
-        bcast_budget = 10 * 1024 * 1024
     adj_u = adj.select(F.col("src"), F.col("nb").alias("nb_u"))
     adj_v = adj.select(F.col("src").alias("dst"), F.col("nb").alias("nb_v"))
     if bcast_budget > 0 and n_e * 16 <= bcast_budget:

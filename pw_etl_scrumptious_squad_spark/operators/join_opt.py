@@ -93,6 +93,12 @@ def build_bloom(
     bounded by ``n_bits/64`` rows, NOT by |keys|) → one
     sort-into-array assembly. NULL keys are dropped (SQL semantics:
     NULL never matches a join).
+
+    Sizing note: the dense layout costs ``n_bits/64`` words in the
+    single assembled row and in the broadcast REGARDLESS of how many
+    keys were inserted — size ``n_bits`` to the key count (~10 bits/key
+    at 1% fpp), don't default a 1 GB filter (2^27 words) in front of a
+    tiny dim key set where the old sparse map would have stayed small.
     """
     n_words = (n_bits + _WORD_BITS - 1) // _WORD_BITS
     pos = F.array(*_positions(F.col(key), n_bits, n_hashes))

@@ -436,18 +436,23 @@ def srp_signatures(
     out = df.select(
         F.col(id_col).alias("vec_id"), qv.alias("__qv")
     )
-    sig = None
+    # the packed signature is ONE SQL text, not `bits` chained Column
+    # ops: the old loop issued ~4 py4j round-trips per bit (expr, when,
+    # lit-cast, +) and its construction alone measured 0.38 s of the
+    # 1.8 s y15 entry at 32 bits (driver latency, guide §1.2). The SQL
+    # parser builds the identical CASE WHEN/+ expression tree, so the
+    # plan and values are unchanged.
+    terms = []
     for j in range(bits):
         lits = ",".join(f"{s}L" for s in signs[j])
-        dot_j = F.expr(
-            f"aggregate(zip_with(__qv, array({lits}), (x, y) -> x * y),"
-            f" 0L, (a, x) -> a + x)"
+        terms.append(
+            f"(CASE WHEN aggregate(zip_with(__qv, array({lits}),"
+            " (x, y) -> x * y), 0L, (a, x) -> a + x) > 0"
+            f" THEN {1 << j}L ELSE 0L END)"
         )
-        term = F.when(dot_j > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sig = term if sig is None else sig + term
-    return out.select("vec_id", sig.alias("srp_sig"))
+    return out.select(
+        "vec_id", F.expr(" + ".join(terms)).alias("srp_sig")
+    )
 
 
 def srp_signature_words(

@@ -175,6 +175,64 @@ def test_embedding_neardup_degenerate_guard(spark):
         assert sorted((r["doc_a"], r["doc_b"]) for r in out) == [(0, 1)]
 
 
+def test_embedding_neardup_exact_vectorized_bit_equals_expr(spark):
+    """The exact tier's default (vectorized: matmul candidate selection
+    + the identical fold expression on survivors) must emit EXACTLY the
+    expr tier's rows and doubles — including the corner semantics:
+    NaN cosines (Inf-element vectors) pass the >= filter (Spark's
+    NaN-is-greatest comparator), mixed-width pairs never emit
+    (zip_with NULL-pads -> NULL fold), NULL/zero-norm rows are dropped
+    by the shared guard."""
+    import math
+
+    rows = [
+        (i, [math.cos(i / 9.0), math.sin(i / 9.0), (i % 5) / 7.0], i % 3)
+        for i in range(120)
+    ]
+    rows += [
+        (200, None, 0),                      # NULL vector
+        (201, [0.0, 0.0, 0.0], 0),           # zero norm
+        (202, [float("inf"), 1.0, 0.0], 0),  # Inf -> NaN uv -> NaN cosine
+        (203, [1.0, 0.0, 0.0, 0.0], 0),      # mixed width: never pairs
+        (204, [1.0, 0.0, 0.0, 0.0], 0),      # same width as 203: pairs
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT"
+    )
+    v = dedup.embedding_neardup_pairs(
+        df, "vec_id", "embedding", "label", 0.6, impl="vectorized"
+    )
+    e = dedup.embedding_neardup_pairs(
+        df, "vec_id", "embedding", "label", 0.6, impl="expr"
+    )
+    rv = sorted(map(tuple, v.collect()))
+    re_ = sorted(map(tuple, e.collect()))
+
+    def canon(ts):
+        # NaN != NaN; compare via repr so NaN rows can be equated
+        return [(a, b, repr(c)) for a, b, c in ts]
+
+    assert canon(rv) == canon(re_)
+    assert v.schema == e.schema
+    # NaN pair emitted by BOTH tiers (202 pairs with the parallel 120-row
+    # fan near angle 0 — at least one partner passes the NaN-keep rule)
+    assert any(
+        (a == 202 or b == 202) and math.isnan(c) for a, b, c in rv
+    )
+    # mixed-width row pairs only with its equal-width partner
+    w203 = [(a, b) for a, b, _ in rv if 203 in (a, b)]
+    assert w203 == [(203, 204)]
+    # the quadratic stage is the Arrow grouped map, not the pair join
+    assert "FlatMapGroupsInPandas" in v._jdf.queryExecution().executedPlan().toString()
+    # auto: non-integral ids stay on the expr tier (candidate ids pack
+    # into int64 columns)
+    sdf = df.select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding", "label"
+    )
+    s = dedup.embedding_neardup_pairs(sdf, "vec_id", "embedding", "label", 0.6)
+    assert "FlatMapGroupsInPandas" not in s._jdf.queryExecution().executedPlan().toString()
+
+
 def test_hard_negative_scale_routes_reject_non_integral_labels(spark):
     """The matmul/IVF tiers pack ids/labels into int64 arrays; string
     labels must fail LOUDLY at plan time (a silent cast('long') would
