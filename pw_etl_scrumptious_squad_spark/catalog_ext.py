@@ -1991,20 +1991,33 @@ _SRP_MAX_H = 7
 
 
 def _srp_oracle() -> str:
+    # projection sign via list_dot_product over the ±1 literal plane:
+    # value-identical to the old per-element list_sum(list_transform)
+    # form — every product is an integer |qv_i| <= scale (~1e6) and
+    # every partial sum an integer < dim*scale^2... < 2^53, so the
+    # DOUBLE accumulation is EXACT in any order and the > 0 sign test
+    # cannot flip — but ~100x faster in DuckDB, which re-materialized
+    # the 64-literal list per element per bit per row in the old form
+    # (the y30 oracle alone cost 142 s at sf0.001, measured).
     signs = similarity.srp_sign_matrix(_SRP_BITS, _SRP_DIM)
     terms = []
     for j, row in enumerate(signs):
         lits = ",".join(str(s) for s in row)
         terms.append(
-            f"CASE WHEN list_sum(list_transform(range(1, {_SRP_DIM + 1}),"
-            f" i -> qv[i] * ([{lits}])[i])) > 0"
+            f"CASE WHEN list_dot_product(qv, [{lits}]) > 0"
             f" THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END"
         )
     packed = " + ".join(terms)
+    # qv is built at the FIXED plane width, zero-padded past the
+    # corpus's actual embedding width: list_dot_product errors on
+    # length mismatch (the degenerate battery swaps in 8-wide vectors),
+    # and a 0 element contributes exactly what the old NULL-ignoring
+    # list_sum form contributed for the missing positions — nothing.
     return (
         "WITH q AS (SELECT vec_id,"
-        " list_transform(CAST(embedding AS DOUBLE[]),"
-        f" x -> CAST(floor(x * {_SRP_SCALE} + 0.5) AS BIGINT)) AS qv"
+        f" list_transform(range(1, {_SRP_DIM + 1}),"
+        " i -> coalesce(CAST(floor(CAST(embedding[i] AS DOUBLE)"
+        f" * {_SRP_SCALE} + 0.5) AS BIGINT), 0)) AS qv"
         " FROM embeddings),"
         f" s AS (SELECT vec_id, {packed} AS sig FROM q)"
         " SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
@@ -2076,9 +2089,11 @@ def _srp_wide_oracle() -> str:
                 if s_bit == 63
                 else f"(CAST(1 AS BIGINT) << {s_bit})"
             )
+            # list_dot_product: exact for these integer-valued sums
+            # (< 2^53) and ~100x faster than the per-element
+            # list-literal indexing — see _srp_oracle
             terms.append(
-                f"CASE WHEN list_sum(list_transform(range(1, {_SRP_DIM + 1}),"
-                f" i -> qv[i] * ([{lits}])[i])) > 0"
+                f"CASE WHEN list_dot_product(qv, [{lits}]) > 0"
                 f" THEN {bit} ELSE CAST(0 AS BIGINT) END"
             )
         words.append(" | ".join(terms))
@@ -2091,9 +2106,11 @@ def _srp_wide_oracle() -> str:
     )
     ham = "bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))"
     return (
+        # fixed-width zero-padded qv — see _srp_oracle's note
         "WITH q AS (SELECT vec_id,"
-        " list_transform(CAST(embedding AS DOUBLE[]),"
-        f" x -> CAST(floor(x * {_SRP_SCALE} + 0.5) AS BIGINT)) AS qv"
+        f" list_transform(range(1, {_SRP_DIM + 1}),"
+        " i -> coalesce(CAST(floor(CAST(embedding[i] AS DOUBLE)"
+        f" * {_SRP_SCALE} + 0.5) AS BIGINT), 0)) AS qv"
         " FROM embeddings),"
         f" s AS (SELECT vec_id, {words[0]} AS w0, {words[1]} AS w1 FROM q),"
         f" bnd AS (SELECT vec_id, unnest([{slices}]) AS bb FROM s),"
