@@ -260,6 +260,22 @@ def main() -> None:
     train_start = time.perf_counter()
     _qc_weights(sf_dir, spark)
     qc_train_seconds = round(time.perf_counter() - train_start, 3)
+    # same hoist for the y89 unigram vocabulary and y96 WordPiece pieces
+    # (train once per sf, memoized — the y88/y95 TRAINING jobs; the
+    # headline entries time the recurring APPLY). Recorded here so the
+    # hoisted cost is visible in the evidence next to ivf/pq/qc
+    # (round-10 verdict item 6: complete the train-seconds convention).
+    from pw_etl_scrumptious_squad_spark.catalog_ext import (
+        unigram_vocab_literals,
+        wordpiece_pieces,
+    )
+
+    train_start = time.perf_counter()
+    unigram_vocab_literals(sf_dir, spark)
+    unigram_train_seconds = round(time.perf_counter() - train_start, 3)
+    train_start = time.perf_counter()
+    wordpiece_pieces(sf_dir, spark)
+    wordpiece_train_seconds = round(time.perf_counter() - train_start, 3)
 
     # adaptive best-of-N per query: a single pass is dominated by JVM/GC
     # noise from neighboring queries (observed +-7s swings on a 23-query
@@ -321,6 +337,8 @@ def main() -> None:
                 "bucketize_seconds": bucketize_seconds,
                 "bucketize_mode": _bkt_mode,
                 "qc_train_seconds": qc_train_seconds,
+                "unigram_train_seconds": unigram_train_seconds,
+                "wordpiece_train_seconds": wordpiece_train_seconds,
                 "load_avg_start": load_start,
                 "load_avg_end": load_end,
                 "sf": sf,

@@ -14,6 +14,8 @@ to bound the test."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pw_etl_scrumptious_squad_spark.operators import dedup
@@ -94,6 +96,8 @@ def test_wide_hamming_exact_mode_closed_form(spark):
     assert out.count() == n * (n - 1) // 2
 
 
+@pytest.mark.extended  # ~23 s adversarial battery; default tier: the
+# identical-group collapse and bucket-cap tests cover the same guard
 def test_zipfian_clusters_candidate_counts_closed_form(spark):
     """Zipf-duplicated corpus (cluster k has ~N/k identical members,
     disjoint vocabularies between clusters): the LSH candidate count is

@@ -11,6 +11,8 @@ closed-form values here pin the quantization independent of DuckDB.
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from pw_etl_scrumptious_squad_spark.operators import text
@@ -137,6 +139,8 @@ def test_bpe_train_batched_parity_and_round_trips(spark):
     assert stats["driver_rounds"] < 12  # actually batched somewhere
 
 
+@pytest.mark.extended  # ~22 s; default tier: the deterministic trainer
+# parity tests above cover the same batched-vs-sequential contract
 def test_bpe_train_batched_forces_fallback(spark):
     """Interaction-heavy corpora must degrade to sequential semantics:
     chained pairs (every top pair shares a symbol with the previous one)
@@ -181,6 +185,8 @@ def test_bpe_train_batched_forces_fallback(spark):
             assert got == _ref_bpe(texts, 10), (texts, m)
 
 
+@pytest.mark.extended  # ~26 s randomized battery; same contract as the
+# deterministic parity tests in the default tier
 def test_bpe_train_batched_randomized_parity(spark):
     """Randomized corpora (seeded): batched == sequential == reference
     for several batch sizes."""

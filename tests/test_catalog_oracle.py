@@ -19,17 +19,25 @@ def oracle_con():
     return con
 
 
+@pytest.fixture(scope="module")
+def oracles():
+    # resolved ONCE per module: oracle_sql() re-resolves all 217 oracle
+    # texts (including the data-dependent trained-literal renders), and
+    # per-test calls made the suite pay that 222 times over
+    return entrymod.oracle_sql(SF)
+
+
 QUERIES = sorted(entrymod.queries())
 
 
 @pytest.mark.parametrize("name", QUERIES)
-def test_query_matches_oracle(spark, oracle_con, name):
+def test_query_matches_oracle(spark, oracle_con, oracles, name):
     sdf = entrymod.queries()[name](spark, SF)
     srows = [tuple(r) for r in sdf.collect()]
-    # pass SF so data-dependent oracles (s02's embedded centroids) are
-    # generated for the sf this test actually runs at, not the driver's
-    # sf0.01 default
-    oracle = entrymod.oracle_sql(SF).get(name)
+    # oracles resolved at SF so data-dependent oracles (s02's embedded
+    # centroids) are generated for the sf this test actually runs at,
+    # not the driver's sf0.01 default
+    oracle = oracles.get(name)
     if oracle is None:
         assert len(srows) >= 0  # rows-only check (non-SQL-expressible op)
         return

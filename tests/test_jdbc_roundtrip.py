@@ -91,6 +91,9 @@ def test_catalog_discovery(spark, cfg):
     assert "ORDERS_WH" in [t.upper() for t in tables]
 
 
+@pytest.mark.extended  # ~57 s; default tier: test_run_batch_etl (same
+# transform via the batch driver), the per-step jdbc_roundtrip tests
+# (append/scan, CDC drift), and the c11 star-lifecycle oracle
 def test_end_to_end_etl_between_live_databases(spark, totesys, tmp_path):
     """The reference's whole lifecycle with real databases on both ends:
     seed an OLTP Derby, JDBC-CDC extract -> 11-table star transform ->

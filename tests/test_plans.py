@@ -215,6 +215,9 @@ def test_scalar_subqueries_decorrelate_to_aggregate_joins(spark, cat):
     assert "Join" in plan
 
 
+@pytest.mark.extended  # ~31 s suite-wide plan sweep; default tier:
+# test_gate_contract runs the suite-wide CartesianProduct/BatchEvalPython
+# plan audit over all 222 builds every run
 def test_pair_outputs_have_no_single_partition_funnel(spark, cat):
     """Entries whose output grows with the corpus (near-dup pair lists:
     2.1M rows for d07 at sf0.1 alone) must not end in a

@@ -3,6 +3,7 @@ Python-computed ground truth on randomized small corpora — catches
 edge cases the fixed testdata can't (empty docs, single tokens,
 duplicate texts, hot keys)."""
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -119,26 +120,31 @@ def test_identical_docs_always_lsh_candidates(spark, texts):
         assert (i, i + n) in pairs
 
 
-@given(
-    d=st.dates(
-        min_value=__import__("datetime").date(1990, 1, 1),
-        max_value=__import__("datetime").date(2100, 12, 31),
-    )
-)
-@settings(
-    max_examples=30,
-    deadline=None,
-    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
-)
-def test_iso_day_of_week_matches_python(spark, d):
+def test_iso_day_of_week_matches_python(spark):
     # the reference pins ISO weekday Mon=1..Sun=7 (SURVEY.md §2.2 R10);
-    # python's date.isoweekday is the same contract
+    # python's date.isoweekday is the same contract. One Spark job over
+    # a deterministic 111-year sweep (every 17 days, plus the leap/century
+    # corners) instead of 30 hypothesis examples at one job each — the
+    # old battery was 30 Spark round-trips (~20 s) for LESS coverage.
+    import datetime as dt
+
+    days = [
+        dt.date(1990, 1, 1) + dt.timedelta(days=i)
+        for i in range(0, (dt.date(2100, 12, 31) - dt.date(1990, 1, 1)).days, 17)
+    ]
+    days += [
+        dt.date(2000, 2, 28), dt.date(2000, 2, 29), dt.date(2000, 3, 1),
+        dt.date(2100, 2, 28), dt.date(2100, 3, 1),  # 2100 is NOT a leap year
+        dt.date(1999, 12, 31), dt.date(2038, 1, 19),
+    ]
     got = (
-        spark.createDataFrame([(d,)], "d DATE")
-        .select(iso_day_of_week(F.col("d")).alias("dow"))
-        .first()["dow"]
+        spark.createDataFrame([(d,) for d in days], "d DATE")
+        .select("d", iso_day_of_week(F.col("d")).alias("dow"))
+        .collect()
     )
-    assert got == d.isoweekday()
+    assert len(got) == len(days)
+    for r in got:
+        assert r["dow"] == r["d"].isoweekday(), r["d"]
 
 
 @given(
@@ -533,6 +539,8 @@ def test_quantile_sketch_envelope_and_small_exactness(spark, vals, p):
     assert abs(got - exact) <= max(1, abs(exact)) * 2 ** (1 - 7)
 
 
+@pytest.mark.extended  # ~19 s battery; default tier: test_unigram.py
+# trainer/encoder parity + the w21 oracle twin
 @given(texts=docs_strategy)
 @SLOW
 def test_unigram_viterbi_matches_python_dp(spark, texts):
@@ -584,6 +592,8 @@ def test_unigram_viterbi_matches_python_dp(spark, texts):
         min_size=1, max_size=40, unique=True,
     ),
 )
+@pytest.mark.extended  # ~15 s battery; default tier: test_layout /
+# test_join_opt bloom tests + the w23 oracle twin
 @SLOW
 def test_bloom_sidecar_never_misses_any_present_key(spark, tmp_path_factory, keys):
     from pw_etl_scrumptious_squad_spark.operators import layout as L
@@ -671,6 +681,8 @@ def test_kmv_merge_head_property_on_random_sets(spark, a, b, k):
         max_size=5,
     )
 )
+@pytest.mark.extended  # ~15 s battery; default tier: test_wordpiece
+# trainer-vs-reference parity + the w27 oracle twin
 @SLOW
 def test_wordpiece_roundtrip_of_trained_vocab_has_no_unk(spark, texts):
     """Encoding the EXACT corpus a WordPiece vocab was trained on can

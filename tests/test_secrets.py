@@ -75,6 +75,8 @@ def test_jdbc_config_from_secret_reference_shape():
     assert cfg2.schema == "APP"
 
 
+@pytest.mark.extended  # ~32 s; default tier: the env-provider config
+# tests above and the live-JDBC lifecycle in test_jdbc_roundtrip
 def test_etl_lifecycle_under_non_env_provider(spark, totesys, tmp_path):
     """The reference's prod path: configs resolved through a secret
     provider (not env), then the live-JDBC lifecycle end-to-end —

@@ -694,6 +694,9 @@ def test_streaming_incremental_cc_equals_batch_global(spark, tmp_path):
     assert got_b1 == want_b1
 
 
+@pytest.mark.extended  # ~16 s; default tier: the file-scheme store
+# tests cover the same publish/commit chain; this re-runs it on a
+# viewfs:// Hadoop-FS shim
 def test_streaming_incremental_cc_store_on_non_file_scheme(spark, tmp_path):
     """The CC label store's publish/commit chain must run on the Hadoop
     FileSystem API end-to-end (round-8 verdict: no bare os.rename) —
@@ -912,6 +915,8 @@ def test_streaming_heavy_hitters_replay_is_idempotent(spark, tmp_path):
     assert _state() == before
 
 
+@pytest.mark.extended  # ~16 s; default tier: the file-scheme retention
+# test covers the same bound; this re-runs it on viewfs://
 def test_streaming_cc_retention_on_non_file_scheme(spark, tmp_path):
     """Round-9 verdict item 2: store retention must be scheme-agnostic.
     Run the three-batch CC fold against a viewfs:// store WITH

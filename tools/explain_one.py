@@ -1,7 +1,7 @@
-"""Dump .explain("formatted") for named catalog entries to plans/r10/.
+"""Dump .explain("formatted") for named catalog entries to plans/r11/.
 
 Usage: python tools/explain_one.py <suffix> query [query ...]
-Writes plans/r10/<query>_<suffix>.txt for each query (suffix: before|after).
+Writes plans/r11/<query>_<suffix>.txt for each query (suffix: before|after).
 """
 
 from __future__ import annotations
@@ -24,13 +24,13 @@ def main() -> None:
     spark = get_spark(app_name="explain-one")
     spark.sparkContext.setLogLevel("ERROR")
     cat = catmod.catalog()
-    os.makedirs("/root/repo/plans/r10", exist_ok=True)
+    os.makedirs("/root/repo/plans/r11", exist_ok=True)
     for name in names:
         df = cat[name].build(spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-        path = f"/root/repo/plans/r10/{name}_{suffix}.txt"
+        path = f"/root/repo/plans/r11/{name}_{suffix}.txt"
         with open(path, "w") as fh:
             fh.write(buf.getvalue())
         print(f"wrote {path} ({buf.getvalue().count('Exchange')} Exchange mentions)")
